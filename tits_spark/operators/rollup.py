@@ -1,0 +1,132 @@
+"""Cascading fixed-interval rollup tiers: raw -> 1m -> 1h -> 1d.
+
+The reference has no rollup (its retention is the 4096-tick ring buffer,
+ref:guess_lag.c:81,90-99); BASELINE.json's north_rule mandates cascading
+continuous aggregates over the transcripts table. Spark-first design:
+
+ - every aggregate kept in a tier row is ASSOCIATIVE (count, sum, sumsq,
+   min, max, argmin/argmax-by-ts) so coarser tiers are computed from the
+   previous tier, never from raw: at 10^12 turns the 1h job reads the
+   ~60x smaller 1m table, and Catalyst's partial aggregation (map-side
+   combine) applies at every step — one shuffle per tier, keyed by
+   (key, bucket). Non-associative outputs (mean, stddev) are derived
+   expressions at read time.
+ - first/last within a bucket use min_by/max_by on the observation
+   timestamp — deterministic under any row order (timestamps are unique
+   per key: strictly increasing per conv_id by construction), so tier
+   outputs are EXACTLY equal whether cascaded or computed direct from
+   raw (associativity property test in tests/test_rollup.py).
+ - tier tables are written partitioned by bucket_date so time-range
+   queries partition-prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tier name -> (truncation unit for date_trunc, seconds per bucket)
+TIERS = {
+    "1m": ("minute", 60),
+    "1h": ("hour", 3600),
+    "1d": ("day", 86400),
+}
+
+#: cascade order raw -> 1m -> 1h -> 1d
+TIER_ORDER = ["1m", "1h", "1d"]
+
+AGG_COLS = [
+    "n_obs", "v_sum", "v_sumsq", "v_min", "v_max",
+    "v_first", "v_last", "first_ts", "last_ts",
+]
+
+
+def bucket_col(ts: Column | str, tier: str) -> Column:
+    unit, _ = TIERS[tier]
+    return F.date_trunc(unit, ts)
+
+
+def rollup_from_raw(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    value: str = "value",
+    tier: str = "1m",
+) -> DataFrame:
+    """Aggregate a raw irregular stream (key, ts, value) into one tier.
+
+    One shuffle on (key, bucket_ts); Catalyst emits partial_agg ->
+    exchange -> final_agg (verified via .explain in tests/test_plans.py).
+    """
+    v, t = F.col(value), F.col(ts)
+    return (
+        df.groupBy(F.col(key).alias("key"), bucket_col(ts, tier).alias("bucket_ts"))
+        .agg(
+            F.count(v).alias("n_obs"),
+            F.sum(v).alias("v_sum"),
+            F.sum(v * v).alias("v_sumsq"),
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+            F.min_by(v, t).alias("v_first"),
+            F.max_by(v, t).alias("v_last"),
+            F.min(t).alias("first_ts"),
+            F.max(t).alias("last_ts"),
+        )
+    )
+
+
+def rollup_cascade(tier_df: DataFrame, to_tier: str) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (sums of sums,
+    min of mins, argmin-by-first_ts of firsts, ...) — exact, because
+    every kept aggregate is associative and bucket boundaries nest."""
+    return (
+        tier_df.groupBy("key", bucket_col("bucket_ts", to_tier).alias("bucket_ts"))
+        .agg(
+            F.sum("n_obs").alias("n_obs"),
+            F.sum("v_sum").alias("v_sum"),
+            F.sum("v_sumsq").alias("v_sumsq"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+            F.min_by("v_first", "first_ts").alias("v_first"),
+            F.max_by("v_last", "last_ts").alias("v_last"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
+def with_derived(tier_df: DataFrame) -> DataFrame:
+    """Attach non-associative derived stats (mean, sample variance)."""
+    n, s, ss = F.col("n_obs"), F.col("v_sum"), F.col("v_sumsq")
+    var = F.when(n > 1, (ss - s * s / n) / (n - F.lit(1))).otherwise(F.lit(None))
+    return tier_df.withColumn("v_mean", s / n).withColumn("v_var", var)
+
+
+def rollup_all_tiers(
+    raw: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> dict[str, DataFrame]:
+    """Full cascade raw -> 1m -> 1h -> 1d. Returns {tier: DataFrame}."""
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for tier in TIER_ORDER:
+        cur = (
+            rollup_from_raw(raw, key, ts, value, tier)
+            if prev is None
+            else rollup_cascade(prev, tier)
+        )
+        out[tier] = cur
+        prev = cur
+    return out
+
+
+def write_tier(tier_df: DataFrame, path: str, tier: str, mode: str = "overwrite") -> None:
+    """Persist a tier partitioned by bucket_date for partition pruning."""
+    (
+        tier_df.withColumn("bucket_date", F.to_date("bucket_ts"))
+        .write.mode(mode)
+        .partitionBy("bucket_date")
+        .parquet(f"{path}/tier={tier}")
+    )
