@@ -1,0 +1,90 @@
+"""Spark correlate operators vs the pure-numpy kernels and across the
+two execution strategies (applyInPandas parity path vs declarative
+band-join)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.functions import kernels as K
+from tits_spark.operators.correlate import (
+    acf_bandjoin,
+    ar_fit_by_key,
+    perio_by_key,
+    sacf_by_key,
+    xcor_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.col("user_id").cast("string").alias("key"), "ts", "value")
+        .cache()
+    )
+
+
+def test_sacf_by_key_matches_kernel(spark, ev):
+    got = sacf_by_key(ev, nlags=4, tau=3600.0).toPandas()
+    pdf = ev.toPandas().sort_values(["key", "ts"], kind="stable")
+    for key, grp in pdf.groupby("key"):
+        if len(grp) < 8:
+            continue
+        t = grp["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64) / 1e9
+        want = K.sacf(t - t[0], grp["value"].to_numpy(np.float64), 4, 3600.0)
+        sub = got[got["key"] == key].sort_values("lag")["acf"].to_numpy()
+        assert np.allclose(sub, want, rtol=1e-9, atol=1e-12, equal_nan=True), key
+
+
+def test_bandjoin_matches_udf_strategy(ev):
+    a = sacf_by_key(ev, nlags=4, tau=3600.0).toPandas().set_index(["key", "lag"])
+    b = acf_bandjoin(ev, nlags=4, tau=3600.0).toPandas().set_index(["key", "lag"])
+    j = a.join(b, lsuffix="_u", rsuffix="_b", how="inner")
+    assert len(j) == len(a)
+    d = np.abs(j["acf_u"] - j["acf_b"])
+    assert float(d.max()) < 1e-9
+
+
+def test_xcor_pairs_recovers_shift(spark):
+    # two keyed copies of one AR-ish series, second shifted +5 s on a
+    # tau=1 s grid -> argmax at lag +5
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 4000
+    t = np.cumsum(rng.exponential(1.0, n))
+    y = np.convolve(rng.standard_normal(n), [1.0, 0.6, 0.3], mode="same")
+    base = pd.Timestamp("2026-01-01").value
+    pdf = pd.concat([
+        pd.DataFrame({"key": "a", "ts": pd.to_datetime(base + (t * 1e9).astype(np.int64)), "value": y}),
+        pd.DataFrame({"key": "b", "ts": pd.to_datetime(base + ((t + 5.0) * 1e9).astype(np.int64)), "value": y}),
+    ])
+    df = spark.createDataFrame(pdf, "key string, ts timestamp, value double")
+    pairs = spark.createDataFrame([("a", "b")], "key1 string, key2 string")
+    out = xcor_pairs(df, pairs, nlags=10, tau=1.0).toPandas().sort_values("lag")
+    best = out.loc[out["xcf"].idxmax()]
+    assert best["lag"] == 5
+    assert best["xcf"] > 0.8
+
+
+def test_ar_fit_shape(ev):
+    out = ar_fit_by_key(ev, order=3, tau=3600.0).toPandas()
+    assert set(out["coef_idx"]) == {0, 1, 2}
+    assert not out["ar"].isna().any()
+
+
+def test_perio_finds_planted_frequency(spark):
+    # y = sin(2*pi*4*t/span) on irregular t -> peak at freq_idx 3
+    rng = np.random.Generator(np.random.PCG64(12))
+    t = np.sort(rng.random(600)) * 1000.0
+    y = np.sin(2 * np.pi * 4 * t / 1000.0) + 0.1 * rng.standard_normal(600)
+    base = pd.Timestamp("2026-01-01").value
+    pdf = pd.DataFrame({
+        "key": "s", "ts": pd.to_datetime(base + (t * 1e9).astype(np.int64)), "value": y,
+    })
+    df = spark.createDataFrame(pdf, "key string, ts timestamp, value double")
+    out = perio_by_key(df, nw=8).toPandas().sort_values("freq_idx")
+    # span normalization maps the planted 4-cycles signal near freq_idx 3
+    assert int(out.loc[out["power"].idxmax(), "freq_idx"]) in (2, 3, 4)

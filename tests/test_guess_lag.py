@@ -1,0 +1,82 @@
+"""guess_lag pipeline: planted venue offsets must be recovered on the
+tau grid (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.datagen import generate_quotes
+from tits_spark.operators.guess_lag import guess_lag
+from tits_spark.operators.windows import best_by, first_diff, sliding_last_n, top_k
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return generate_quotes(
+        spark, n_ticks=6000, seed=42, lag_ms={"FOLA": 30, "FOLB": 70}
+    ).cache()
+
+
+def test_best_lag_recovers_planted_offsets(quotes):
+    out = guess_lag(
+        quotes, best=True, max_ticks=4096, nlags=32, tau=0.01
+    ).toPandas()
+    assert len(out) > 0
+    # leader -> follower pairs: follower lags by +offset
+    got = {}
+    for _, r in out.iterrows():
+        got[(r["side"], r["key1"], r["key2"])] = r["best_lag"]
+    for side in ("BID", "ASK"):
+        for follower, ms in (("FOLA", 30), ("FOLB", 70)):
+            k = (side, "LEAD", follower)
+            if k in got:
+                # planted delay recovered within +-1 tau step
+                assert abs(got[k] - ms / 1000.0) <= 0.011, (k, got[k])
+
+
+def test_full_correlogram_shape(quotes):
+    out = guess_lag(quotes, best=False, nlags=16, tau=0.01)
+    pdf = out.toPandas()
+    per_pair = pdf.groupby(["side", "key1", "key2"]).size()
+    assert (per_pair == 33).all()  # 2*nlags + 1
+
+
+def test_sliding_last_n(spark):
+    df = spark.range(100).select(
+        F.lit("k").alias("key"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 2).alias("v"),
+    )
+    out = sliding_last_n(df, ["key"], "ts", 10).toPandas()
+    assert sorted(out["ts"]) == list(range(90, 100))
+
+
+def test_first_diff(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 13.0), ("k", 3, 11.0)], "key string, ts int, v double"
+    )
+    out = first_diff(df, ["key"], "ts", "v").toPandas().sort_values("ts")
+    assert list(out["diff"]) == [3.0, -2.0]
+    assert list(out["ts"]) == [2, 3]
+
+
+def test_best_by_nan_propagation(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.5), ("a", 2.0, 0.9), ("a", 3.0, float("nan")),
+         ("b", 1.0, float("nan")), ("b", 2.0, float("nan"))],
+        "key string, lag double, xcf double",
+    )
+    out = {r["key"]: (r["best_lag"], r["best_xcf"]) for r in best_by(df, ["key"], "lag", "xcf").collect()}
+    assert out["a"] == (2.0, 0.9)          # NaN rows excluded from argmax
+    assert out["b"][0] is None             # all-NaN key -> null best
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 7)) for i in range(20)], "key string, id int, v double"
+    )
+    out = top_k(df, ["key"], "v", 3).toPandas()
+    assert len(out) == 3
+    assert set(out["v"]) <= {6.0, 5.0}

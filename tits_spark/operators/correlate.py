@@ -1,0 +1,298 @@
+"""Correlation analytics over keyed irregular series.
+
+Two execution strategies, matching SURVEY.md §2.9/§4:
+
+1. ``sacf_by_key`` / ``xcor_pairs`` / ``ar_fit_by_key`` / ``perio_by_key``
+   — grouped/cogrouped ``applyInPandas`` running the C-parity numpy
+   kernels (tits_spark.functions.kernels). This IS the scalable path for
+   per-key analytics at 10^12 turns: each series fits one Arrow batch,
+   keys distribute across executors on the groupBy hash shuffle, and the
+   two-pointer band sweep is O(n*w) inside each task. Skewed giant keys
+   are bounded by the generator cap / sliding-window crop (W1).
+
+2. ``acf_bandjoin`` — the same kernel-weighted ACF expressed purely in
+   DataFrame operators (self range-join bucketed into an equi-join +
+   filter, ref:sacf.c:166-179 re-derived relationally; SURVEY.md §4
+   "sorted two-pointer band pruning" option b). Catalyst handles
+   pushdown/AQE; used for the DuckDB correctness oracle and for
+   cross-key correlation where per-group state would not fit.
+
+Normalization note: strategy 1 replicates the reference's 4-lane Welford
+z-norm bit-for-bit; strategy 2 uses declarative avg/stddev_samp (the
+distributed partial+final analog, SURVEY.md §2.4 A2) — equal to ~1e-15.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from tits_spark.functions import kernels as K
+
+_ACF_SCHEMA = "key string, lag int, acf double"
+_XCF_SCHEMA = "key1 string, key2 string, lag int, xcf double"
+_AR_SCHEMA = "key string, coef_idx int, ar double"
+_PERIO_SCHEMA = "key string, freq_idx int, power double"
+
+
+def _series(pdf: pd.DataFrame, ts: str, value: str) -> tuple[np.ndarray, np.ndarray]:
+    pdf = pdf.sort_values(ts, kind="stable")
+    t = pdf[ts].to_numpy()
+    if np.issubdtype(t.dtype, np.datetime64):
+        t = t.astype("datetime64[ns]").astype(np.int64) / 1e9
+    t = t.astype(np.float64)
+    return t - (t[0] if t.size else 0.0), pdf[value].to_numpy(dtype=np.float64)
+
+
+def sacf_by_key(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    nlags: int = 10,
+    tau: float = 1.0,
+    min_points: int = 8,
+) -> DataFrame:
+    """Per-key kernel-weighted sample ACF -> rows (key, lag, acf),
+    lag = 1..nlags on the tau grid. ref:sacf.c:185-226."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < min_points:
+            return pd.DataFrame(columns=["key", "lag", "acf"])
+        t, y = _series(pdf, ts, value)
+        acf = K.sacf(t, y, nlags, tau)
+        return pd.DataFrame({
+            "key": pdf[key].iloc[0],
+            "lag": np.arange(1, nlags + 1, dtype=np.int32),
+            "acf": acf,
+        })
+
+    return df.groupBy(key).applyInPandas(fn, schema=_ACF_SCHEMA)
+
+
+def xcor_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    nlags: int = 10,
+    tau: float = 1.0,
+    min_points: int = 8,
+) -> DataFrame:
+    """Kernel-weighted XCF for each (key1, key2) row of ``pairs`` ->
+    rows (key1, key2, lag, xcf), lag = -nlags..+nlags. ref:xcor.c:185-238.
+
+    Plan shape: ``pairs`` (small: series registry self-join J1) is
+    broadcast onto the series table twice — once per side — then the
+    pair-tagged observations cogroup on (key1, key2). Each side's rows
+    are shuffled once per pair membership; no driver-side loop.
+    """
+    p = pairs.select("key1", "key2")
+    d1 = df.alias("d1")
+    d2 = df.alias("d2")
+    side1 = d1.join(F.broadcast(p.alias("p1")), F.col(f"d1.{key}") == F.col("p1.key1")).select(
+        F.col("p1.key1").alias("key1"), F.col("p1.key2").alias("key2"),
+        F.col(f"d1.{ts}").alias("ts"), F.col(f"d1.{value}").alias("value"),
+    )
+    side2 = d2.join(F.broadcast(p.alias("p2")), F.col(f"d2.{key}") == F.col("p2.key2")).select(
+        F.col("p2.key1").alias("key1"), F.col("p2.key2").alias("key2"),
+        F.col(f"d2.{ts}").alias("ts"), F.col(f"d2.{value}").alias("value"),
+    )
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) < min_points or len(right) < min_points:
+            return pd.DataFrame(columns=["key1", "key2", "lag", "xcf"])
+        # rebase both to the triggering series' first ts (ref:guess_lag.c:272)
+        l = left.sort_values("ts", kind="stable")
+        r = right.sort_values("ts", kind="stable")
+        t1 = l["ts"].to_numpy()
+        t2 = r["ts"].to_numpy()
+        if np.issubdtype(t1.dtype, np.datetime64):
+            t1 = t1.astype("datetime64[ns]").astype(np.int64) / 1e9
+            t2 = t2.astype("datetime64[ns]").astype(np.int64) / 1e9
+        tref = t1[0]
+        xcf = K.xcor(
+            t1.astype(np.float64) - tref, l["value"].to_numpy(np.float64),
+            t2.astype(np.float64) - tref, r["value"].to_numpy(np.float64),
+            nlags, tau,
+        )
+        return pd.DataFrame({
+            "key1": l["key1"].iloc[0],
+            "key2": l["key2"].iloc[0],
+            "lag": np.arange(-nlags, nlags + 1, dtype=np.int32),
+            "xcf": xcf,
+        })
+
+    return (
+        side1.groupBy("key1", "key2")
+        .cogroup(side2.groupBy("key1", "key2"))
+        .applyInPandas(fn, schema=_XCF_SCHEMA)
+    )
+
+
+def ar_fit_by_key(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    order: int = 4,
+    tau: float = 1.0,
+    min_points: int = 8,
+) -> DataFrame:
+    """Per-key AR(order) fit: sacf -> Levinson-Durbin -> rows
+    (key, coef_idx, ar). ref:acf24ar.c:48-80 (Q3 composed with Q1)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < min_points:
+            return pd.DataFrame(columns=["key", "coef_idx", "ar"])
+        t, y = _series(pdf, ts, value)
+        acf = K.sacf(t, y, order, tau)
+        if np.isnan(acf).any():
+            return pd.DataFrame(columns=["key", "coef_idx", "ar"])
+        ar = K.acf2ar(acf, order)
+        return pd.DataFrame({
+            "key": pdf[key].iloc[0],
+            "coef_idx": np.arange(order, dtype=np.int32),
+            "ar": ar,
+        })
+
+    return df.groupBy(key).applyInPandas(fn, schema=_AR_SCHEMA)
+
+
+def perio_by_key(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    nw: int = 8,
+    min_points: int = 8,
+) -> DataFrame:
+    """Per-key Lomb-Scargle periodogram on t rescaled to [0, 1) ->
+    rows (key, freq_idx, power); frequency = freq_idx + 1 cycles per
+    observed span. ref:perio.c:49-86."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < min_points:
+            return pd.DataFrame(columns=["key", "freq_idx", "power"])
+        t, y = _series(pdf, ts, value)
+        span = t[-1] if t[-1] > 0 else 1.0
+        power = K.perio(t / span, y, nw)
+        return pd.DataFrame({
+            "key": pdf[key].iloc[0],
+            "freq_idx": np.arange(nw, dtype=np.int32),
+            "power": power,
+        })
+
+    return df.groupBy(key).applyInPandas(fn, schema=_PERIO_SCHEMA)
+
+
+# ------------------------------------------------------- band-join strategy
+
+def acf_bandjoin(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    nlags: int = 10,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Kernel-weighted ACF as pure DataFrame algebra (no Python UDF).
+
+    Steps (all built-in, whole-stage-codegen'd):
+      1. per-key z-norm + mean-dt via window/agg expressions;
+      2. self-join per key on the time band |dt| < nlags + 5h —
+         re-expressed as an equi-join on (key, time bucket) with the
+         band filter on top, so Catalyst picks a shuffled hash join on
+         (key, bucket) instead of a nested-loop theta join;
+      3. each in-band pair contributes to every integer lag k in
+         [dt-5h, dt+5h] (one sequence+explode, no per-lag re-join);
+      4. groupBy (key, lag): acf = sum(y1*y2*K)/sum(K),
+         K = exp(-(k-dt)^2/(2h^2)) / sqrt(2*pi*h).
+
+    Matches sacf_by_key to float tolerance (different normalization
+    accumulation); exact vs the DuckDB oracle under 6-dp rounding.
+    """
+    from pyspark.sql import Window
+
+    from tits_spark.functions.exprs import ts_seconds
+
+    t_sec = ts_seconds(ts)
+    w = Window.partitionBy(key)
+    wo = Window.partitionBy(key).orderBy("t")
+
+    # replicate the reference's truncation of each series to a multiple
+    # of the SIMD lane width (ref:sacf.c:193-196): drop the last n % 4
+    # points in time order, BEFORE computing normalization stats
+    wot = Window.partitionBy(key).orderBy(t_sec)
+    trunc = (
+        df.select(
+            F.col(key).alias("key"),
+            t_sec.alias("t_raw"),
+            F.col(value).alias("v"),
+            F.row_number().over(wot).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        .filter(F.col("rn") <= F.col("n") - F.col("n") % 4)
+        .drop("rn", "n")
+    )
+
+    prep = (
+        trunc
+        .withColumn("znorm", (F.col("v") - F.avg("v").over(w)) / F.stddev_samp("v").over(w))
+        .withColumn("tmin", F.min("t_raw").over(w))
+        .withColumn("t", (F.col("t_raw") - F.col("tmin")) / F.lit(tau))
+        .withColumn("dt", F.col("t") - F.lag("t").over(wo))
+        .withColumn("h", F.lit(0.25) * F.avg("dt").over(w))
+        .select("key", "t", F.col("znorm").alias("y"), "h")
+    )
+
+    # bucket width = nlags + 5h so pairs within the |dt| < nlags + 5h band
+    # land in the same or adjacent bucket; h is per-key constant so the
+    # width is exact per key. Left side explodes into 3 buckets, turning
+    # the theta range-join into an equi-join + filter.
+    base = prep.withColumn(
+        "bkt", F.floor(F.col("t") / (F.lit(float(nlags)) + F.col("h") * 5.0))
+    )
+    l = base.withColumn(
+        "bkt", F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1))
+    ).alias("l")
+    r = base.alias("r")
+
+    band = F.col("r.t") - F.col("l.t")  # dt in tau units
+    reach = F.col("l.h") * 5.0
+    pairs = l.join(
+        r,
+        (F.col("l.key") == F.col("r.key"))
+        & (F.col("l.bkt") == F.col("r.bkt"))
+        & (band > -reach)  # lag >= 1 side handled by the lag sequence
+        & (band < F.lit(float(nlags)) + reach),
+    )
+
+    lag_lo = F.greatest(F.lit(1), F.ceil(band - reach).cast("int"))
+    lag_hi = F.least(F.lit(nlags), F.floor(band + reach).cast("int"))
+    contrib = (
+        pairs.filter(lag_lo <= lag_hi)
+        .select(
+            F.col("l.key").alias("key"),
+            F.col("l.y").alias("y1"),
+            F.col("r.y").alias("y2"),
+            band.alias("d"),
+            F.col("l.h").alias("h"),
+            F.explode(F.sequence(lag_lo, lag_hi)).alias("lag"),
+        )
+        .withColumn("kd", F.col("lag") - F.col("d"))
+        .filter(F.abs("kd") < F.col("h") * 5.0)
+        .withColumn(
+            "K",
+            F.exp(F.col("kd") * F.col("kd") * (F.lit(-1.0) / (F.lit(2.0) * F.col("h") * F.col("h"))))
+            / F.sqrt(F.lit(2.0 * np.pi) * F.col("h")),
+        )
+    )
+    return (
+        contrib.groupBy("key", "lag")
+        .agg((F.sum(F.col("y1") * F.col("y2") * F.col("K")) / F.sum("K")).alias("acf"))
+    )

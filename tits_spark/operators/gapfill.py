@@ -79,7 +79,9 @@ def gapfill_interp(tier_df: DataFrame, tier: str, value_col: str = "v_last") -> 
     wf = Window.partitionBy("key").orderBy("bucket_ts").rowsBetween(
         0, Window.unboundedFollowing
     )
-    t = F.col("bucket_ts").cast("double")
+    from tits_spark.functions.exprs import ts_seconds
+
+    t = ts_seconds("bucket_ts")
     obs_t = F.when(F.col(value_col).isNotNull(), t)
     prev_v = F.last(value_col, ignorenulls=True).over(wb)
     next_v = F.first(value_col, ignorenulls=True).over(wf)
