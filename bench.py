@@ -1,0 +1,142 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the
+driver tables, plus a deterministic synthetic transcripts table
+(generated once into .bench/ and reused — same content at any
+parallelism) for the BASELINE.json rollup-throughput metric.
+
+Cores: $SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+BENCH_DIR = pathlib.Path(__file__).resolve().parent / ".bench"
+
+
+def ensure_transcripts(spark) -> str:
+    path = BENCH_DIR / f"transcripts_{N_CONVS}"
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        from tits_spark.datagen import generate_transcripts
+
+        df = generate_transcripts(spark, n_convs=N_CONVS, seed=42, max_turns=50_000)
+        df.write.mode("overwrite").parquet(str(path))
+    return str(path)
+
+
+def main() -> None:
+    from tits_spark.session import get_spark
+
+    spark = get_spark("tits_spark-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    tpath = ensure_transcripts(spark)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    out_dir = BENCH_DIR / "tiers_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+    raw = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("value")
+    )
+
+    # q1: the BASELINE metric — full rollup cascade raw -> 1m -> 1h -> 1d,
+    # each tier persisted and the next tier reading the previous (the
+    # production continuous-aggregate shape), partitioned by bucket_date
+    from tits_spark.operators.rollup import TIER_ORDER, rollup_cascade, rollup_from_raw, write_tier
+
+    with timed("q1_rollup_cascade"):
+        prev = None
+        for tier in TIER_ORDER:
+            cur = (
+                rollup_from_raw(raw, "conv_id", "ts", "value", tier)
+                if prev is None
+                else rollup_cascade(prev, tier)
+            )
+            write_tier(cur, str(out_dir), tier)
+            prev = spark.read.parquet(f"{out_dir}/tier={tier}")
+    rollup_sec = timings["q1_rollup_cascade"]
+
+    # q2: LOCF gap-fill over the 1h tier
+    from tits_spark.operators.gapfill import gapfill_locf
+
+    t1h = spark.read.parquet(f"{out_dir}/tier=1h")
+    with timed("q2_locf_1h"):
+        gapfill_locf(t1h, "1h").write.format("noop").mode("overwrite").save()
+
+    # q3: declarative band-join ACF over the driver events table
+    from tits_spark.operators.correlate import acf_bandjoin, sacf_by_key
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").cast("string").alias("key"), "ts", "value"
+    )
+    with timed("q3_acf_bandjoin"):
+        acf_bandjoin(events, nlags=3, tau=3600.0).write.format("noop").mode("overwrite").save()
+
+    # q4: C-parity per-conversation ACF over transcripts (gap series)
+    t_sec = F.col("ts").cast("timestamp").cast("double")
+    wo = Window.partitionBy("conv_id").orderBy("ts")
+    gaps = (
+        transcripts.select("conv_id", "ts")
+        .withColumn("value", t_sec - F.lag(t_sec).over(wo))
+        .filter(F.col("value").isNotNull())
+        .select(F.col("conv_id").alias("key"), "ts", "value")
+    )
+    with timed("q4_sacf_transcripts"):
+        sacf_by_key(gaps, nlags=5, tau=60.0, min_points=16).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    # q5: guess_lag pipeline on a planted-lag quotes stream
+    from tits_spark.datagen import generate_quotes
+    from tits_spark.operators.guess_lag import guess_lag
+
+    quotes = generate_quotes(spark, n_ticks=30_000, seed=42).cache()
+    quotes.count()
+    with timed("q5_guess_lag"):
+        guess_lag(quotes, best=True, nlags=64, tau=0.01).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "n_turns": n_turns,
+        "rollup_turns_per_sec": round(n_turns / rollup_sec, 1),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()
