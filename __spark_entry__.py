@@ -197,6 +197,95 @@ def q_xcor_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_by(xcf, ["key1", "key2"], "lag", "xcf")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=8, threshold=0.12)
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.dedup import minhash_signatures
+
+    out = minhash_signatures(_docs(spark, sf_dir), num_hashes=8, shingle_n=8)
+    return out.select("doc_id", F.col("hash_idx").cast("int").alias("hash_idx"), "minhash")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), nbits=32)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.text import token_count
+
+    return token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens", "n_subwords")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.text import quality_features
+
+    out = quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tits_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via sign-LSH buckets + exact rerank (rows-only:
+    the seeded hyperplanes have no SQL twin)."""
+    from tits_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, q, k=5, nbits=4, n_tables=8, dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -214,6 +303,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_fit": q_ar_fit,
         "perio": q_perio,
         "xcor_best_lag": q_xcor_best_lag,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_sig": q_minhash_sig,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
     }
 
 
@@ -291,6 +391,32 @@ GROUP BY 1, 2
 """
 
 
+_SHINGLE_CTE = """
+WITH raw_sh AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 7, 1))) AS off
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(off AS INT), 8) AS shingle FROM raw_sh
+  WHERE length(substr(text, CAST(off AS INT), 8)) = 8
+),
+freq AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 1000),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle))
+"""
+
+_MINHASH_CTE = _SHINGLE_CTE + """
+, exp AS (
+  SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS hash_idx FROM sh
+),
+sig AS (
+  SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx,
+         min(md5(CAST(hash_idx AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM exp GROUP BY 1, 2
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
@@ -359,4 +485,121 @@ ORDER BY n_events DESC, key ASC LIMIT 10
         "sacf_udf": _ACF_SQL,
         # ar_fit / perio / xcor_best_lag: kernel recursions with no SQL
         # equivalent -> rows-only checks (SURVEY.md §2.9 Q3/Q5/Q6)
+        "dedup_exact": """
+WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+agg AS (SELECT h, min(doc_id) AS keeper_id, count(*) AS n_copies FROM g GROUP BY 1)
+SELECT g.doc_id, agg.keeper_id, agg.n_copies FROM g JOIN agg USING (h)
+""",
+        "ngram_jaccard": _SHINGLE_CTE + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+""",
+        "minhash_sig": _MINHASH_CTE + "SELECT doc_id, hash_idx, minhash FROM sig",
+        "minhash_lsh": _MINHASH_CTE + """
+, banded AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2.0) AS INT) AS band,
+         string_agg(minhash, '|' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+""",
+        "simhash": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0),
+bits AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS bit FROM h),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ascii(substr(h, CAST(bit AS INT) + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+""",
+        "token_count": """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       CAST(ceil(length(trim(text)) / 4.0) AS INT) AS n_subwords
+FROM documents
+""",
+        "quality": """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for',
+                               'on','with','as','at','by','or','an','be','this','are'))) AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         least(n_chars / 500.0, 1.0) AS len_score
+  FROM f
+)
+SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio, round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio, round(stop_ratio, 6) AS stop_ratio,
+       round(0.4 * alpha_ratio + 0.3 * len_score
+             + 0.3 * (1.0 - least(punct_ratio + digit_ratio, 1.0)), 6) AS quality
+FROM r
+""",
+        "langid": """
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','it','that','for',
+                        'on','with','as','at','by','or','an','be','this','are'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN (CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END) >= 0.02
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM f
+""",
+        "fingerprint": """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+        "cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cosine
+  FROM c CROSS JOIN q WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        # minhash_lsh oracle included above; lsh_topk stays rows-only
+        # (seeded random hyperplanes have no SQL twin)
     }

@@ -1,0 +1,127 @@
+"""Dedup / similarity / text-analysis operators on planted fixtures and
+the driver documents/embeddings tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from tits_spark.operators.similarity import cosine_topk, lsh_topk
+from tits_spark.operators.text import fingerprint, lang_id, quality_features, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("quick", "rapid")),         # near dup of 0
+        (3, "completely different content about spark sql engines and shuffles"),
+        (4, base + " with a small extra suffix here"),  # near dup of 0
+        (5, "another unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_dedup_exact(docs):
+    out = {r["doc_id"]: (r["keeper_id"], r["n_copies"]) for r in dedup_exact(docs).collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[3] == (3, 1)
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.3).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got          # identical
+    assert (0, 2) in got          # one-word edit
+    assert (0, 4) in got          # suffix added
+    assert (0, 3) not in got and (3, 5) not in got
+
+
+def test_jaccard_value_exact(docs):
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.99).toPandas()
+    pair01 = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 1)]
+    assert len(pair01) == 1 and pair01["jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_lsh_candidates(docs):
+    got = {(int(r["id_a"]), int(r["id_b"])) for r in minhash_lsh_pairs(docs, num_hashes=16, bands=8, shingle_n=5).collect()}
+    assert (0, 1) in got
+    assert (0, 2) in got or (0, 4) in got  # near dups likely collide
+    assert (3, 5) not in got
+
+
+def test_simhash_near_pairs(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sig[0] == sig[1]  # identical docs, identical simhash
+    ham02 = bin(sig[0] ^ sig[2]).count("1")
+    ham03 = bin(sig[0] ^ sig[3]).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=6, band_bits=8).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_cosine_topk_exact(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0  # same direction as 0 -> cosine 1
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = cosine_topk(df, q, k=3).toPandas().sort_values("rank")
+    assert int(out.iloc[0]["vec_id"]) == 7
+    assert out.iloc[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    # brute-force numpy cross-check of the full ranking
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    sims[0] = -np.inf
+    want = list(np.argsort(-sims)[:3])
+    assert list(out["vec_id"]) == want
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(5)
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = lsh_topk(emb, q, k=5, nbits=4, n_tables=8, dim=64).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # measured 0.80 at these params
+
+
+def test_text_ops(docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert tc[5] == 4
+    qf = quality_features(docs).toPandas().set_index("doc_id")
+    assert (qf["quality"] >= 0).all() and (qf["quality"] <= 1).all()
+    assert qf.loc[3, "alpha_ratio"] > 0.8
+    li = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert li[0] == "en"
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    from tits_spark.operators.multimodal import extract_features, frame_sample_plan, synth_media
+
+    media = synth_media(spark, n=60).cache()
+    feats = extract_features(media, dim=8).toPandas()
+    assert len(feats) == 60
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic: same payload -> same feature
+    f2 = extract_features(media, dim=8).toPandas().sort_values("media_id")
+    f1 = feats.sort_values("media_id")
+    assert all(list(a) == list(b) for a, b in zip(f1["feature"], f2["feature"]))
+    plan = frame_sample_plan(media, every_n=10).toPandas()
+    vids = media.filter("kind = 'video'").toPandas()
+    want = sum((r.n_frames + 9) // 10 for r in vids.itertuples())
+    assert len(plan) == want

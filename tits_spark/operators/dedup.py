@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in column expressions (hashing, explodes, joins,
+aggregations) — no Python UDFs — so they scale to 100 TB document sets:
+
+ - exact:        hash-groupBy on md5(text)
+ - ngram Jaccard: shingle explode -> frequency-capped equi-join on
+                  shingle -> |A∩B| / (|A|+|B|-|A∩B|)
+ - MinHash+LSH:  per-shingle md5(i ∥ shingle) minima (lexicographic min
+                  of hex == uniform minhash), banded into LSH buckets,
+                  bucket-join for candidates, exact-Jaccard verify
+ - SimHash:      per-token hash bits -> per-bit majority vote
+
+The md5-based hash family is chosen deliberately: it exists with
+identical semantics in DuckDB, so every stage is oracle-checkable by the
+driver's SQL cross-check. Swap ``xxhash64`` in for raw speed at cluster
+scale (same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one keeper (min id) per distinct text.
+    Returns (<id_col>, keeper_id, n_copies)."""
+    h = F.md5(F.col(text_col)).alias("h")
+    g = df.select(F.col(id_col), h)
+    agg = g.groupBy("h").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return g.join(agg, "h").select(id_col, "keeper_id", "n_copies")
+
+
+def char_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct character n-gram shingles per doc: (<id_col>, shingle).
+    Pure column expr: substring over a sequence of offsets, exploded."""
+    txt = F.col(text_col)
+    offs = F.sequence(F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(1)))
+    return (
+        df.select(F.col(id_col), F.explode(offs).alias("off"), txt.alias("_t"))
+        .select(id_col, F.substring(F.col("_t"), F.col("off"), n).alias("shingle"))
+        .filter(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.4,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs by character-n-gram Jaccard similarity.
+
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    before the self-join — the standard guard against quadratic blowup
+    on boilerplate shingles (at web scale this is what keeps the shuffle
+    bounded; dropped shingles only *lower* estimated similarity, never
+    create false positives above the exact value).
+    Returns (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b.
+    """
+    sh = char_shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """MinHash signature per doc: for hash i, min over shingles of
+    md5(i ∥ shingle) — the lexicographic minimum of a uniform hex hash
+    is a valid minhash. Returns (<id_col>, hash_idx, minhash)."""
+    sh = char_shingles(df, id_col, text_col, shingle_n)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx")
+    expanded = sh.select(id_col, "shingle", idx)
+    mh = F.md5(F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col("shingle")))
+    return (
+        expanded.withColumn("h", mh)
+        .groupBy(id_col, "hash_idx")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs: signatures split into ``bands`` bands of
+    num_hashes/bands rows; docs sharing any full band collide.
+    Returns distinct (id_a, id_b) with id_a < id_b — feed into
+    ngram_jaccard_pairs-style exact verification."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band = (
+        sig.withColumn("band", (F.col("hash_idx") / rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list("minhash"))).alias("band_key"))
+    )
+    a = band.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = band.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash: tokens vote per bit, bit j of a token's hash =
+    parity of the j-th hex digit of md5(token) (uniform over hex, and
+    reproducible in ANSI SQL). Returns (<id_col>, simhash: long)."""
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    toks = df.select(F.col(id_col), tok).filter(F.length("tok") > 0)
+    j = F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("bit")
+    bits = toks.select(id_col, F.md5("tok").alias("h"), j)
+    vote = F.when(
+        F.ascii(F.substring(F.col("h"), F.col("bit") + 1, 1)) % 2 == 1, 1
+    ).otherwise(-1)
+    return (
+        bits.withColumn("v", vote)
+        .groupBy(id_col, "bit")
+        .agg(F.sum("v").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the hash into nbits/band_bits
+    chunks; by pigeonhole, any pair within ``max_hamming`` (< number of
+    bands) shares at least one exact band -> equi-join on (band, chunk),
+    then verify the true Hamming distance. Returns (id_a, id_b, hamming)."""
+    sig = simhash(df, id_col, text_col, nbits)
+    nbands = nbits // band_bits
+    chunk = F.explode(F.sequence(F.lit(0), F.lit(nbands - 1))).alias("band")
+    banded = sig.select(id_col, "simhash", chunk).withColumn(
+        "chunk",
+        F.expr(f"shiftrightunsigned(simhash, band * {band_bits}) % {1 << band_bits}"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
