@@ -1,0 +1,104 @@
+"""Streaming: watermarked 1m rollup equals the batch tier for on-time
+data; stateful bounded-book triggers fire at the reference thresholds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.operators.rollup import rollup_from_raw
+
+
+def test_stream_rollup_matches_batch(spark, transcripts, tmp_path):
+    from tits_spark.streaming.rollup_stream import stream_rollup_1m
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    raw = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("value")
+    )
+    raw.write.mode("overwrite").parquet(src)
+
+    q = stream_rollup_1m(
+        spark, src, "conv_id string, ts timestamp, value double",
+        out, ckpt, watermark="0 seconds", available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{out}/tier=1m").drop("bucket_date")
+    # append mode finalizes a window only once the watermark passes its
+    # end; the window holding the globally-latest event never closes, so
+    # compare against the batch tier restricted to closed windows
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    want = rollup_from_raw(raw, "conv_id", "ts", "value", "1m").filter(
+        F.col("bucket_ts") + F.expr("INTERVAL 1 MINUTE") <= F.lit(max_ts)
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_rollup_incremental_second_batch(spark, transcripts, tmp_path):
+    from tits_spark.streaming.rollup_stream import stream_rollup_1m
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    raw = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("value")
+    ).cache()
+    days = sorted(r["d"] for r in raw.select(F.to_date("ts").alias("d")).distinct().collect())
+    cut = days[len(days) // 2]
+    part1 = raw.filter(F.to_date("ts") <= F.lit(cut))
+    part2 = raw.filter(F.to_date("ts") > F.lit(cut))
+
+    part1.write.mode("overwrite").parquet(src)
+    schema = "conv_id string, ts timestamp, value double"
+    stream_rollup_1m(spark, src, schema, out, ckpt, watermark="0 seconds").awaitTermination(300)
+    # second batch of files arrives; checkpoint resumes the stream
+    part2.write.mode("append").parquet(src)
+    stream_rollup_1m(spark, src, schema, out, ckpt, watermark="0 seconds").awaitTermination(300)
+
+    got = spark.read.parquet(f"{out}/tier=1m").drop("bucket_date")
+    # the checkpoint carries window state across the two runs, so buckets
+    # spanning the arrival split still aggregate exactly once; only the
+    # window holding the globally-latest event stays open
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    want = rollup_from_raw(raw, "conv_id", "ts", "value", "1m").filter(
+        F.col("bucket_ts") + F.expr("INTERVAL 1 MINUTE") <= F.lit(max_ts)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_book_state_triggers(spark, tmp_path):
+    from tits_spark.streaming.book_state import book_triggers
+
+    # two keys: "hot" gets 700 ticks (fires at 513 with max=512... use
+    # small thresholds), "cold" gets 100 (never fires)
+    max_ticks, edg = 512, 385  # 3/4 * 512 + 1
+    rows = []
+    for i in range(700):
+        rows.append(("hot", float(i), float(i % 10)))
+    for i in range(100):
+        rows.append(("cold", float(i), 1.0))
+    src = str(tmp_path / "src")
+    pd.DataFrame(rows, columns=["key", "t", "v"]).to_parquet(src + ".parquet")
+    spark.read.parquet(src + ".parquet").write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("key string, t double, v double").parquet(src)
+    out = book_triggers(stream, max_ticks=max_ticks, edg_ticks=edg)
+    q = (
+        out.writeStream.format("memory").queryName("fires")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from fires").toPandas()
+    assert set(got["key"]) == {"hot"}
+    # 700 ticks, fire at 385 -> crop to 256 -> fire again at tick 385+129=514...
+    # fires whenever buffer re-reaches 385: after crop 256, needs 129 more
+    assert len(got) == (1 + (700 - 385) // 129)
+    assert (got["n"] == edg).all()

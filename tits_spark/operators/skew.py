@@ -1,0 +1,87 @@
+"""Skew-aware partitioning helpers (north_rule: salted repartitioning on
+hash(conv_id) + adaptive coalesce of small series).
+
+Where skew shows up in this engine and what bounds it:
+
+ - rollup tiers group on (key, bucket_ts): a Pareto-sized giant
+   conversation spreads over its many buckets, so per-group width is
+   already bounded; the residual skew is per-PARTITION row imbalance,
+   handled by salted repartitioning before heavy per-key stages;
+ - per-key applyInPandas kernels put a whole series in one task; the
+   bound is the sliding-window crop (MAX_TICKS) or the generator's
+   turn cap — state, not shuffle, is the limit;
+ - joins: AQE skew-join splitting is enabled session-wide
+   (tits_spark.session), and the two-phase aggregation below is the
+   explicit fallback for pathological single-key aggregations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_repartition(
+    df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Spread each key's rows over ``salt_buckets`` partitions:
+    partition on (xxhash64(key) % P, salt) where the salt derives from a
+    per-row column (default: every column via xxhash64(*)) so the split
+    is deterministic, not rand()."""
+    salt_col = (
+        F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))
+        if salt_source
+        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+    return df.repartition(
+        num_partitions, F.pmod(F.xxhash64(key), F.lit(num_partitions)), salt_col
+    )
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    aggs: Sequence[tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial agg on
+    (key, salt) shrinks the giant key's rows to ``salt_buckets``
+    partials before the final shuffle on key alone.
+
+    ``aggs``: list of (column, fn) with fn in {count, sum, min, max}
+    (the associative set). Catalyst's partial aggregation does this
+    implicitly for hash aggregates; the explicit form exists for when a
+    first-stage *shuffle* on the bare key would itself be skewed (e.g.
+    feeding a window or applyInPandas, which have no partial phase)."""
+    salt = (
+        F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))
+        if salt_source
+        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+    fn_map = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
+    partial_exprs = [fn_map[fn](F.col(c)).alias(f"_{fn}_{c}") for c, fn in aggs]
+    partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*partial_exprs)
+
+    refn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    final_exprs = [
+        refn[fn](F.col(f"_{fn}_{c}")).alias(f"{fn}_{c}") for c, fn in aggs
+    ]
+    return partial.groupBy(key).agg(*final_exprs)
+
+
+def key_size_stats(df: DataFrame, key: str) -> DataFrame:
+    """Per-key row counts with skew diagnostics columns (share of total,
+    rank) — the observability hook for choosing salt_buckets."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = Window.partitionBy()
+    return counts.select(
+        key,
+        "n_rows",
+        (F.col("n_rows") / F.sum("n_rows").over(total)).alias("share"),
+        F.row_number().over(Window.orderBy(F.desc("n_rows"))).alias("rank"),
+    )
