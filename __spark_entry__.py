@@ -286,6 +286,40 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=5, nbits=4, n_tables=8, dim=64)
 
 
+def q_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal quantize/scalbn/decompose over lineitem prices
+    (reference dfp754 analog, SURVEY.md §2.8 F5/F6)."""
+    from tits_spark.functions.decimal_ops import quantize
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = quantize(F.col("l_extendedprice"), 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        q.cast("string").alias("px_q"),
+        (q * 100).cast("long").alias("mantissa"),
+        F.when(F.col("l_extendedprice") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sign"),
+    )
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the general relational check
+    that the engine composes with ordinary star-schema analytics."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -314,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
+        "decimal_ops": q_decimal_ops,
+        "tpch_pricing": q_tpch_pricing,
     }
 
 
@@ -602,4 +638,22 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM (
 """,
         # minhash_lsh oracle included above; lsh_topk stays rows-only
         # (seeded random hyperplanes have no SQL twin)
+        "decimal_ops": """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS VARCHAR) AS px_q,
+       CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS mantissa,
+       CASE WHEN l_extendedprice < 0 THEN -1 ELSE 1 END AS sign
+FROM lineitem
+""",
+        "tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+GROUP BY 1, 2
+""",
     }
