@@ -42,7 +42,16 @@ def ensure_transcripts(spark) -> str:
 def main() -> None:
     from tits_spark.session import get_spark
 
-    spark = get_spark("tits_spark-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(
+        "tits_spark-bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS,
+        extra_conf={
+            # keep min_by/max_by hash-based at high bucket cardinality
+            # (default threshold 128 forces per-task sort fallback)
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "4000000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     tpath = ensure_transcripts(spark)
 

@@ -1,0 +1,70 @@
+"""spark-submit entry point for the production rollup pipeline.
+
+    spark-submit --py-files tits_spark.zip jobs/rollup_job.py \
+        --input  /data/transcripts \
+        --tiers  /data/tiers \
+        --metrics /data/metrics \
+        --key conv_id --ts ts --value-expr "length(text)" \
+        [--files-per-day 8]
+
+Runs (or resumes) the raw -> 1m -> 1h -> 1d cascade with per-partition
+lineage; on a cluster the master/executor topology comes from
+spark-submit, locally pass --cores for local[N].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--tiers", required=True)
+    ap.add_argument("--metrics", required=True)
+    ap.add_argument("--key", default="conv_id")
+    ap.add_argument("--ts", default="ts")
+    ap.add_argument("--value-expr", default="length(text)",
+                    help="SQL expression for the rollup value column")
+    ap.add_argument("--cores", default=None, help="local[N] when not on a cluster")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--job-id", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from tits_spark.lineage import incremental_rollup
+    from tits_spark.session import get_spark
+
+    spark = get_spark(
+        "tits_spark-rollup",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    raw = spark.read.parquet(args.input).select(
+        F.col(args.key).alias("conv_id"),
+        F.col(args.ts).alias("ts"),
+        F.expr(args.value_expr).cast("double").alias("value"),
+    )
+    n = raw.count()
+    t0 = time.perf_counter()
+    processed = incremental_rollup(
+        spark, raw, args.tiers, args.metrics,
+        key="conv_id", ts="ts", value="value", job_id=args.job_id,
+    )
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "rows": n,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n / dt, 1),
+        "partitions_processed": processed,
+    }))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

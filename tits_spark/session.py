@@ -40,9 +40,15 @@ def get_spark(
     $SPARK_GRAFT_CPUS or "*". In cluster mode the master comes from
     spark-submit and this argument is ignored by Spark.
     """
-    if cores is None:
-        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
+    builder = SparkSession.builder.appName(app_name)
+    # respect a master set by spark-submit (--master local-cluster[...]
+    # or a real cluster manager); only default to local[N] otherwise
+    from pyspark import SparkConf
+
+    if cores is not None or not SparkConf().contains("spark.master"):
+        if cores is None:
+            cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        builder = builder.master(f"local[{cores}]")
     conf = dict(_DEFAULTS)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
