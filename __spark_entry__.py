@@ -286,6 +286,20 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=5, nbits=4, n_tables=8, dim=64)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J3): each event matched to the latest 1d rollup point
+    at or before its timestamp (declarative union-LOCF strategy)."""
+    from tits_spark.operators.resample import asof_join
+    from tits_spark.operators.rollup import rollup_from_raw
+
+    ev = _events(spark, sf_dir)
+    t1d = rollup_from_raw(ev, "key", "ts", "value", "1d").select(
+        "key", F.col("bucket_ts").alias("ts"), F.col("v_last").alias("dv")
+    )
+    out = asof_join(ev, t1d, value_cols=["dv"])
+    return out.select("key", "ts", "value", F.col("dv_r").alias("dv"))
+
+
 def q_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal quantize/scalbn/decompose over lineitem prices
     (reference dfp754 analog, SURVEY.md §2.8 F5/F6)."""
@@ -350,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "decimal_ops": q_decimal_ops,
         "tpch_pricing": q_tpch_pricing,
+        "asof_join": q_asof_join,
     }
 
 
@@ -644,6 +659,15 @@ SELECT l_orderkey, l_linenumber,
        CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS mantissa,
        CASE WHEN l_extendedprice < 0 THEN -1 ELSE 1 END AS sign
 FROM lineitem
+""",
+        "asof_join": """
+WITH t1d AS (
+  SELECT user_id AS key, date_trunc('day', ts) AS bts, arg_max(value, ts) AS dv
+  FROM events GROUP BY 1, 2
+)
+SELECT e.user_id AS key, e.ts, e.value, t.dv
+FROM events e
+ASOF LEFT JOIN t1d t ON e.user_id = t.key AND e.ts >= t.bts
 """,
         "tpch_pricing": """
 SELECT l_returnflag, l_linestatus,

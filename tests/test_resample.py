@@ -1,0 +1,113 @@
+"""As-of join (both strategies) + retention TTL."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.operators.resample import asof_join, asof_join_pandas
+
+T0 = dt.datetime(2026, 3, 1)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(seconds=s), float(i))
+         for i, s in enumerate([5, 15, 25, 100])] +
+        [("b", T0 + dt.timedelta(seconds=3), 9.0)],
+        "key string, ts timestamp, lv double",
+    )
+    right = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(seconds=0), 10.0),
+         ("a", T0 + dt.timedelta(seconds=15), 20.0),
+         ("a", T0 + dt.timedelta(seconds=30), 30.0)],
+        "key string, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def _collect(df):
+    return {
+        (r["key"], r["ts"].second + 60 * r["ts"].minute): r["rv_r"]
+        for r in df.collect()
+    }
+
+
+def test_asof_join_backward(sides):
+    left, right = sides
+    got = _collect(asof_join(left, right, value_cols=["rv"]))
+    assert got[("a", 5)] == 10.0
+    assert got[("a", 15)] == 20.0   # equal ts matches ("at or before")
+    assert got[("a", 25)] == 20.0
+    assert got[("a", 100)] == 30.0
+    assert got[("b", 3)] is None    # no right rows for key b
+
+
+def test_asof_join_tolerance(sides):
+    left, right = sides
+    got = _collect(asof_join(left, right, value_cols=["rv"], tolerance_sec=20.0))
+    assert got[("a", 5)] == 10.0
+    assert got[("a", 100)] is None  # 70s stale > 20s tolerance
+
+
+def test_asof_pandas_matches_declarative(sides):
+    left, right = sides
+    a = _collect(asof_join(left, right, value_cols=["rv"]))
+    b = _collect(asof_join_pandas(left, right, value_cols=["rv"]))
+    assert a == b
+
+
+def test_asof_strategies_on_events(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").cast("string").alias("key"), "ts", "value"
+    )
+    from tits_spark.operators.rollup import rollup_from_raw
+
+    t1d = rollup_from_raw(ev, "key", "ts", "value", "1d").select(
+        "key", F.col("bucket_ts").alias("ts"), F.col("v_last").alias("dv")
+    )
+    a = asof_join(ev, t1d, value_cols=["dv"])
+    b = asof_join_pandas(ev, t1d, value_cols=["dv"])
+    assert a.count() == ev.count()
+    assert a.select("key", "ts", "dv_r").exceptAll(b.select("key", "ts", "dv_r")).count() == 0
+
+
+def test_retention_expiry(spark, transcripts, tmp_path):
+    from tits_spark.lineage import MetricsLog, incremental_rollup
+    from tits_spark.operators.retention import expire_partitions
+
+    raw = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("value")
+    )
+    tiers = str(tmp_path / "tiers")
+    metrics = str(tmp_path / "metrics")
+    incremental_rollup(spark, raw, tiers, metrics, job_id="r")
+    days = sorted(
+        r["d"] for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    as_of = days[-1]
+    horizon = (as_of - days[0]).days // 2
+    gone = expire_partitions(
+        spark, tiers, metrics, as_of,
+        ttl_days={"1m": horizon, "1h": horizon * 2, "1d": 10_000},
+    )
+    assert len(gone["1m"]) > 0
+    assert gone["1d"] == []
+    # expired partitions are really gone from the tier table
+    t1m = spark.read.parquet(f"{tiers}/tier=1m")
+    oldest = t1m.agg(F.min("bucket_date")).collect()[0][0]
+    import datetime as dt
+
+    assert oldest >= as_of - dt.timedelta(days=horizon)
+    # tombstones recorded
+    log = MetricsLog(spark, metrics).read()
+    assert log.filter(F.col("stage") == "expired_1m").count() == len(gone["1m"])
+    # idempotent second run
+    gone2 = expire_partitions(
+        spark, tiers, metrics, as_of,
+        ttl_days={"1m": horizon, "1h": horizon * 2, "1d": 10_000},
+    )
+    assert gone2["1m"] == []

@@ -1,0 +1,118 @@
+"""As-of alignment (SURVEY.md §2.3 J3): join each left row to the most
+recent right row at or before its timestamp, per key — the relational
+form of the reference's gap-aware alignment of irregular series onto a
+reference clock (ref:sacf.c:166-179 aligns via kernel bands; LOCF-style
+as-of is the degenerate rectangular-kernel case).
+
+Two strategies:
+
+ - ``asof_join`` (default, scalable): union the two sides with a tag,
+   one window sort per key carries the last right-side values forward
+   onto left rows (the classic union-LOCF formulation — a single
+   shuffle on key, no range join, no UDF).
+ - ``asof_join_pandas``: cogrouped ``pd.merge_asof`` (SNIPPETS.md [1]) —
+   per-key Arrow batches, useful when per-key data is huge and sorted
+   merge beats the window.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right row with
+    right.ts <= left.ts for the same key (NULLs when none, or when the
+    match is older than ``tolerance_sec``)."""
+    from tits_spark.functions.exprs import ts_seconds
+
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, ts)]
+
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        key, ts, *[F.col(c).alias(c + suffix) for c in value_cols]
+    ).withColumn("_side", F.lit(0))
+    both = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # right rows sort before left rows at equal ts -> "at or before"
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = both.select(
+        "*",
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "_f")
+            for c in value_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, ts_seconds(ts)), ignorenulls=True)
+        .over(w)
+        .alias("_rts"),
+    )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_sec is not None:
+        keep = ts_seconds(ts) - F.col("_rts") <= F.lit(float(tolerance_sec))
+        out = out.select(
+            "*",
+            *[
+                F.when(keep, F.col(c + suffix + "_f")).alias(c + suffix + "_t")
+                for c in value_cols
+            ],
+        )
+        final_cols = [c + suffix + "_t" for c in value_cols]
+    else:
+        final_cols = [c + suffix + "_f" for c in value_cols]
+    return out.select(
+        *left.columns,
+        *[F.col(fc).alias(vc + suffix) for fc, vc in zip(final_cols, value_cols)],
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Same semantics via cogrouped pd.merge_asof."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, ts)]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [
+            f"`{c}{suffix}` {right.schema[c].dataType.simpleString()}"
+            for c in value_cols
+        ]
+    )
+
+    def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=list(l.columns) + [c + suffix for c in value_cols])
+        l = l.sort_values(ts, kind="stable")
+        r = r.sort_values(ts, kind="stable")[[ts, *value_cols]].rename(
+            columns={c: c + suffix for c in value_cols}
+        )
+        tol = pd.Timedelta(seconds=tolerance_sec) if tolerance_sec is not None else None
+        merged = pd.merge_asof(l, r, on=ts, direction="backward", tolerance=tol)
+        return merged
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(fn, schema=out_schema)
+    )
