@@ -173,6 +173,15 @@ def q_ar_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ar_fit_by_key(ev, "key", "ts", "value", order=3, tau=3600.0)
 
 
+def q_ar_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR fit + unit-root stationarity diagnostic via Laguerre roots
+    (rows-only: iterative root finding has no SQL equivalent)."""
+    from tits_spark.operators.correlate import ar_stationarity_by_key
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    return ar_stationarity_by_key(ev, "key", "ts", "value", order=3, tau=3600.0)
+
+
 def q_perio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lomb-Scargle periodogram per key (rows-only check)."""
     from tits_spark.operators.correlate import perio_by_key
@@ -349,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_band": q_acf_band,
         "sacf_udf": q_sacf_udf,
         "ar_fit": q_ar_fit,
+        "ar_stationarity": q_ar_stationarity,
         "perio": q_perio,
         "xcor_best_lag": q_xcor_best_lag,
         "dedup_exact": q_dedup_exact,

@@ -88,3 +88,31 @@ def test_perio_finds_planted_frequency(spark):
     out = perio_by_key(df, nw=8).toPandas().sort_values("freq_idx")
     # span normalization maps the planted 4-cycles signal near freq_idx 3
     assert int(out.loc[out["power"].idxmax(), "freq_idx"]) in (2, 3, 4)
+
+
+def test_ar_stationarity(spark):
+    # stationary AR(1): y_t = 0.5 y_{t-1} + e -> root at z=2, stationary
+    import numpy as np
+    import pandas as pd
+    from tits_spark.operators.correlate import ar_stationarity_by_key
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n = 5000
+    y = np.zeros(n)
+    e = rng.standard_normal(n)
+    for i in range(1, n):
+        y[i] = 0.5 * y[i - 1] + e[i]
+    base = pd.Timestamp("2026-01-01").value
+    pdf = pd.DataFrame({
+        "key": "s",
+        "ts": pd.to_datetime(base + (np.arange(n) * 1e9).astype(np.int64)),
+        "value": y,
+    })
+    df = spark.createDataFrame(pdf, "key string, ts timestamp, value double")
+    out = ar_stationarity_by_key(df, order=2, tau=1.0).toPandas()
+    assert len(out) == 2
+    assert bool(out["stationary"].iloc[0]) is True
+    assert out["min_root_mod"].iloc[0] > 1.5  # root near 2 for AR(0.5)
+    # fitted ar_1 ~ -0.5 (Levinson sign convention: y_t + a1 y_{t-1} = e)
+    a1 = out.sort_values("coef_idx")["ar"].iloc[0]
+    assert -0.6 < a1 < -0.4

@@ -163,6 +163,56 @@ def ar_fit_by_key(
     return df.groupBy(key).applyInPandas(fn, schema=_AR_SCHEMA)
 
 
+def ar_stationarity_by_key(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    order: int = 4,
+    tau: float = 1.0,
+    min_points: int = 8,
+) -> DataFrame:
+    """AR(order) fit + stationarity check: roots of the AR
+    characteristic polynomial 1 + a1 z + ... + ap z^p must lie outside
+    the unit circle (Q3 composed with Q4, the reference's intended use
+    of roots for AR diagnostics — ref:acf24ar.c + roots.c).
+
+    Returns (key, coef_idx, ar, min_root_mod, stationary)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["key", "coef_idx", "ar", "min_root_mod", "stationary"]
+        if len(pdf) < min_points:
+            return pd.DataFrame(columns=cols)
+        t, y = _series(pdf, ts, value)
+        acf = K.sacf(t, y, order, tau)
+        if np.isnan(acf).any():
+            return pd.DataFrame(columns=cols)
+        ar = K.acf2ar(acf, order)
+        # characteristic poly p(z) = 1 + ar_1 z + ... + ar_p z^p
+        coefs = np.concatenate(([1.0], ar))
+        if abs(coefs[-1]) < 1e-300:
+            mods = np.array([np.inf])
+        else:
+            reals, pairs = K.roots(coefs)
+            mods = np.concatenate([
+                np.abs(reals),
+                np.sqrt(pairs[:, 0] ** 2 + pairs[:, 1] ** 2) if len(pairs) else [],
+            ])
+        mrm = float(mods.min()) if mods.size else float("inf")
+        return pd.DataFrame({
+            "key": pdf[key].iloc[0],
+            "coef_idx": np.arange(order, dtype=np.int32),
+            "ar": ar,
+            "min_root_mod": mrm,
+            "stationary": mrm > 1.0,
+        })
+
+    schema = (
+        "key string, coef_idx int, ar double, min_root_mod double, stationary boolean"
+    )
+    return df.groupBy(key).applyInPandas(fn, schema=schema)
+
+
 def perio_by_key(
     df: DataFrame,
     key: str = "key",
