@@ -18,9 +18,26 @@ from tits_spark.compression.gorilla import (
 )
 
 
-def roundtrip(ts, vals):
-    t, v = gorilla_decode(gorilla_encode(np.asarray(ts), np.asarray(vals)))
+import pytest as _pytest
+
+_MODE = "fast"
+
+
+def roundtrip(ts, vals, mode=None):
+    t, v = gorilla_decode(
+        gorilla_encode(np.asarray(ts), np.asarray(vals), mode=mode or _MODE)
+    )
     return t, v
+
+
+@_pytest.mark.parametrize("mode", ["fast", "tight"])
+def test_modes_roundtrip_equivalent(mode):
+    rng = np.random.Generator(np.random.PCG64(77))
+    ts = np.cumsum(rng.integers(1, 10**9, 5000).astype(np.int64))
+    vals = np.round(rng.standard_normal(5000) * 40, 3)
+    t, v = roundtrip(ts, vals, mode=mode)
+    assert np.array_equal(t, ts)
+    assert np.array_equal(v.view(np.uint64), vals.view(np.uint64))
 
 
 def test_empty_and_single():

@@ -216,18 +216,152 @@ def _ctz64(x: int) -> int:
     return (x & -x).bit_length() - 1
 
 
+# ------------------------------------------------- vectorized fast encoder
+#
+# The per-point Python emitters above are the "tight" reference path
+# (value codec reuses the previous leading/trailing window, Gorilla
+# §4.1.2 '10' control). The fast path below is pure numpy: it packs the
+# whole block as one stream of (value, nbits) fields via vectorized
+# scatter-OR, always emitting the explicit '11' header for changed
+# values (the '10' control is simply never produced, which the decoder
+# handles natively). ~40x faster, ~11 bits/changed-value larger.
+
+
+def _clz64_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (x > 0)."""
+    hi = (x >> np.uint64(32)).astype(np.float64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    out = np.empty(x.shape, dtype=np.int64)
+    m = hi > 0
+    out[m] = 31 - np.floor(np.log2(hi[m])).astype(np.int64)
+    out[~m] = 63 - np.floor(np.log2(np.maximum(lo[~m], 1.0))).astype(np.int64)
+    return out
+
+
+def _ctz64_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (x > 0)."""
+    low = x & (~x + np.uint64(1))  # lowest set bit, a power of two
+    return np.floor(np.log2(low.astype(np.float64)) + 0.5).astype(np.int64)
+
+
+def _pack_fields(vals: np.ndarray, bits: np.ndarray) -> bytes:
+    """Pack (uint64 value, nbits) fields MSB-first into a byte stream —
+    vectorized scatter-OR over up to 9 byte slots per field."""
+    vals = vals.astype(np.uint64)
+    bits = bits.astype(np.int64)
+    keep = bits > 0
+    vals, bits = vals[keep], bits[keep]
+    offs = np.zeros(bits.size, dtype=np.int64)
+    if bits.size:
+        np.cumsum(bits[:-1], out=offs[1:])
+    total_bits = int(bits.sum())
+    buf = np.zeros((total_bits + 7) // 8 + 8, dtype=np.uint8)
+    byte0 = offs >> 3
+    b0 = offs & 7
+    span_bits = b0 + bits
+    for k in range(9):
+        m = span_bits > 8 * k
+        if not m.any():
+            break
+        sh = bits[m] + b0[m] - 8 * (k + 1)
+        v = vals[m]
+        pos = sh >= 0
+        chunk = np.empty(v.shape, dtype=np.uint64)
+        chunk[pos] = v[pos] >> sh[pos].astype(np.uint64)
+        chunk[~pos] = v[~pos] << (-sh[~pos]).astype(np.uint64)
+        np.bitwise_or.at(buf, byte0[m] + k, (chunk & np.uint64(0xFF)).astype(np.uint8))
+    return buf[: (total_bits + 7) // 8].tobytes()
+
+
+def _ts_fields(ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(values, bits) field arrays for the delta-of-delta ts stream."""
+    n = ts.size
+    U = np.uint64
+    head_v = [np.uint64(ts[0])]
+    head_b = [64]
+    if n >= 2:
+        head_v.append(np.uint64(np.int64(ts[1] - ts[0])))
+        head_b.append(64)
+    if n < 3:
+        return np.array(head_v, dtype=np.uint64), np.array(head_b)
+    dod = np.diff(np.diff(ts))
+    pv = np.zeros((dod.size, 2), dtype=np.uint64)  # prefix, payload
+    pb = np.zeros((dod.size, 2), dtype=np.int64)
+    zero = dod == 0
+    b1 = ~zero & (dod >= -63) & (dod <= 64)
+    b2 = ~zero & ~b1 & (dod >= -255) & (dod <= 256)
+    b3 = ~zero & ~b1 & ~b2 & (dod >= -2047) & (dod <= 2048)
+    b4 = ~zero & ~b1 & ~b2 & ~b3 & (dod >= -(1 << 31)) & (dod < (1 << 31))
+    b5 = ~zero & ~b1 & ~b2 & ~b3 & ~b4
+    pv[zero, 0], pb[zero, 0] = 0b0, 1
+    pv[b1, 0], pb[b1, 0] = 0b10, 2
+    pv[b1, 1], pb[b1, 1] = (dod[b1] + 63).astype(np.uint64), 7
+    pv[b2, 0], pb[b2, 0] = 0b110, 3
+    pv[b2, 1], pb[b2, 1] = (dod[b2] + 255).astype(np.uint64), 9
+    pv[b3, 0], pb[b3, 0] = 0b1110, 4
+    pv[b3, 1], pb[b3, 1] = (dod[b3] + 2047).astype(np.uint64), 12
+    pv[b4, 0], pb[b4, 0] = 0b11110, 5
+    pv[b4, 1], pb[b4, 1] = (dod[b4] + (1 << 31)).astype(np.uint64), 32
+    pv[b5, 0], pb[b5, 0] = 0b11111, 5
+    pv[b5, 1], pb[b5, 1] = dod[b5].astype(np.int64).view(np.uint64), 64
+    return (
+        np.concatenate([np.array(head_v, dtype=np.uint64), pv.ravel()]),
+        np.concatenate([np.array(head_b), pb.ravel()]),
+    )
+
+
+def _val_fields(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(values, bits) fields for the XOR value stream, always-'11' form."""
+    bits64 = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    head_v = [bits64[0]]
+    head_b = [64]
+    if bits64.size == 1:
+        return np.array(head_v, dtype=np.uint64), np.array(head_b)
+    x = bits64[1:] ^ bits64[:-1]
+    pv = np.zeros((x.size, 4), dtype=np.uint64)  # ctrl, lead, len, sig
+    pb = np.zeros((x.size, 4), dtype=np.int64)
+    zero = x == 0
+    pv[zero, 0], pb[zero, 0] = 0b0, 1
+    nz = ~zero
+    if nz.any():
+        xs = x[nz]
+        lead = np.minimum(_clz64_arr(xs), 31)
+        tail = _ctz64_arr(xs)
+        siglen = 64 - lead - tail
+        pv[nz, 0], pb[nz, 0] = 0b11, 2
+        pv[nz, 1], pb[nz, 1] = lead.astype(np.uint64), 5
+        pv[nz, 2], pb[nz, 2] = (siglen - 1).astype(np.uint64), 6
+        pv[nz, 3], pb[nz, 3] = xs >> tail.astype(np.uint64), siglen
+    return (
+        np.concatenate([np.array(head_v, dtype=np.uint64), pv.ravel()]),
+        np.concatenate([np.array(head_b), pb.ravel()]),
+    )
+
+
 # ------------------------------------------------------------- public API
 
 
-def gorilla_encode(ts_us: np.ndarray, vals: np.ndarray) -> bytes:
+def gorilla_encode(ts_us: np.ndarray, vals: np.ndarray, mode: str = "fast") -> bytes:
     """Pack (int64 µs timestamps, float64 values) into one Gorilla block.
 
-    Timestamps must be sorted ascending (per-series invariant T2)."""
+    Timestamps must be sorted ascending (per-series invariant T2).
+    ``mode="fast"`` is the vectorized encoder (always-explicit value
+    headers); ``mode="tight"`` is the per-point reference encoder with
+    §4.1.2 window reuse. Both decode with gorilla_decode.
+    """
     ts_us = np.ascontiguousarray(ts_us, dtype=np.int64)
     vals = np.ascontiguousarray(vals, dtype=np.float64)
     if ts_us.size != vals.size:
         raise ValueError("ts/vals length mismatch")
     n = ts_us.size
+    if mode == "fast":
+        if n == 0:
+            return _pack_fields(np.array([0], dtype=np.uint64), np.array([32]))
+        tv, tb = _ts_fields(ts_us)
+        vv, vb = _val_fields(vals)
+        allv = np.concatenate([np.array([n], dtype=np.uint64), tv, vv])
+        allb = np.concatenate([np.array([32]), tb, vb])
+        return _pack_fields(allv, allb)
     w = _BitWriter(64 + n * 140 + 128)
     w.write(n, 32)
     if n:
