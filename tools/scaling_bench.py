@@ -68,16 +68,21 @@ def run_once(pyz: pathlib.Path, inp: pathlib.Path, execs: int, cores: int, tag: 
     for p in (tiers, metrics, local):
         shutil.rmtree(p, ignore_errors=True)
     local.mkdir(parents=True, exist_ok=True)
+    # shuffle partitions: scale with cores but never so few that a single
+    # reduce task's aggregation hash table outgrows executor memory at
+    # the small cluster size (same partition count would hold on a real
+    # cluster — reducers there are sized by data, not by core count)
+    shuffle_parts = max(64, 4 * execs * cores)
     cmd = [
         "spark-submit",
-        "--master", f"local-cluster[{execs},{cores},6144]",
+        "--master", f"local-cluster[{execs},{cores},11264]",
         "--driver-memory", "8g",
-        "--conf", "spark.executor.memory=5g",
+        "--conf", "spark.executor.memory=10g",
         "--conf", "spark.sql.adaptive.enabled=false",
         "--conf", f"spark.local.dir={local}",
         "--conf", "spark.sql.files.maxPartitionBytes=33554432",
         "--conf", "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=4000000",
-        "--conf", f"spark.sql.shuffle.partitions={4 * execs * cores}",
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
         "--py-files", str(pyz),
         str(REPO / "jobs" / "rollup_job.py"),
         "--input", str(inp),
