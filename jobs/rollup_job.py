@@ -29,7 +29,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--ts", default="ts")
     ap.add_argument("--value-expr", default="length(text)",
                     help="SQL expression for the rollup value column")
-    ap.add_argument("--cores", default=None, help="local[N] when not on a cluster")
+    ap.add_argument("--cores", default="inherit",
+                    help="'inherit' (default) uses spark-submit's --master; "
+                         "pass N to force local[N]")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--job-id", default=None)
     args = ap.parse_args(argv)

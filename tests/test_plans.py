@@ -117,3 +117,14 @@ def test_salted_repartition_balances(spark, transcripts):
         .groupBy("pid").count().toPandas()["count"]
     )
     assert sizes.max() / sizes.sum() < 0.5  # no partition holds half the data
+
+def test_acf_bandjoin_is_equi_join(spark, ev):
+    from tits_spark.operators.correlate import acf_bandjoin
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(acf_bandjoin(df, nlags=3, tau=3600.0))
+    # the time-band theta predicate must ride on an equi-join on
+    # (key, bucket), not degrade to a nested loop / cartesian product
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)

@@ -41,11 +41,10 @@ def get_spark(
     spark-submit and this argument is ignored by Spark.
     """
     builder = SparkSession.builder.appName(app_name)
-    # respect a master set by spark-submit (--master local-cluster[...]
-    # or a real cluster manager); only default to local[N] otherwise
-    from pyspark import SparkConf
-
-    if cores is not None or not SparkConf().contains("spark.master"):
+    # cores="inherit" leaves the master to spark-submit (--master
+    # local-cluster[...] or a real cluster manager); otherwise default
+    # to local[N]
+    if cores != "inherit":
         if cores is None:
             cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
         builder = builder.master(f"local[{cores}]")

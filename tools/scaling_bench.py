@@ -72,12 +72,12 @@ def run_once(pyz: pathlib.Path, inp: pathlib.Path, execs: int, cores: int, tag: 
     # reduce task's aggregation hash table outgrows executor memory at
     # the small cluster size (same partition count would hold on a real
     # cluster — reducers there are sized by data, not by core count)
-    shuffle_parts = max(64, 4 * execs * cores)
+    shuffle_parts = max(256, 4 * execs * cores)
     cmd = [
         "spark-submit",
-        "--master", f"local-cluster[{execs},{cores},11264]",
+        "--master", f"local-cluster[{execs},{cores},8192]",
         "--driver-memory", "8g",
-        "--conf", "spark.executor.memory=10g",
+        "--conf", "spark.executor.memory=6g",
         "--conf", "spark.sql.adaptive.enabled=false",
         "--conf", f"spark.local.dir={local}",
         "--conf", "spark.sql.files.maxPartitionBytes=33554432",
