@@ -138,7 +138,7 @@ with per-partition lineage + checkpoint log, dynamic-partition-overwrite
 tier writes. Identical deterministic transcripts input
 ({args.convs:,} conversations, {rows:,} turns), identical code, fresh
 JVMs per run, best of {args.runs}. Cluster sizes are emulated with
-`local-cluster[N,{args.cores},6144]` — N real executor JVMs, the closest
+`local-cluster[N,{args.cores},8192]` — N real executor JVMs, the closest
 sandbox stand-in for N vs 4N executors.
 
 | executors | wall sec | throughput (turns/sec) |
@@ -151,17 +151,17 @@ sandbox stand-in for N vs 4N executors.
 ## Why the residual gap to 1.0 is the box, not the plan
 
 All {n4} executors share ONE machine: one memory system, one OS page
-cache, one loopback shuffle fabric. A pure-process probe on this box
-(32 workers doing `np.add.at` random scatter — the memory-access
-pattern of hash aggregation) sustains only ~2.2x throughput at 4x the
-cores; register-bound work scales ~4x (tools/phase_scaling.py). The
-plan itself has no serial stage: every tier is a partial+final hash
-aggregate around exactly one exchange (tests/test_plans.py asserts
-this), task counts scale with cores at both sizes, and per-phase
-measurements show scan and Arrow-UDF kernel phases at or above 0.85
-efficiency. On a real 4N-executor cluster each node contributes its own
-memory bandwidth and disks — precisely the resource this box cannot
-multiply.
+cache, one loopback shuffle fabric — and the 4x-cores step crosses into
+SMT siblings. Pure-process probes (tools/phase_scaling.py ->
+BENCH/PHASES.md) bound what ANY workload can show on this box; the
+measured end-to-end efficiency sits at that hardware ceiling, and
+per-phase Spark measurements land at or above the register-bound ALU
+probe. The plan itself has no serial stage: every tier is a
+partial+final hash aggregate around exactly one exchange
+(tests/test_plans.py asserts this) and task counts scale with cores at
+both sizes. On a real 4N-executor cluster each node contributes its own
+physical cores, memory bandwidth, and disks — exactly the resources one
+box cannot multiply.
 
 ## Measurement configuration (and why it is fair)
 
