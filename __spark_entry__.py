@@ -295,6 +295,20 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=5, nbits=4, n_tables=8, dim=64)
 
 
+def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla block compression round-trip: events -> per-(key, day)
+    delta-of-delta/XOR binary blocks -> decode. The oracle is the
+    identity (raw events), so the DuckDB compare proves the codec is
+    lossless down to float bits and µs timestamps."""
+    from tits_spark.compression.gorilla import compress_partitions, decompress_partitions
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    blocks = compress_partitions(ev, "key", "ts", "value")
+    return decompress_partitions(blocks).select(
+        F.col("key").cast("long").alias("key"), "ts", "value"
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (J3): each event matched to the latest 1d rollup point
     at or before its timestamp (declarative union-LOCF strategy)."""
@@ -375,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_ops": q_decimal_ops,
         "tpch_pricing": q_tpch_pricing,
         "asof_join": q_asof_join,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
     }
 
 
@@ -670,6 +685,7 @@ SELECT l_orderkey, l_linenumber,
        CASE WHEN l_extendedprice < 0 THEN -1 ELSE 1 END AS sign
 FROM lineitem
 """,
+        "gorilla_roundtrip": "SELECT user_id AS key, ts, value FROM events",
         "asof_join": """
 WITH t1d AS (
   SELECT user_id AS key, date_trunc('day', ts) AS bts, arg_max(value, ts) AS dv

@@ -101,7 +101,7 @@ def main() -> None:
         gapfill_locf(t1h, "1h").write.format("noop").mode("overwrite").save()
 
     # q3: declarative band-join ACF over the driver events table
-    from tits_spark.operators.correlate import acf_bandjoin, sacf_by_key
+    from tits_spark.operators.correlate import acf_bandjoin, sacf_by_key_batched
 
     events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
         F.col("user_id").cast("string").alias("key"), "ts", "value"
@@ -109,7 +109,8 @@ def main() -> None:
     with timed("q3_acf_bandjoin"):
         acf_bandjoin(events, nlags=3, tau=3600.0).write.format("noop").mode("overwrite").save()
 
-    # q4: C-parity per-conversation ACF over transcripts (gap series)
+    # q4: C-parity per-conversation ACF over transcripts (gap series);
+    # batched kernel execution (many series per Arrow batch)
     t_sec = F.col("ts").cast("timestamp").cast("double")
     wo = Window.partitionBy("conv_id").orderBy("ts")
     gaps = (
@@ -119,7 +120,7 @@ def main() -> None:
         .select(F.col("conv_id").alias("key"), "ts", "value")
     )
     with timed("q4_sacf_transcripts"):
-        sacf_by_key(gaps, nlags=5, tau=60.0, min_points=16).write.format(
+        sacf_by_key_batched(gaps, nlags=5, tau=60.0, min_points=16).write.format(
             "noop"
         ).mode("overwrite").save()
 

@@ -116,3 +116,14 @@ def test_ar_stationarity(spark):
     # fitted ar_1 ~ -0.5 (Levinson sign convention: y_t + a1 y_{t-1} = e)
     a1 = out.sort_values("coef_idx")["ar"].iloc[0]
     assert -0.6 < a1 < -0.4
+
+
+def test_sacf_batched_matches_grouped(spark, ev):
+    from tits_spark.operators.correlate import sacf_by_key_batched
+
+    a = sacf_by_key(ev, nlags=4, tau=3600.0).toPandas().set_index(["key", "lag"]).sort_index()
+    b = sacf_by_key_batched(ev, nlags=4, tau=3600.0).toPandas().set_index(["key", "lag"]).sort_index()
+    assert len(a) == len(b)
+    import numpy as np
+
+    assert np.allclose(a["acf"].to_numpy(), b["acf"].to_numpy(), equal_nan=True)
