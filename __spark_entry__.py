@@ -285,6 +285,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline."""
+    from tits_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dups(emb, threshold=0.35, nbits=0)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-LSH buckets + exact rerank (rows-only:
     the seeded hyperplanes have no SQL twin)."""
@@ -385,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "emb_near_dups": q_emb_near_dups,
         "lsh_topk": q_lsh_topk,
         "decimal_ops": q_decimal_ops,
         "tpch_pricing": q_tpch_pricing,
@@ -660,6 +670,16 @@ FROM f
         "fingerprint": """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
+""",
+        "emb_near_dups": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM s WHERE c >= 0.35
 """,
         "cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -125,3 +125,16 @@ def test_multimodal_plumbing(spark):
     vids = media.filter("kind = 'video'").toPandas()
     want = sum((r.n_frames + 9) // 10 for r in vids.itertuples())
     assert len(plan) == want
+
+
+def test_embedding_near_dups_lsh_vs_exact(spark):
+    from tits_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_near_dups(emb, threshold=0.30, nbits=0).toPandas()
+    lsh = embedding_near_dups(emb, threshold=0.30, nbits=4, n_tables=8).toPandas()
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    l = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    assert l <= e                      # LSH never invents pairs
+    if e:
+        assert len(l & e) / len(e) >= 0.5  # and finds most of them
