@@ -332,6 +332,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "ts", "value", F.col("dv_r").alias("dv"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: k-means coarse quantizer + nprobe search
+    (rows-only: iterative training has no SQL twin)."""
+    from tits_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=5, n_centroids=16, nprobe=6)
+
+
 def q_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal quantize/scalbn/decompose over lineitem prices
     (reference dfp754 analog, SURVEY.md §2.8 F5/F6)."""
@@ -396,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "emb_near_dups": q_emb_near_dups,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "decimal_ops": q_decimal_ops,
         "tpch_pricing": q_tpch_pricing,
         "asof_join": q_asof_join,

@@ -138,3 +138,15 @@ def test_embedding_near_dups_lsh_vs_exact(spark):
     assert l <= e                      # LSH never invents pairs
     if e:
         assert len(l & e) / len(e) >= 0.5  # and finds most of them
+
+
+def test_ivf_topk_recall(spark):
+    from tits_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(5)
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.6, len(e & a) / len(e)
