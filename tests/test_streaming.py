@@ -102,3 +102,34 @@ def test_book_state_triggers(spark, tmp_path):
     # fires whenever buffer re-reaches 385: after crop 256, needs 129 more
     assert len(got) == (1 + (700 - 385) // 129)
     assert (got["n"] == edg).all()
+
+
+def test_stream_guess_lag_recovers_offsets(spark, tmp_path):
+    from tits_spark.datagen import generate_quotes
+    from tits_spark.streaming.guess_lag_stream import stream_guess_lag
+
+    quotes = generate_quotes(spark, n_ticks=6000, seed=42,
+                             lag_ms={"FOLA": 30, "FOLB": 70})
+    src = str(tmp_path / "src")
+    quotes.write.mode("overwrite").parquet(src)
+
+    q = stream_guess_lag(
+        spark, src,
+        books_path=str(tmp_path / "books"),
+        results_path=str(tmp_path / "results"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_ticks=4096, nlags=32, tau=0.01,
+    )
+    q.awaitTermination(600)
+
+    res = spark.read.parquet(str(tmp_path / "results")).toPandas()
+    assert len(res) > 0
+    got = {(r.side, r.key1, r.key2): r.best_lag for r in res.itertuples()}
+    hits = 0
+    for side in ("BID", "ASK"):
+        for follower, ms in (("FOLA", 30), ("FOLB", 70)):
+            k = (side, "LEAD", follower)
+            if k in got:
+                assert abs(got[k] - ms / 1000.0) <= 0.011, (k, got[k])
+                hits += 1
+    assert hits >= 2
