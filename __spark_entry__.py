@@ -190,6 +190,25 @@ def q_perio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perio_by_key(ev, "key", "ts", "value", nw=6)
 
 
+def q_perio_decl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb-Scargle periodogram, declarative strategy (freq-grid explode
+    + trig-sum aggregates + phase-rotated power, all column exprs)."""
+    from tits_spark.operators.correlate import perio_declarative
+
+    out = perio_declarative(_events(spark, sf_dir), "key", "ts", "value", nw=4)
+    return out.select("key", "freq_idx", F.round("power", 6).alias("power"))
+
+
+def q_xcf_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-weighted cross-correlation between two fixed series,
+    declarative band-join strategy (lags -8..8 on a 1h tau grid)."""
+    from tits_spark.operators.correlate import xcf_bandjoin
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    out = xcf_bandjoin(ev, "1", "2", nlags=8, tau=3600.0)
+    return out.select("key1", "key2", "lag", F.round("xcf", 6).alias("xcf"))
+
+
 def q_xcor_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise XCF best-lag between the two busiest keys (rows-only)."""
     from tits_spark.operators.correlate import xcor_pairs
@@ -393,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_fit": q_ar_fit,
         "ar_stationarity": q_ar_stationarity,
         "perio": q_perio,
+        "perio_decl": q_perio_decl,
+        "xcf_band": q_xcf_band,
         "xcor_best_lag": q_xcor_best_lag,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -580,6 +601,73 @@ ORDER BY n_events DESC, key ASC LIMIT 10
 """,
         "acf_band": _ACF_SQL,
         "sacf_udf": _ACF_SQL,
+        "perio_decl": """
+WITH prep AS (
+  SELECT user_id AS key, epoch(ts) AS tr, value AS y,
+         min(epoch(ts)) OVER w AS tmin,
+         max(epoch(ts)) OVER w - min(epoch(ts)) OVER w AS span
+  FROM events WINDOW w AS (PARTITION BY user_id)
+),
+pts AS (SELECT key, (tr - tmin) / span AS t, y FROM prep),
+grid AS (SELECT key, t, y, unnest(generate_series(0, 3)) AS freq_idx FROM pts),
+trig AS (
+  SELECT key, CAST(freq_idx AS INT) AS freq_idx,
+         cos(2 * pi() * (freq_idx + 1) * t) AS c,
+         sin(2 * pi() * (freq_idx + 1) * t) AS s, y
+  FROM grid
+),
+sums AS (
+  SELECT key, freq_idx, sum(y*c) AS xc, sum(y*s) AS xs,
+         sum(c*c) AS cc, sum(s*s) AS ss, sum(c*s) AS cs
+  FROM trig GROUP BY 1, 2
+),
+ph AS (SELECT *, cos(atan2(2*cs, cc-ss)/2) AS cp, sin(atan2(2*cs, cc-ss)/2) AS sp FROM sums)
+SELECT key, freq_idx,
+  round(0.5 * ( pow(cp*xc + sp*xs, 2) / (cp*cp*cc + 2*cp*sp*cs + sp*sp*ss)
+              + pow(cp*xs - sp*xc, 2) / (cp*cp*ss - 2*cp*sp*cs + sp*sp*cc) ), 6) AS power
+FROM ph
+""",
+        "xcf_band": """
+WITH two AS (
+  SELECT user_id AS key, epoch(ts) AS t_raw, value AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id IN (1, 2)
+),
+trunc AS (SELECT key, t_raw, v FROM two WHERE rn <= n - n % 4),
+prep0 AS (
+  SELECT key, t_raw,
+         (v - avg(v) OVER wk) / stddev_samp(v) OVER wk AS y
+  FROM trunc WINDOW wk AS (PARTITION BY key)
+),
+tref AS (SELECT min(t_raw) AS v FROM trunc WHERE key = 1),
+scaled AS (
+  SELECT key, (t_raw - (SELECT v FROM tref)) / 3600.0 AS t, y FROM prep0
+),
+dts AS (
+  SELECT key, t, y, t - lag(t) OVER (PARTITION BY key ORDER BY t) AS dt FROM scaled
+),
+hv AS (SELECT 0.25 * min(mdt) AS h FROM (SELECT key, avg(dt) AS mdt FROM dts GROUP BY 1)),
+pairs AS (
+  SELECT l.y AS y1, r.y AS y2, r.t - l.t AS d, (SELECT h FROM hv) AS h
+  FROM dts l JOIN dts r
+    ON l.key = 1 AND r.key = 2
+   AND r.t - l.t > -8 - 5 * (SELECT h FROM hv)
+   AND r.t - l.t < 8 + 5 * (SELECT h FROM hv)
+),
+contrib AS (
+  SELECT y1, y2, d, h,
+         unnest(generate_series(greatest(-8, CAST(ceil(d - 5 * h) AS INT)),
+                                least(8, CAST(floor(d + 5 * h) AS INT)))) AS lag
+  FROM pairs
+)
+SELECT '1' AS key1, '2' AS key2, CAST(lag AS INT) AS lag,
+       round(sum(y1 * y2 * exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h))
+             / sum(exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h)), 6) AS xcf
+FROM contrib
+WHERE abs(lag - d) < 5 * h
+GROUP BY 1, 2, 3
+""",
         # ar_fit / perio / xcor_best_lag: kernel recursions with no SQL
         # equivalent -> rows-only checks (SURVEY.md §2.9 Q3/Q5/Q6)
         "dedup_exact": """

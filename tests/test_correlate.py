@@ -127,3 +127,31 @@ def test_sacf_batched_matches_grouped(spark, ev):
     import numpy as np
 
     assert np.allclose(a["acf"].to_numpy(), b["acf"].to_numpy(), equal_nan=True)
+
+
+def test_perio_declarative_matches_udf(spark, ev):
+    from tits_spark.operators.correlate import perio_declarative
+
+    import numpy as np
+
+    a = perio_by_key(ev, nw=4).toPandas().set_index(["key", "freq_idx"]).sort_index()
+    b = (
+        perio_declarative(ev, nw=4).toPandas().set_index(["key", "freq_idx"]).sort_index()
+    )
+    j = a.join(b, lsuffix="_u", rsuffix="_d", how="inner")
+    assert len(j) == len(a)
+    rel = np.abs(j["power_u"] - j["power_d"]) / np.maximum(np.abs(j["power_d"]), 1e-9)
+    assert float(rel.max()) < 1e-6
+
+
+def test_xcf_bandjoin_matches_udf(spark, ev):
+    from tits_spark.operators.correlate import xcf_bandjoin
+
+    import numpy as np
+
+    keys = [r["key"] for r in ev.select("key").distinct().orderBy("key").limit(2).collect()]
+    pairs = spark.createDataFrame([(keys[0], keys[1])], "key1 string, key2 string")
+    u = xcor_pairs(ev, pairs, nlags=5, tau=3600.0).toPandas().set_index("lag").sort_index()
+    d = xcf_bandjoin(ev, keys[0], keys[1], nlags=5, tau=3600.0).toPandas().set_index("lag").sort_index()
+    assert len(u) == len(d) == 11
+    assert float(np.abs(u["xcf"] - d["xcf"]).max()) < 1e-9

@@ -292,6 +292,146 @@ def perio_by_key(
     return df.groupBy(key).applyInPandas(fn, schema=_PERIO_SCHEMA)
 
 
+def perio_declarative(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    nw: int = 8,
+) -> DataFrame:
+    """Lomb-Scargle periodogram as pure DataFrame algebra (SURVEY.md
+    §2.4 A5): explode the integer frequency grid, aggregate the five
+    trig sums per (key, freq), apply the phase-rotated power formula
+    (ref:perio.c:49-86) as column expressions. Matches perio_by_key to
+    float tolerance; oracle-checkable in SQL."""
+    from tits_spark.functions.exprs import ts_seconds
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key)
+    t_raw = ts_seconds(ts)
+    wk = Window.partitionBy("key")
+    prep = (
+        df.select(F.col(key).alias("key"), t_raw.alias("tr"), F.col(value).alias("y"))
+        .withColumn("tmin", F.min("tr").over(wk))
+        .withColumn("span", F.max("tr").over(wk) - F.min("tr").over(wk))
+        .withColumn("t", (F.col("tr") - F.col("tmin")) / F.col("span"))
+    )
+
+    freqs = F.explode(F.sequence(F.lit(0), F.lit(nw - 1))).alias("freq_idx")
+    theta = F.lit(2.0 * np.pi) * (F.col("freq_idx") + 1) * F.col("t")
+    sums = (
+        prep.select("key", "t", "y", freqs)
+        .withColumn("c", F.cos(theta))
+        .withColumn("s", F.sin(theta))
+        .groupBy("key", "freq_idx")
+        .agg(
+            F.sum(F.col("y") * F.col("c")).alias("xc"),
+            F.sum(F.col("y") * F.col("s")).alias("xs"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.sum(F.col("c") * F.col("s")).alias("cs"),
+        )
+    )
+    ph = F.atan2(2.0 * F.col("cs"), F.col("cc") - F.col("ss")) / 2.0
+    cp, sp = F.cos(ph), F.sin(ph)
+    ct = cp * F.col("xc") + sp * F.col("xs")
+    st = cp * F.col("xs") - sp * F.col("xc")
+    cct, sst, cst = cp * cp, sp * sp, cp * sp
+    power = F.lit(0.5) * (
+        (ct * ct) / (cct * F.col("cc") + 2.0 * cst * F.col("cs") + sst * F.col("ss"))
+        + (st * st) / (cct * F.col("ss") - 2.0 * cst * F.col("cs") + sst * F.col("cc"))
+    )
+    return sums.select("key", "freq_idx", power.alias("power"))
+
+
+def xcf_bandjoin(
+    df: DataFrame,
+    key1: str,
+    key2: str,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    nlags: int = 8,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Kernel-weighted cross-correlation between two named series as
+    pure DataFrame algebra (declarative twin of xcor_pairs, the XCF
+    analog of acf_bandjoin; ref:xcor.c:153-181). Lags -nlags..+nlags;
+    kernel width from the smaller mean time-step (ref:xcor.c:223).
+    Both series are rebased to series 1's first timestamp."""
+    from pyspark.sql import Window
+
+    from tits_spark.functions.exprs import ts_seconds
+
+    t_sec = ts_seconds(ts)
+    w = Window.partitionBy(key)
+    wot = Window.partitionBy(key).orderBy(t_sec)
+    two = df.filter(F.col(key).isin([key1, key2]))
+    trunc = (
+        two.select(
+            F.col(key).alias("key"), t_sec.alias("t_raw"), F.col(value).alias("v"),
+            F.row_number().over(wot).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        .filter(F.col("rn") <= F.col("n") - F.col("n") % 4)
+        .drop("rn", "n")
+    )
+    wk = Window.partitionBy("key")
+    wko = Window.partitionBy("key").orderBy("t_raw")
+    glob = Window.partitionBy()
+    prep = (
+        trunc
+        .withColumn("znorm", (F.col("v") - F.avg("v").over(wk)) / F.stddev_samp("v").over(wk))
+        .withColumn(
+            "tref",
+            F.min(F.when(F.col("key") == key1, F.col("t_raw"))).over(glob),
+        )
+        .withColumn("t", (F.col("t_raw") - F.col("tref")) / F.lit(tau))
+        .withColumn("dt", F.col("t") - F.lag("t").over(wko))
+        .withColumn("mdt", F.avg("dt").over(wk))
+        .withColumn("h", F.lit(0.25) * F.min("mdt").over(glob))
+        .select("key", "t", F.col("znorm").alias("y"), "h")
+    )
+    base = prep.withColumn(
+        "bkt", F.floor(F.col("t") / (F.lit(float(nlags)) + F.col("h") * 5.0))
+    )
+    l = base.filter(F.col("key") == key1).withColumn(
+        "bkt", F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1))
+    ).alias("l")
+    r = base.filter(F.col("key") == key2).alias("r")
+    band = F.col("r.t") - F.col("l.t")
+    reach = F.col("l.h") * 5.0
+    pairs = l.join(
+        r,
+        (F.col("l.bkt") == F.col("r.bkt"))
+        & (band > F.lit(float(-nlags)) - reach)
+        & (band < F.lit(float(nlags)) + reach),
+    )
+    lag_lo = F.greatest(F.lit(-nlags), F.ceil(band - reach).cast("int"))
+    lag_hi = F.least(F.lit(nlags), F.floor(band + reach).cast("int"))
+    contrib = (
+        pairs.filter(lag_lo <= lag_hi)
+        .select(
+            F.col("l.y").alias("y1"), F.col("r.y").alias("y2"),
+            band.alias("d"), F.col("l.h").alias("h"),
+            F.explode(F.sequence(lag_lo, lag_hi)).alias("lag"),
+        )
+        .withColumn("kd", F.col("lag") - F.col("d"))
+        .filter(F.abs("kd") < F.col("h") * 5.0)
+        .withColumn(
+            "K",
+            F.exp(F.col("kd") * F.col("kd") * (F.lit(-1.0) / (F.lit(2.0) * F.col("h") * F.col("h"))))
+            / F.sqrt(F.lit(2.0 * np.pi) * F.col("h")),
+        )
+    )
+    return (
+        contrib.groupBy("lag")
+        .agg((F.sum(F.col("y1") * F.col("y2") * F.col("K")) / F.sum("K")).alias("xcf"))
+        .select(F.lit(key1).alias("key1"), F.lit(key2).alias("key2"), "lag", "xcf")
+    )
+
+
 # ------------------------------------------------------- band-join strategy
 
 def acf_bandjoin(
