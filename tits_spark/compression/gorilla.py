@@ -389,30 +389,48 @@ _DECOMP_SCHEMA = "key string, ts timestamp, value double"
 
 def compress_partitions(df, key: str = "key", ts: str = "ts", value: str = "value"):
     """(key, ts, value) -> one Gorilla block row per (key, day):
-    (key, day, n, t_min, t_max, block). Runs per group inside
-    applyInPandas; partition unit = day to bound block size and align
-    with the tier tables' partition spec."""
+    (key, day, n, t_min, t_max, block). Partition unit = day to bound
+    block size and align with the tier tables' partition spec.
+
+    Execution is batched mapInPandas (keys hash-clustered + sorted,
+    groups iterated inside each Arrow batch with cross-batch carry-over)
+    — same result as grouped applyInPandas without its per-tiny-group
+    scheduling overhead."""
     from pyspark.sql import functions as F
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="stable")
-        t = pdf[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-        v = pdf[value].to_numpy(dtype=np.float64)
-        block = gorilla_encode(t, v)
-        return pd.DataFrame({
-            "key": [pdf[key].iloc[0]],
-            "day": [pdf["_day"].iloc[0]],
-            "n": [len(pdf)],
-            "t_min": [pdf[ts].iloc[0]],
-            "t_max": [pdf[ts].iloc[-1]],
-            "block": [block],
-        })
-
-    return (
+    tagged = (
         df.withColumn("_day", F.to_date(ts))
-        .groupBy(key, "_day")
-        .applyInPandas(fn, schema=_COMP_SCHEMA)
+        .repartition(F.col(key))
+        .sortWithinPartitions(key, "_day", ts)
     )
+
+    def fn(batches):
+        def process(pdf: pd.DataFrame):
+            rows = []
+            for (k, day), grp in pdf.groupby([key, "_day"], sort=False):
+                t = grp[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+                v = grp[value].to_numpy(dtype=np.float64)
+                rows.append((k, day, len(grp), grp[ts].iloc[0], grp[ts].iloc[-1],
+                             gorilla_encode(t, v)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["key", "day", "n", "t_min", "t_max", "block"]
+                )
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            lk, ld = pdf[key].iloc[-1], pdf["_day"].iloc[-1]
+            m = (pdf[key] == lk) & (pdf["_day"] == ld)
+            carry = pdf[m]
+            yield from process(pdf[~m])
+        if carry is not None and len(carry):
+            yield from process(carry)
+
+    return tagged.mapInPandas(fn, schema=_COMP_SCHEMA)
 
 
 def decompress_partitions(blocks):
