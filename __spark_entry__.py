@@ -717,8 +717,8 @@ FROM votes GROUP BY 1
 """,
         "token_count": """
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
        CAST(ceil(length(trim(text)) / 4.0) AS INT) AS n_subwords
 FROM documents
 """,
@@ -790,7 +790,7 @@ scored AS (
            / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cosine
   FROM c CROSS JOIN q WHERE vec_id <> query_id
 )
-SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM (
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
