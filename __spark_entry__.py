@@ -165,29 +165,48 @@ def q_sacf_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ar_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AR(3) per key via sacf + Levinson-Durbin (no SQL equivalent —
-    rows-only check)."""
+    """AR(3) per key via sacf + Levinson-Durbin. Oracle: the Levinson
+    order-3 recursion unrolled in closed form over the unrounded
+    declarative-ACF lags (ref algorithm /root/reference/src/acf24ar.c:48-73)."""
     from tits_spark.operators.correlate import ar_fit_by_key
 
     ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
-    return ar_fit_by_key(ev, "key", "ts", "value", order=3, tau=3600.0)
+    out = ar_fit_by_key(ev, "key", "ts", "value", order=3, tau=3600.0)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "coef_idx",
+        F.round("ar", 6).alias("ar"),
+    )
 
 
 def q_ar_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AR fit + unit-root stationarity diagnostic via Laguerre roots
-    (rows-only: iterative root finding has no SQL equivalent)."""
+    """AR fit + stationarity via Laguerre roots of the characteristic
+    polynomial. Oracle cross-checks the boolean with an INDEPENDENT
+    algorithm: the Schur-Cohn/Jury stability test on the reciprocal
+    polynomial (pure coefficient inequalities — no root finding), so
+    agreement validates the whole Laguerre+deflation pipeline."""
     from tits_spark.operators.correlate import ar_stationarity_by_key
 
     ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
-    return ar_stationarity_by_key(ev, "key", "ts", "value", order=3, tau=3600.0)
+    out = ar_stationarity_by_key(ev, "key", "ts", "value", order=3, tau=3600.0)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "coef_idx",
+        F.round("ar", 6).alias("ar"), "stationary",
+    )
 
 
 def q_perio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lomb-Scargle periodogram per key (rows-only check)."""
+    """Lomb-Scargle periodogram per key via the C-parity numpy kernel —
+    shares the declarative strategy's SQL oracle (identical [0,1) grid)."""
     from tits_spark.operators.correlate import perio_by_key
 
     ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
-    return perio_by_key(ev, "key", "ts", "value", nw=6)
+    # 4 dp: raw Lomb-Scargle power is O(n^2) ~ 1e4 here, so 6 dp sits at
+    # the accumulation-order noise floor (numpy vs SQL sum order)
+    out = perio_by_key(ev, "key", "ts", "value", nw=6)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "freq_idx",
+        F.round("power", 4).alias("power"),
+    )
 
 
 def q_perio_decl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +229,9 @@ def q_xcf_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xcor_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise XCF best-lag between the two busiest keys (rows-only)."""
+    """Pairwise XCF best-lag between the two busiest keys. Oracle:
+    arg_max(lag, xcf) over the same declarative XCF SQL, with the pair
+    picked by the identical busiest-key rule."""
     from tits_spark.operators.correlate import xcor_pairs
     from tits_spark.operators.windows import best_by
 
@@ -222,7 +243,10 @@ def q_xcor_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(busiest[0]["key"], busiest[1]["key"])], "key1 string, key2 string"
     )
     xcf = xcor_pairs(ev, pairs, "key", "ts", "value", nlags=8, tau=3600.0)
-    return best_by(xcf, ["key1", "key2"], "lag", "xcf")
+    best = best_by(xcf, ["key1", "key2"], "lag", "xcf")
+    return best.select(
+        "key1", "key2", "best_lag", F.round("best_xcf", 6).alias("best_xcf")
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +492,9 @@ j AS (
 )
 """
 
-_ACF_SQL = """
+# CTE chain shared by the ACF oracle and the AR-fit oracle (which needs
+# the UNROUNDED acf values as Levinson inputs).
+_ACF_CORE = """
 WITH base AS (
   SELECT user_id AS key, epoch(ts) AS tr, value AS v,
          row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
@@ -500,12 +526,160 @@ contrib AS (
                                 least(3, CAST(floor(d + 5 * h) AS INT)))) AS lag
   FROM pairs
 )
+"""
+
+_ACF_SQL = _ACF_CORE + """
 SELECT key, CAST(lag AS INT) AS lag,
        round(sum(y1 * y2 * exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h))
              / sum(exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h)), 6) AS acf
 FROM contrib
 WHERE abs(lag - d) < 5 * h
 GROUP BY 1, 2
+"""
+
+# Levinson-Durbin order 3 unrolled in closed form over the unrounded ACF
+# lags r1..r3 (algorithm: /root/reference/src/acf24ar.c:48-73 — exactly
+# the recursion tits_spark.functions.kernels.acf2ar implements):
+#   k1 = -r1;            a1 = k1;                     E1 = 1 - k1^2
+#   k2 = (-r2 - a1*r1)/E1; a2 = k2; a1 += k2*a1;      E2 = E1*(1 - k2^2)
+#   k3 = (-r3 - a1*r2 - a2*r1)/E2; a3 = k3; (a1,a2) += k3*(a2,a1)
+_AR_FIN_CTE = _ACF_CORE + """
+, acf AS (
+  SELECT key, CAST(lag AS INT) AS lag,
+         sum(y1 * y2 * exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h))
+           / sum(exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h)) AS acf
+  FROM contrib WHERE abs(lag - d) < 5 * h GROUP BY 1, 2
+),
+wide AS (
+  SELECT key,
+         sum(CASE WHEN lag = 1 THEN acf END) AS r1,
+         sum(CASE WHEN lag = 2 THEN acf END) AS r2,
+         sum(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM acf GROUP BY 1
+),
+l1 AS (SELECT key, r1, r2, r3, -r1 AS a1_0, 1 - r1 * r1 AS e1 FROM wide),
+l2 AS (SELECT key, r1, r2, r3, a1_0, (-r2 - a1_0 * r1) / e1 AS k2, e1 FROM l1),
+l3 AS (SELECT key, r1, r2, r3,
+              a1_0 + k2 * a1_0 AS a1_1, k2 AS a2_1,
+              e1 * (1 - k2 * k2) AS e2
+       FROM l2),
+l4 AS (SELECT key, a1_1, a2_1, (-r3 - a1_1 * r2 - a2_1 * r1) / e2 AS k3 FROM l3),
+fin AS (SELECT key, a1_1 + k3 * a2_1 AS a1, a2_1 + k3 * a1_1 AS a2, k3 AS a3 FROM l4)
+"""
+
+_AR_SQL = _AR_FIN_CTE + """
+SELECT key, coef_idx, round(ar, 6) AS ar FROM (
+  SELECT key, 0 AS coef_idx, a1 AS ar FROM fin
+  UNION ALL SELECT key, 1, a2 FROM fin
+  UNION ALL SELECT key, 2, a3 FROM fin
+)
+"""
+
+# Stationarity of 1 + a1 z + a2 z^2 + a3 z^3 (all roots OUTSIDE the unit
+# circle) == all roots of the reciprocal w^3 + a1 w^2 + a2 w + a3 INSIDE
+# it, decided by the Schur-Cohn/Jury test (coefficient inequalities
+# only) — an algorithm fully independent of the engine's Laguerre roots:
+#   |a3| < 1,  |a2 - a3*a1| < 1 - a3^2,
+#   |a1 - a3*a2| < (1 - a3^2) + (a2 - a3*a1)
+_AR_STAT_SQL = _AR_FIN_CTE + """
+, st AS (
+  SELECT key, a1, a2, a3,
+         (abs(a3) < 1)
+         AND (abs(a2 - a3 * a1) < 1 - a3 * a3)
+         AND (abs(a1 - a3 * a2) < (1 - a3 * a3) + (a2 - a3 * a1)) AS stationary
+  FROM fin
+)
+SELECT key, coef_idx, round(ar, 6) AS ar, stationary FROM (
+  SELECT key, 0 AS coef_idx, a1 AS ar, stationary FROM st
+  UNION ALL SELECT key, 1, a2, stationary FROM st
+  UNION ALL SELECT key, 2, a3, stationary FROM st
+)
+"""
+
+
+def _perio_sql(nw: int, dp: int = 6) -> str:
+    return """
+WITH prep AS (
+  SELECT user_id AS key, epoch(ts) AS tr, value AS y,
+         min(epoch(ts)) OVER w AS tmin,
+         max(epoch(ts)) OVER w - min(epoch(ts)) OVER w AS span
+  FROM events WINDOW w AS (PARTITION BY user_id)
+),
+pts AS (SELECT key, (tr - tmin) / span AS t, y FROM prep),
+grid AS (SELECT key, t, y, unnest(generate_series(0, {top})) AS freq_idx FROM pts),
+trig AS (
+  SELECT key, CAST(freq_idx AS INT) AS freq_idx,
+         cos(2 * pi() * (freq_idx + 1) * t) AS c,
+         sin(2 * pi() * (freq_idx + 1) * t) AS s, y
+  FROM grid
+),
+sums AS (
+  SELECT key, freq_idx, sum(y*c) AS xc, sum(y*s) AS xs,
+         sum(c*c) AS cc, sum(s*s) AS ss, sum(c*s) AS cs
+  FROM trig GROUP BY 1, 2
+),
+ph AS (SELECT *, cos(atan2(2*cs, cc-ss)/2) AS cp, sin(atan2(2*cs, cc-ss)/2) AS sp FROM sums)
+SELECT key, freq_idx,
+  round(0.5 * ( pow(cp*xc + sp*xs, 2) / (cp*cp*cc + 2*cp*sp*cs + sp*sp*ss)
+              + pow(cp*xs - sp*xc, 2) / (cp*cp*ss - 2*cp*sp*cs + sp*sp*cc) ), {dp}) AS power
+FROM ph
+""".format(top=nw - 1, dp=dp)
+
+
+# XCF between the two busiest keys (count desc, key-as-string asc — the
+# exact rule q_xcor_best_lag uses), reduced to arg_max(lag, xcf).
+_XCOR_BEST_SQL = """
+WITH busy AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+pick AS (
+  SELECT
+    (SELECT k FROM busy ORDER BY c DESC, CAST(k AS VARCHAR) ASC LIMIT 1) AS k1,
+    (SELECT k FROM busy ORDER BY c DESC, CAST(k AS VARCHAR) ASC LIMIT 1 OFFSET 1) AS k2
+),
+two AS (
+  SELECT user_id AS key, epoch(ts) AS t_raw, value AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE user_id = (SELECT k1 FROM pick) OR user_id = (SELECT k2 FROM pick)
+),
+trunc AS (SELECT key, t_raw, v FROM two WHERE rn <= n - n % 4),
+prep0 AS (
+  SELECT key, t_raw,
+         (v - avg(v) OVER wk) / stddev_samp(v) OVER wk AS y
+  FROM trunc WINDOW wk AS (PARTITION BY key)
+),
+tref AS (SELECT min(t_raw) AS v FROM trunc WHERE key = (SELECT k1 FROM pick)),
+scaled AS (
+  SELECT key, (t_raw - (SELECT v FROM tref)) / 3600.0 AS t, y FROM prep0
+),
+dts AS (
+  SELECT key, t, y, t - lag(t) OVER (PARTITION BY key ORDER BY t) AS dt FROM scaled
+),
+hv AS (SELECT 0.25 * min(mdt) AS h FROM (SELECT key, avg(dt) AS mdt FROM dts GROUP BY 1)),
+pairs AS (
+  SELECT l.y AS y1, r.y AS y2, r.t - l.t AS d, (SELECT h FROM hv) AS h
+  FROM dts l JOIN dts r
+    ON l.key = (SELECT k1 FROM pick) AND r.key = (SELECT k2 FROM pick)
+   AND r.t - l.t > -8 - 5 * (SELECT h FROM hv)
+   AND r.t - l.t < 8 + 5 * (SELECT h FROM hv)
+),
+contrib AS (
+  SELECT y1, y2, d, h,
+         unnest(generate_series(greatest(-8, CAST(ceil(d - 5 * h) AS INT)),
+                                least(8, CAST(floor(d + 5 * h) AS INT)))) AS lag
+  FROM pairs
+),
+xcf AS (
+  SELECT CAST((SELECT k1 FROM pick) AS VARCHAR) AS key1,
+         CAST((SELECT k2 FROM pick) AS VARCHAR) AS key2,
+         CAST(lag AS INT) AS lag,
+         sum(y1 * y2 * exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h))
+           / sum(exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h)) AS xcf
+  FROM contrib WHERE abs(lag - d) < 5 * h
+  GROUP BY 1, 2, 3
+)
+SELECT key1, key2, arg_max(lag, xcf) AS best_lag, round(max(xcf), 6) AS best_xcf
+FROM xcf GROUP BY 1, 2
 """
 
 
@@ -601,32 +775,11 @@ ORDER BY n_events DESC, key ASC LIMIT 10
 """,
         "acf_band": _ACF_SQL,
         "sacf_udf": _ACF_SQL,
-        "perio_decl": """
-WITH prep AS (
-  SELECT user_id AS key, epoch(ts) AS tr, value AS y,
-         min(epoch(ts)) OVER w AS tmin,
-         max(epoch(ts)) OVER w - min(epoch(ts)) OVER w AS span
-  FROM events WINDOW w AS (PARTITION BY user_id)
-),
-pts AS (SELECT key, (tr - tmin) / span AS t, y FROM prep),
-grid AS (SELECT key, t, y, unnest(generate_series(0, 3)) AS freq_idx FROM pts),
-trig AS (
-  SELECT key, CAST(freq_idx AS INT) AS freq_idx,
-         cos(2 * pi() * (freq_idx + 1) * t) AS c,
-         sin(2 * pi() * (freq_idx + 1) * t) AS s, y
-  FROM grid
-),
-sums AS (
-  SELECT key, freq_idx, sum(y*c) AS xc, sum(y*s) AS xs,
-         sum(c*c) AS cc, sum(s*s) AS ss, sum(c*s) AS cs
-  FROM trig GROUP BY 1, 2
-),
-ph AS (SELECT *, cos(atan2(2*cs, cc-ss)/2) AS cp, sin(atan2(2*cs, cc-ss)/2) AS sp FROM sums)
-SELECT key, freq_idx,
-  round(0.5 * ( pow(cp*xc + sp*xs, 2) / (cp*cp*cc + 2*cp*sp*cs + sp*sp*ss)
-              + pow(cp*xs - sp*xc, 2) / (cp*cp*ss - 2*cp*sp*cs + sp*sp*cc) ), 6) AS power
-FROM ph
-""",
+        "ar_fit": _AR_SQL,
+        "ar_stationarity": _AR_STAT_SQL,
+        "perio": _perio_sql(6, dp=4),
+        "perio_decl": _perio_sql(4),
+        "xcor_best_lag": _XCOR_BEST_SQL,
         "xcf_band": """
 WITH two AS (
   SELECT user_id AS key, epoch(ts) AS t_raw, value AS v,
@@ -668,8 +821,6 @@ FROM contrib
 WHERE abs(lag - d) < 5 * h
 GROUP BY 1, 2, 3
 """,
-        # ar_fit / perio / xcor_best_lag: kernel recursions with no SQL
-        # equivalent -> rows-only checks (SURVEY.md §2.9 Q3/Q5/Q6)
         "dedup_exact": """
 WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
 agg AS (SELECT h, min(doc_id) AS keeper_id, count(*) AS n_copies FROM g GROUP BY 1)
