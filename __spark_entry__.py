@@ -338,13 +338,17 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via sign-LSH buckets + exact rerank (rows-only:
-    the seeded hyperplanes have no SQL twin)."""
+    """Approximate ANN via sign-LSH buckets + exact rerank. The
+    hyperplanes are deterministic md5-derived Rademacher (±1) matrices,
+    so the DuckDB oracle recomputes the exact buckets in ANSI SQL."""
     from tits_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, q, k=5, nbits=4, n_tables=8, dim=64)
+    out = lsh_topk(emb, q, k=5, nbits=4, n_tables=8, dim=64)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,13 +380,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN: k-means coarse quantizer + nprobe search
-    (rows-only: iterative training has no SQL twin)."""
+    """IVF approximate ANN: deterministic distributed Lloyd coarse
+    quantizer (init = vec_id % K, 2 fixed iterations) + nprobe search.
+    The fixed iteration count lets the DuckDB oracle unroll the exact
+    same training + assignment + probe + rerank pipeline in SQL."""
     from tits_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, q, k=5, n_centroids=16, nprobe=6)
+    out = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=6, iters=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def q_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,6 +718,98 @@ sig AS (
 """
 
 
+# Sign-LSH top-k: the ±1 hyperplanes are md5-derived (entry (t,i,j) =
+# +1 iff ascii(md5('t|i|j')[0]) is odd — tits_spark.operators.similarity
+# .rademacher_planes), so the buckets, the (tbl, bucket) candidate join,
+# and the exact rerank all replay in ANSI SQL.
+_LSH_TOPK_SQL = """
+WITH dims AS (SELECT unnest(generate_series(1, {dim})) AS j),
+bits AS (SELECT unnest(generate_series(0, {nbits_m1})) AS i),
+tabs AS (SELECT unnest(generate_series(0, {ntab_m1})) AS t),
+planes AS (
+  SELECT t, i, j,
+         CASE WHEN ascii(substr(md5(CAST(t AS VARCHAR) || '|' || CAST(i AS VARCHAR)
+                                   || '|' || CAST(j - 1 AS VARCHAR)), 1, 1)) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM tabs, bits, dims
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ev AS (SELECT vec_id, j, emb[j] AS x FROM e, dims),
+proj AS (
+  SELECT ev.vec_id, p.t, p.i, sum(ev.x * p.w) AS pr
+  FROM ev JOIN planes p ON ev.j = p.j
+  GROUP BY 1, 2, 3
+),
+buck AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+qb AS (SELECT vec_id AS query_id, t, bucket FROM buck WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM buck cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+  WHERE cb.vec_id <> qb.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".format(dim=64, nbits_m1=3, ntab_m1=7, k=5)
+
+# IVF top-k: deterministic Lloyd unrolled — init lists = vec_id % K,
+# two (centroid := normalized mean of unit members) + (reassign by max
+# dot, ties to smallest list id) rounds, with empty clusters carrying
+# the previous centroid; then nprobe probing + exact cosine rerank.
+_IVF_TOPK_SQL = """
+WITH dims AS (SELECT unnest(generate_series(1, {dim})) AS j),
+lids AS (SELECT unnest(generate_series(0, {k_m1})) AS lid),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+ev AS (SELECT vec_id, j, emb[j] / nrm AS x FROM n, dims),
+a0 AS (SELECT vec_id, CAST(vec_id % {K} AS INT) AS lid FROM e),
+c1s AS (SELECT a0.lid, ev.j, avg(ev.x) AS m FROM ev JOIN a0 USING (vec_id) GROUP BY 1, 2),
+c1n AS (SELECT lid, sqrt(sum(m * m)) AS cn FROM c1s GROUP BY 1),
+c1 AS (SELECT s.lid, s.j, s.m / cn.cn AS c FROM c1s s JOIN c1n cn USING (lid)),
+s1 AS (SELECT ev.vec_id, c1.lid, sum(ev.x * c1.c) AS sim
+       FROM ev JOIN c1 ON ev.j = c1.j GROUP BY 1, 2),
+a1 AS (SELECT vec_id, lid FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, lid ASC) AS rn
+         FROM s1) WHERE rn = 1),
+c2s AS (SELECT a1.lid, ev.j, avg(ev.x) AS m FROM ev JOIN a1 USING (vec_id) GROUP BY 1, 2),
+c2n AS (SELECT lid, sqrt(sum(m * m)) AS cn FROM c2s GROUP BY 1),
+c2x AS (SELECT s.lid, s.j, s.m / cn.cn AS c FROM c2s s JOIN c2n cn USING (lid)),
+c2 AS (SELECT c1.lid, c1.j, COALESCE(x.c, c1.c) AS c
+       FROM c1 LEFT JOIN c2x x ON x.lid = c1.lid AND x.j = c1.j),
+s2 AS (SELECT ev.vec_id, c2.lid, sum(ev.x * c2.c) AS sim
+       FROM ev JOIN c2 ON ev.j = c2.j GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, lid ASC) AS rn FROM s2),
+corp AS (SELECT vec_id, lid FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, lid FROM ranked WHERE rn <= {nprobe} AND vec_id < 5),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM corp c JOIN probes p USING (lid)
+  WHERE c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".format(dim=64, K=16, k_m1=15, nprobe=6, k=5)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
@@ -946,8 +1047,8 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank F
   FROM scored
 ) WHERE rank <= 5
 """,
-        # minhash_lsh oracle included above; lsh_topk stays rows-only
-        # (seeded random hyperplanes have no SQL twin)
+        "lsh_topk": _LSH_TOPK_SQL,
+        "ivf_topk": _IVF_TOPK_SQL,
         "decimal_ops": """
 SELECT l_orderkey, l_linenumber,
        CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS VARCHAR) AS px_q,

@@ -128,3 +128,65 @@ def test_acf_bandjoin_is_equi_join(spark, ev):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_lsh_plan_constant_in_dim_and_tables(spark):
+    """The sign-LSH bucket computation must be ONE pandas_udf matmul —
+    the plan must not grow with dim x nbits x n_tables (round 1 built
+    nbits*dim literal expressions per table, a Catalyst blowup at real
+    embedding dims)."""
+    from tits_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(2)
+    small = plan_of(lsh_topk(emb, q, k=3, nbits=4, n_tables=2, dim=64))
+    big = plan_of(lsh_topk(emb, q, k=3, nbits=16, n_tables=8, dim=64))
+    # 16x the plane entries -> essentially the same plan text
+    assert len(big) < len(small) * 1.5
+    assert "CartesianProduct" not in big and "BroadcastNestedLoopJoin" not in big
+
+
+def test_rademacher_planes_are_md5_derived(spark):
+    import hashlib
+
+    from tits_spark.operators.similarity import rademacher_planes
+
+    P = rademacher_planes(dim=5, nbits=3, n_tables=2)
+    assert set(P.ravel()) <= {-1.0, 1.0}
+    want = 1.0 if ord(hashlib.md5(b"1|2|3").hexdigest()[0]) % 2 == 1 else -1.0
+    assert P[1, 2, 3] == want
+
+
+def test_ivf_training_never_collects_corpus(spark):
+    """Centroid training must move only O(K*dim) rows to the driver:
+    the aggregated partial-sum frame it collects has exactly
+    K * (dim + 1) rows (dim sums + 1 count per cluster), independent of
+    corpus size."""
+    import numpy as np
+
+    from tits_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_corpus = emb.count()  # 500
+    collected: list[int] = []
+    cls = type(emb)  # the concrete (classic) DataFrame class
+    orig = cls.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    cls.collect = counting_collect
+    try:
+        C, lids = train_ivf_centroids(emb, n_centroids=8, iters=2)
+    finally:
+        cls.collect = orig
+    assert C.shape == (8, 64) and list(lids) == list(range(8))
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    # one collect per Lloyd pass, each exactly K*(dim+1) rows — a bound
+    # that does not depend on corpus size (at 10^11 vectors it is still
+    # 520 rows; round 1 collected all n_corpus embeddings)
+    assert n_corpus == 500
+    assert len(collected) == 2
+    assert all(c == 8 * 65 for c in collected), collected

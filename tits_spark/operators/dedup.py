@@ -148,33 +148,44 @@ def embedding_near_dups(
     threshold: float = 0.95,
     nbits: int = 0,
     n_tables: int = 4,
-    seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
     ``nbits == 0`` -> exact all-pairs (the correctness baseline; a
     shuffled self-join). ``nbits > 0`` -> sign-LSH bucketed candidates
-    first (the 10^11-vector scale path: same buckets as
-    similarity.lsh_topk), then exact cosine on candidates only.
+    first (the 10^11-vector scale path: the same deterministic
+    Rademacher buckets as similarity.lsh_topk, ONE equi-join on
+    (tbl, bucket) across all hash tables), then exact cosine on
+    candidates only.
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
     """
-    from tits_spark.operators.similarity import _dot, _norm, lsh_bucket, _planes
+    from tits_spark.operators.similarity import (
+        _dot, _norm, rademacher_planes, with_lsh_buckets,
+    )
 
     dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    a = emb.select(F.col(id_col).alias("id_a"), dbl(emb_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("id_b"), dbl(emb_col).alias("eb"))
     if nbits <= 0:
+        a = emb.select(F.col(id_col).alias("id_a"), dbl(emb_col).alias("ea"))
+        b = emb.select(F.col(id_col).alias("id_b"), dbl(emb_col).alias("eb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        cand = None
-        for t in range(n_tables):
-            planes = _planes(dim, nbits, t, seed)
-            ab = a.withColumn("bucket", lsh_bucket(F.col("ea"), planes))
-            bb = b.withColumn("bucket", lsh_bucket(F.col("eb"), planes))
-            hit = ab.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b"))
-            cand = hit if cand is None else cand.unionByName(hit)
-        pairs = cand.dropDuplicates(["id_a", "id_b"])
+        planes = rademacher_planes(dim, nbits, n_tables)
+        bucketed = with_lsh_buckets(
+            emb.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_raw")),
+            planes, "_raw",
+        )
+        a = bucketed.select(
+            F.col("_id").alias("id_a"), dbl("_raw").alias("ea"), "tbl", "bucket"
+        )
+        b = bucketed.select(
+            F.col("_id").alias("id_b"), dbl("_raw").alias("eb"), "tbl", "bucket"
+        )
+        pairs = (
+            a.join(b, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
     return (
         pairs.withColumn("cosine", cos)

@@ -5,15 +5,27 @@
    streams, dot products run as built-in higher-order functions
    (zip_with + aggregate) inside codegen, and per-query top-k is a
    ranking window. One shuffle (by query id) regardless of corpus size.
- - ``lsh_topk``: the scale path — random-hyperplane sign buckets
-   (deterministic seeded planes), equi-join on bucket, exact rerank
-   inside the bucket. Probe multiple hash tables to trade recall for
-   fan-out. At 10^11 vectors the bucket join replaces the full scan.
+ - ``lsh_topk``: the scale path — sign-LSH buckets under deterministic
+   Rademacher (±1) hyperplanes, ONE equi-join on (table, bucket) for
+   all hash tables, exact rerank inside the candidates. The plane
+   matrix lives inside a single Arrow-batched pandas_udf matmul, so the
+   plan stays O(1) in dim × nbits × n_tables (no literal expressions),
+   and the ±1 entries are derived from md5 so a DuckDB oracle can
+   recompute the exact buckets in ANSI SQL.
+ - ``ivf_topk``: coarse-quantizer ANN. Training is deterministic
+   distributed Lloyd (init = vec_id % K, a fixed number of iterations);
+   each iteration is one K×dim partial-sum aggregation — only
+   O(K·dim) floats ever reach the driver, never the corpus. The fixed
+   unrolled iteration count makes the whole pipeline (training,
+   assignment, probing, rerank) reproducible in SQL for the oracle.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,55 +81,194 @@ def cosine_topk(
     )
 
 
+# ----------------------------------------------------------------- sign LSH
+
+def rademacher_planes(dim: int, nbits: int, n_tables: int) -> np.ndarray:
+    """Deterministic ±1 sign-LSH hyperplanes, shape (n_tables, nbits,
+    dim). Entry (t, i, j) = +1 iff ascii(md5(f"{t}|{i}|{j}")[0]) is odd
+    (exactly balanced over hex digits). Rademacher projections are a
+    valid random-projection family (Achlioptas 2001), and md5 exists
+    with identical semantics in DuckDB, so an ANSI-SQL oracle recomputes
+    the same buckets bit-for-bit."""
+    P = np.empty((n_tables, nbits, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for i in range(nbits):
+            for j in range(dim):
+                h = hashlib.md5(f"{t}|{i}|{j}".encode()).hexdigest()
+                P[t, i, j] = 1.0 if ord(h[0]) % 2 == 1 else -1.0
+    return P
+
+
+def lsh_buckets_udf(planes: np.ndarray):
+    """pandas_udf: embedding -> array<long> of sign-bucket ids, one per
+    hash table. One (batch × tables·nbits) matmul per Arrow batch — the
+    plan carries a single UDF node regardless of dim/nbits/n_tables
+    (round-1 built nbits×dim literal expressions per table, which blows
+    up Catalyst analysis at real embedding dims)."""
+    from pyspark.sql.functions import pandas_udf
+
+    T, nbits, dim = planes.shape
+    P = planes.reshape(T * nbits, dim)
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+
+    def fn(embs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        proj = X @ P.T  # (n, T*nbits)
+        bits = (proj > 0).reshape(len(X), T, nbits)
+        B = (bits * weights).sum(axis=2)  # (n, T)
+        return pd.Series([row.tolist() for row in B])
+
+    return pandas_udf(fn, "array<long>")
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    planes: np.ndarray,
+    emb_col: str,
+    tbl_col: str = "tbl",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Explode a frame into one row per (hash table, bucket) membership:
+    adds (tbl, bucket) via posexplode of the per-table bucket array."""
+    return df.select(
+        "*", F.posexplode(lsh_buckets_udf(planes)(F.col(emb_col))).alias(tbl_col, bucket_col)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    nbits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = same-sign-bucket vectors in any
+    hash table (ONE equi-join on (tbl, bucket) covers all tables), exact
+    cosine rerank on candidates. Returns (query_id, vec_id, cosine, rank)."""
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    planes = rademacher_planes(dim, nbits, n_tables)
+    q = with_lsh_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_raw")),
+        planes, "q_raw",
+    ).select("query_id", dbl("q_raw").alias("q_emb"), "tbl", "bucket")
+    c = with_lsh_buckets(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_raw")),
+        planes, "c_raw",
+    ).select("vec_id", dbl("c_raw").alias("c_emb"), "tbl", "bucket")
+
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("q_emb"), F.col("c_emb"))
+         / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ----------------------------------------------------------------------- IVF
+
+def _normalized(embs: pd.Series) -> np.ndarray:
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    sample_mod: int = 1,
-    iters: int = 10,
-    seed: int = 42,
-) -> np.ndarray:
-    """Coarse quantizer for IVF: k-means over a deterministic sample
-    (vec_id % sample_mod == 0 — reproducible at any parallelism, unlike
-    DataFrame.sample). The sample is collected to the driver: centroid
-    training needs only O(n_centroids * dim * sample) work, the corpus
-    itself never leaves the executors."""
-    rows = (
-        corpus.filter((F.col(id_col) % sample_mod) == 0)
-        .select(emb_col)
-        .toPandas()[emb_col]
+    iters: int = 2,
+    max_driver_rows: int | None = None,  # kept for API compat; unused
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic distributed Lloyd training of the IVF coarse
+    quantizer. Init assignment = vec_id % K; each iteration recomputes
+    centroids as the normalized mean of unit-normalized members, then
+    reassigns by max dot product (ties -> smallest centroid id).
+
+    Each iteration is ONE aggregation: mapInPandas emits O(K·dim)
+    partial-sum rows per partition, groupBy(lid, pos) combines them, and
+    only the K×dim result is collected — the corpus never reaches the
+    driver (round 1 collected the whole corpus when sample_mod=1; this
+    replaces that). A cluster that loses all members keeps its previous
+    centroid. Returns (centroids ndarray[K', dim], lids ndarray[K']).
+    """
+    K = n_centroids
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"),
+        (F.col(id_col) % K).cast("int").alias("lid"),
     )
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
-    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
-    rng = np.random.Generator(np.random.PCG64(seed))
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
-    for _ in range(iters):
-        sims = X @ C.T
-        assign = np.argmax(sims, axis=1)
-        for j in range(C.shape[0]):
-            m = assign == j
-            if m.any():
-                c = X[m].mean(axis=0)
-                C[j] = c / (np.linalg.norm(c) + 1e-12)
-    return C
+
+    def centroid_pass(df_with_lid: DataFrame) -> dict[int, np.ndarray]:
+        def partials(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = _normalized(pdf["_emb"])
+                lid = pdf["lid"].to_numpy()
+                rows = []
+                for l in np.unique(lid):
+                    m = lid == l
+                    s = X[m].sum(axis=0)
+                    rows.append((int(l), -1, float(m.sum())))
+                    rows.extend((int(l), p, float(s[p])) for p in range(s.size))
+                yield pd.DataFrame(rows, columns=["lid", "pos", "s"])
+
+        agg = (
+            df_with_lid.mapInPandas(partials, schema="lid int, pos int, s double")
+            .groupBy("lid", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        cnt: dict[int, float] = {}
+        sums: dict[int, dict[int, float]] = {}
+        for r in agg:
+            if r["pos"] == -1:
+                cnt[r["lid"]] = r["s"]
+            else:
+                sums.setdefault(r["lid"], {})[r["pos"]] = r["s"]
+        out = {}
+        for l, d in sums.items():
+            v = np.array([d[p] for p in sorted(d)]) / cnt[l]
+            out[l] = v / np.linalg.norm(v)
+        return out
+
+    cents = centroid_pass(base)
+    for _ in range(iters - 1):
+        lids = np.array(sorted(cents), dtype=np.int64)
+        C = np.stack([cents[l] for l in lids])
+        reassigned = base.withColumn(
+            "lid", _assign_udf(C, lids, "_emb", top=1)[0].cast("int")
+        )
+        new = centroid_pass(reassigned)
+        cents = {l: new.get(l, cents[l]) for l in cents}  # carry empty clusters
+    lids = np.array(sorted(cents), dtype=np.int64)
+    return np.stack([cents[l] for l in lids]), lids
 
 
-def _assign_udf(centroids: np.ndarray, emb_col: str, top: int = 1):
+def _assign_udf(centroids: np.ndarray, lids: np.ndarray, emb_col: str, top: int = 1):
     """pandas_udf assigning each embedding to its ``top`` nearest
-    centroids (vectorized matmul per Arrow batch)."""
+    centroids by dot product of unit vectors (vectorized matmul per
+    Arrow batch); ties break to the smallest centroid id. Returns the
+    actual centroid ids (array<int>), not matrix positions."""
     from pyspark.sql.functions import pandas_udf
 
     C = centroids
+    L = np.asarray(lids)
 
-    def assign_fn(embs):
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
-        X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    def assign_fn(embs: pd.Series) -> pd.Series:
+        X = _normalized(embs)
         sims = X @ C.T
-        idx = np.argsort(-sims, axis=1)[:, :top]
-        import pandas as pd
-
-        return pd.Series([row.astype(np.int32).tolist() for row in idx])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+        return pd.Series([L[row].astype(np.int32).tolist() for row in order])
 
     assign = pandas_udf(assign_fn, "array<int>")
     return assign(F.col(emb_col))
@@ -131,82 +282,27 @@ def ivf_topk(
     emb_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
-    seed: int = 42,
+    iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in inverted lists
     keyed by their nearest coarse centroid; each query probes its
     ``nprobe`` nearest lists and reranks exactly. At 10^11 vectors the
-    per-query work drops to nprobe/n_centroids of the corpus, and the
-    list assignment is a one-off batch job whose output can be bucketed
-    on the centroid id for co-located probe joins."""
-    C = train_ivf_centroids(corpus, n_centroids, id_col, emb_col, seed=seed)
+    per-query work drops to nprobe/n_centroids of the corpus, the list
+    assignment is a one-off batch job bucketable on the centroid id,
+    and training moves only O(K·dim) bytes to the driver."""
+    C, lids = train_ivf_centroids(corpus, n_centroids, id_col, emb_col, iters=iters)
     dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     c_assigned = corpus.select(
         F.col(id_col).alias("vec_id"), dbl(emb_col).alias("c_emb"),
-        F.explode(_assign_udf(C, emb_col, top=1)).alias("list_id"),
+        F.explode(_assign_udf(C, lids, emb_col, top=1)).alias("list_id"),
     )
     q_assigned = queries.select(
         F.col(id_col).alias("query_id"), dbl(emb_col).alias("q_emb"),
-        F.explode(_assign_udf(C, emb_col, top=nprobe)).alias("list_id"),
+        F.explode(_assign_udf(C, lids, emb_col, top=nprobe)).alias("list_id"),
     )
     cand = c_assigned.join(F.broadcast(q_assigned), "list_id").filter(
         F.col("vec_id") != F.col("query_id")
     ).dropDuplicates(["query_id", "vec_id"])
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        (_dot(F.col("q_emb"), F.col("c_emb"))
-         / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-
-
-def _planes(dim: int, nbits: int, table: int, seed: int) -> list[list[float]]:
-    rng = np.random.Generator(np.random.PCG64((seed << 16) ^ table))
-    return rng.standard_normal((nbits, dim)).tolist()
-
-
-def lsh_bucket(emb_col, planes: list[list[float]]):
-    """Sign-bucket id of an embedding under fixed hyperplanes (column expr)."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = _dot(emb_col, F.array(*[F.lit(float(x)) for x in p]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return bucket
-
-
-def lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    nbits: int = 8,
-    n_tables: int = 4,
-    seed: int = 42,
-    dim: int = 64,
-) -> DataFrame:
-    """Approximate top-k: candidates = union over hash tables of
-    same-sign-bucket vectors, exact cosine rerank on candidates.
-    Returns (query_id, vec_id, cosine, rank)."""
-    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    q = queries.select(F.col(id_col).alias("query_id"), dbl(emb_col).alias("q_emb"))
-    c = corpus.select(F.col(id_col).alias("vec_id"), dbl(emb_col).alias("c_emb"))
-
-    cand = None
-    for t in range(n_tables):
-        planes = _planes(dim, nbits, t, seed)
-        qb = q.withColumn("bucket", lsh_bucket(F.col("q_emb"), planes))
-        cb = c.withColumn("bucket", lsh_bucket(F.col("c_emb"), planes))
-        hits = cb.join(F.broadcast(qb), "bucket").select(
-            "query_id", "q_emb", "vec_id", "c_emb"
-        )
-        cand = hits if cand is None else cand.unionByName(hits)
-
-    cand = cand.filter(F.col("vec_id") != F.col("query_id")).dropDuplicates(
-        ["query_id", "vec_id"]
-    )
     scored = cand.select(
         "query_id",
         "vec_id",
