@@ -282,9 +282,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tits_spark.operators.dedup import simhash
+    """Vectorized pandas_udf SimHash (the scale path — no tokens×nbits
+    explode); the oracle SQL mirrors the declarative twin, so this also
+    proves fast == declarative on real data."""
+    from tits_spark.operators.dedup import simhash_fast
 
-    return simhash(_docs(spark, sf_dir), nbits=32)
+    return simhash_fast(_docs(spark, sf_dir), nbits=32)
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

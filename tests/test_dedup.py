@@ -150,3 +150,14 @@ def test_ivf_topk_recall(spark):
     e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
     a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
     assert len(e & a) / len(e) >= 0.6, len(e & a) / len(e)
+
+
+def test_simhash_fast_equals_declarative(spark):
+    """The pandas_udf scale path and the explode/groupBy declarative
+    twin (the oracle shape) must agree bit-for-bit on real documents."""
+    from tits_spark.operators.dedup import simhash, simhash_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    slow = {r["doc_id"]: r["simhash"] for r in simhash(docs, nbits=32).collect()}
+    fast = {r["doc_id"]: r["simhash"] for r in simhash_fast(docs, nbits=32).collect()}
+    assert fast == slow and len(fast) == 500

@@ -19,6 +19,8 @@ scale (same plan shape).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -220,6 +222,61 @@ def simhash(
     )
 
 
+def simhash_fast(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 32,
+) -> DataFrame:
+    """Scale-path SimHash: identical output contract to ``simhash`` but
+    computed per document inside one Arrow-batched pandas_udf — each
+    token is hashed once and the per-bit majority vote runs in numpy,
+    so the tokens × nbits row explode (a 32x shuffle amplification at
+    100 TB) never happens; the operator is a map-only projection.
+
+    Bit convention matches the declarative twin exactly (and therefore
+    its DuckDB oracle): tokens = java-\\s+ split of the space-trimmed
+    text, bit j of a token = parity of ascii(md5(token)[j]), bit set
+    when the vote sum is > 0. Docs with no tokens produce no row."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # java \s, as F.split(r"\s+") uses
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+
+    def sig_batch(texts: pd.Series) -> pd.Series:
+        cache: dict[str, np.ndarray] = {}
+
+        def one(text) -> float | int | None:
+            toks = [t for t in ws.split((text or "").strip(" ")) if t]
+            if not toks:
+                return None
+            votes = np.zeros(nbits, dtype=np.int64)
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                b = cache.get(t)
+                if b is None:
+                    h = hashlib.md5(t.encode("utf-8")).hexdigest()
+                    b = (np.frombuffer(h[:nbits].encode(), dtype=np.uint8) % 2).astype(
+                        np.int64
+                    ) * 2 - 1
+                    cache[t] = b
+                votes += c * b
+            return int(((votes > 0) * weights).sum())
+
+        return texts.map(one)
+
+    sig = pandas_udf(sig_batch, "long")
+    return (
+        df.select(F.col(id_col), sig(F.col(text_col)).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -232,7 +289,7 @@ def simhash_near_pairs(
     chunks; by pigeonhole, any pair within ``max_hamming`` (< number of
     bands) shares at least one exact band -> equi-join on (band, chunk),
     then verify the true Hamming distance. Returns (id_a, id_b, hamming)."""
-    sig = simhash(df, id_col, text_col, nbits)
+    sig = simhash_fast(df, id_col, text_col, nbits)
     nbands = nbits // band_bits
     chunk = F.explode(F.sequence(F.lit(0), F.lit(nbands - 1))).alias("band")
     banded = sig.select(id_col, "simhash", chunk).withColumn(
