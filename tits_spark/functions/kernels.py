@@ -3,12 +3,15 @@
 These are independent re-implementations (not copies) of the math in
 /root/reference/src, replicating semantics the tests pin down:
 
- - 4-lane Welford moments + pairwise combine for mean/var, including the
-   scalar tail (ref:norm.c:75-147) — lane-order-faithful so z-normalized
-   series match the C build bit-for-bit on lane-multiple inputs;
- - truncation of series length to a multiple of the SIMD width 4
-   (ref:sacf.c:193-196, xcor.c:193-199) — the reference silently drops
-   up to 3 trailing points; we replicate, not "fix" (SURVEY.md §7);
+ - 4-lane (float64) / 8-lane (float32) Welford moments + pairwise
+   combine for mean/var, including the scalar tail (ref:norm.c:75-147,
+   float twin via self-#include ref:norm.c:183-204) — lane-order
+   faithful so z-normalized series match the C build bit-for-bit on
+   lane-multiple inputs;
+ - truncation of series length to a multiple of the SIMD width — 4
+   doubles / 8 floats per AVX2 vector (ref:sacf.c:193-196,
+   xcor.c:193-199) — the reference silently drops up to lanes-1
+   trailing points; we replicate, not "fix" (SURVEY.md §7);
  - Bjoernstad-Falck Gaussian kernel with Edelson-Krolik banding:
    h = 0.25 * (mean_dt / tau), band = +-5h, K = exp(-d^2/(2h^2)) /
    sqrt(2*pi*h) (ref:sacf.c:117-148);
@@ -23,6 +26,19 @@ These are independent re-implementations (not copies) of the math in
    2*pi*(j+1) with phase rotation tau = atan2(2*Scs, Scc-Sss)/2
    (ref:perio.c:49-86).
 
+Every kernel takes ``dtype`` (np.float64 default; np.float32 gives the
+reference's single-precision twins — tits_ssacf/snorm/sxcor/sacf2ar/
+sroots/sperio — including the wider 8-lane truncation).
+
+``sacf``/``xcor`` additionally take ``stats``:
+ - "parity" (default): the lane-order-faithful Welford normalization —
+   bit-compatible with the C build, used by the golden tests;
+ - "fast": vectorized two-pass numpy mean/var (ddof=1) — identical to
+   ~1e-15 relative, no Python-loop over n/4 blocks. The Spark operators
+   default to this (their acceptance gate is the 6-dp DuckDB oracle,
+   far above the 1e-15 difference), keeping the per-series hot path
+   fully vectorized.
+
 Everything here is plain numpy over contiguous arrays — these functions
 run inside Arrow-batched pandas UDFs (applyInPandas / cogroup), never
 per-row Python.
@@ -32,78 +48,97 @@ from __future__ import annotations
 
 import numpy as np
 
-LANES = 4  # AVX2 = 4 doubles (ref:sacf.c:61-65); fixes truncation + Welford lanes
-_EPS = float(np.finfo(np.float64).eps)
+LANES = 4   # AVX2 = 4 doubles (ref:sacf.c:61-65)
+LANES32 = 8  # AVX2 = 8 floats (ref:norm.c:48 widthof under the float twin)
+
+
+def _lanes(dtype) -> int:
+    return LANES if np.dtype(dtype) == np.float64 else LANES32
+
+
+def _eps(dtype) -> float:
+    return float(np.finfo(np.dtype(dtype)).eps)
 
 
 # ---------------------------------------------------------------- stats / norm
 
-def welford_stats(x: np.ndarray) -> tuple[float, float]:
+def welford_stats(x: np.ndarray, dtype=np.float64):
     """(mean, sample variance) with the reference's exact accumulation:
-    4 parallel Welford lanes over x[0::4]..x[3::4] blocks, pairwise
-    combine, scalar Welford tail, /(n-1). ref:norm.c:75-147."""
-    x = np.asarray(x, dtype=np.float64)
+    ``lanes`` parallel Welford lanes over x[0::L]..x[L-1::L] blocks,
+    pairwise combine, scalar Welford tail, /(n-1). ref:norm.c:75-147.
+    All arithmetic stays in ``dtype`` (float32 == the tits_snorm twin)."""
+    dt = np.dtype(dtype).type
+    x = np.asarray(x, dtype=dtype)
+    lanes = _lanes(dtype)
     n = x.size
-    mean = 0.0
-    svar = 0.0
-    nblk = n // LANES
+    mean = dt(0.0)
+    svar = dt(0.0)
+    nblk = n // lanes
     if nblk:
-        blocks = x[: nblk * LANES].reshape(nblk, LANES)
-        m1 = np.zeros(LANES)
-        m2 = np.zeros(LANES)
+        blocks = x[: nblk * lanes].reshape(nblk, lanes)
+        m1 = np.zeros(lanes, dtype=dtype)
+        m2 = np.zeros(lanes, dtype=dtype)
         for i in range(nblk):
             xi = blocks[i]
             dlt = xi - m1
-            m1 = m1 + dlt / float(i + 1)
+            m1 = m1 + dlt / dt(i + 1)
             m2 = m2 + dlt * (xi - m1)
-        for i in range(LANES):
+        for i in range(lanes):
             mean += m1[i]
-        mean /= float(LANES)
-        for i in range(LANES):
-            for j in range(i + 1, LANES):
-                svar -= 2 * m1[i] * m1[j]
-        mtmp = (m1 * m1) * float(LANES - 1)
-        for i in range(LANES):
+        mean /= dt(lanes)
+        for i in range(lanes):
+            for j in range(i + 1, lanes):
+                svar -= dt(2) * m1[i] * m1[j]
+        mtmp = (m1 * m1) * dt(lanes - 1)
+        for i in range(lanes):
             svar += mtmp[i]
-        svar *= float(nblk)
-        svar /= float(LANES)
-        for i in range(LANES):
+        svar *= dt(nblk)
+        svar /= dt(lanes)
+        for i in range(lanes):
             svar += m2[i]
-    for i in range(nblk * LANES, n):
-        numean = mean + (x[i] - mean) / float(i + 1)
+    for i in range(nblk * lanes, n):
+        numean = mean + (x[i] - mean) / dt(i + 1)
         svar += (x[i] - mean) * (x[i] - numean)
         mean = numean
-    svar /= float(n - 1)
+    svar /= dt(n - 1)
     return mean, svar
 
 
-def znorm(x: np.ndarray) -> np.ndarray:
+def fast_stats(x: np.ndarray, dtype=np.float64):
+    """Vectorized two-pass (mean, sample variance) — numpy-speed twin of
+    welford_stats, equal to ~1e-15 relative in float64."""
+    x = np.asarray(x, dtype=dtype)
+    return x.mean(), x.var(ddof=1)
+
+
+def znorm(x: np.ndarray, dtype=np.float64, stats: str = "parity") -> np.ndarray:
     """x <- (x - mean) / sdev, reference op order: (x + (-mean)) * (1/sqrt(var)).
     ref:norm.c:151-181."""
-    x = np.asarray(x, dtype=np.float64)
-    mean, svar = welford_stats(x)
-    return (x + (-mean)) * (1.0 / np.sqrt(svar))
+    dt = np.dtype(dtype).type
+    x = np.asarray(x, dtype=dtype)
+    mean, svar = (welford_stats if stats == "parity" else fast_stats)(x, dtype)
+    return (x + (-mean)) * (dt(1.0) / np.sqrt(svar))
 
 
-def meandiff(t: np.ndarray) -> float:
+def meandiff(t: np.ndarray, dtype=np.float64):
     """Mean consecutive time step: -sum(t[i] - t[i+1]) / (n-1); NaN for
     n <= 1. ref:sacf.c:82-95."""
-    t = np.asarray(t, dtype=np.float64)
+    t = np.asarray(t, dtype=dtype)
     if t.size <= 1:
-        return float("nan")
-    return float(-np.sum(t[:-1] - t[1:]) / (t.size - 1))
+        return np.dtype(dtype).type(np.nan)
+    return -np.sum(t[:-1] - t[1:]) / np.dtype(dtype).type(t.size - 1)
 
 
 # ----------------------------------------------------------- kernel ACF / XCF
 
-def _kernel_consts(tau_scaled: float) -> tuple[float, float, float]:
+def _kernel_consts(tau_scaled, dt):
     """(h, _xf, _vf): width h = 0.25*tau_scaled, exponent scale
     -1/(2h^2), total scale 1/sqrt(2*pi*h). ref:sacf.c:130-142."""
-    h = 0.25 * tau_scaled
-    return h, -1.0 / (2.0 * h * h), 1.0 / np.sqrt(2.0 * np.pi * h)
+    h = dt(0.25) * tau_scaled
+    return h, dt(-1.0) / (dt(2.0) * h * h), dt(1.0) / np.sqrt(dt(2.0 * np.pi) * h)
 
 
-def _band_corr(lag: float, t1, y1, t2, y2, thresh, xf, vf) -> tuple[float, float]:
+def _band_corr(lag, t1, y1, t2, y2, thresh, xf, vf):
     """One lag of the Edelson-Krolik banded, Gaussian-weighted sum:
     nsum = sum_{|lag-(t2j-t1i)|<thresh} y1i*y2j*K, dsum = sum K.
     Two-pointer cursor scan (ref:xcor.c:166-179) == searchsorted bands."""
@@ -119,72 +154,87 @@ def _band_corr(lag: float, t1, y1, t2, y2, thresh, xf, vf) -> tuple[float, float
     jj = np.repeat(starts - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt) + np.arange(total)
     d = lag - (t2[jj] - t1[ii])
     K = vf * np.exp(xf * d * d)
-    return float(np.sum(y1[ii] * y2[jj] * K)), float(np.sum(K))
+    return np.sum(y1[ii] * y2[jj] * K), np.sum(K)
 
 
-def _trunc(a: np.ndarray) -> np.ndarray:
-    n = a.size - a.size % LANES
+def _trunc(a: np.ndarray, lanes: int = LANES) -> np.ndarray:
+    n = a.size - a.size % lanes
     return a[:n]
 
 
-def sacf(t: np.ndarray, y: np.ndarray, nlags: int, tau: float) -> np.ndarray:
+def sacf(
+    t: np.ndarray, y: np.ndarray, nlags: int, tau: float,
+    dtype=np.float64, stats: str = "parity",
+) -> np.ndarray:
     """Kernel-weighted sample autocorrelation for irregular series,
-    lags 1..nlags on the tau grid. ref:sacf.c:185-226."""
-    t = _trunc(np.ascontiguousarray(t, dtype=np.float64))
-    y = _trunc(np.ascontiguousarray(y, dtype=np.float64))
+    lags 1..nlags on the tau grid. ref:sacf.c:185-226 (float twin
+    ref:sacf.c:228-256)."""
+    dt = np.dtype(dtype).type
+    lanes = _lanes(dtype)
+    t = _trunc(np.ascontiguousarray(t, dtype=dtype), lanes)
+    y = _trunc(np.ascontiguousarray(y, dtype=dtype), lanes)
     if t.size == 0:
-        return np.full(nlags, np.nan)
-    y = znorm(y)
-    rtau = 1.0 / tau
-    tmd = meandiff(t)
+        return np.full(nlags, np.nan, dtype=dtype)
+    y = znorm(y, dtype, stats)
+    rtau = dt(1.0) / dt(tau)
+    tmd = meandiff(t, dtype)
     ts = t * rtau
-    h, xf, vf = _kernel_consts(tmd * rtau)
-    thresh = h * 5.0
-    out = np.empty(nlags)
+    h, xf, vf = _kernel_consts(tmd * rtau, dt)
+    thresh = h * dt(5.0)
+    out = np.empty(nlags, dtype=dtype)
     for k in range(1, nlags + 1):
-        nsum, dsum = _band_corr(float(k), ts, y, ts, y, thresh, xf, vf)
+        nsum, dsum = _band_corr(dt(k), ts, y, ts, y, thresh, xf, vf)
         out[k - 1] = nsum / dsum if dsum != 0.0 else np.nan
     return out
 
 
-def xcor(t1, y1, t2, y2, nlags: int, tau: float) -> np.ndarray:
+def xcor(
+    t1, y1, t2, y2, nlags: int, tau: float,
+    dtype=np.float64, stats: str = "parity",
+) -> np.ndarray:
     """Kernel-weighted cross-correlation (Edelson-Krolik), lags
     -nlags..+nlags on the tau grid; kernel width from the *smaller*
-    mean time step of the two series. ref:xcor.c:185-238."""
-    t1 = _trunc(np.ascontiguousarray(t1, dtype=np.float64))
-    y1 = _trunc(np.ascontiguousarray(y1, dtype=np.float64))
-    t2 = _trunc(np.ascontiguousarray(t2, dtype=np.float64))
-    y2 = _trunc(np.ascontiguousarray(y2, dtype=np.float64))
+    mean time step of the two series. ref:xcor.c:185-238 (float twin
+    ref:xcor.c:240-268)."""
+    dt = np.dtype(dtype).type
+    lanes = _lanes(dtype)
+    t1 = _trunc(np.ascontiguousarray(t1, dtype=dtype), lanes)
+    y1 = _trunc(np.ascontiguousarray(y1, dtype=dtype), lanes)
+    t2 = _trunc(np.ascontiguousarray(t2, dtype=dtype), lanes)
+    y2 = _trunc(np.ascontiguousarray(y2, dtype=dtype), lanes)
     if t1.size == 0 or t2.size == 0:
-        return np.full(2 * nlags + 1, np.nan)
-    y1 = znorm(y1)
-    y2 = znorm(y2)
-    rtau = 1.0 / tau
-    tmd1 = meandiff(t1)
-    tmd2 = meandiff(t2)
+        return np.full(2 * nlags + 1, np.nan, dtype=dtype)
+    y1 = znorm(y1, dtype, stats)
+    y2 = znorm(y2, dtype, stats)
+    rtau = dt(1.0) / dt(tau)
+    tmd1 = meandiff(t1, dtype)
+    tmd2 = meandiff(t2, dtype)
     s1 = t1 * rtau
     s2 = t2 * rtau
-    h, xf, vf = _kernel_consts(min(tmd1, tmd2) * rtau)
-    thresh = h * 5.0
-    out = np.empty(2 * nlags + 1)
+    h, xf, vf = _kernel_consts(min(tmd1, tmd2) * rtau, dt)
+    thresh = h * dt(5.0)
+    out = np.empty(2 * nlags + 1, dtype=dtype)
     for i, k in enumerate(range(-nlags, nlags + 1)):
-        nsum, dsum = _band_corr(float(k), s1, y1, s2, y2, thresh, xf, vf)
+        nsum, dsum = _band_corr(dt(k), s1, y1, s2, y2, thresh, xf, vf)
         out[i] = nsum / dsum if dsum != 0.0 else np.nan
     return out
 
 
 # --------------------------------------------------------------- AR / spectral
 
-def acf2ar(acf: np.ndarray, mo: int | None = None) -> np.ndarray:
+def acf2ar(acf: np.ndarray, mo: int | None = None, dtype=np.float64) -> np.ndarray:
     """Levinson-Durbin recursion ACF -> AR(mo) coefficients, assuming
-    acf[0-lag] == 1; stops early when |E| <= eps. ref:acf24ar.c:48-73."""
-    acf = np.asarray(acf, dtype=np.float64)
+    acf[0-lag] == 1; stops early when |E| <= eps. ref:acf24ar.c:48-73
+    (float twin ref:acf24ar.c:82-98)."""
+    acf = np.asarray(acf, dtype=dtype)
+    dt = np.dtype(dtype).type
+    eps = _eps(dtype)
     if mo is None:
         mo = acf.size
-    ar = np.zeros(mo)
-    E = 1.0
+    ar = np.zeros(mo, dtype=dtype)
+    E = dt(1.0)
     for i in range(mo):
-        if not (abs(E) > _EPS):
+        if not (abs(E) > eps):
             break
         k = -acf[i]
         for j in range(1, i + 1):
@@ -195,44 +245,45 @@ def acf2ar(acf: np.ndarray, mo: int | None = None) -> np.ndarray:
         for j in range(1, i + 1):
             an[j - 1] = ar[j - 1] + k * ar[i - j]
         ar[: i + 1] = an[: i + 1]
-        E *= 1 - k * k
+        E *= dt(1) - k * k
     return ar
 
 
-def perio(t: np.ndarray, y: np.ndarray, nw: int) -> np.ndarray:
+def perio(t: np.ndarray, y: np.ndarray, nw: int, dtype=np.float64) -> np.ndarray:
     """Lomb-Scargle periodogram at frequencies w_j = 2*pi*(j+1),
-    j = 0..nw-1. ref:perio.c:49-86."""
-    t = np.asarray(t, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    out = np.empty(nw)
+    j = 0..nw-1. ref:perio.c:49-86 (float twin ref:perio.c:88-104)."""
+    dt = np.dtype(dtype).type
+    t = np.asarray(t, dtype=dtype)
+    y = np.asarray(y, dtype=dtype)
+    out = np.empty(nw, dtype=dtype)
     for j in range(nw):
-        wj = 2.0 * np.pi * float(j + 1)
+        wj = dt(2.0) * dt(np.pi) * dt(j + 1)
         theta = wj * t
         c = np.cos(theta)
         s = np.sin(theta)
-        xc = float(np.sum(y * c))
-        xs = float(np.sum(y * s))
-        cc = float(np.sum(c * c))
-        ss = float(np.sum(s * s))
-        cs = float(np.sum(c * s))
-        ph = np.arctan2(2.0 * cs, cc - ss) / 2.0
+        xc = np.sum(y * c)
+        xs = np.sum(y * s)
+        cc = np.sum(c * c)
+        ss = np.sum(s * s)
+        cs = np.sum(c * s)
+        ph = np.arctan2(dt(2.0) * cs, cc - ss) / dt(2.0)
         cp, sp = np.cos(ph), np.sin(ph)
         ct = cp * xc + sp * xs
         st = cp * xs - sp * xc
         cct, sst, cst = cp * cp, sp * sp, cp * sp
-        p = (ct * ct) / (cct * cc + 2.0 * cst * cs + sst * ss)
-        p += (st * st) / (cct * ss - 2.0 * cst * cs + sst * cc)
-        out[j] = 0.5 * p
+        p = (ct * ct) / (cct * cc + dt(2.0) * cst * cs + sst * ss)
+        p += (st * st) / (cct * ss - dt(2.0) * cst * cs + sst * cc)
+        out[j] = dt(0.5) * p
     return out
 
 
 # -------------------------------------------------------------------- roots
 
-def _horner_eval(p: np.ndarray, n: int, at: complex) -> tuple[complex, complex, complex]:
+def _horner_eval(p: np.ndarray, n: int, at, ct):
     """Horner evaluation of p (monomial coeffs, degree n) and first two
     derivatives at a complex point; d2 is doubled like the reference.
     ref:roots.c:74-90."""
-    d0 = d1 = d2 = 0j
+    d0 = d1 = d2 = ct(0j)
     for i in range(n, 1, -1):
         d0 = p[i] + d0 * at
         d1 = d0 + d1 * at
@@ -240,38 +291,38 @@ def _horner_eval(p: np.ndarray, n: int, at: complex) -> tuple[complex, complex, 
     d0 = p[1] + d0 * at
     d1 = d0 + d1 * at
     d0 = p[0] + d0 * at
-    return d0, d1, 2.0 * d2
+    return d0, d1, ct(2.0) * d2
 
 
-def _laguerre(p: np.ndarray, n: int, x: complex) -> complex:
+def _laguerre(p: np.ndarray, n: int, x, ct, eps):
     """Laguerre iteration (max 32 steps) for one root. ref:roots.c:133-159."""
     for _ in range(32):
-        d0, d1, d2 = _horner_eval(p, n, x)
-        if abs(d0) < _EPS:
+        d0, d1, d2 = _horner_eval(p, n, x, ct)
+        if abs(d0) < eps:
             break
         g = d1 / d0
         h = g * g - d2 / d0
-        r = np.sqrt((h * n - g * g) * (n - 1))
+        r = np.sqrt((h * ct(n) - g * g) * ct(n - 1))
         den1, den2 = g + r, g - r
         den = den1 if abs(den1) > abs(den2) else den2
-        a = n / den
-        if abs(a) < _EPS:
+        a = ct(n) / den
+        if abs(a) < eps:
             break
         x -= a
     return x
 
 
-def _deflate_real(p: np.ndarray, n: int, at: float) -> None:
+def _deflate_real(p: np.ndarray, n: int, at) -> None:
     p[:n] = p[1 : n + 1]
     p[n] = 0.0
     for i in range(n - 1, 0, -1):
         p[i - 1] += p[i] * at
 
 
-def _deflate(p: np.ndarray, n: int, at: complex) -> int:
+def _deflate(p: np.ndarray, n: int, at, eps) -> int:
     """Factor out (x-at) if real else (x-at)(x-conj(at)); returns degree
     reduction (1 or 2). ref:roots.c:104-131."""
-    if abs(at.imag) < _EPS:
+    if abs(at.imag) < eps:
         _deflate_real(p, n, at.real)
         return 1
     aa = (at * at.conjugate()).real
@@ -284,31 +335,33 @@ def _deflate(p: np.ndarray, n: int, at: complex) -> int:
     return 2
 
 
-def roots(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def roots(p: np.ndarray, dtype=np.float64) -> tuple[np.ndarray, np.ndarray]:
     """All roots of the real polynomial with monomial coefficients p
     (p[0] + p[1] x + ... + p[n] x^n).
 
     Returns (real_roots, complex_pairs) where complex_pairs rows are
     (re, |im|) for each conjugate pair — matching the reference's output
     layout of real roots first, pairs packed from the tail.
-    ref:roots.c:162-203."""
-    p = np.asarray(p, dtype=np.float64)
+    ref:roots.c:162-203 (float twin ref:roots.c:205-228)."""
+    p = np.asarray(p, dtype=dtype)
+    ct = np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
+    eps = _eps(dtype)
     n = p.size - 1
-    if n == 0 or abs(p[n]) < _EPS:
+    if n == 0 or abs(p[n]) < eps:
         raise ValueError("degenerate polynomial (zero leading coefficient)")
     reals: list[float] = []
     pairs: list[tuple[float, float]] = []
-    q = p.copy()
-    guess = 0j
+    q = p.copy()  # real coefficients throughout, like the C deflation
+    guess = ct(0j)
     while n > 1:
-        guess = _laguerre(q, n, guess)
-        red = _deflate(q, n, guess)
+        guess = _laguerre(q, n, guess, ct, eps)
+        red = _deflate(q, n, guess, eps)
         if red == 1:
-            reals.append(guess.real)
+            reals.append(float(guess.real))
             n -= 1
         else:
-            pairs.append((guess.real, abs(guess.imag)))
+            pairs.append((float(guess.real), float(abs(guess.imag))))
             n -= 2
     if n == 1:
-        reals.append(-q[0] / q[1])
+        reals.append(float((-q[0] / q[1]).real))
     return np.asarray(reals), np.asarray(pairs).reshape(-1, 2)

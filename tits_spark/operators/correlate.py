@@ -55,15 +55,20 @@ def sacf_by_key(
     nlags: int = 10,
     tau: float = 1.0,
     min_points: int = 8,
+    stats: str = "fast",
 ) -> DataFrame:
     """Per-key kernel-weighted sample ACF -> rows (key, lag, acf),
-    lag = 1..nlags on the tau grid. ref:sacf.c:185-226."""
+    lag = 1..nlags on the tau grid. ref:sacf.c:185-226.
+
+    ``stats="fast"`` (default) uses the vectorized two-pass
+    normalization (== C-parity Welford to ~1e-15, far below the 6-dp
+    oracle gate); pass "parity" for bit-compatible normalization."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < min_points:
             return pd.DataFrame(columns=["key", "lag", "acf"])
         t, y = _series(pdf, ts, value)
-        acf = K.sacf(t, y, nlags, tau)
+        acf = K.sacf(t, y, nlags, tau, stats=stats)
         return pd.DataFrame({
             "key": pdf[key].iloc[0],
             "lag": np.arange(1, nlags + 1, dtype=np.int32),
@@ -81,6 +86,7 @@ def sacf_by_key_batched(
     nlags: int = 10,
     tau: float = 1.0,
     min_points: int = 8,
+    stats: str = "fast",
 ) -> DataFrame:
     """Same result as sacf_by_key, but batched: keys are hash-clustered
     and sorted within partitions, then mapInPandas processes MANY series
@@ -100,7 +106,7 @@ def sacf_by_key_batched(
                 if np.issubdtype(t.dtype, np.datetime64):
                     t = t.astype("datetime64[ns]").astype(np.int64) / 1e9
                 t = t.astype(np.float64)
-                acf = K.sacf(t - t[0], grp[value].to_numpy(np.float64), nlags, tau)
+                acf = K.sacf(t - t[0], grp[value].to_numpy(np.float64), nlags, tau, stats=stats)
                 out.append(pd.DataFrame({
                     "key": k,
                     "lag": np.arange(1, nlags + 1, dtype=np.int32),
@@ -134,6 +140,7 @@ def xcor_pairs(
     nlags: int = 10,
     tau: float = 1.0,
     min_points: int = 8,
+    stats: str = "fast",
 ) -> DataFrame:
     """Kernel-weighted XCF for each (key1, key2) row of ``pairs`` ->
     rows (key1, key2, lag, xcf), lag = -nlags..+nlags. ref:xcor.c:185-238.
@@ -170,7 +177,7 @@ def xcor_pairs(
         xcf = K.xcor(
             t1.astype(np.float64) - tref, l["value"].to_numpy(np.float64),
             t2.astype(np.float64) - tref, r["value"].to_numpy(np.float64),
-            nlags, tau,
+            nlags, tau, stats=stats,
         )
         return pd.DataFrame({
             "key1": l["key1"].iloc[0],
@@ -194,6 +201,7 @@ def ar_fit_by_key(
     order: int = 4,
     tau: float = 1.0,
     min_points: int = 8,
+    stats: str = "fast",
 ) -> DataFrame:
     """Per-key AR(order) fit: sacf -> Levinson-Durbin -> rows
     (key, coef_idx, ar). ref:acf24ar.c:48-80 (Q3 composed with Q1)."""
@@ -202,7 +210,7 @@ def ar_fit_by_key(
         if len(pdf) < min_points:
             return pd.DataFrame(columns=["key", "coef_idx", "ar"])
         t, y = _series(pdf, ts, value)
-        acf = K.sacf(t, y, order, tau)
+        acf = K.sacf(t, y, order, tau, stats=stats)
         if np.isnan(acf).any():
             return pd.DataFrame(columns=["key", "coef_idx", "ar"])
         ar = K.acf2ar(acf, order)
@@ -223,6 +231,7 @@ def ar_stationarity_by_key(
     order: int = 4,
     tau: float = 1.0,
     min_points: int = 8,
+    stats: str = "fast",
 ) -> DataFrame:
     """AR(order) fit + stationarity check: roots of the AR
     characteristic polynomial 1 + a1 z + ... + ap z^p must lie outside
@@ -236,7 +245,7 @@ def ar_stationarity_by_key(
         if len(pdf) < min_points:
             return pd.DataFrame(columns=cols)
         t, y = _series(pdf, ts, value)
-        acf = K.sacf(t, y, order, tau)
+        acf = K.sacf(t, y, order, tau, stats=stats)
         if np.isnan(acf).any():
             return pd.DataFrame(columns=cols)
         ar = K.acf2ar(acf, order)

@@ -44,18 +44,31 @@ class DTS(ctypes.Structure):
                 ("y", ctypes.POINTER(ctypes.c_double))]
 
 
+class STS(ctypes.Structure):  # float twin (ref: sts_t)
+    _fields_ = [("n", ctypes.c_size_t),
+                ("t", ctypes.POINTER(ctypes.c_float)),
+                ("y", ctypes.POINTER(ctypes.c_float))]
+
+
 def _dts(t: np.ndarray, y: np.ndarray) -> DTS:
     return DTS(t.size,
                t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
 
 
-def _aligned_copy(x: np.ndarray, align: int = 64, pad: int = 8) -> np.ndarray:
+def _sts(t: np.ndarray, y: np.ndarray) -> STS:
+    return STS(t.size,
+               t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+               y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+
+def _aligned_copy(x: np.ndarray, align: int = 64, pad: int = 16, dtype=np.float64) -> np.ndarray:
     """32/64-byte-aligned padded copy — the C norm kernel uses aligned
     AVX loads/stores on the caller's buffer (ref:norm.c:168)."""
-    x = np.ascontiguousarray(x, dtype=np.float64)
-    raw = np.empty(x.size + pad + align // 8, dtype=np.float64)
-    off = (-raw.ctypes.data % align) // 8
+    x = np.ascontiguousarray(x, dtype=dtype)
+    isz = np.dtype(dtype).itemsize
+    raw = np.empty(x.size + pad + align // isz, dtype=dtype)
+    off = (-raw.ctypes.data % align) // isz
     out = raw[off : off + x.size]
     out[:] = x
     return out
@@ -116,6 +129,60 @@ def c_perio(lib, t, y, nw):
     lib.tits_dperio(out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                     ctypes.c_size_t(nw), _dts(t, y))
     return out
+
+
+# ------------------------------------------------ float32 twins (tits_s*)
+
+def _f32(x) -> np.ndarray:
+    return np.ascontiguousarray(x, dtype=np.float32)
+
+
+def c_snorm(lib, x):
+    buf = _aligned_copy(x, dtype=np.float32)
+    lib.tits_snorm(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                   ctypes.c_size_t(buf.size))
+    return buf.copy()
+
+
+def c_ssacf(lib, t, y, nlags, tau):
+    t, y = _f32(t), _f32(y)
+    out = np.empty(nlags, dtype=np.float32)
+    lib.tits_ssacf(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                   _sts(t, y), ctypes.c_size_t(nlags), ctypes.c_float(tau))
+    return out
+
+
+def c_sxcor(lib, t1, y1, t2, y2, nlags, tau):
+    t1, y1, t2, y2 = _f32(t1), _f32(y1), _f32(t2), _f32(y2)
+    out = np.empty(2 * nlags + 1, dtype=np.float32)
+    lib.tits_sxcor(out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                   _sts(t1, y1), _sts(t2, y2),
+                   ctypes.c_int(nlags), ctypes.c_float(tau))
+    return out
+
+
+def c_sacf2ar(lib, acf):
+    acf = _f32(acf)
+    ar = np.zeros(acf.size, dtype=np.float32)
+    lib.tits_sacf2ar(ar.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                     acf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                     ctypes.c_size_t(acf.size))
+    return ar
+
+
+def c_sroots(lib, p):
+    p = _f32(p)
+    n = p.size - 1
+    r = np.zeros(n, dtype=np.float32)
+    lib.tits_sroots.restype = ctypes.c_size_t
+    nreal = lib.tits_sroots(r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                            p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                            ctypes.c_size_t(n))
+    return int(nreal), r
+
+
+# NOTE: no c_sperio — tits_sperio is declared in perio.h:49 but perio.c
+# has no float self-include, so the reference never defines it.
 
 
 def ar_filter(v: np.ndarray, lam: list[float]) -> np.ndarray:
@@ -215,6 +282,28 @@ def main() -> None:
         "t": tp.tolist(), "y": yp.tolist(), "nw": 8,
         "out": c_perio(lib, tp, yp, 8).tolist(),
     }
+
+    # --- float32 twins (tits_s*): same inputs, single-precision outputs
+    for name in ["norm_8", "norm_3", "norm_rand13", "norm_rand4096"]:
+        gold[name]["out_f32"] = c_snorm(lib, np.asarray(gold[name]["x"])).tolist()
+    for name in ["sacf_regular", "sacf_irregular80", "sacf_irregular_ar3"]:
+        g = gold[name]
+        g["out_f32"] = c_ssacf(
+            lib, np.asarray(g["t"]), np.asarray(g["y"]), g["nlags"], g["tau"]
+        ).tolist()
+    g = gold["xcor_pair"]
+    g["out_f32"] = c_sxcor(
+        lib, np.asarray(g["t1"]), np.asarray(g["y1"]),
+        np.asarray(g["t2"]), np.asarray(g["y2"]), g["nlags"], g["tau"]
+    ).tolist()
+    for name in ["acf2ar_10", "acf2ar_4", "acf2ar_3"]:
+        gold[name]["out_f32"] = c_sacf2ar(lib, np.asarray(gold[name]["acf"])).tolist()
+    for name in ["roots_cubic", "roots_cplx", "roots_deg5"]:
+        nreal, r = c_sroots(lib, np.asarray(gold[name]["p"]))
+        gold[name]["nreal_f32"] = nreal
+        gold[name]["out_f32"] = r.tolist()
+    # (no perio_sin3 float golden: the reference declares tits_sperio in
+    # perio.h:49 but never defines it — perio.c lacks the self-include)
 
     for name, obj in gold.items():
         (OUT / f"{name}.json").write_text(json.dumps(obj))
