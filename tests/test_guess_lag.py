@@ -80,3 +80,42 @@ def test_top_k(spark):
     out = top_k(df, ["key"], "v", 3).toPandas()
     assert len(out) == 3
     assert set(out["v"]) <= {6.0, 5.0}
+
+
+def test_guess_lag_job_end_to_end(spark, tmp_path):
+    """The packaged CLI job (jobs/guess_lag_job.py): quotes -> reference
+    tick-TSV -> parse -> guess_lag --best -> TSV out, recovering the
+    planted 30/70 ms lags (the reference executable's contract,
+    ref:guess_lag.c:336-357, --best per guess_lag.yuck:1-5)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import guess_lag_job
+
+    from tits_spark.sources.tick_source import write_tick_tsv
+
+    q = generate_quotes(spark, n_ticks=6000, seed=42, lag_ms={"FOLA": 30, "FOLB": 70})
+    write_tick_tsv(q, str(tmp_path / "ticks"))
+    guess_lag_job.main([
+        "--input", str(tmp_path / "ticks"),
+        "--output", str(tmp_path / "best"),
+        "--nlags", "32", "--tau", "0.01",
+    ])
+    out = (
+        spark.read.option("sep", "\t").option("header", True)
+        .csv(str(tmp_path / "best"))
+        .toPandas()
+    )
+    assert len(out) > 0
+    got = {
+        (r["side"], r["key1"], r["key2"]): float(r["best_lag"])
+        for _, r in out.iterrows()
+    }
+    hits = 0
+    for side in ("BID", "ASK"):
+        for follower, ms in (("FOLA", 30), ("FOLB", 70)):
+            k = (side, "LEAD", follower)
+            if k in got:
+                assert abs(got[k] - ms / 1000.0) <= 0.011, (k, got[k])
+                hits += 1
+    assert hits >= 2

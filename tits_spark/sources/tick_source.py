@@ -60,6 +60,35 @@ def read_tick_file(spark: SparkSession, path: str, streaming: bool = False) -> D
     return parse_ticks(reader.text(path))
 
 
+def format_ticks(quotes: DataFrame) -> DataFrame:
+    """Inverse of parse_ticks: (ts, venue, bid, ask) -> one `value`
+    string column in the reference's stdin layout
+    ``sec.nsec\\tECN\\tbid\\task`` (absent prices -> empty fields, as the
+    reference emitters leave them). Lets any quotes table be written as
+    a tick TSV the reference executable (or this repo's jobs) can read."""
+    us = F.unix_micros(F.col("ts"))
+    sec = F.format_string("%010d", (us / 1_000_000).cast("long"))
+    nsec = F.format_string("%09d", (us % 1_000_000).cast("long") * 1000)
+    px = lambda c: F.coalesce(  # noqa: E731
+        F.when(F.col(c).isNotNull(), F.format_string("%.4f", F.col(c).cast("double"))),
+        F.lit(""),
+    )
+    return quotes.select(
+        F.concat_ws(
+            "\t",
+            F.concat(sec, F.lit("."), nsec),
+            F.col("venue"),
+            px("bid"),
+            px("ask"),
+        ).alias("value")
+    )
+
+
+def write_tick_tsv(quotes: DataFrame, path: str) -> None:
+    """Write a quotes table as a reference-format tick TSV dataset."""
+    format_ticks(quotes).write.mode("overwrite").text(path)
+
+
 def write_correlogram_tsv(df: DataFrame, path: str) -> None:
     """TSV sink for correlogram / best-lag rows (ref:guess_lag.c:302-315
     prints tab-separated rows to stdout; ours lands them as a TSV
