@@ -413,6 +413,44 @@ def q_decimal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_d32_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantum-preserving decimal parse->print round-trip (reference
+    strtod32/d32tostr, ref:dfp754_d32.c:626-637,697-719): trailing zeros
+    and the written quantum survive ("1.200" -> mant 1200, expo -3 ->
+    "1.200"), which Spark DecimalType alone cannot express. Test strings
+    are derived deterministically from lineitem prices across five
+    quantum shapes (integer, 2dp, 4dp-with-trailing-zeros, sub-unit
+    with leading fraction zeros, >7-digit integer exercising the
+    reference's 7-significant-digit rounding budget)."""
+    from tits_spark.functions.decimal_ops import d32_format, d32_parse
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    px = F.col("l_extendedprice")
+    cents = F.floor(px * 100 + F.lit(0.5)).cast("long")
+    ips = F.floor(cents / 100).cast("long").cast("string")
+    fps = F.lpad((cents % 100).cast("string"), 2, "0")
+    v = F.col("l_linenumber") % 5
+    raw = (
+        F.when(v == 0, ips)
+        .when(v == 1, F.concat(ips, F.lit("."), fps))
+        .when(v == 2, F.concat(ips, F.lit("."), fps, F.lit("00")))
+        .when(v == 3, F.concat(F.lit("0.000"), fps))
+        .otherwise(F.concat(cents.cast("string"), F.lit("00")))
+    )
+    neg = (F.col("l_partkey") % 3) == 0
+    src = F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), raw)
+    d = d32_parse(src)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        src.alias("src"),
+        d["sign"].alias("sign"),
+        d["mant"].alias("mant"),
+        d["expo"].alias("expo"),
+        d32_format(d["sign"], d["mant"], d["expo"]).alias("out"),
+    )
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary — the general relational check
     that the engine composes with ordinary star-schema analytics."""
@@ -465,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "decimal_ops": q_decimal_ops,
+        "d32_roundtrip": q_d32_roundtrip,
         "tpch_pricing": q_tpch_pricing,
         "asof_join": q_asof_join,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -1058,6 +1097,70 @@ SELECT l_orderkey, l_linenumber,
        CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS mantissa,
        CASE WHEN l_extendedprice < 0 THEN -1 ELSE 1 END AS sign
 FROM lineitem
+""",
+        "d32_roundtrip": """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         l_linenumber % 5 AS v,
+         l_partkey % 3 = 0 AS neg
+  FROM lineitem
+), srcs AS (
+  SELECT l_orderkey, l_linenumber,
+    (CASE WHEN neg THEN '-' ELSE '' END) ||
+    (CASE v
+       WHEN 0 THEN CAST(cents // 100 AS VARCHAR)
+       WHEN 1 THEN CAST(cents // 100 AS VARCHAR) || '.' ||
+                   lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+       WHEN 2 THEN CAST(cents // 100 AS VARCHAR) || '.' ||
+                   lpad(CAST(cents % 100 AS VARCHAR), 2, '0') || '00'
+       WHEN 3 THEN '0.000' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+       ELSE CAST(cents AS VARCHAR) || '00'
+     END) AS src
+  FROM base
+), p1 AS (
+  SELECT *, CASE WHEN src LIKE '-%' THEN 1 ELSE 0 END AS sgn,
+         CASE WHEN substr(src,1,1) IN ('-','+') THEN substr(src,2) ELSE src END AS body
+  FROM srcs
+), p2 AS (
+  SELECT *,
+    CASE WHEN strpos(body,'.')>0 THEN substr(body,1,strpos(body,'.')-1) ELSE body END AS ipart,
+    CASE WHEN strpos(body,'.')>0 THEN substr(body,strpos(body,'.')+1) ELSE '' END AS fpart
+  FROM p1
+), p3 AS (
+  SELECT *, regexp_replace(ipart,'^0+','') AS istrip FROM p2
+), p4 AS (
+  SELECT *, length(istrip) AS n_i,
+         LEAST(length(fpart), 7-length(istrip)) AS k FROM p3
+), p5 AS (
+  SELECT *,
+    CASE WHEN n_i>=7 THEN substr(istrip,1,7)
+         ELSE istrip || substr(fpart,1,k) END AS digits,
+    CASE WHEN n_i>=7 THEN substr(istrip,8,1)
+         ELSE substr(fpart,k+1,1) END AS roff,
+    CASE WHEN n_i>=7 THEN n_i-7 ELSE -k END AS expo
+  FROM p4
+), p6 AS (
+  SELECT l_orderkey, l_linenumber, src, sgn, expo,
+    COALESCE(CAST(NULLIF(digits,'') AS BIGINT),0)
+      + CASE WHEN roff IN ('5','6','7','8','9') THEN 1 ELSE 0 END AS mant
+  FROM p5
+)
+SELECT l_orderkey, l_linenumber, src,
+  CAST(sgn AS INT) AS sign, mant, CAST(expo AS INT) AS expo,
+  (CASE WHEN sgn=1 AND mant<>0 THEN '-' ELSE '' END) ||
+  (CASE
+     WHEN expo<0 THEN
+       CASE WHEN length(CAST(mant AS VARCHAR)) <= -expo
+            THEN '0.' || lpad(CAST(mant AS VARCHAR), CAST(-expo AS INT), '0')
+            ELSE substr(CAST(mant AS VARCHAR), 1, length(CAST(mant AS VARCHAR))+expo)
+                 || '.' ||
+                 substr(CAST(mant AS VARCHAR), length(CAST(mant AS VARCHAR))+expo+1)
+       END
+     WHEN expo>0 THEN CAST(mant AS VARCHAR) || repeat('0', expo)
+     ELSE CAST(mant AS VARCHAR)
+   END) AS out
+FROM p6
 """,
         "gorilla_roundtrip": "SELECT user_id AS key, ts, value FROM events",
         "asof_join": """

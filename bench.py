@@ -24,7 +24,7 @@ from pyspark.sql import Window, functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
 BENCH_DIR = pathlib.Path(__file__).resolve().parent / ".bench"
 
 
@@ -67,11 +67,15 @@ def main() -> None:
 
         return _T()
 
-    out_dir = BENCH_DIR / "tiers_out"
+    # tier outputs on /dev/shm: the production deploy writes to
+    # node-local executor disks; one shared repo disk is a one-box
+    # artifact (same rationale as tools/scaling_bench.py)
+    out_dir = pathlib.Path("/dev/shm/tits_bench") / "tiers_out"
     shutil.rmtree(out_dir, ignore_errors=True)
 
     transcripts = spark.read.parquet(tpath)
     n_turns = transcripts.count()
+    inputs: dict[str, int] = {"q1_turns": n_turns, "q9_turns": n_turns}
     raw = transcripts.select(
         "conv_id", "ts", F.length("text").cast("double").alias("value")
     )
@@ -81,6 +85,10 @@ def main() -> None:
     # production continuous-aggregate shape), partitioned by bucket_date
     from tits_spark.operators.rollup import TIER_ORDER, rollup_cascade, rollup_from_raw, write_tier
 
+    # AQE's 64MB-advisory coalescing serializes the deliberately small
+    # bench tiers (no-op at production scale); off for the cascade only,
+    # matching the tuned measurement config in tools/scaling_bench.py
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     with timed("q1_rollup_cascade"):
         prev = None
         for tier in TIER_ORDER:
@@ -92,11 +100,14 @@ def main() -> None:
             write_tier(cur, str(out_dir), tier)
             prev = spark.read.parquet(f"{out_dir}/tier={tier}")
     rollup_sec = timings["q1_rollup_cascade"]
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     # q2: LOCF gap-fill over the 1h tier
     from tits_spark.operators.gapfill import gapfill_locf
 
     t1h = spark.read.parquet(f"{out_dir}/tier=1h")
+    inputs["q2_rows"] = t1h.count()
+    inputs["q4_turns"] = n_turns
     with timed("q2_locf_1h"):
         gapfill_locf(t1h, "1h").write.format("noop").mode("overwrite").save()
 
@@ -106,6 +117,7 @@ def main() -> None:
     events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
         F.col("user_id").cast("string").alias("key"), "ts", "value"
     )
+    inputs["q3_rows"] = events.count()
     with timed("q3_acf_bandjoin"):
         acf_bandjoin(events, nlags=3, tau=3600.0).write.format("noop").mode("overwrite").save()
 
@@ -129,7 +141,7 @@ def main() -> None:
     from tits_spark.operators.guess_lag import guess_lag
 
     quotes = generate_quotes(spark, n_ticks=30_000, seed=42).cache()
-    quotes.count()
+    inputs["q5_ticks"] = quotes.count()
     with timed("q5_guess_lag"):
         guess_lag(quotes, best=True, nlags=64, tau=0.01).write.format(
             "noop"
@@ -139,7 +151,7 @@ def main() -> None:
     from tits_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
-    docs.count()
+    inputs["q6_docs"] = inputs["q7_docs"] = docs.count()
     with timed("q6_minhash_lsh"):
         minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=8).write.format(
             "noop"
@@ -156,6 +168,7 @@ def main() -> None:
     from tits_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    inputs["q8_vectors"] = emb.count()
     q = emb.filter(F.col("vec_id") < 20)
     with timed("q8_cosine_topk"):
         cosine_topk(emb, q, k=10).write.format("noop").mode("overwrite").save()
@@ -175,6 +188,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "inputs": inputs,
         "sf": 0.1,
         "n_turns": n_turns,
         "rollup_turns_per_sec": round(n_turns / rollup_sec, 1),

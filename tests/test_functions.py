@@ -89,3 +89,42 @@ def test_decompose(spark):
     out = df.select(*decompose("d", 2)).collect()
     assert (out[0]["sign"], out[0]["mantissa"], out[0]["exponent"]) == (1, 1234, -2)
     assert (out[1]["sign"], out[1]["mantissa"], out[1]["exponent"]) == (-1, 7, -2)
+
+
+def test_d32_quantum_roundtrip(spark):
+    """Quantum preservation through parse->print (ref strtobcd32 /
+    bcd32tostr): trailing zeros survive, the 7-significant-digit budget
+    rounds half away from zero, sign of zero is dropped."""
+    from tits_spark.functions.decimal_ops import d32_format, d32_parse
+
+    cases = [
+        # (src, sign, mant, expo, printed)
+        ("1.200", 0, 1200, -3, "1.200"),
+        ("-0.00120", 1, 120, -5, "-0.00120"),
+        ("0.000", 0, 0, -3, "0.000"),
+        ("-0.00", 0 if False else 1, 0, -2, "0.00"),  # sign of zero dropped on print
+        ("123", 0, 123, 0, "123"),
+        ("1234567", 0, 1234567, 0, "1234567"),
+        ("12345678", 0, 1234568, 1, "12345680"),  # 8th digit rounds half-up
+        ("12345674", 0, 1234567, 1, "12345670"),
+        ("1234567.9", 0, 1234567, 0, "1234567"),  # fraction after full budget: no roff
+        ("0.12345678", 0, 1234568, -7, "0.1234568"),
+        ("+42.5", 0, 425, -1, "42.5"),
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], ["src"])
+    d = d32_parse(F.col("src"))
+    out = (
+        df.select(
+            "src",
+            d["sign"].alias("sign"),
+            d["mant"].alias("mant"),
+            d["expo"].alias("expo"),
+        )
+        .withColumn("printed", d32_format(F.col("sign"), F.col("mant"), F.col("expo")))
+        .collect()
+    )
+    by_src = {r["src"]: r for r in out}
+    for src, sign, mant, expo, printed in cases:
+        r = by_src[src]
+        assert (r["sign"], r["mant"], r["expo"]) == (sign, mant, expo), src
+        assert r["printed"] == printed, src

@@ -121,3 +121,35 @@ def test_text_equality_under_stable_order(spark, transcripts, tmp_path):
     a = transcripts.select("conv_id", "turn_idx", F.md5("text").alias("h"))
     b = back.select("conv_id", "turn_idx", F.md5("text").alias("h"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_encode_groups_byte_identical():
+    """Batched cross-group encoder (the mapInPandas hot path) must emit
+    blocks byte-identical to per-series gorilla_encode(mode="fast"),
+    including 1/2/3-point groups (head/delta/dod boundary cases) and
+    xor-zero runs."""
+    from tits_spark.compression.gorilla import gorilla_encode_groups
+
+    rng = np.random.Generator(np.random.PCG64(123))
+    sizes = [1, 2, 3, 4, 17, 1, 250, 2, 33, 1000]
+    series = []
+    for s in sizes:
+        gaps = np.maximum((rng.lognormal(3, 1.5, s) * 1e6).astype(np.int64), 1)
+        t = np.int64(1_700_000_000_000_000) + np.cumsum(gaps)
+        v = np.round(rng.normal(100, 5, s), 2)
+        if s > 4:
+            v[2] = v[1]
+            v[3] = v[1]  # exercise xor==0 control bit
+        series.append((t, v))
+    starts = np.concatenate([[0], np.cumsum([s for s in sizes])[:-1]])
+    blocks = gorilla_encode_groups(
+        np.concatenate([t for t, _ in series]),
+        np.concatenate([v for _, v in series]),
+        starts,
+    )
+    assert len(blocks) == len(sizes)
+    for blk, (t, v) in zip(blocks, series):
+        assert blk == gorilla_encode(t, v, mode="fast")
+        dt, dv = gorilla_decode(blk)
+        assert np.array_equal(dt, t)
+        assert np.array_equal(dv.view(np.uint64), v.view(np.uint64))

@@ -338,6 +338,171 @@ def _val_fields(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+# ---------------------------------------------------- batched group encode
+#
+# The mapInPandas compressor sees thousands of tiny (key, day) groups per
+# Arrow batch; calling gorilla_encode per group spends more time in
+# pandas/groupby bookkeeping than in encoding. The group encoder below
+# computes the (value, nbits) field arrays for EVERY row of the batch in
+# one shot (group heads handled by position masks), packs them into a
+# single buffer with byte-aligned group boundaries, and slices per-group
+# blocks out. Output blocks are byte-identical to gorilla_encode(mode
+# ="fast") — asserted in tests/test_compression.py.
+
+
+def _seg_cumsum_exclusive(x: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Exclusive cumsum of x restarted at each segment start offset."""
+    g = np.cumsum(x) - x  # global exclusive cumsum
+    base = np.repeat(g[seg_starts], np.diff(np.append(seg_starts, x.size)))
+    return g - base
+
+
+def _pack_fields_at(vals: np.ndarray, bits: np.ndarray,
+                    offs: np.ndarray, nbytes: int) -> np.ndarray:
+    """Scatter-OR (value, nbits) fields MSB-first at explicit bit offsets."""
+    keep = bits > 0
+    vals, bits, offs = vals[keep].astype(np.uint64), bits[keep], offs[keep]
+    buf = np.zeros(nbytes + 8, dtype=np.uint8)
+    byte0 = offs >> 3
+    b0 = offs & 7
+    span_bits = b0 + bits
+    for k in range(9):
+        m = span_bits > 8 * k
+        if not m.any():
+            break
+        sh = bits[m] + b0[m] - 8 * (k + 1)
+        v = vals[m]
+        pos = sh >= 0
+        chunk = np.empty(v.shape, dtype=np.uint64)
+        chunk[pos] = v[pos] >> sh[pos].astype(np.uint64)
+        chunk[~pos] = v[~pos] << (-sh[~pos]).astype(np.uint64)
+        np.bitwise_or.at(buf, byte0[m] + k, (chunk & np.uint64(0xFF)).astype(np.uint8))
+    return buf[:nbytes]
+
+
+def _ts_fields_rows(ts: np.ndarray, pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (N,2) ts-stream fields for many concatenated groups.
+
+    pos = row index within its own group; rows with pos==0/1 carry the
+    64-bit head/delta, pos>=2 the dod prefix+payload (same buckets as
+    _ts_fields)."""
+    n = ts.size
+    pv = np.zeros((n, 2), dtype=np.uint64)
+    pb = np.zeros((n, 2), dtype=np.int64)
+    h0 = pos == 0
+    pv[h0, 0], pb[h0, 0] = ts[h0].astype(np.uint64), 64
+    h1 = pos == 1
+    if h1.any():
+        delta = ts[h1] - ts[np.flatnonzero(h1) - 1]
+        pv[h1, 0], pb[h1, 0] = delta.astype(np.int64).view(np.uint64), 64
+    rest = pos >= 2
+    if rest.any():
+        j = np.flatnonzero(rest)
+        dod = (ts[j] - ts[j - 1]) - (ts[j - 1] - ts[j - 2])
+        zero = dod == 0
+        b1 = ~zero & (dod >= -63) & (dod <= 64)
+        b2 = ~zero & ~b1 & (dod >= -255) & (dod <= 256)
+        b3 = ~zero & ~b1 & ~b2 & (dod >= -2047) & (dod <= 2048)
+        b4 = ~zero & ~b1 & ~b2 & ~b3 & (dod >= -(1 << 31)) & (dod < (1 << 31))
+        b5 = ~zero & ~b1 & ~b2 & ~b3 & ~b4
+        pv[j[zero], 0], pb[j[zero], 0] = 0b0, 1
+        pv[j[b1], 0], pb[j[b1], 0] = 0b10, 2
+        pv[j[b1], 1], pb[j[b1], 1] = (dod[b1] + 63).astype(np.uint64), 7
+        pv[j[b2], 0], pb[j[b2], 0] = 0b110, 3
+        pv[j[b2], 1], pb[j[b2], 1] = (dod[b2] + 255).astype(np.uint64), 9
+        pv[j[b3], 0], pb[j[b3], 0] = 0b1110, 4
+        pv[j[b3], 1], pb[j[b3], 1] = (dod[b3] + 2047).astype(np.uint64), 12
+        pv[j[b4], 0], pb[j[b4], 0] = 0b11110, 5
+        pv[j[b4], 1], pb[j[b4], 1] = (dod[b4] + (1 << 31)).astype(np.uint64), 32
+        pv[j[b5], 0], pb[j[b5], 0] = 0b11111, 5
+        pv[j[b5], 1], pb[j[b5], 1] = dod[b5].astype(np.int64).view(np.uint64), 64
+    return pv, pb
+
+
+def _val_fields_rows(vals: np.ndarray, pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (N,4) value-stream fields for many concatenated groups
+    (always-'11' form, matching _val_fields)."""
+    bits64 = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    n = bits64.size
+    pv = np.zeros((n, 4), dtype=np.uint64)
+    pb = np.zeros((n, 4), dtype=np.int64)
+    h0 = pos == 0
+    pv[h0, 0], pb[h0, 0] = bits64[h0], 64
+    rest = ~h0
+    if rest.any():
+        j = np.flatnonzero(rest)
+        x = bits64[j] ^ bits64[j - 1]
+        zero = x == 0
+        pv[j[zero], 0], pb[j[zero], 0] = 0b0, 1
+        nz = ~zero
+        if nz.any():
+            xs = x[nz]
+            lead = np.minimum(_clz64_arr(xs), 31)
+            tail = _ctz64_arr(xs)
+            siglen = 64 - lead - tail
+            jn = j[nz]
+            pv[jn, 0], pb[jn, 0] = 0b11, 2
+            pv[jn, 1], pb[jn, 1] = lead.astype(np.uint64), 5
+            pv[jn, 2], pb[jn, 2] = (siglen - 1).astype(np.uint64), 6
+            pv[jn, 3], pb[jn, 3] = xs >> tail.astype(np.uint64), siglen
+    return pv, pb
+
+
+def gorilla_encode_groups(ts_us: np.ndarray, vals: np.ndarray,
+                          starts: np.ndarray) -> list[bytes]:
+    """Encode many concatenated series in one vectorized pass.
+
+    ts_us/vals hold all groups back to back; starts[i] is the first row
+    of group i (ascending, starts[0] == 0). Returns one block per group,
+    byte-identical to gorilla_encode(group, mode="fast")."""
+    ts_us = np.ascontiguousarray(ts_us, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n = ts_us.size
+    if n == 0:
+        return []
+    sizes = np.diff(np.append(starts, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+
+    tv, tb = _ts_fields_rows(ts_us, pos)
+    vv, vb = _val_fields_rows(vals, pos)
+
+    # per-group bit budget: 32 (count) + ts bits + val bits, byte-aligned
+    ts_bits_row = tb.sum(axis=1)
+    val_bits_row = vb.sum(axis=1)
+    ends = np.append(starts[1:], n)
+    csum_t = np.concatenate([[0], np.cumsum(ts_bits_row)])
+    csum_v = np.concatenate([[0], np.cumsum(val_bits_row)])
+    grp_ts_bits = csum_t[ends] - csum_t[starts]
+    grp_val_bits = csum_v[ends] - csum_v[starts]
+    grp_bits = 32 + grp_ts_bits + grp_val_bits
+    grp_nbytes = (grp_bits + 7) // 8
+    grp_byte0 = np.concatenate([[0], np.cumsum(grp_nbytes)])
+
+    # absolute bit offsets: header, then ts fields, then val fields
+    grp_bit0 = np.repeat(grp_byte0[:-1] * 8, sizes)
+    ts_off_in_grp = _seg_cumsum_exclusive(ts_bits_row, starts)
+    val_off_in_grp = _seg_cumsum_exclusive(val_bits_row, starts)
+    grp_ts_total = np.repeat(grp_ts_bits, sizes)
+
+    ts_row0 = grp_bit0 + 32 + ts_off_in_grp
+    ts_offs = ts_row0[:, None] + np.concatenate(
+        [np.zeros((n, 1), dtype=np.int64), np.cumsum(tb, axis=1)[:, :-1]], axis=1
+    )
+    val_row0 = grp_bit0 + 32 + grp_ts_total + val_off_in_grp
+    val_offs = val_row0[:, None] + np.concatenate(
+        [np.zeros((n, 1), dtype=np.int64), np.cumsum(vb, axis=1)[:, :-1]], axis=1
+    )
+
+    all_v = np.concatenate([sizes.astype(np.uint64), tv.ravel(), vv.ravel()])
+    all_b = np.concatenate([np.full(starts.size, 32, dtype=np.int64),
+                            tb.ravel(), vb.ravel()])
+    all_o = np.concatenate([grp_byte0[:-1] * 8, ts_offs.ravel(), val_offs.ravel()])
+    buf = _pack_fields_at(all_v, all_b, all_o, int(grp_byte0[-1]))
+    raw = buf.tobytes()
+    return [raw[grp_byte0[i]:grp_byte0[i + 1]] for i in range(starts.size)]
+
+
 # ------------------------------------------------------------- public API
 
 
@@ -406,16 +571,28 @@ def compress_partitions(df, key: str = "key", ts: str = "ts", value: str = "valu
 
     def fn(batches):
         def process(pdf: pd.DataFrame):
-            rows = []
-            for (k, day), grp in pdf.groupby([key, "_day"], sort=False):
-                t = grp[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-                v = grp[value].to_numpy(dtype=np.float64)
-                rows.append((k, day, len(grp), grp[ts].iloc[0], grp[ts].iloc[-1],
-                             gorilla_encode(t, v)))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["key", "day", "n", "t_min", "t_max", "block"]
-                )
+            if not len(pdf):
+                return
+            # rows arrive sorted by (key, _day, ts); find group starts
+            # without pandas.groupby (per-tiny-group overhead dominates)
+            k_arr = pdf[key].to_numpy()
+            d_arr = pdf["_day"].to_numpy()
+            t_dt = pdf[ts].to_numpy().astype("datetime64[us]")
+            t = t_dt.astype(np.int64)
+            v = pdf[value].to_numpy(dtype=np.float64)
+            new_grp = np.ones(len(pdf), dtype=bool)
+            new_grp[1:] = (k_arr[1:] != k_arr[:-1]) | (d_arr[1:] != d_arr[:-1])
+            starts = np.flatnonzero(new_grp)
+            ends = np.append(starts[1:], len(pdf)) - 1
+            blocks = gorilla_encode_groups(t, v, starts)
+            yield pd.DataFrame({
+                "key": k_arr[starts],
+                "day": d_arr[starts],
+                "n": (ends - starts + 1).astype(np.int32),
+                "t_min": t_dt[starts],
+                "t_max": t_dt[ends],
+                "block": blocks,
+            })
 
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -437,12 +614,19 @@ def decompress_partitions(blocks):
     """Inverse of compress_partitions -> (key, ts, value) rows."""
     def fn(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                t, v = gorilla_decode(row["block"])
-                yield pd.DataFrame({
-                    "key": row["key"],
-                    "ts": pd.to_datetime(t, unit="us"),
-                    "value": v,
-                })
+            if not len(pdf):
+                continue
+            ts_parts, val_parts = [], []
+            for blk in pdf["block"]:
+                t, v = gorilla_decode(blk)
+                ts_parts.append(t)
+                val_parts.append(v)
+            ns = np.fromiter((t.size for t in ts_parts), dtype=np.int64,
+                             count=len(ts_parts))
+            yield pd.DataFrame({
+                "key": np.repeat(pdf["key"].to_numpy(), ns),
+                "ts": pd.to_datetime(np.concatenate(ts_parts), unit="us"),
+                "value": np.concatenate(val_parts),
+            })
 
     return blocks.mapInPandas(fn, schema=_DECOMP_SCHEMA)

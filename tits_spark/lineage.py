@@ -32,25 +32,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tits_spark.operators.rollup import TIER_ORDER, rollup_cascade, rollup_from_raw
-
-METRICS_SCHEMA = (
-    "job_id string, stage string, part string, input_count long, "
-    "bucket_count long, checksum long, committed_at timestamp"
-)
+from tits_spark.sources.table_io import METRICS_SCHEMA, resolve_table_io
 
 
 class MetricsLog:
-    """Append-only lineage/metrics table over a parquet directory."""
+    """Append-only lineage/metrics table (storage via TableIO: parquet
+    directory here; Iceberg table when a catalog + runtime exist)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, io=None):
         self.spark = spark
         self.path = path
+        self.io = io or resolve_table_io(spark, path, path)
 
     def read(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(METRICS_SCHEMA).parquet(self.path)
-        except Exception:  # noqa: BLE001 — missing dir on first run
-            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        return self.io.read_metrics()
 
     def committed(self, stage: str) -> DataFrame:
         """Distinct committed partition keys for a stage."""
@@ -59,7 +54,7 @@ class MetricsLog:
         )
 
     def append(self, rows: DataFrame) -> None:
-        rows.write.mode("append").parquet(self.path)
+        self.io.append_metrics(rows)
 
 
 # canonical column order hashed into the partition checksum — must be
@@ -92,28 +87,6 @@ def _lineage_rows(tier_df: DataFrame, job_id: str, stage: str) -> DataFrame:
     )
 
 
-def _write_tier_partitions(
-    tier_df: DataFrame, path: str, tier: str, files_per_day: int = 1
-) -> None:
-    """Idempotent per-day write: dynamic partition overwrite replaces
-    exactly the days present in tier_df. Rows are clustered onto
-    (bucket_date, salt) so each output file is written whole by one task
-    (no tasks-x-dates sliver files) while wide days can still fan out."""
-    out = tier_df.withColumn("bucket_date", F.to_date("bucket_ts"))
-    if files_per_day <= 1:
-        out = out.repartition("bucket_date")
-    else:
-        out = out.repartition(
-            F.col("bucket_date"), F.pmod(F.xxhash64("key"), F.lit(files_per_day))
-        )
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket_date")
-        .parquet(f"{path}/tier={tier}")
-    )
-
-
 def incremental_rollup(
     spark: SparkSession,
     raw: DataFrame,
@@ -123,15 +96,19 @@ def incremental_rollup(
     ts: str = "ts",
     value: str = "value",
     job_id: str | None = None,
+    files_per_day: int = 1,
 ) -> dict[str, int]:
     """Run (or resume) the raw -> 1m -> 1h -> 1d cascade.
 
     Only day-partitions not yet in the metrics log are processed; each
-    processed tier-partition gets a lineage row. Returns
-    {stage: n_partitions_processed}.
+    processed tier-partition gets a lineage row. Storage resolves via
+    TableIO — parquet directories here, Iceberg tables when
+    ``tiers_path`` is a dotted identifier and the runtime jar is on the
+    classpath. Returns {stage: n_partitions_processed}.
     """
     job_id = job_id or uuid.uuid4().hex[:12]
-    log = MetricsLog(spark, metrics_path)
+    io = resolve_table_io(spark, tiers_path, metrics_path)
+    log = MetricsLog(spark, metrics_path, io=io)
     processed: dict[str, int] = {}
 
     committed_all = {
@@ -172,30 +149,24 @@ def incremental_rollup(
         else:
             if prev_tier is None:
                 finer = TIER_ORDER[TIER_ORDER.index(tier) - 1]
-                prev_tier = spark.read.parquet(f"{tiers_path}/tier={finer}").drop(
-                    "bucket_date"
-                )
+                prev_tier = io.read_tier(finer).drop("bucket_date")
             src = prev_tier if full else prev_tier.filter(
                 F.to_date("bucket_ts").isin(pending_days)
             )
             cur = rollup_cascade(src, tier)
-        _write_tier_partitions(cur, tiers_path, tier)
+        io.write_tier(cur, tier, files_per_day=files_per_day)
         # read the tier back from storage (cheap columnar scan) instead of
         # caching the shuffle output: lineage checksums then attest what
         # is actually on disk, and the next tier's cascade scans parquet
         # instead of a memory-hungry cached plan (a measured 30%+ win)
-        written = spark.read.parquet(f"{tiers_path}/tier={tier}").drop("bucket_date")
+        written = io.read_tier(tier).drop("bucket_date")
         lineage_src = written if full else written.filter(
             F.to_date("bucket_ts").isin(pending_days)
         )
         log.append(_lineage_rows(lineage_src, job_id, stage))
         if fresh:
             # day count from the written partition directories (no scan)
-            import glob as _glob
-
-            processed[stage] = len(
-                _glob.glob(f"{tiers_path}/tier={tier}/bucket_date=*")
-            )
+            processed[stage] = io.tier_partition_count(tier)
         else:
             processed[stage] = len(pending_days)
         # next tier must see the WHOLE finer tier (its own pending set may
@@ -208,7 +179,8 @@ def verify_lineage(spark: SparkSession, tiers_path: str, metrics_path: str) -> D
     """Recompute per-partition checksums from the stored tiers and join
     against the logged ones — rows with match=false indicate corruption
     or non-deterministic recomputation."""
-    log = MetricsLog(spark, metrics_path)
+    io = resolve_table_io(spark, tiers_path, metrics_path)
+    log = MetricsLog(spark, metrics_path, io=io)
     latest = (
         log.read()
         .groupBy("stage", "part")
@@ -217,7 +189,7 @@ def verify_lineage(spark: SparkSession, tiers_path: str, metrics_path: str) -> D
     out = None
     for tier in TIER_ORDER:
         try:
-            t = spark.read.parquet(f"{tiers_path}/tier={tier}")
+            t = io.read_tier(tier)
         except Exception:  # noqa: BLE001
             continue
         cur = (
