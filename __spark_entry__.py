@@ -451,6 +451,47 @@ def q_d32_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing under the oracle gate: documents text
+    re-encoded as an opaque binary payload column, pushed through the
+    Arrow-batched mapInPandas extractor (operators/multimodal.py) whose
+    feature is deliberately SQL-expressible (first 8 raw bytes), then
+    exploded to rows. Verifies binary Arrow transfer + chunked batching
+    value-exactly; the codec step itself stays a documented stub."""
+    from tits_spark.operators.multimodal import payload_head_bytes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = payload_head_bytes(media, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("head_bytes").alias("byte_idx", "byte_val"),
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan (multimodal §: video rows -> one row per
+    sampled frame index) over a media-metadata table derived
+    deterministically from documents. Pure column expressions — the
+    explode happens before any Python."""
+    from tits_spark.operators.multimodal import frame_sample_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 64)).cast("int").alias("n_frames"),
+    )
+    return frame_sample_plan(media, every_n=10)
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary — the general relational check
     that the engine composes with ordinary star-schema analytics."""
@@ -504,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "decimal_ops": q_decimal_ops,
         "d32_roundtrip": q_d32_roundtrip,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "tpch_pricing": q_tpch_pricing,
         "asof_join": q_asof_join,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -1161,6 +1204,30 @@ SELECT l_orderkey, l_linenumber, src,
      ELSE CAST(mant AS VARCHAR)
    END) AS out
 FROM p6
+""",
+        "media_features": """
+WITH idx AS (
+  SELECT doc_id AS media_id, text,
+         CAST(length(text) AS INT) AS n_bytes,
+         CAST(unnest(generate_series(0, CAST(least(length(text), 8) AS INT) - 1)) AS INT) AS byte_idx
+  FROM documents
+)
+SELECT media_id, n_bytes, byte_idx,
+       CAST(ascii(substr(text, byte_idx + 1, 1)) AS INT) AS byte_val
+FROM idx
+""",
+        "media_frames": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST(GREATEST(1, FLOOR(n_chars / 64)) AS INT) AS n_frames
+  FROM documents
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT) AS frame_idx
+FROM media WHERE kind = 'video'
 """,
         "gorilla_roundtrip": "SELECT user_id AS key, ts, value FROM events",
         "asof_join": """

@@ -161,3 +161,23 @@ def test_simhash_fast_equals_declarative(spark):
     slow = {r["doc_id"]: r["simhash"] for r in simhash(docs, nbits=32).collect()}
     fast = {r["doc_id"]: r["simhash"] for r in simhash_fast(docs, nbits=32).collect()}
     assert fast == slow and len(fast) == 500
+
+
+def test_payload_head_bytes_exact(spark):
+    """Binary mapInPandas path: head-byte features must equal the raw
+    payload bytes, across chunk boundaries (batch_rows=2) and for
+    payloads shorter than the feature dim."""
+    from tits_spark.operators.multimodal import payload_head_bytes
+
+    payloads = [b"abcdefghij", b"xy", b"\x00\xff\x80", b"0123456789abcdef", b"q"]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: (r["n_bytes"], r["head_bytes"])
+        for r in payload_head_bytes(df, dim=8, batch_rows=2).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i][0] == len(p)
+        assert got[i][1] == list(p[:8])

@@ -128,3 +128,30 @@ def test_d32_quantum_roundtrip(spark):
         r = by_src[src]
         assert (r["sign"], r["mant"], r["expo"]) == (sign, mant, expo), src
         assert r["printed"] == printed, src
+
+
+def test_d64_wide_mantissa(spark):
+    """_Decimal64 twin: 16-digit budget keeps digits the d32 parse
+    rounds away (ref:dfp754_d64.c)."""
+    from tits_spark.functions.decimal_ops import d32_format, d32_parse, d64_parse
+
+    df = spark.createDataFrame([("1234567.89012345",), ("0.1234567890123456",)], ["s"])
+    p32 = d32_parse(F.col("s"))
+    p64 = d64_parse(F.col("s"))
+    rows = df.select(
+        "s",
+        p32["mant"].alias("m32"), p32["expo"].alias("e32"),
+        p64["mant"].alias("m64"), p64["expo"].alias("e64"),
+        d32_format(p64["sign"], p64["mant"], p64["expo"]).alias("out64"),
+    ).collect()
+    by_s = {r["s"]: r for r in rows}
+    r = by_s["1234567.89012345"]
+    # d32: integer part fills the 7-digit budget; the reference takes NO
+    # round-off digit from the fraction in that branch (strtobcd32
+    # evaluates '.' as the round digit — see test_d32_quantum_roundtrip)
+    assert (r["m32"], r["e32"]) == (1234567, 0)
+    assert (r["m64"], r["e64"]) == (123456789012345, -8)  # d64: quantum survives
+    assert r["out64"] == "1234567.89012345"
+    r = by_s["0.1234567890123456"]
+    assert (r["m64"], r["e64"]) == (1234567890123456, -16)
+    assert r["out64"] == "0.1234567890123456"

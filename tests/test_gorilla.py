@@ -153,3 +153,34 @@ def test_encode_groups_byte_identical():
         dt, dv = gorilla_decode(blk)
         assert np.array_equal(dt, t)
         assert np.array_equal(dv.view(np.uint64), v.view(np.uint64))
+
+
+def test_decode_blocks_matches_per_point():
+    """Transposed batched decoder == per-point gorilla_decode for both
+    encoder modes, pathological values, empty blocks, and across the
+    big-block fallback threshold."""
+    from tits_spark.compression.gorilla import gorilla_decode_blocks
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    blocks, truth = [], []
+    for mode in ("fast", "tight"):
+        for s in [1, 2, 3, 17, 300, 1, 5, 700]:
+            gaps = np.maximum((rng.lognormal(3, 1.6, s) * 1e6).astype(np.int64), 1)
+            gaps[::7] += np.int64(1) << 40  # 32/64-bit dod classes
+            t = np.int64(1_700_000_000_000_000) + np.cumsum(gaps)
+            v = np.round(rng.normal(100, 5, s), 2)
+            if s > 10:
+                v[5], v[6], v[7] = np.inf, -0.0, np.nan
+            blocks.append(gorilla_encode(t, v, mode=mode))
+            truth.append((t, v))
+    blocks.append(gorilla_encode(np.array([], np.int64), np.array([])))
+    truth.append((np.array([], np.int64), np.array([])))
+
+    ts_l, vs_l = gorilla_decode_blocks(blocks, big_threshold=400)
+    for i, (t, v) in enumerate(truth):
+        ref_t, ref_v = gorilla_decode(blocks[i])
+        assert np.array_equal(ref_t, t)
+        assert np.array_equal(ts_l[i], t)
+        assert np.array_equal(
+            vs_l[i].view(np.uint64), np.asarray(v, np.float64).view(np.uint64)
+        )

@@ -503,6 +503,167 @@ def gorilla_encode_groups(ts_us: np.ndarray, vals: np.ndarray,
     return [raw[grp_byte0[i]:grp_byte0[i + 1]] for i in range(starts.size)]
 
 
+# ---------------------------------------------------- batched group decode
+#
+# Transposed decoding: decode STEP i of every block in the batch at
+# once. Within one block the bit fields are sequentially dependent, but
+# across the thousands of (key, day) blocks of an Arrow batch they are
+# independent — so the step loop runs max(points-per-block) times and
+# each step is a handful of vectorized gathers over the still-active
+# blocks. Rare oversized blocks (step loop would degenerate to
+# one-block-at-a-time numpy) fall back to the per-point reader.
+
+
+def _read_bits_vec(buf: np.ndarray, abs_bit: np.ndarray, nbits) -> np.ndarray:
+    """Gather `nbits`-wide big-endian bit fields at absolute bit
+    positions from the padded byte buffer. nbits: scalar or per-field
+    array, 0..64; zero-width fields read as 0."""
+    n = np.broadcast_to(np.asarray(nbits, dtype=np.int64), abs_bit.shape)
+    byte0 = abs_bit >> 3
+    off = (abs_bit & 7).astype(np.int64)
+    idx = byte0[:, None] + np.arange(8)
+    w8 = buf[idx].astype(np.uint64)
+    word = (w8 << np.arange(56, -1, -8, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    n1 = np.maximum(n, 1)  # avoid 64-bit shifts (x86 shift-count wrap)
+    sh = 64 - off - n1
+    spill = np.maximum(-sh, 0)
+    v_main = word >> np.maximum(sh, 0).astype(np.uint64)
+    b8 = buf[byte0 + 8].astype(np.uint64)
+    v_spill = (word << spill.astype(np.uint64)) | (b8 >> (8 - spill).astype(np.uint64))
+    value = np.where(spill > 0, v_spill, v_main)
+    mask = np.where(
+        n1 >= 64, ~np.uint64(0), (np.uint64(1) << n1.clip(max=63).astype(np.uint64)) - np.uint64(1)
+    )
+    return np.where(n == 0, np.uint64(0), value & mask)
+
+
+def _as_signed(v: np.ndarray) -> np.ndarray:
+    return v.view(np.int64) if v.dtype == np.uint64 else v.astype(np.int64)
+
+
+def gorilla_decode_blocks(
+    blocks: list[bytes], big_threshold: int = 2048
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Decode many blocks -> ([ts arrays], [value arrays]); results are
+    element-identical to gorilla_decode per block (tested). Blocks with
+    more than ``big_threshold`` points use the per-point reader (the
+    transposed loop would run one nearly-empty step per point)."""
+    nb = len(blocks)
+    if nb == 0:
+        return [], []
+    counts = np.fromiter(
+        (int.from_bytes(b[:4], "big") for b in blocks), np.int64, nb
+    )
+    ts_out: list = [None] * nb
+    val_out: list = [None] * nb
+    small = np.flatnonzero(counts <= big_threshold)
+    for j in np.flatnonzero(counts > big_threshold):
+        t, v = gorilla_decode(blocks[int(j)])
+        ts_out[int(j)] = t
+        val_out[int(j)] = v
+    if small.size == 0:
+        return ts_out, val_out
+
+    sblocks = [blocks[int(j)] for j in small]
+    lens = np.fromiter((len(b) for b in sblocks), np.int64, small.size)
+    base = np.zeros(small.size, np.int64)
+    np.cumsum(lens[:-1], out=base[1:])
+    raw = b"".join(sblocks)
+    buf = np.zeros(len(raw) + 16, np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+
+    n = counts[small]
+    total = int(n.sum())
+    out_off = np.zeros(small.size, np.int64)
+    np.cumsum(n[:-1], out=out_off[1:])
+    ts_flat = np.zeros(total, np.int64)
+    val_flat = np.zeros(total, np.uint64)
+
+    bit0 = base * 8
+    pos = np.full(small.size, 32, np.int64)  # past the count header
+    maxn = int(n.max())
+
+    # ---- timestamp stream
+    a = np.flatnonzero(n >= 1)
+    cur = np.zeros(small.size, np.int64)
+    delta = np.zeros(small.size, np.int64)
+    if a.size:
+        cur[a] = _as_signed(_read_bits_vec(buf, bit0[a] + pos[a], 64))
+        ts_flat[out_off[a]] = cur[a]
+        pos[a] += 64
+    a = np.flatnonzero(n >= 2)
+    if a.size:
+        delta[a] = _as_signed(_read_bits_vec(buf, bit0[a] + pos[a], 64))
+        cur[a] += delta[a]
+        ts_flat[out_off[a] + 1] = cur[a]
+        pos[a] += 64
+    for i in range(2, maxn):
+        a = np.flatnonzero(n > i)
+        peek = _read_bits_vec(buf, bit0[a] + pos[a], 5)
+        # prefix classes: 0xxxx,10xxx,110xx,1110x,11110,11111
+        c0 = (peek >> np.uint64(4)) == 0
+        c1 = (peek >> np.uint64(3)) == 0b10
+        c2 = (peek >> np.uint64(2)) == 0b110
+        c3 = (peek >> np.uint64(1)) == 0b1110
+        c4 = peek == 0b11110
+        c5 = peek == 0b11111
+        adv = np.select([c0, c1, c2, c3], [1, 2, 3, 4], default=5)
+        pay = np.select([c0, c1, c2, c3, c4], [0, 7, 9, 12, 32], default=64)
+        pos[a] += adv
+        payload = _read_bits_vec(buf, bit0[a] + pos[a], pay)
+        pos[a] += pay
+        bias = np.select([c1, c2, c3, c4], [63, 255, 2047, 1 << 31], default=0)
+        dod = np.where(
+            c5, _as_signed(payload), payload.astype(np.int64) - bias
+        )
+        dod = np.where(c0, 0, dod)
+        delta[a] += dod
+        cur[a] += delta[a]
+        ts_flat[out_off[a] + i] = cur[a]
+
+    # ---- value stream (mirrors _decode_vals incl. '10' window reuse)
+    prev = np.zeros(small.size, np.uint64)
+    lead = np.zeros(small.size, np.int64)
+    tail = np.zeros(small.size, np.int64)
+    a = np.flatnonzero(n >= 1)
+    if a.size:
+        prev[a] = _read_bits_vec(buf, bit0[a] + pos[a], 64)
+        val_flat[out_off[a]] = prev[a]
+        pos[a] += 64
+    for i in range(1, maxn):
+        a = np.flatnonzero(n > i)
+        c = _read_bits_vec(buf, bit0[a] + pos[a], 1)
+        pos[a] += 1
+        nz = a[c == 1]
+        if nz.size:
+            c2 = _read_bits_vec(buf, bit0[nz] + pos[nz], 1)
+            pos[nz] += 1
+            newwin = nz[c2 == 1]
+            if newwin.size:
+                lead[newwin] = _read_bits_vec(
+                    buf, bit0[newwin] + pos[newwin], 5
+                ).astype(np.int64)
+                pos[newwin] += 5
+                sig = _read_bits_vec(
+                    buf, bit0[newwin] + pos[newwin], 6
+                ).astype(np.int64) + 1
+                pos[newwin] += 6
+                tail[newwin] = 64 - lead[newwin] - sig
+            siglen = 64 - lead[nz] - tail[nz]
+            x = _read_bits_vec(buf, bit0[nz] + pos[nz], siglen)
+            pos[nz] += siglen
+            prev[nz] ^= x << tail[nz].astype(np.uint64)
+        val_flat[out_off[a] + i] = prev[a]
+
+    for k, j in enumerate(small):
+        s, e = out_off[k], out_off[k] + n[k]
+        ts_out[int(j)] = ts_flat[s:e]
+        val_out[int(j)] = val_flat[s:e].view(np.float64)
+    return ts_out, val_out
+
+
 # ------------------------------------------------------------- public API
 
 
@@ -616,11 +777,7 @@ def decompress_partitions(blocks):
         for pdf in batches:
             if not len(pdf):
                 continue
-            ts_parts, val_parts = [], []
-            for blk in pdf["block"]:
-                t, v = gorilla_decode(blk)
-                ts_parts.append(t)
-                val_parts.append(v)
+            ts_parts, val_parts = gorilla_decode_blocks(list(pdf["block"]))
             ns = np.fromiter((t.size for t in ts_parts), dtype=np.int64,
                              count=len(ts_parts))
             yield pd.DataFrame({

@@ -50,7 +50,7 @@ def scalbn10(col: Column | str, n: int, precision: int = 38, scale: int = 10) ->
     )
 
 
-def d32_parse(col: Column | str) -> Column:
+def d32_parse(col: Column | str, digits: int = 7) -> Column:
     """Quantum-preserving decimal parse (ref:dfp754_d32.c:372-424
     strtobcd32): returns struct(sign, mant, expo) where the value is
     (-1)^sign * mant * 10^expo and expo encodes the QUANTUM — trailing
@@ -61,6 +61,9 @@ def d32_parse(col: Column | str) -> Column:
     digits raise expo, the 8th significant digit rounds half away from
     zero, and a fraction after a full 7-digit integer part contributes
     no round-off (the reference evaluates '.' for the round digit).
+
+    ``digits=16`` gives the _Decimal64 twin (ref:dfp754_d64.c, 16-digit
+    coefficient) — see d64_parse.
     """
     s = F.col(col) if isinstance(col, str) else col
     first = F.substring(s, 1, 1)
@@ -72,22 +75,22 @@ def d32_parse(col: Column | str) -> Column:
     istrip = F.regexp_replace(ipart, "^0+", "")
     n_i = F.length(istrip)
 
-    # integer part alone covers (or exceeds) the 7-digit budget
-    mant_hi = F.substring(istrip, 1, 7)
-    roff_hi = F.substring(istrip, 8, 1)
-    expo_hi = n_i - 7
+    # integer part alone covers (or exceeds) the digit budget
+    mant_hi = F.substring(istrip, 1, digits)
+    roff_hi = F.substring(istrip, digits + 1, 1)
+    expo_hi = n_i - digits
 
-    # fewer than 7 integer digits: take fraction digits up to the budget
-    k = F.least(F.length(fpart), F.lit(7) - n_i)
+    # fewer than `digits` integer digits: take fraction digits up to the budget
+    k = F.least(F.length(fpart), F.lit(digits) - n_i)
     mant_lo = F.concat(istrip, fpart.substr(F.lit(1), k))
     roff_lo = fpart.substr(k + 1, F.lit(1))
     expo_lo = -k
 
-    over = n_i >= 7
-    digits = F.when(over, mant_hi).otherwise(mant_lo)
+    over = n_i >= digits
+    digit_str = F.when(over, mant_hi).otherwise(mant_lo)
     roff = F.when(over, roff_hi).otherwise(roff_lo)
     expo = F.when(over, expo_hi).otherwise(expo_lo)
-    mant = F.coalesce(F.nullif(digits, F.lit("")).cast("long"), F.lit(0)) + F.when(
+    mant = F.coalesce(F.nullif(digit_str, F.lit("")).cast("long"), F.lit(0)) + F.when(
         roff.isin("5", "6", "7", "8", "9"), F.lit(1)
     ).otherwise(F.lit(0))
     return F.struct(
@@ -95,6 +98,12 @@ def d32_parse(col: Column | str) -> Column:
         mant.alias("mant"),
         expo.cast("int").alias("expo"),
     )
+
+
+def d64_parse(col: Column | str) -> Column:
+    """_Decimal64 twin of d32_parse: 16-digit coefficient budget
+    (ref:dfp754_d64.c strtobcd64 — same grammar, wider mantissa)."""
+    return d32_parse(col, digits=16)
 
 
 def d32_format(sign: Column, mant: Column, expo: Column) -> Column:

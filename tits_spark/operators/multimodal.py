@@ -85,6 +85,37 @@ def extract_features(
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+HEAD_BYTES_SCHEMA = "media_id long, n_bytes int, head_bytes array<int>"
+
+
+def payload_head_bytes(
+    media: DataFrame, id_col: str = "media_id", payload: str = "payload",
+    dim: int = 8, batch_rows: int = 64,
+) -> DataFrame:
+    """Oracle-able twin of extract_features: the "feature" is the first
+    ``dim`` raw payload bytes — semantically trivial by design so the
+    driver's DuckDB gate can verify the ENTIRE binary mapInPandas path
+    (Arrow binary transfer, chunked batching, schema) value-exactly,
+    which the stubbed codec step otherwise shields from the oracle.
+    Same batch-shape controls as extract_features."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                payloads = list(chunk[payload])
+                yield pd.DataFrame({
+                    "media_id": chunk[id_col].to_numpy(),
+                    "n_bytes": [len(p) for p in payloads],
+                    "head_bytes": [
+                        np.frombuffer(p[:dim], dtype=np.uint8).astype(np.int32)
+                        for p in payloads
+                    ],
+                })
+
+    return media.mapInPandas(fn, schema=HEAD_BYTES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: one row per sampled frame
     index (the decode of each frame is the stubbed step). Pure column
