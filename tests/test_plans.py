@@ -190,3 +190,45 @@ def test_ivf_training_never_collects_corpus(spark):
     assert n_corpus == 500
     assert len(collected) == 2
     assert all(c == 8 * 65 for c in collected), collected
+
+
+def test_gorilla_compress_single_exchange(spark, transcripts):
+    """Compression clusters rows with ONE repartition-by-key exchange;
+    the mapInPandas encode adds no further shuffle."""
+    from tits_spark.compression.gorilla import compress_partitions
+
+    raw = transcripts.select(
+        F.col("conv_id").alias("key"), "ts",
+        F.length("text").cast("double").alias("value"),
+    )
+    p = plan_of(compress_partitions(raw))
+    assert p.count("Exchange (") == 1
+    assert "MapInPandas" in p
+
+
+def test_media_features_no_shuffle(spark):
+    """The multimodal binary path is map-only: scan -> project ->
+    MapInPandas -> explode, zero exchanges."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_media_features(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_d32_roundtrip_stays_codegen(spark):
+    """Quantum-preserving parse->print is pure column algebra: no UDFs,
+    no exchanges, inside WholeStageCodegen."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_d32_roundtrip(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # '*' node prefix == inside WholeStageCodegen in formatted explain
+    assert "* Project" in p
