@@ -111,3 +111,44 @@ def test_retention_expiry(spark, transcripts, tmp_path):
         ttl_days={"1m": horizon, "1h": horizon * 2, "1d": 10_000},
     )
     assert gone2["1m"] == []
+
+
+def test_compaction_preserves_content(spark, transcripts, tmp_path):
+    """Small-file compaction: fewer files, byte-identical content
+    (checksum-verified swap), lineage row logged, idempotent."""
+    from tits_spark.lineage import MetricsLog
+    from tits_spark.operators.retention import compact_partitions
+    from tits_spark.operators.rollup import rollup_from_raw
+
+    raw = transcripts.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("value")
+    )
+    # write WITHOUT date clustering: every task drops a sliver into
+    # every date dir — the exact pathology compaction exists to fix
+    tier = rollup_from_raw(raw, tier="1h").withColumn(
+        "bucket_date", F.to_date("bucket_ts")
+    )
+    tier.repartition(8).write.partitionBy("bucket_date").parquet(
+        f"{tmp_path}/tier=1h"
+    )
+    tier_dir = tmp_path / "tier=1h"
+    day_dirs = sorted(tier_dir.glob("bucket_date=*"))
+    assert day_dirs
+    files_before = {d.name: len(list(d.glob("*.parquet"))) for d in day_dirs}
+    assert max(files_before.values()) > 4
+
+    before = spark.read.parquet(str(tier_dir)).orderBy("key", "bucket_ts").collect()
+    metrics = str(tmp_path / "metrics")
+    done = compact_partitions(spark, str(tmp_path), metrics, "1h",
+                              max_files_per_day=4, target_file_mb=256)
+    assert done  # at least one day rewritten
+    for day, n_out in done.items():
+        n_files = len(list((tier_dir / f"bucket_date={day}").glob("*.parquet")))
+        assert n_files == n_out <= 4
+    after = spark.read.parquet(str(tier_dir)).orderBy("key", "bucket_ts").collect()
+    assert after == before
+    log = MetricsLog(spark, metrics).read()
+    assert log.filter(F.col("stage") == "compacted_1h").count() == len(done)
+    # idempotent: second pass finds nothing over the threshold
+    assert compact_partitions(spark, str(tmp_path), metrics, "1h",
+                              max_files_per_day=4) == {}

@@ -65,3 +65,80 @@ def expire_partitions(
             )
         )
     return expired
+
+
+def compact_partitions(
+    spark: SparkSession,
+    tiers_path: str,
+    metrics_path: str,
+    tier: str,
+    max_files_per_day: int = 4,
+    target_file_mb: int = 256,
+    job_id: str = "compaction",
+) -> dict[str, int]:
+    """Rewrite small-file day partitions into ~target_file_mb files.
+
+    The parquet-dir stand-in for Iceberg's ``rewrite_data_files``: at
+    10^12-turn scale every late-arriving resume or fine-grained
+    incremental run leaves slivers that tax the scan planner; compaction
+    bin-packs each offending day into ceil(bytes/target) files.
+
+    Content safety is proven, not assumed: the partition's
+    order-independent lineage checksum (bit_xor of xxhash64 over the
+    canonical columns) is recomputed from the compacted copy and must
+    equal the pre-compaction value BEFORE the swap — a mismatch aborts
+    that day and leaves the original in place. Swap is staged
+    (write tmp -> verify -> trash old -> move in): any crash window
+    leaves either the original or the verified copy on disk, and the
+    metrics log records what was compacted.
+
+    Returns {bucket_date: n_files_after} for the days rewritten.
+    """
+    from tits_spark.lineage import _CHECKSUM_EXPR
+
+    log = MetricsLog(spark, metrics_path)
+    tier_dir = Path(tiers_path) / f"tier={tier}"
+    done: dict[str, int] = {}
+    rows = []
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    if not tier_dir.exists():
+        return done
+    for p in sorted(tier_dir.glob("bucket_date=*")):
+        files = [f for f in p.glob("*.parquet")]
+        if len(files) <= max_files_per_day:
+            continue
+        day = p.name.split("=", 1)[1]
+        nbytes = sum(f.stat().st_size for f in files)
+        n_out = max(1, -(-nbytes // (target_file_mb * 1024 * 1024)))
+
+        before = spark.read.parquet(str(p))
+        chk_before = before.select(F.expr(_CHECKSUM_EXPR).alias("c")).collect()[0]["c"]
+        n_rows = before.count()
+
+        tmp = tier_dir / f".compact_tmp_{day}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        before.repartition(int(n_out)).write.mode("overwrite").parquet(str(tmp))
+
+        after = spark.read.parquet(str(tmp))
+        chk_after = after.select(F.expr(_CHECKSUM_EXPR).alias("c")).collect()[0]["c"]
+        if chk_after != chk_before or after.count() != n_rows:
+            shutil.rmtree(tmp, ignore_errors=True)  # abort: original untouched
+            continue
+
+        trash = tier_dir / f".compact_trash_{day}"
+        shutil.rmtree(trash, ignore_errors=True)
+        p.rename(trash)
+        tmp.rename(p)
+        shutil.rmtree(trash)
+        done[day] = int(n_out)
+        rows.append((job_id, f"compacted_{tier}", day, n_rows,
+                     int(n_out), chk_before, now))
+    if rows:
+        log.append(
+            spark.createDataFrame(
+                rows,
+                "job_id string, stage string, part string, input_count long, "
+                "bucket_count long, checksum long, committed_at timestamp",
+            )
+        )
+    return done
