@@ -155,3 +155,62 @@ def test_d64_wide_mantissa(spark):
     r = by_s["0.1234567890123456"]
     assert (r["m64"], r["e64"]) == (1234567890123456, -16)
     assert r["out64"] == "0.1234567890123456"
+
+
+def test_d32_parse_format_property(spark):
+    """Property over the d32 grammar (one Spark job, 2000 cases):
+    parse(format(sign, mant, expo)) reproduces the quantum exactly when
+    expo <= 0 (the printable-quantum range — trailing zeros survive);
+    for expo > 0 the grammar has no exponent notation, so parse returns
+    the value-equal normalized form (mant*10^expo, 0) — matching the C,
+    whose print->parse trip normalizes positive quanta the same way."""
+    import numpy as np
+
+    from tits_spark.functions.decimal_ops import d32_format, d32_parse
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    cases = []
+    for _ in range(2000):
+        mant = int(rng.integers(0, 10**7))
+        expo = int(rng.integers(-10, 5))
+        sign = int(rng.integers(0, 2))
+        cases.append((sign, mant, expo))
+    df = spark.createDataFrame(cases, "sign int, mant long, expo int")
+    s = d32_format(F.col("sign"), F.col("mant"), F.col("expo"))
+    p = d32_parse(s)
+    rows = df.select(
+        "sign", "mant", "expo", s.alias("printed"),
+        p["sign"].alias("ps"), p["mant"].alias("pm"), p["expo"].alias("pe"),
+    ).collect()
+    for r in rows:
+        if r["mant"] == 0:
+            # sign of zero is dropped on print; quantum survives for
+            # expo<=0 up to the 7-char fraction budget
+            assert r["ps"] == 0
+            if r["expo"] <= 0:
+                assert (r["pm"], r["pe"]) == (0, max(r["expo"], -7)), r
+            continue
+        assert r["ps"] == r["sign"], r
+        if r["expo"] <= 0:
+            f = -r["expo"]
+            if f <= 7 or len(str(r["mant"])) > f:
+                # within budget (or has an integer part): exact identity
+                assert (r["pm"], r["pe"]) == (r["mant"], r["expo"]), r
+            else:
+                # pure fraction wider than the budget: leading fraction
+                # zeros consume significant-digit slots (strtobcd32
+                # behavior), so parse re-truncates to 7 fraction chars
+                # with half-away round-off from the 8th
+                frac = str(r["mant"]).zfill(f)
+                m = int(frac[:7]) + (1 if frac[7] >= "5" else 0)
+                assert (r["pm"], r["pe"]) == (m, -7), r
+        else:
+            # normalized: value equal, quantum folded into the mantissa
+            v = r["mant"] * 10 ** r["expo"]
+            if v < 10**7:
+                assert (r["pm"], r["pe"]) == (v, 0), r
+            else:
+                # > 7 digits: parse re-truncates with half-away rounding
+                digits = str(v)
+                m = int(digits[:7]) + (1 if digits[7] >= "5" else 0)
+                assert (r["pm"], r["pe"]) == (m, len(digits) - 7), r
