@@ -103,7 +103,7 @@ def payload_head_bytes(
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
-                payloads = list(chunk[payload])
+                payloads = [p if p is not None else b"" for p in chunk[payload]]
                 yield pd.DataFrame({
                     "media_id": chunk[id_col].to_numpy(),
                     "n_bytes": [len(p) for p in payloads],
