@@ -259,6 +259,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (quality gate -> lang gate -> exact
+    dedup -> MinHash-LSH near-dup removal) as ONE deterministic relation:
+    per-doc decision rows. The stages compose the individually-oracled
+    quality / langid / dedup_exact / minhash_lsh / ngram_jaccard ops in
+    the filter-pushdown order a production corpus pass runs them."""
+    from tits_spark.operators.curate import curate_documents
+
+    return curate_documents(
+        _docs(spark, sf_dir),
+        quality_min=0.72,
+        lang="en",
+        num_hashes=8,
+        bands=4,
+        shingle_n=8,
+        jaccard_threshold=0.12,
+        max_doc_freq=1000,
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tits_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -531,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcf_band": q_xcf_band,
         "xcor_best_lag": q_xcor_best_lag,
         "dedup_exact": q_dedup_exact,
+        "curate": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh": q_minhash_lsh,
@@ -791,6 +812,97 @@ freq AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 1000),
 sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle))
 """
 
+# End-to-end curation pipeline oracle: quality/lang feature gates, then
+# exact dedup (min-id keeper per text hash), then MinHash-LSH candidate
+# pairs over the survivors verified by exact shingle Jaccard, with the
+# greedy larger-id drop rule. Mirrors operators/curate.py stage by stage.
+_CURATE_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','it','that','for',
+                        'on','with','as','at','by','or','an','be','this','are'))) AS n_stop
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text,
+     round(0.4 * (CASE WHEN n_chars>0 THEN n_alpha/CAST(n_chars AS DOUBLE) ELSE 0 END)
+         + 0.3 * least(n_chars/500.0, 1.0)
+         + 0.3 * (1.0 - least((CASE WHEN n_chars>0 THEN n_punct/CAST(n_chars AS DOUBLE) ELSE 0 END)
+                            + (CASE WHEN n_chars>0 THEN n_digit/CAST(n_chars AS DOUBLE) ELSE 0 END), 1.0)), 6) AS quality,
+     CASE WHEN (CASE WHEN n_tok>0 THEN n_stop/CAST(n_tok AS DOUBLE) ELSE 0 END) >= 0.02
+          THEN 'en' ELSE 'other' END AS lang_pred
+  FROM f
+),
+base AS (SELECT doc_id, text FROM feat WHERE quality >= 0.72 AND lang_pred = 'en'),
+keeper AS (SELECT md5(text) AS h, min(doc_id) AS keeper_id FROM base GROUP BY 1),
+exact AS (
+  SELECT b.doc_id, b.text, b.doc_id <> k.keeper_id AS is_exact_dup
+  FROM base b JOIN keeper k ON md5(b.text) = k.h
+),
+surv AS (SELECT doc_id, text FROM exact WHERE NOT is_exact_dup),
+raw_sh AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 7, 1))) AS off
+  FROM surv
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(off AS INT), 8) AS shingle FROM raw_sh
+  WHERE length(substr(text, CAST(off AS INT), 8)) = 8
+),
+freq AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 1000),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)),
+expd AS (
+  SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS hash_idx FROM sh0
+),
+sig AS (
+  SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx,
+         min(md5(CAST(hash_idx AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM expd GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2.0) AS INT) AS band,
+         string_agg(minhash, '|' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT cm.id_b AS doc_id
+  FROM common cm
+  JOIN sizes sa ON sa.doc_id = cm.id_a
+  JOIN sizes sb ON sb.doc_id = cm.id_b
+  WHERE cm.n_common / CAST(sa.n_sh + sb.n_sh - cm.n_common AS DOUBLE) >= 0.12
+)
+SELECT feat.doc_id, feat.quality, feat.lang_pred,
+       CASE WHEN NOT (feat.quality >= 0.72) THEN 'quality'
+            WHEN feat.lang_pred <> 'en' THEN 'lang'
+            WHEN e.is_exact_dup THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS stage
+FROM feat
+LEFT JOIN exact e ON e.doc_id = feat.doc_id
+LEFT JOIN near n ON n.doc_id = feat.doc_id
+"""
+
+
 _MINHASH_CTE = _SHINGLE_CTE + """
 , exp AS (
   SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS hash_idx FROM sh
@@ -1012,6 +1124,7 @@ WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
 agg AS (SELECT h, min(doc_id) AS keeper_id, count(*) AS n_copies FROM g GROUP BY 1)
 SELECT g.doc_id, agg.keeper_id, agg.n_copies FROM g JOIN agg USING (h)
 """,
+        "curate": _CURATE_SQL,
         "ngram_jaccard": _SHINGLE_CTE + """
 , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 common AS (
