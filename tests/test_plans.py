@@ -232,3 +232,16 @@ def test_d32_roundtrip_stays_codegen(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # '*' node prefix == inside WholeStageCodegen in formatted explain
     assert "* Project" in p
+
+
+def test_curate_pipeline_all_equi_joins(spark):
+    """The curation pipeline's dedup stages must stay equi-joins
+    (shingle/band/candidate keys) — never a cartesian or nested-loop
+    all-pairs comparison — and the quality/lang gates must be plain
+    filters feeding the joins, not post-join predicates."""
+    from tits_spark.operators.curate import curate_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(curate_documents(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
