@@ -342,6 +342,39 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (distributed min-label
+    propagation) over the MinHash-LSH candidate graph; the oracle
+    replays it with a recursive CTE. Output = one row per clustered doc
+    with its canonical keeper (min reachable doc_id) and cluster size."""
+    from tits_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=8)
+    return dedup_clusters(pairs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample (exactly k per
+    stratum by Knuth-hash order): the reproducible-at-any-parallelism
+    replacement for df.sample() in curation pipelines."""
+    from tits_spark.operators.sampling import stratified_sample_exact
+    from tits_spark.operators.text import lang_id
+
+    docs = lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+    return stratified_sample_exact(docs, ["lang_pred"], k=20)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: each doc's (chunk_id, offset)
+    in the budget-2048 token stream, computed with the two-phase
+    distributed prefix sum (no single-partition global window)."""
+    from tits_spark.operators.packing import chunk_stream
+    from tits_spark.operators.text import token_count
+
+    docs = token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return chunk_stream(docs, budget=2048)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tits_spark.operators.similarity import cosine_topk
 
@@ -571,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "asof_join": q_asof_join,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -1362,5 +1398,76 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-02'
 GROUP BY 1, 2
+""",
+        # connected components over the LSH candidate graph: the
+        # recursive CTE computes full reachability, min over it = the
+        # same cluster_id Spark's min-label propagation converges to
+        "dedup_clusters": _MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, banded AS (
+  SELECT doc_id, CAST(floor(hash_idx / 2.0) AS INT) AS band,
+         string_agg(minhash, '|' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+),
+reach AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY 1),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT comp.node AS doc_id, comp.cluster_id, sz.cluster_size
+FROM comp JOIN sz USING (cluster_id)
+""",
+        "stratified_sample": """
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','it','that','for',
+                        'on','with','as','at','by','or','an','be','this','are'))) AS n_stop
+  FROM documents
+),
+lp AS (
+  SELECT doc_id,
+         CASE WHEN (CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END) >= 0.02
+              THEN 'en' ELSE 'other' END AS lang_pred
+  FROM f
+),
+rk AS (
+  SELECT doc_id, lang_pred,
+         row_number() OVER (PARTITION BY lang_pred
+                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS r
+  FROM lp
+)
+SELECT doc_id, lang_pred FROM rk WHERE r <= 20
+""",
+        "pack_chunks": """
+WITH tc AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM tc
+)
+SELECT doc_id, n_tokens, cum_before,
+       cum_before // 2048 AS chunk_id,
+       cum_before % 2048 AS offset,
+       ((cum_before + n_tokens + 2047) // 2048) - (cum_before // 2048) AS n_chunks
+FROM c
 """,
     }
