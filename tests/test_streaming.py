@@ -133,3 +133,40 @@ def test_stream_guess_lag_recovers_offsets(spark, tmp_path):
                 assert abs(got[k] - ms / 1000.0) <= 0.011, (k, got[k])
                 hits += 1
     assert hits >= 2
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming dedup keeps one copy per distinct text (within the
+    watermark) and the count matches the batch distinct-text count."""
+    from tits_spark.streaming.dedup_stream import stream_dedup_exact
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    rows = [
+        (i, f"doc body {i % 40}", float(i))  # 120 rows, 40 distinct texts
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tsec double").select(
+        "doc_id", "text", F.timestamp_seconds(F.col("tsec") + 1_700_000_000).alias("ts")
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    q = stream_dedup_exact(
+        spark, src, "doc_id long, text string, ts timestamp",
+        out, ckpt, watermark="1 hour",
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    # survivors cover every distinct text exactly once
+    assert got.select("text").distinct().count() == 40
+    # idempotent restart: re-running over the same source adds nothing
+    q2 = stream_dedup_exact(
+        spark, src, "doc_id long, text string, ts timestamp",
+        out, ckpt, watermark="1 hour",
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 40
