@@ -899,12 +899,14 @@ expd AS (
 ),
 sig AS (
   SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx,
-         min(md5(CAST(hash_idx AS VARCHAR) || '|' || shingle)) AS minhash
+         min(('0x' || substr(md5(CASE WHEN hash_idx < 4 THEN shingle
+                                      ELSE '1|' || shingle END),
+                             1 + 8 * (hash_idx % 4), 8))::BIGINT) AS minhash
   FROM expd GROUP BY 1, 2
 ),
 banded AS (
   SELECT doc_id, CAST(floor(hash_idx / 2.0) AS INT) AS band,
-         string_agg(minhash, '|' ORDER BY minhash) AS band_key
+         string_agg(minhash::VARCHAR, '|' ORDER BY minhash) AS band_key
   FROM sig GROUP BY 1, 2
 ),
 cand AS (
@@ -945,7 +947,9 @@ _MINHASH_CTE = _SHINGLE_CTE + """
 ),
 sig AS (
   SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx,
-         min(md5(CAST(hash_idx AS VARCHAR) || '|' || shingle)) AS minhash
+         min(('0x' || substr(md5(CASE WHEN hash_idx < 4 THEN shingle
+                                      ELSE '1|' || shingle END),
+                             1 + 8 * (hash_idx % 4), 8))::BIGINT) AS minhash
   FROM exp GROUP BY 1, 2
 )
 """
@@ -1179,7 +1183,7 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
         "minhash_lsh": _MINHASH_CTE + """
 , banded AS (
   SELECT doc_id, CAST(floor(hash_idx / 2.0) AS INT) AS band,
-         string_agg(minhash, '|' ORDER BY minhash) AS band_key
+         string_agg(minhash::VARCHAR, '|' ORDER BY minhash) AS band_key
   FROM sig GROUP BY 1, 2
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1405,7 +1409,7 @@ GROUP BY 1, 2
         "dedup_clusters": _MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
 , banded AS (
   SELECT doc_id, CAST(floor(hash_idx / 2.0) AS INT) AS band,
-         string_agg(minhash, '|' ORDER BY minhash) AS band_key
+         string_agg(minhash::VARCHAR, '|' ORDER BY minhash) AS band_key
   FROM sig GROUP BY 1, 2
 ),
 cand AS (
