@@ -375,6 +375,50 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_stream(docs, budget=2048)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats over the irregular events stream (new session
+    after a >30 min gap): one window shuffle + one aggregate."""
+    from tits_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf_dir)
+    out = session_stats(ev, "key", "ts", "value", gap_seconds=1800.0)
+    return out.select(
+        "key",
+        "session_idx",
+        "n_events",
+        "start_ts",
+        "end_ts",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("v_sum", 4).alias("v_sum"),
+    )
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed EWMA over each key's irregular series, computed as
+    a ratio of ordered prefix sums (O(n), no UDF); the oracle runs the
+    same factored form in SQL."""
+    from tits_spark.operators.sessionize import ewma_irregular
+
+    ev = _events(spark, sf_dir).filter(F.col("key").isin("1", "2", "3"))
+    out = ewma_irregular(ev, "key", "ts", "value", tau_seconds=86400.0)
+    return out.select("key", "ts", "value", F.round("ewma", 6).alias("ewma"))
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key value percentiles (linear interpolation) — the
+    distribution summary every curation pipeline reports. Spark's
+    percentile == DuckDB's quantile_cont on the same sorted data."""
+    ev = _events(spark, sf_dir)
+    pcts = [0.25, 0.5, 0.75, 0.9]
+    out = ev.groupBy("key").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+            for p in pcts
+        ]
+    )
+    return out
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tits_spark.operators.similarity import cosine_topk
 
@@ -607,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "sessionize": q_sessionize,
+        "ewma": q_ewma,
+        "percentiles": q_percentiles,
     }
 
 
@@ -1473,5 +1520,51 @@ SELECT doc_id, n_tokens, cum_before,
        cum_before % 2048 AS offset,
        ((cum_before + n_tokens + 2047) // 2048) - (cum_before // 2048) AS n_chunks
 FROM c
+""",
+        "sessionize": """
+WITH e AS (
+  SELECT user_id AS key, ts, value, epoch(ts) AS t FROM events
+),
+g AS (
+  SELECT key, ts, value, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY ts) > 1800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+s AS (
+  SELECT key, ts, value, t,
+         CAST(sum(is_new) OVER (PARTITION BY key ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT key, session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round(max(t) - min(t), 6) AS duration_s,
+       round(sum(value), 4) AS v_sum
+FROM s GROUP BY 1, 2
+""",
+        "ewma": """
+WITH e AS (
+  SELECT user_id AS key, ts, value, epoch(ts) AS t FROM events
+  WHERE user_id IN (1, 2, 3)
+),
+r AS (
+  SELECT key, ts, value,
+         exp((t - min(t) OVER (PARTITION BY key)) / 86400.0) AS g
+  FROM e
+)
+SELECT key, ts, value,
+       round(sum(value * g) OVER w / sum(g) OVER w, 6) AS ewma
+FROM r
+WINDOW w AS (PARTITION BY key ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "percentiles": """
+SELECT user_id AS key,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY 1
 """,
     }
