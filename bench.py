@@ -214,6 +214,34 @@ def main() -> None:
 
     repeat("q9_gorilla_compress", _body_q9_gorilla_compress)
 
+    # q10: sessionize + time-decayed EWMA over the transcripts stream
+    # (both pure window algebra — one shuffle each)
+    from tits_spark.operators.sessionize import ewma_irregular, session_stats
+
+    raw_s = transcripts.select(
+        F.col("conv_id").alias("key"), "ts", F.length("text").cast("double").alias("value")
+    )
+    inputs["q10_turns"] = n_turns
+
+    def _body_q10_sessionize_ewma():
+        session_stats(raw_s, gap_seconds=1800.0).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        ewma_irregular(raw_s, tau_seconds=86400.0).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    repeat("q10_sessionize_ewma", _body_q10_sessionize_ewma)
+
+    # q11: LSH candidate graph -> connected-component duplicate clusters
+    from tits_spark.operators.dedup import dedup_clusters
+
+    def _body_q11_dedup_clusters():
+        pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=8)
+        dedup_clusters(pairs).write.format("noop").mode("overwrite").save()
+
+    repeat("q11_dedup_clusters", _body_q11_dedup_clusters)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
