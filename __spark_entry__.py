@@ -375,6 +375,36 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_stream(docs, budget=2048)
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier-volume: the multi-table join
+    showcase. Catalyst broadcast-joins every dimension (region, nation,
+    supplier, customer fit far under the 10MB threshold — asserted in
+    tests/test_plans.py) so the only shuffle is the final group-by;
+    at 100 TB the fact-side scan prunes to the joined columns and the
+    dims stay broadcast. Customer and supplier must be in the same
+    nation (the Q5 'local supplier' condition)."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, c = read("lineitem"), read("orders"), read("customer")
+    s, n, r = read("supplier"), read("nation"), read("region")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats over the irregular events stream (new session
     after a >30 min gap): one window shuffle + one aggregate."""
@@ -651,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "tpch_q5": q_tpch_q5,
         "sessionize": q_sessionize,
         "ewma": q_ewma,
         "percentiles": q_percentiles,
@@ -1520,6 +1551,19 @@ SELECT doc_id, n_tokens, cum_before,
        cum_before % 2048 AS offset,
        ((cum_before + n_tokens + 2047) // 2048) - (cum_before // 2048) AS n_chunks
 FROM c
+""",
+        "tpch_q5": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY 1
 """,
         "sessionize": """
 WITH e AS (

@@ -245,3 +245,21 @@ def test_curate_pipeline_all_equi_joins(spark):
     p = plan_of(curate_documents(docs))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """Q5-style star join: every dimension side (orders-side customer,
+    supplier, nation, region) must arrive via BroadcastHashJoin — the
+    fact table is never shuffled for a join; the only exchange is the
+    final group-by. At 100 TB the dims still fit comfortably under the
+    broadcast threshold while lineitem scales."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_tpch_q5(spark, "/root/testdata/sf0.001"))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # exactly one shuffle exchange: the final aggregation (the leading
+    # space distinguishes shuffle "Exchange (n)" tree nodes from
+    # "BroadcastExchange (n)")
+    assert p.count(" Exchange (") == 1
