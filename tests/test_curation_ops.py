@@ -134,3 +134,21 @@ class TestChunkStream:
             if "windowspecdefinition(" in ln and "windowspecdefinition(_bkt" not in ln
         ]
         assert len(global_windows) <= 1
+
+
+def test_dedup_clusters_long_chain_converges_logarithmically(spark):
+    """A 300-node path graph has diameter 299 — plain min-label
+    propagation would need ~300 rounds; pointer jumping must finish
+    well within 12 (log2(300) ~ 8.2 plus slack)."""
+    edges = [(i, i + 1) for i in range(1000, 1299)]
+    out = dedup_clusters(_pairs(spark, edges), max_iter=12).collect()
+    assert len(out) == 300
+    assert all(r["cluster_id"] == 1000 and r["cluster_size"] == 300 for r in out)
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(0, 40)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(_pairs(spark, edges), max_iter=1)
