@@ -375,6 +375,33 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_stream(docs, budget=2048)
 
 
+def q_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S5 gate: events -> reference tick-TSV lines (format_ticks,
+    the S5 sink grammar) -> parse_ticks (the S2 positional parser with
+    silent malformed drop) -> typed rows. The oracle computes the same
+    rows directly from events, so any deviation in the grammar, the
+    ns arithmetic, or the decimal handling breaks the value hash."""
+    from tits_spark.sources.tick_source import format_ticks, parse_ticks
+
+    ev = _events(spark, sf_dir)
+    quotes = ev.select(
+        # parquet loads TIMESTAMP_NTZ in Spark 4; the tick sink expects
+        # an instant (session tz is pinned UTC in tits_spark.session)
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("V"), F.col("key").cast("string")).alias("venue"),
+        F.col("value").alias("bid"),
+        (F.col("value") + 0.5).alias("ask"),
+    )
+    parsed = parse_ticks(format_ticks(quotes))
+    return parsed.select(
+        "ts",
+        "ts_ns",
+        "venue",
+        F.round(F.col("bid").cast("double"), 6).alias("bid"),
+        F.round(F.col("ask").cast("double"), 6).alias("ask"),
+    )
+
+
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier-volume: the multi-table join
     showcase. Catalyst broadcast-joins every dimension (region, nation,
@@ -681,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "tick_roundtrip": q_tick_roundtrip,
         "tpch_q5": q_tpch_q5,
         "sessionize": q_sessionize,
         "ewma": q_ewma,
@@ -1551,6 +1579,14 @@ SELECT doc_id, n_tokens, cum_before,
        cum_before % 2048 AS offset,
        ((cum_before + n_tokens + 2047) // 2048) - (cum_before // 2048) AS n_chunks
 FROM c
+""",
+        "tick_roundtrip": """
+SELECT ts,
+       epoch_ns(ts) AS ts_ns,
+       'V' || CAST(user_id AS VARCHAR) AS venue,
+       round(CAST(printf('%.4f', value) AS DOUBLE), 6) AS bid,
+       round(CAST(printf('%.4f', value + 0.5) AS DOUBLE), 6) AS ask
+FROM events
 """,
         "tpch_q5": """
 SELECT n_name,

@@ -45,8 +45,11 @@ def parse_ticks(lines: DataFrame, col: str = "value") -> DataFrame:
         .drop("_ok")
     )
     ts_ns = out["sec"] * F.lit(1_000_000_000) + out["nsec"]
+    # µs from integer arithmetic: ts_ns/1000 would round-trip through a
+    # double (52-bit mantissa) and corrupt the low µs digits at 1e18 ns
+    ts_us = out["sec"] * F.lit(1_000_000) + (out["nsec"] / 1000).cast("long")
     return out.select(
-        F.timestamp_micros((ts_ns / 1000).cast("long")).alias("ts"),
+        F.timestamp_micros(ts_us).alias("ts"),
         ts_ns.alias("ts_ns"),
         "venue",
         "bid",
