@@ -1607,7 +1607,7 @@ WITH e AS (
 ),
 g AS (
   SELECT key, ts, value, t,
-         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY ts) > 1800.0
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY ts) >= 1800.0
               THEN 1 ELSE 0 END AS is_new
   FROM e
 ),

@@ -80,3 +80,31 @@ def test_ewma_weights_recent_more(spark):
     last = out[-1]["ewma"]
     assert 5.0 < last < 10.0
     assert math.isclose(out[0]["ewma"], 0.0, abs_tol=1e-12)
+
+
+def test_native_session_window_agrees_with_window_algebra(spark, events):
+    """Two independent algorithms — lag+running-sum vs Catalyst's
+    session_window interval merge — must produce identical sessions on
+    the real irregular events table."""
+    from pyspark.sql import functions as F2
+
+    ev = events.select(
+        F2.col("user_id").cast("string").alias("key"),
+        F2.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    a = session_stats(ev, gap_seconds=1800.0).select(
+        "key", "n_events", "start_ts", "end_ts",
+        F2.round("duration_s", 6).alias("duration_s"),
+        F2.round("v_sum", 4).alias("v_sum"),
+    )
+    from tits_spark.operators.sessionize import session_stats_native
+
+    b = session_stats_native(ev, gap_seconds=1800.0).select(
+        "key", "n_events", "start_ts", "end_ts",
+        F2.round("duration_s", 6).alias("duration_s"),
+        F2.round("v_sum", 4).alias("v_sum"),
+    )
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -170,3 +170,37 @@ def test_stream_dedup_exact(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == 40
+
+
+def test_stream_sessions_match_batch_for_closed_sessions(spark, events, tmp_path):
+    from tits_spark.operators.sessionize import session_stats_native
+    from tits_spark.streaming.session_stream import stream_session_stats
+
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    ev = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    q = stream_session_stats(
+        spark, src, "key string, ts timestamp, value double",
+        out, ckpt, gap_seconds=1800.0, watermark="0 seconds",
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    # append emits a session once the watermark (here: global max event
+    # time) passes its window end = last_ts + gap; open sessions stay in
+    # state, so compare against the batch result restricted to closed ones
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    want = session_stats_native(ev, gap_seconds=1800.0).filter(
+        F.col("end_ts") + F.expr("INTERVAL 1800 SECONDS") <= F.lit(max_ts)
+    )
+    cols = ["key", "n_events", "start_ts", "end_ts"]
+    g, w = got.select(cols), want.select(cols)
+    assert g.count() == w.count()
+    assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0

@@ -38,12 +38,14 @@ def sessionize(
     gap_seconds: float = 1800.0,
 ) -> DataFrame:
     """Assign a per-key session index: a new session starts at the
-    first event and whenever the gap from the previous event exceeds
-    ``gap_seconds``. Adds ``session_idx`` (1-based within key)."""
+    first event and whenever the silence since the previous event is at
+    least ``gap_seconds`` (>=, matching Spark's native session_window
+    whose window [start, last+gap) excludes an event landing exactly on
+    the boundary). Adds ``session_idx`` (1-based within key)."""
     w = Window.partitionBy(key).orderBy(ts)
     t = ts_seconds(F.col(ts))
     is_new = F.when(
-        t - F.lag(t).over(w) > gap_seconds, F.lit(1)
+        t - F.lag(t).over(w) >= gap_seconds, F.lit(1)
     ).otherwise(F.lit(0))
     # first row per key has NULL lag -> otherwise(0); make it open a
     # session by starting the running count at 1
@@ -75,6 +77,34 @@ def session_stats(
             (F.max(t) - F.min(t)).alias("duration_s"),
             F.sum(value).alias("v_sum"),
         )
+    )
+
+
+def session_stats_native(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Same per-session aggregates via Spark's built-in
+    ``session_window`` — a genuinely different algorithm (Catalyst
+    merges overlapping [t, t+gap) intervals inside the aggregate)
+    that must produce identical sessions to the lag+running-sum
+    formulation; tests assert the two agree row-for-row. This is also
+    the form that runs under Structured Streaming with a watermark
+    (streaming/session_stream.py)."""
+    t = ts_seconds(F.col(ts))
+    return (
+        df.groupBy(key, F.session_window(ts, f"{int(gap_seconds)} seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts).alias("start_ts"),
+            F.max(ts).alias("end_ts"),
+            (F.max(t) - F.min(t)).alias("duration_s"),
+            F.sum(value).alias("v_sum"),
+        )
+        .drop("session_window")
     )
 
 
