@@ -375,6 +375,28 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_stream(docs, budget=2048)
 
 
+def q_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric dimensional rollup: two derived metrics + the
+    event_type dimension roll up in ONE scan / ONE shuffle (the
+    anti-pattern being one cascade pass per metric)."""
+    from tits_spark.operators.rollup import rollup_multi
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "event_type", "ts",
+        "value", (F.col("value") * F.col("value")).alias("v2"),
+    )
+    out = rollup_multi(
+        ev, "key", "ts", values=["value", "v2"], tier="1h", dims=["event_type"]
+    )
+    return out.select(
+        "key", "event_type", "bucket_ts", "n_obs",
+        F.round("value_sum", 4).alias("value_sum"),
+        "value_min", "value_max", "value_first", "value_last",
+        F.round("v2_sum", 4).alias("v2_sum"),
+        "v2_min", "v2_max", "v2_first", "v2_last",
+    )
+
+
 def q_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S5 gate: events -> reference tick-TSV lines (format_ticks,
     the S5 sink grammar) -> parse_ticks (the S2 positional parser with
@@ -708,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "rollup_multi": q_rollup_multi,
         "tick_roundtrip": q_tick_roundtrip,
         "tpch_q5": q_tpch_q5,
         "sessionize": q_sessionize,
@@ -1579,6 +1602,17 @@ SELECT doc_id, n_tokens, cum_before,
        cum_before % 2048 AS offset,
        ((cum_before + n_tokens + 2047) // 2048) - (cum_before // 2048) AS n_chunks
 FROM c
+""",
+        "rollup_multi": """
+SELECT user_id AS key, event_type, date_trunc('hour', ts) AS bucket_ts,
+       count(*) AS n_obs,
+       round(sum(value), 4) AS value_sum,
+       min(value) AS value_min, max(value) AS value_max,
+       arg_min(value, ts) AS value_first, arg_max(value, ts) AS value_last,
+       round(sum(value * value), 4) AS v2_sum,
+       min(value * value) AS v2_min, max(value * value) AS v2_max,
+       arg_min(value * value, ts) AS v2_first, arg_max(value * value, ts) AS v2_last
+FROM events GROUP BY 1, 2, 3
 """,
         "tick_roundtrip": """
 SELECT ts,

@@ -263,3 +263,14 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     # space distinguishes shuffle "Exchange (n)" tree nodes from
     # "BroadcastExchange (n)")
     assert p.count(" Exchange (") == 1
+
+
+def test_rollup_multi_single_pass(spark):
+    """k metrics + a dimension must not multiply scans or shuffles:
+    ONE parquet scan, ONE exchange, partial+final aggregation."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_rollup_multi(spark, "/root/testdata/sf0.001"))
+    assert p.count(" Exchange (") == 1
+    assert p.count("+- Scan parquet") == 1  # tree node (details repeat the name)
+    assert "partial_min_by" in p and "partial_sum" in p

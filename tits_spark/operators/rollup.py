@@ -147,3 +147,39 @@ def write_tier(
             F.col("bucket_date"), F.pmod(F.xxhash64("key"), F.lit(files_per_day))
         )
     out.write.mode(mode).partitionBy("bucket_date").parquet(f"{path}/tier={tier}")
+
+
+def rollup_multi(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    values: list[str] | None = None,
+    tier: str = "1m",
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """Roll up SEVERAL metric columns (and optional extra dimension
+    columns) in ONE pass: at 10^12 turns, re-scanning raw once per
+    metric is the dominant avoidable cost of a naive per-metric
+    cascade — here every metric rides the same scan, the same
+    partial+final hash aggregate, and the same single shuffle.
+
+    Output: one row per (key, *dims, bucket_ts) with flat columns
+    ``<metric>_{n,sum,min,max,first,last}`` — flat rather than structs
+    so the result stays fully SQL-expressible (oracle-checkable) and
+    parquet-pruneable per column.
+    """
+    values = values or ["value"]
+    t = F.col(ts)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_obs")]
+    for v in values:
+        c = F.col(v)
+        aggs += [
+            F.sum(c).alias(f"{v}_sum"),
+            F.min(c).alias(f"{v}_min"),
+            F.max(c).alias(f"{v}_max"),
+            F.min_by(c, t).alias(f"{v}_first"),
+            F.max_by(c, t).alias(f"{v}_last"),
+        ]
+    keys = [F.col(key).alias("key"), *[F.col(d) for d in (dims or [])],
+            bucket_col(ts, tier).alias("bucket_ts")]
+    return df.groupBy(*keys).agg(*aggs)
