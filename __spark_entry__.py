@@ -1579,7 +1579,7 @@ lp AS (
 rk AS (
   SELECT doc_id, lang_pred,
          row_number() OVER (PARTITION BY lang_pred
-                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS r
+                            ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS r
   FROM lp
 )
 SELECT doc_id, lang_pred FROM rk WHERE r <= 20

@@ -24,16 +24,49 @@ from tits_spark.operators.rollup import TIERS
 
 
 def bucket_spine(tier_df: DataFrame, tier: str) -> DataFrame:
-    """Dense (key, bucket_ts) spine spanning each key's observed range."""
+    """Dense (key, bucket_ts) spine spanning each key's observed range.
+
+    Fine tiers explode in TWO levels — days first, then buckets within
+    each day — so no intermediate array exceeds ~36.5k (a century of
+    days) or 1440 (minutes per day) elements. A single
+    ``sequence(lo, hi)`` would materialize one array row per key sized
+    by its whole span: a 10-year key at the 1m tier is a 5M-element
+    ~40MB row, an executor-OOM hazard exactly on the long-lived keys a
+    10^12-turn table is guaranteed to contain. Day boundaries lie on
+    every sub-day tier grid, so the two-level expansion produces
+    row-identical output to the single sequence."""
     _, secs = TIERS[tier]
     per_key = tier_df.groupBy("key").agg(
         F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
     )
-    return per_key.select(
+    if secs >= 86400:
+        return per_key.select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {secs} SECONDS"))
+            ).alias("bucket_ts"),
+        )
+    days = per_key.select(
         "key",
+        "lo",
+        "hi",
         F.explode(
-            F.sequence("lo", "hi", F.expr(f"INTERVAL {secs} SECONDS"))
-        ).alias("bucket_ts"),
+            F.sequence(
+                F.date_trunc("day", "lo"),
+                F.date_trunc("day", "hi"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    start = F.greatest(F.col("lo"), F.col("day"))
+    end = F.least(
+        F.col("hi"), F.col("day") + F.expr(f"INTERVAL {86400 - secs} SECONDS")
+    )
+    return days.select(
+        "key",
+        F.explode(F.sequence(start, end, F.expr(f"INTERVAL {secs} SECONDS"))).alias(
+            "bucket_ts"
+        ),
     )
 
 

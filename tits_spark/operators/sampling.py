@@ -9,11 +9,15 @@ deterministic integer hash of the row's id — the sample is a pure
 function of the data, identical at any parallelism, restartable, and
 expressible in ANSI SQL for the DuckDB oracle gate.
 
-Hash: Knuth multiplicative hashing ``(id + seed) * 2654435761 mod 2^32``
-(Fibonacci hashing constant, TAOCP vol 3 §6.4). Not cryptographic —
-it doesn't need to be; it needs to be uniform-ish, cheap, stable, and
-reproducible in any SQL dialect (one multiply + one mod of BIGINTs,
-no overflow: id + seed < 2^31 keeps the product < 2^63).
+Hash: Knuth multiplicative hashing ``((id + seed) mod 2^31) * 2654435761
+mod 2^32`` (Fibonacci hashing constant, TAOCP vol 3 §6.4). Not
+cryptographic — it doesn't need to be; it needs to be uniform-ish,
+cheap, stable, and reproducible in any SQL dialect. The leading
+``mod 2^31`` bounds the multiplicand so the product stays < 2^63 for
+ANY int64 id (without it, ids beyond ~3.5e9 — certain at 10^11-doc
+scale — overflow, wrapping silently or throwing under ANSI mode); the
+cost is that ids exactly 2^31 apart share a sampling decision, which is
+irrelevant for sampling purposes.
 
 Scale notes:
  - ``hash_fraction_sample`` is a pure filter — no shuffle, survives
@@ -29,13 +33,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # 2^32 / phi, TAOCP vol 3
+M31 = 1 << 31
 M32 = 1 << 32
 
 
 def sample_hash(id_col: str, seed: int = 0):
     """Deterministic uniform-ish hash of an integer id column into
-    [0, 2^32). Same formula the oracle SQL uses."""
-    return F.pmod((F.col(id_col) + F.lit(seed)) * F.lit(KNUTH), F.lit(M32))
+    [0, 2^32), overflow-free for any int64 id. Same formula the oracle
+    SQL uses."""
+    folded = F.pmod(F.col(id_col) + F.lit(seed), F.lit(M31))
+    return F.pmod(folded * F.lit(KNUTH), F.lit(M32))
 
 
 def hash_fraction_sample(
