@@ -406,13 +406,19 @@ def q_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tits_spark.sources.tick_source import format_ticks, parse_ticks
 
     ev = _events(spark, sf_dir)
+    # prices pre-quantized to the cent grid (identical half-away
+    # rounding in both engines for positive values): a k/100 double can
+    # never be an exact binary tie at the 4th decimal (1000m = 10k+5
+    # has no solution), so the sink's %.4f formatting is tie-free and
+    # the Java-HALF_UP vs C-half-even printf divergence cannot bite
+    cents = F.round(F.col("value") * 100).cast("long")
     quotes = ev.select(
         # parquet loads TIMESTAMP_NTZ in Spark 4; the tick sink expects
         # an instant (session tz is pinned UTC in tits_spark.session)
         F.col("ts").cast("timestamp").alias("ts"),
         F.concat(F.lit("V"), F.col("key").cast("string")).alias("venue"),
-        F.col("value").alias("bid"),
-        (F.col("value") + 0.5).alias("ask"),
+        (cents / 100.0).alias("bid"),
+        ((cents + 50) / 100.0).alias("ask"),
     )
     parsed = parse_ticks(format_ticks(quotes))
     return parsed.select(
@@ -1618,8 +1624,8 @@ FROM events GROUP BY 1, 2, 3
 SELECT ts,
        epoch_ns(ts) AS ts_ns,
        'V' || CAST(user_id AS VARCHAR) AS venue,
-       round(CAST(printf('%.4f', value) AS DOUBLE), 6) AS bid,
-       round(CAST(printf('%.4f', value + 0.5) AS DOUBLE), 6) AS ask
+       round(CAST(printf('%.4f', CAST(round(value * 100) AS BIGINT) / 100.0) AS DOUBLE), 6) AS bid,
+       round(CAST(printf('%.4f', (CAST(round(value * 100) AS BIGINT) + 50) / 100.0) AS DOUBLE), 6) AS ask
 FROM events
 """,
         "tpch_q5": """

@@ -152,3 +152,14 @@ def test_dedup_clusters_raises_when_not_converged(spark):
     edges = [(i, i + 1) for i in range(0, 40)]
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(_pairs(spark, edges), max_iter=1)
+
+
+def test_chunk_stream_empty_input(spark):
+    df = spark.range(0, 0).select(
+        F.col("id").alias("doc_id"), F.lit(1).cast("int").alias("n_tokens")
+    )
+    out = chunk_stream(df, budget=128)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "cum_before", "chunk_id", "offset", "n_chunks",
+    ]

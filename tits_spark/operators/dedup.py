@@ -6,9 +6,10 @@ aggregations) — no Python UDFs — so they scale to 100 TB document sets:
  - exact:        hash-groupBy on md5(text)
  - ngram Jaccard: shingle explode -> frequency-capped equi-join on
                   shingle -> |A∩B| / (|A|+|B|-|A∩B|)
- - MinHash+LSH:  per-shingle md5(i ∥ shingle) minima (lexicographic min
-                  of hex == uniform minhash), banded into LSH buckets,
-                  bucket-join for candidates, exact-Jaccard verify
+ - MinHash+LSH:  per-doc signatures = numeric minima of independent
+                  32-bit md5 windows, one wide aggregation pass (see
+                  _minhash_wide), banded into LSH buckets, bucket-join
+                  for candidates, exact-Jaccard verify
  - SimHash:      per-token hash bits -> per-bit majority vote
 
 The md5-based hash family is chosen deliberately: it exists with
@@ -143,11 +144,11 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 8,
 ) -> DataFrame:
-    """MinHash signature per doc: for hash i, min over shingles of
-    md5(i ∥ shingle) — the lexicographic minimum of a uniform hex hash
-    is a valid minhash. Returns (<id_col>, hash_idx, minhash); computed
-    via the single-pass wide aggregation (see _minhash_wide), unpivoted
-    only at the end."""
+    """MinHash signature per doc: for hash i, the numeric min over
+    shingles of the i-th independent 32-bit md5 window (see
+    _minhash_wide for the hash-family rationale). Returns
+    (<id_col>, hash_idx, minhash:long); computed via the single-pass
+    wide aggregation, unpivoted only at the end."""
     wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
     stack_args = ", ".join(f"{i}, h{i}" for i in range(num_hashes))
     return wide.select(
@@ -443,6 +444,10 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        # release the superseded round's checkpoint blocks now — relying
+        # on GC pins up to max_iter copies of the label table in
+        # executor storage on large graphs
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

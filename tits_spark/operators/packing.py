@@ -46,6 +46,15 @@ def chunk_stream(
     module docstring), exactly equal to the naive global-window result.
     """
     lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:  # empty input: zero chunks, not a TypeError
+        return df.select(
+            F.col(id_col),
+            F.col(tokens_col).cast("int").alias("n_tokens"),
+            F.lit(0).cast("long").alias("cum_before"),
+            F.lit(0).cast("long").alias("chunk_id"),
+            F.lit(0).cast("long").alias("offset"),
+            F.lit(0).cast("long").alias("n_chunks"),
+        ).limit(0)
     span = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
     bucketed = df.withColumn(
         "_bkt", ((F.col(id_col) - F.lit(int(lo))) / F.lit(span)).cast("long")
@@ -73,17 +82,21 @@ def chunk_stream(
     )
 
     cum = F.col("_local_before") + F.col("_bkt_before")
+    # integer `div` throughout: `cum / budget` would be a double Divide,
+    # which loses exactness once the running token total passes 2^53 —
+    # reachable at 10^12 docs — and diverges from the oracle's `//`
     return (
         local.join(F.broadcast(offsets), "_bkt")
+        .withColumn("cum_before", cum.cast("long"))
         .select(
             id_col,
             F.col(tokens_col).alias("n_tokens"),
-            cum.alias("cum_before"),
-            F.floor(cum / budget).alias("chunk_id"),
-            F.pmod(cum, F.lit(budget)).cast("long").alias("offset"),
-            (
-                F.floor((cum + F.col(tokens_col) + F.lit(budget - 1)) / budget)
-                - F.floor(cum / budget)
+            "cum_before",
+            F.expr(f"cum_before div {budget}").alias("chunk_id"),
+            F.pmod("cum_before", F.lit(budget)).cast("long").alias("offset"),
+            F.expr(
+                f"(cum_before + {tokens_col} + {budget - 1}) div {budget}"
+                f" - cum_before div {budget}"
             ).alias("n_chunks"),
         )
     )

@@ -9,8 +9,9 @@ deterministic integer hash of the row's id — the sample is a pure
 function of the data, identical at any parallelism, restartable, and
 expressible in ANSI SQL for the DuckDB oracle gate.
 
-Hash: Knuth multiplicative hashing ``((id + seed) mod 2^31) * 2654435761
-mod 2^32`` (Fibonacci hashing constant, TAOCP vol 3 §6.4). Not
+Hash: Knuth multiplicative hashing ``(((id mod 2^31) + seed) mod 2^31)
+* 2654435761 mod 2^32`` (Fibonacci hashing constant, TAOCP vol 3
+§6.4). Not
 cryptographic — it doesn't need to be; it needs to be uniform-ish,
 cheap, stable, and reproducible in any SQL dialect. The leading
 ``mod 2^31`` bounds the multiplicand so the product stays < 2^63 for
@@ -39,9 +40,11 @@ M32 = 1 << 32
 
 def sample_hash(id_col: str, seed: int = 0):
     """Deterministic uniform-ish hash of an integer id column into
-    [0, 2^32), overflow-free for any int64 id. Same formula the oracle
-    SQL uses."""
-    folded = F.pmod(F.col(id_col) + F.lit(seed), F.lit(M31))
+    [0, 2^32), overflow-free for any int64 id. The id is folded mod
+    2^31 BEFORE the seed is added (id + seed first could itself
+    overflow at id near 2^63); seed must be < 2^31. Same formula the
+    oracle SQL uses (identical for seed=0)."""
+    folded = F.pmod(F.pmod(F.col(id_col), F.lit(M31)) + F.lit(seed), F.lit(M31))
     return F.pmod(folded * F.lit(KNUTH), F.lit(M32))
 
 

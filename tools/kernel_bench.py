@@ -101,12 +101,13 @@ def main() -> None:
     np_fast = timeit(lambda: K.znorm(x, stats="fast"), args.reps)
     rows.append(("znorm 1M pts", c, np_par, np_fast))
 
-    # --- periodogram
+    # --- periodogram (single numpy implementation — no parity/fast
+    # split; the same number goes in both columns, flagged in the table)
     t, y = series(4_000, 0.8, 5)
     nw = 200
     c = timeit(lambda: G.c_perio(lib, t, y, nw), args.reps)
     np_par = timeit(lambda: K.perio(t, y, nw), args.reps)
-    rows.append(("perio 4k pts, 200 freqs", c, np_par, np_par))
+    rows.append(("perio 4k pts, 200 freqs (single impl)", c, np_par, np_par))
 
     md = [
         "# BENCH/KERNELS — single-node kernel throughput, C reference vs numpy ports\n\n",
@@ -116,7 +117,9 @@ def main() -> None:
         "(same arrays, zero-copy); numpy = `tits_spark.functions.kernels`, the\n"
         "exact code running inside the engine's Arrow UDFs. `parity` preserves\n"
         "the C 4-lane accumulation order bit-for-bit; `fast` is the vectorized\n"
-        "mode (same result to ~1e-13). Best of "
+        "mode (same result to ~1e-13). Rows marked (single impl) have one\n"
+        "numpy implementation — parity and fast columns repeat the same\n"
+        "measurement. Best of "
         f"{args.reps}, single thread.\n\n",
         "| kernel / shape | C sec | numpy parity sec | numpy fast sec | fast vs C |\n",
         "|---|---|---|---|---|\n",
