@@ -181,3 +181,35 @@ def test_payload_head_bytes_exact(spark):
     for i, p in enumerate(payloads):
         assert got[i][0] == len(p)
         assert got[i][1] == list(p[:8])
+
+
+def test_incremental_lsh_matches_full_recompute(spark):
+    """Splitting the corpus into (existing, new batch) and running the
+    incremental path against the persisted band table must find exactly
+    the full-corpus candidate pairs that touch the new batch."""
+    from pyspark.sql import functions as F2
+
+    from tits_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(num_hashes=8, bands=4, shingle_n=8)
+    cut = 400
+    corpus = docs.filter(F2.col("doc_id") < cut)
+    new = docs.filter(F2.col("doc_id") >= cut)
+
+    bands_tbl = minhash_band_table(corpus, **kw)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_incremental(new, bands_tbl, **kw).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, **kw).collect()
+    }
+    want = {p for p in full if p[0] >= cut or p[1] >= cut}
+    assert got == want
+    assert want  # the split must actually exercise cross-batch pairs

@@ -169,31 +169,10 @@ def minhash_lsh_pairs(
     num_hashes/bands rows; docs sharing any full band collide.
     Returns distinct (id_a, id_b) with id_a < id_b — feed into
     ngram_jaccard_pairs-style exact verification."""
-    rows = num_hashes // bands
     # band keys straight off the wide one-row-per-doc signature: the
     # banding costs zero additional shuffles (the old per-(doc, band)
     # groupBy re-shuffled docs x num_hashes rows)
-    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.array(
-                            *[F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)]
-                        )
-                    ),
-                    lambda x: x.cast("string"),
-                ),
-                "|",
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    band = wide.select(
-        id_col, F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    band = minhash_band_table(df, id_col, text_col, num_hashes, bands, shingle_n)
     a = band.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -464,4 +443,81 @@ def dedup_clusters(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """The persistable LSH state: (doc_id, band, band_key) rows for a
+    corpus. Write this once per corpus (bucketed/partitioned by
+    band_key prefix at scale) and incremental ingestion never touches
+    the corpus text again — see minhash_lsh_pairs_incremental."""
+    rows = num_hashes // bands
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.array(
+                            *[F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)]
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Continuous-ingestion dedup: candidate pairs for a NEW batch of
+    documents against (a) the existing corpus via its persisted band
+    table and (b) the batch itself — without recomputing or rereading
+    any corpus text. At 10^12-doc scale this is the only affordable
+    shape: per ingest, signature cost is O(|batch|), and the join
+    against the corpus band table is an equi-join that partition-prunes
+    if the band table is stored bucketed by (band, band_key).
+
+    ``corpus_bands`` must come from :func:`minhash_band_table` with the
+    SAME num_hashes/bands/shingle_n. Returns distinct (id_a, id_b),
+    id_a < id_b, covering new-vs-corpus and new-vs-new pairs.
+    """
+    nb = minhash_band_table(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    a = nb.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b_corpus = corpus_bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    b_new = nb.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    vs_corpus = a.join(b_corpus, ["band", "band_key"]).filter(
+        F.col("id_a") != F.col("id_b")
+    )
+    vs_new = a.join(b_new, ["band", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        vs_corpus.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .unionByName(vs_new.select("id_a", "id_b"))
+        .distinct()
     )
