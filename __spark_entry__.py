@@ -375,6 +375,26 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_stream(docs, budget=2048)
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share per part type: fact-to-dim
+    broadcast join + conditional aggregation (covers the one driver
+    table no other query touches)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(
+                F.sum(F.when(F.col("p_size") <= 10, rev).otherwise(F.lit(0.0))), 2
+            ).alias("small_part_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-metric dimensional rollup: two derived metrics + the
     event_type dimension roll up in ONE scan / ONE shuffle (the
@@ -736,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "tpch_q14": q_tpch_q14,
         "rollup_multi": q_rollup_multi,
         "tick_roundtrip": q_tick_roundtrip,
         "tpch_q5": q_tpch_q5,
@@ -1608,6 +1629,15 @@ SELECT doc_id, n_tokens, cum_before,
        cum_before % 2048 AS offset,
        ((cum_before + n_tokens + 2047) // 2048) - (cum_before // 2048) AS n_chunks
 FROM c
+""",
+        "tpch_q14": """
+SELECT p_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CASE WHEN p_size <= 10 THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS small_part_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
 """,
         "rollup_multi": """
 SELECT user_id AS key, event_type, date_trunc('hour', ts) AS bucket_ts,
