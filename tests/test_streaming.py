@@ -204,3 +204,67 @@ def test_stream_sessions_match_batch_for_closed_sessions(spark, events, tmp_path
     g, w = got.select(cols), want.select(cols)
     assert g.count() == w.count()
     assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+
+
+def test_stream_ewma_matches_batch(spark, events, tmp_path):
+    """The O(1)-state streaming EWMA must equal the batch prefix-sum
+    formulation on the same data."""
+    from tits_spark.operators.sessionize import ewma_irregular
+    from tits_spark.streaming.ewma_stream import stream_ewma
+
+    src = str(tmp_path / "esrc")
+    out = str(tmp_path / "eout")
+    ckpt = str(tmp_path / "eckpt")
+    ev = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    ).filter(F.col("key").isin("1", "2", "3"))
+    ev.write.mode("overwrite").parquet(src)
+
+    q = stream_ewma(
+        spark, src, "key string, ts timestamp, value double",
+        out, ckpt, tau_seconds=86400.0,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).select(
+        "key", "ts", F.round("ewma", 9).alias("ewma")
+    )
+    want = ewma_irregular(ev, "key", "ts", "value", tau_seconds=86400.0).select(
+        "key", "ts", F.round("ewma", 9).alias("ewma")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_ewma_carries_state_across_batches(spark, events, tmp_path):
+    """Second incremental run resumes from (T, s, c) state: rows
+    processed in the later batch must still match the batch EWMA
+    computed over the FULL history."""
+    from tits_spark.operators.sessionize import ewma_irregular
+    from tits_spark.streaming.ewma_stream import stream_ewma
+
+    src = str(tmp_path / "e2src")
+    out = str(tmp_path / "e2out")
+    ckpt = str(tmp_path / "e2ckpt")
+    ev = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    ).filter(F.col("key").isin("1", "2")).cache()
+    days = sorted(r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    cut = days[len(days) // 2]
+    schema = "key string, ts timestamp, value double"
+
+    ev.filter(F.to_date("ts") <= F.lit(cut)).write.mode("overwrite").parquet(src)
+    stream_ewma(spark, src, schema, out, ckpt, tau_seconds=86400.0).awaitTermination(300)
+    ev.filter(F.to_date("ts") > F.lit(cut)).write.mode("append").parquet(src)
+    stream_ewma(spark, src, schema, out, ckpt, tau_seconds=86400.0).awaitTermination(300)
+
+    got = spark.read.parquet(out).select("key", "ts", F.round("ewma", 9).alias("ewma"))
+    want = ewma_irregular(ev, tau_seconds=86400.0).select(
+        "key", "ts", F.round("ewma", 9).alias("ewma")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
