@@ -310,6 +310,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fast(_docs(spark, sf_dir), nbits=32)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole band equi-join (any pair
+    within max_hamming shares an exact 8-bit chunk) + exact Hamming
+    verify — the oracle replays banding, join, and bit_count(xor)."""
+    from tits_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), nbits=32, max_hamming=3, band_bits=8
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tits_spark.operators.text import token_count
 
@@ -738,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
         "quality": q_quality,
         "langid": q_langid,
@@ -1360,6 +1372,36 @@ votes AS (
 SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY 1
+""",
+        "simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0),
+bits AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS bit FROM h),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ascii(substr(h, CAST(bit AS INT) + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+chunks AS (
+  SELECT doc_id, simhash, band,
+         (simhash // CAST(pow(2, band * 8) AS BIGINT)) % 256 AS chunk
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "token_count": """
 SELECT doc_id,
