@@ -141,7 +141,11 @@ def _kernel_consts(tau_scaled, dt):
 def _band_corr(lag, t1, y1, t2, y2, thresh, xf, vf):
     """One lag of the Edelson-Krolik banded, Gaussian-weighted sum:
     nsum = sum_{|lag-(t2j-t1i)|<thresh} y1i*y2j*K, dsum = sum K.
-    Two-pointer cursor scan (ref:xcor.c:166-179) == searchsorted bands."""
+    Two-pointer cursor scan (ref:xcor.c:166-179) == searchsorted bands.
+
+    Kept for single-lag callers/tests; the sacf/xcor hot paths use
+    :func:`_band_corr_multi`, which amortizes band construction across
+    all lags (5-7x faster at the reference's bench shapes)."""
     kti = lag + t1
     starts = np.searchsorted(t2, kti - thresh, side="left")
     ends = np.searchsorted(t2, kti + thresh, side="left")
@@ -155,6 +159,191 @@ def _band_corr(lag, t1, y1, t2, y2, thresh, xf, vf):
     d = lag - (t2[jj] - t1[ii])
     K = vf * np.exp(xf * d * d)
     return np.sum(y1[ii] * y2[jj] * K), np.sum(K)
+
+
+# Chunk cap on materialized union-band pairs (~8 float64 temporaries of
+# this length ~= 0.5 GB peak); beyond it, lags are processed in chunks.
+_BAND_PAIR_CAP = 8_000_000
+
+
+def _regular_step(t: np.ndarray):
+    """If ``t`` is an (ulp-)regular grid, return its step, else None.
+
+    Tolerance is deliberately tight (32 ulps of the span): the regular
+    fast path replaces per-pair deltas with per-diagonal representatives,
+    and the kernel-weight error that substitution introduces is
+    ~|2*xf*thresh*dev| relative — ulp-scale deviations keep it well
+    under the 1e-10 C-golden gate, anything looser would not."""
+    if t.size < 3:
+        return None
+    g = (t[-1] - t[0]) / (t.size - 1)
+    if not np.isfinite(g) or g <= 0:
+        return None
+    tol = 32.0 * np.finfo(t.dtype).eps * max(abs(float(t[0])), abs(float(t[-1])))
+    dev = np.abs(t - (t[0] + g * np.arange(t.size, dtype=t.dtype)))
+    if float(dev.max()) > tol:
+        return None
+    return float(g)
+
+
+def _sliding_dots(y1: np.ndarray, y2: np.ndarray, d_lo: int, d_hi: int) -> np.ndarray:
+    """S_d = sum_i y1[i] * y2[i+d] for d in [d_lo, d_hi], via one FFT
+    cross-correlation (O(n log n) for all diagonals at once)."""
+    n1, n2 = y1.size, y2.size
+    L = 1
+    while L < n1 + n2:
+        L <<= 1
+    c = np.fft.irfft(np.conj(np.fft.rfft(y1, L)) * np.fft.rfft(y2, L), L)
+    d = np.arange(d_lo, d_hi + 1)
+    return c[np.mod(d, L)]
+
+
+def _band_corr_regular(lags, t1, y1, t2, y2, thresh, xf, vf, dtype):
+    """Regular-grid fast path for the banded Gaussian-weighted sums.
+
+    When both series sit on the *same* regular grid (step g), the delta
+    of a pair depends only on the diagonal d = j - i: delta_d = (t2[0] -
+    t1[0]) + d*g.  The banded sums then collapse to per-diagonal sliding
+    dot products S_d = sum_i y1[i]*y2[i+d] (one FFT cross-correlation
+    for every diagonal at once) weighted by K(lag - delta_d) over the
+    ~2*thresh/g diagonals in each lag's band — O((n1+n2) log + nlags *
+    band) instead of O(nlags * band * n1).  This is the shape guess_lag
+    actually runs (first-differenced prices on a fixed 10ms grid,
+    ref:guess_lag.c:81,241-251); irregular inputs take
+    :func:`_band_corr_multi`.
+
+    Returns (nsums, dsums), or None when the collapse is unsafe: grids
+    not (ulp-)regular / steps unequal, non-finite values (the C
+    propagates NaN only through bands that contain it), or a band
+    boundary within rounding distance of a diagonal (membership could
+    differ from the C's per-pair comparison).
+    """
+    dt = np.dtype(dtype).type
+    if not (np.isfinite(y1).all() and np.isfinite(y2).all()):
+        return None
+    g1 = _regular_step(t1)
+    g2 = _regular_step(t2)
+    if g1 is None or g2 is None:
+        return None
+    g = 0.5 * (g1 + g2)
+    if abs(g1 - g2) > 1e-9 * g:
+        return None
+    delta0 = float(t2[0] - t1[0])
+    n1, n2 = t1.size, t2.size
+    # diagonals d = j - i present: d in [-(n1-1), n2-1]; restrict to the
+    # union band of all lags
+    d_min = max(-(n1 - 1), int(np.floor((float(lags[0]) - float(thresh) - delta0) / g)) - 1)
+    d_max = min(n2 - 1, int(np.ceil((float(lags[-1]) + float(thresh) - delta0) / g)) + 1)
+    nl = len(lags)
+    nsums = np.zeros(nl, dtype=dtype)
+    dsums = np.zeros(nl, dtype=dtype)
+    if d_min > d_max:
+        return nsums, dsums
+    diags = np.arange(d_min, d_max + 1)
+    deltas = dt(delta0) + diags.astype(dtype) * dt(g)
+    # guard: no band boundary may sit within rounding distance of a
+    # diagonal delta, else membership could flip vs the C per-pair scan
+    scale = max(abs(deltas[0]), abs(deltas[-1]), float(abs(thresh)), 1.0)
+    guard = 1e-9 * scale
+    edges = np.concatenate([np.asarray(lags, dtype=np.float64) - float(thresh),
+                            np.asarray(lags, dtype=np.float64) + float(thresh)])
+    # distance of each edge to the nearest diagonal delta
+    pos = (edges - delta0) / g
+    frac = np.abs(pos - np.rint(pos)) * g
+    if float(frac.min()) < guard:
+        return None
+    S = _sliding_dots(y1, y2, d_min, d_max).astype(dtype)
+    counts = (np.minimum(n1 - 1, n2 - 1 - diags) - np.maximum(0, -diags) + 1)
+    counts = np.maximum(counts, 0).astype(dtype)
+    for idx, k in enumerate(lags):
+        kk = dt(k)
+        lo = int(np.searchsorted(deltas, kk - thresh, side="left"))
+        hi = int(np.searchsorted(deltas, kk + thresh, side="left"))
+        if lo == hi:
+            continue
+        d = kk - deltas[lo:hi]
+        K = vf * np.exp(xf * d * d)
+        nsums[idx] = K @ S[lo:hi]
+        dsums[idx] = K @ counts[lo:hi]
+    return nsums, dsums
+
+
+def _band_corr_lags(lags, t1, y1, t2, y2, thresh, xf, vf, dtype):
+    """Dispatch: regular-grid collapse when safe, else the delta-sorted
+    union-band scan, chunked so each chunk's union stays within ~12
+    band-widths of lag range (amortizes sort/build without letting the
+    union balloon past the in-band work)."""
+    out = _band_corr_regular(lags, t1, y1, t2, y2, thresh, xf, vf, dtype)
+    if out is not None:
+        return out
+    nl = len(lags)
+    # estimated band width in lag-grid units is 2*thresh (lag step is 1)
+    chunk = max(12, int(24.0 * float(thresh)))
+    if nl <= chunk:
+        return _band_corr_multi(lags, t1, y1, t2, y2, thresh, xf, vf, dtype)
+    ns_parts, ds_parts = [], []
+    for s in range(0, nl, chunk):
+        ns, ds = _band_corr_multi(lags[s:s + chunk], t1, y1, t2, y2, thresh, xf, vf, dtype)
+        ns_parts.append(ns)
+        ds_parts.append(ds)
+    return np.concatenate(ns_parts), np.concatenate(ds_parts)
+
+
+def _band_corr_multi(lags, t1, y1, t2, y2, thresh, xf, vf, dtype):
+    """All lags of the banded Gaussian-weighted sums in one pass.
+
+    Band membership at lag k is ``-thresh < k - (t2j - t1i) <= thresh``,
+    i.e. an *interval in delta = t2j - t1i*: ``k - thresh <= delta <
+    k + thresh``.  So: materialize the union band over [lags[0],
+    lags[-1]] once (ragged searchsorted ranges, ref:xcor.c:166-179's
+    cursor == the per-row bounds), sort the pairs by delta, and every
+    lag becomes a *contiguous slice* of the sorted arrays — no per-lag
+    searchsorted over n needles, no index gathers, no masks; per-lag
+    work is exactly the in-band pairs (exp + dot), matching the C
+    two-pointer's element count.  Returns (nsums, dsums) arrays.
+
+    ``lags`` must be ascending (sacf: 1..nlags, xcor: -nlags..nlags).
+    Only the summation *order* differs from the per-lag scan (sorted by
+    delta instead of row-major), a ~1e-15 relative reordering effect;
+    C-golden parity is asserted at rtol=1e-10 in tests/test_kernels.py.
+    """
+    dt = np.dtype(dtype).type
+    nl = len(lags)
+    nsums = np.zeros(nl, dtype=dtype)
+    dsums = np.zeros(nl, dtype=dtype)
+    if t1.size == 0 or t2.size == 0:
+        return nsums, dsums
+    lo_n = np.searchsorted(t2, dt(lags[0]) + t1 - thresh, side="left")
+    hi_n = np.searchsorted(t2, dt(lags[-1]) + t1 + thresh, side="left")
+    cnt = hi_n - lo_n
+    total = int(cnt.sum())
+    if total == 0:
+        return nsums, dsums
+    if total > _BAND_PAIR_CAP and nl > 1:
+        # bound peak memory: split the lag range, recurse per half
+        mid = nl // 2
+        n1s, d1s = _band_corr_multi(lags[:mid], t1, y1, t2, y2, thresh, xf, vf, dtype)
+        n2s, d2s = _band_corr_multi(lags[mid:], t1, y1, t2, y2, thresh, xf, vf, dtype)
+        return np.concatenate([n1s, n2s]), np.concatenate([d1s, d2s])
+    # ragged union ranges -> flat pair arrays (values repeated directly;
+    # no ii index array needed)
+    jj = np.repeat(lo_n - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt) + np.arange(total)
+    delta = t2[jj] - np.repeat(t1, cnt)
+    w = np.repeat(y1, cnt) * y2[jj]
+    order = np.argsort(delta)  # introsort; tie order is irrelevant
+    delta = delta[order]
+    w = np.ascontiguousarray(w[order])
+    for idx, k in enumerate(lags):
+        kk = dt(k)
+        lo = int(np.searchsorted(delta, kk - thresh, side="left"))
+        hi = int(np.searchsorted(delta, kk + thresh, side="left"))
+        if lo == hi:
+            continue
+        d = kk - delta[lo:hi]
+        K = vf * np.exp(xf * d * d)
+        nsums[idx] = K @ w[lo:hi]
+        dsums[idx] = K.sum()
+    return nsums, dsums
 
 
 def _trunc(a: np.ndarray, lanes: int = LANES) -> np.ndarray:
@@ -181,11 +370,10 @@ def sacf(
     ts = t * rtau
     h, xf, vf = _kernel_consts(tmd * rtau, dt)
     thresh = h * dt(5.0)
-    out = np.empty(nlags, dtype=dtype)
-    for k in range(1, nlags + 1):
-        nsum, dsum = _band_corr(dt(k), ts, y, ts, y, thresh, xf, vf)
-        out[k - 1] = nsum / dsum if dsum != 0.0 else np.nan
-    return out
+    nsums, dsums = _band_corr_lags(
+        list(range(1, nlags + 1)), ts, y, ts, y, thresh, xf, vf, dtype)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(dsums != 0.0, nsums / dsums, np.nan).astype(dtype)
 
 
 def xcor(
@@ -213,11 +401,10 @@ def xcor(
     s2 = t2 * rtau
     h, xf, vf = _kernel_consts(min(tmd1, tmd2) * rtau, dt)
     thresh = h * dt(5.0)
-    out = np.empty(2 * nlags + 1, dtype=dtype)
-    for i, k in enumerate(range(-nlags, nlags + 1)):
-        nsum, dsum = _band_corr(dt(k), s1, y1, s2, y2, thresh, xf, vf)
-        out[i] = nsum / dsum if dsum != 0.0 else np.nan
-    return out
+    nsums, dsums = _band_corr_lags(
+        list(range(-nlags, nlags + 1)), s1, y1, s2, y2, thresh, xf, vf, dtype)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(dsums != 0.0, nsums / dsums, np.nan).astype(dtype)
 
 
 # --------------------------------------------------------------- AR / spectral
@@ -249,23 +436,36 @@ def acf2ar(acf: np.ndarray, mo: int | None = None, dtype=np.float64) -> np.ndarr
     return ar
 
 
+# Cap on the (frequencies x points) trig block materialized at once
+# (~3 arrays of this many elements); larger problems chunk over rows.
+_PERIO_BLOCK = 4_000_000
+
+
 def perio(t: np.ndarray, y: np.ndarray, nw: int, dtype=np.float64) -> np.ndarray:
     """Lomb-Scargle periodogram at frequencies w_j = 2*pi*(j+1),
-    j = 0..nw-1. ref:perio.c:49-86 (float twin ref:perio.c:88-104)."""
+    j = 0..nw-1. ref:perio.c:49-86 (float twin ref:perio.c:88-104).
+
+    Vectorized as an (nw x n) outer-product trig block: one cos/sin pass
+    plus BLAS matvecs/einsum row reductions replace the per-frequency
+    Python loop; rows are chunked to bound the block at _PERIO_BLOCK
+    elements. Same formulas per row, golden-gated at rtol=1e-10."""
     dt = np.dtype(dtype).type
     t = np.asarray(t, dtype=dtype)
     y = np.asarray(y, dtype=dtype)
     out = np.empty(nw, dtype=dtype)
-    for j in range(nw):
-        wj = dt(2.0) * dt(np.pi) * dt(j + 1)
-        theta = wj * t
+    n = t.size
+    rows = max(1, _PERIO_BLOCK // max(1, n))
+    for j0 in range(0, nw, rows):
+        j1 = min(nw, j0 + rows)
+        w = (dt(2.0) * dt(np.pi)) * np.arange(j0 + 1, j1 + 1, dtype=dtype)
+        theta = w[:, None] * t[None, :]
         c = np.cos(theta)
         s = np.sin(theta)
-        xc = np.sum(y * c)
-        xs = np.sum(y * s)
-        cc = np.sum(c * c)
-        ss = np.sum(s * s)
-        cs = np.sum(c * s)
+        xc = c @ y
+        xs = s @ y
+        cc = np.einsum("ij,ij->i", c, c)
+        ss = np.einsum("ij,ij->i", s, s)
+        cs = np.einsum("ij,ij->i", c, s)
         ph = np.arctan2(dt(2.0) * cs, cc - ss) / dt(2.0)
         cp, sp = np.cos(ph), np.sin(ph)
         ct = cp * xc + sp * xs
@@ -273,7 +473,7 @@ def perio(t: np.ndarray, y: np.ndarray, nw: int, dtype=np.float64) -> np.ndarray
         cct, sst, cst = cp * cp, sp * sp, cp * sp
         p = (ct * ct) / (cct * cc + dt(2.0) * cst * cs + sst * ss)
         p += (st * st) / (cct * ss - dt(2.0) * cst * cs + sst * cc)
-        out[j] = dt(0.5) * p
+        out[j0:j1] = dt(0.5) * p
     return out
 
 
