@@ -108,3 +108,61 @@ def test_native_session_window_agrees_with_window_algebra(spark, events):
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_ewma_long_span_no_overflow(spark):
+    """span/tau >= 1e5: the single-rebase factoring overflows double exp
+    (exp(1e5) = inf -> NaN); the segmented rebase must match the naive
+    O(n^2) definition computed with bounded exponents."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    tau = 3600.0  # 1h tau over a ~12-year span -> span/tau ~ 1e5
+    n = 400
+    t = np.sort(rng.uniform(0, 1e5 * tau, n))
+    t = np.floor(t * 1e6) / 1e6  # timestamp columns carry microseconds
+    v = rng.normal(0.0, 5.0, n)
+    rows = [
+        ("k", float(ti), float(vi)) for ti, vi in zip(t, v)
+    ]
+    df = spark.createDataFrame(rows, "key string, tsec double, value double")
+    df = df.withColumn("ts", F.timestamp_seconds("tsec")).drop("tsec")
+    out = (
+        ewma_irregular(df, tau_seconds=tau)
+        .orderBy("ts")
+        .select("ewma")
+        .collect()
+    )
+    got = np.array([r["ewma"] for r in out])
+    assert np.isfinite(got).all()
+    # naive definition with bounded exponents: weights e^{-(ti-tj)/tau}
+    want = np.empty(n)
+    for i in range(n):
+        w = np.exp(-(t[i] - t[: i + 1]) / tau)
+        want[i] = float(np.sum(v[: i + 1] * w) / np.sum(w))
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_ewma_chunked_matches_single_rebase_small_span(spark):
+    """On spans far below the overflow bound the segmented rebase must
+    reproduce the plain factored prefix-sum formulation (~1e-12)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    tau = 86400.0
+    n = 300
+    t = np.sort(rng.uniform(0, 30 * 86400.0, n))  # 30-day span, tau=1d
+    v = rng.normal(2.0, 3.0, n)
+    df = spark.createDataFrame(
+        [("k", float(ti), float(vi)) for ti, vi in zip(t, v)],
+        "key string, tsec double, value double",
+    ).withColumn("ts", F.timestamp_seconds("tsec")).drop("tsec")
+    got = np.array([
+        r["ewma"]
+        for r in ewma_irregular(df, tau_seconds=tau).orderBy("ts").select("ewma").collect()
+    ])
+    # plain single-rebase reference computed in numpy
+    trel = t - t[0]
+    g = np.exp(trel / tau)
+    want = np.cumsum(v * g) / np.cumsum(g)
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-12)

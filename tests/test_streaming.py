@@ -268,3 +268,39 @@ def test_stream_ewma_carries_state_across_batches(spark, events, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_ewma_long_span_backfill(spark, tmp_path):
+    """availableNow backfill whose batch spans ~1e5*tau: the segmented
+    within-batch rebase must neither overflow nor corrupt (T, s, c),
+    and must match the (also segmented) batch operator."""
+    import numpy as np
+
+    from tits_spark.operators.sessionize import ewma_irregular
+    from tits_spark.streaming.ewma_stream import stream_ewma
+
+    rng = np.random.default_rng(21)
+    tau = 3600.0
+    t = np.floor(np.sort(rng.uniform(0, 1e5 * tau, 500)) * 1e6) / 1e6
+    v = rng.normal(0.0, 5.0, 500)
+    ev = spark.createDataFrame(
+        [("k", float(ti), float(vi)) for ti, vi in zip(t, v)],
+        "key string, tsec double, value double",
+    ).withColumn("ts", F.timestamp_seconds("tsec")).drop("tsec")
+
+    src = str(tmp_path / "lsrc")
+    out = str(tmp_path / "lout")
+    ckpt = str(tmp_path / "lckpt")
+    ev.write.mode("overwrite").parquet(src)
+    stream_ewma(
+        spark, src, "key string, ts timestamp, value double",
+        out, ckpt, tau_seconds=tau,
+    ).awaitTermination(300)
+
+    got = spark.read.parquet(out).select(
+        "key", "ts", F.round("ewma", 9).alias("ewma"))
+    assert got.filter(F.col("ewma").isNull() | F.isnan("ewma")).count() == 0
+    want = ewma_irregular(ev, tau_seconds=tau).select(
+        "key", "ts", F.round("ewma", 9).alias("ewma"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -16,11 +16,17 @@ that model:
    factoring exp(-(t_i-t_j)/tau) = exp(-t_i/tau) * exp(t_j/tau) turns
    both numerator and denominator into ordered running sums — O(n),
    pure column algebra, whole-stage codegen, identical math in ANSI SQL
-   for the oracle. Timestamps are rebased per key so the exponent
-   magnitude is bounded by (key's time span)/tau; for span/tau beyond
-   ~700 (double exp overflow) use a larger tau or a chunked rebase —
-   at tier granularity (tau >= hours, spans <= years) this bound is
-   never approached.
+   for the oracle. Overflow safety: the factored exponent is bounded by
+   (key's time span)/tau, which overflows double exp beyond ~709 — so
+   the timeline is segmented into chunks of EWMA_CHUNK_EXP*tau (=256),
+   prefix sums run within a chunk (exp <= e^256), and the influence of
+   earlier chunks arrives as a per-chunk carry decayed by e^{-256*d}:
+   only the two nearest populated predecessor chunks can contribute
+   (e^{-768} underflows to exactly 0 in double), so the carry is two
+   LAGs over a tiny per-chunk summary that broadcast-joins back. The
+   chunk-local rebase factor cancels in the num/den ratio, so results
+   match the single-chunk factoring bit-for-near (~1e-15) on small
+   spans and the naive O(n^2) definition on any span.
 """
 
 from __future__ import annotations
@@ -108,6 +114,14 @@ def session_stats_native(
     )
 
 
+# Exponent budget per chunk of the segmented EWMA rebase. 256 keeps the
+# within-chunk factor at e^256 (~1e111, far from double overflow at
+# e^709) while 3 chunks of decay (e^-768) underflows to exactly 0.0 —
+# so a carry over the two nearest populated predecessor chunks is exact
+# to double precision.
+EWMA_CHUNK_EXP = 256.0
+
+
 def ewma_irregular(
     df: DataFrame,
     key: str = "key",
@@ -120,11 +134,68 @@ def ewma_irregular(
     ewma_i = sum_j<=i v_j e^{-(t_i-t_j)/tau} / sum_j<=i e^{-(t_i-t_j)/tau}.
 
     Computed as a ratio of two ordered prefix sums after factoring the
-    decay (see module docstring): O(n) per key, no UDF, one shuffle."""
+    decay, segmented into EWMA_CHUNK_EXP*tau chunks so the factored
+    exponent never exceeds 256 regardless of the key's time span (see
+    module docstring). Plan shape: one shuffle on the key for the
+    windows, one hash aggregate to the tiny per-(key, chunk) summary,
+    which joins back broadcast-style; no UDF anywhere."""
+    cw = float(EWMA_CHUNK_EXP) * float(tau_seconds)
     wk = Window.partitionBy(key)
-    w = wk.orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
+    wc = Window.partitionBy(key, "_ewma_chunk").orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, 0)
     t_rel = ts_seconds(F.col(ts)) - F.min(ts_seconds(F.col(ts))).over(wk)
-    g = F.exp(t_rel / F.lit(tau_seconds))
-    num = F.sum(F.col(value) * g).over(w)
-    den = F.sum(g).over(w)
-    return df.withColumn(out, num / den)
+    rows = (
+        df.withColumn("_ewma_trel", t_rel)
+        .withColumn("_ewma_chunk", F.floor(F.col("_ewma_trel") / F.lit(cw)))
+        .withColumn(
+            "_ewma_g",
+            F.exp((F.col("_ewma_trel") - F.col("_ewma_chunk") * F.lit(cw))
+                  / F.lit(tau_seconds)),
+        )
+        .withColumn("_ewma_num_in", F.sum(F.col(value) * F.col("_ewma_g")).over(wc))
+        .withColumn("_ewma_den_in", F.sum(F.col("_ewma_g")).over(wc))
+    )
+    # tiny per-chunk summary: totals of each populated chunk, then the
+    # carry from the two nearest populated predecessors, decayed by the
+    # actual chunk distance (>= 3 chunks of distance is exactly 0.0)
+    wchunks = Window.partitionBy(key).orderBy("_ewma_chunk")
+    decay = lambda d: F.exp(-F.lit(EWMA_CHUNK_EXP) * d.cast("double"))
+
+    def lag_carry(col: str, n: int):
+        prev = F.lag(col, n).over(wchunks)
+        dist = F.col("_ewma_chunk") - F.lag("_ewma_chunk", n).over(wchunks)
+        return F.coalesce(prev * decay(dist), F.lit(0.0))
+
+    chunks = (
+        rows.groupBy(key, "_ewma_chunk")
+        .agg(
+            F.sum(F.col(value) * F.col("_ewma_g")).alias("_ewma_tot_num"),
+            F.sum(F.col("_ewma_g")).alias("_ewma_tot_den"),
+        )
+        .withColumn(
+            "_ewma_carry_num",
+            lag_carry("_ewma_tot_num", 1) + lag_carry("_ewma_tot_num", 2),
+        )
+        .withColumn(
+            "_ewma_carry_den",
+            lag_carry("_ewma_tot_den", 1) + lag_carry("_ewma_tot_den", 2),
+        )
+        .select(key, "_ewma_chunk", "_ewma_carry_num", "_ewma_carry_den")
+    )
+    # the carry was accumulated against its own chunk's local base;
+    # decay() rescales by the actual chunk distance, so num/den are
+    # directly comparable (the current chunk's local rebase factor
+    # cancels in the ratio). Join is left unhinted: the summary has one
+    # row per populated (key, chunk) — AQE broadcasts it when small but
+    # may not at e.g. 1e9 keys, where a shuffle join on the same key
+    # prefix is the right plan anyway.
+    joined = rows.join(chunks, [key, "_ewma_chunk"], "left")
+    return (
+        joined.withColumn(
+            out,
+            (F.col("_ewma_num_in") + F.col("_ewma_carry_num"))
+            / (F.col("_ewma_den_in") + F.col("_ewma_carry_den")),
+        )
+        .drop("_ewma_trel", "_ewma_chunk", "_ewma_g", "_ewma_num_in",
+              "_ewma_den_in", "_ewma_carry_num", "_ewma_carry_den")
+    )
