@@ -1067,8 +1067,10 @@ expd AS (
 ),
 sig AS (
   SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx,
+         -- prefix scheme mirrors _minhash_wide: md5 block j = hash_idx // 4
+         -- gets prefix '' for j=0 else '<j>|' (generalizes past 8 hashes)
          min(('0x' || substr(md5(CASE WHEN hash_idx < 4 THEN shingle
-                                      ELSE '1|' || shingle END),
+                                      ELSE CAST(hash_idx // 4 AS VARCHAR) || '|' || shingle END),
                              1 + 8 * (hash_idx % 4), 8))::BIGINT) AS minhash
   FROM expd GROUP BY 1, 2
 ),
@@ -1115,8 +1117,10 @@ _MINHASH_CTE = _SHINGLE_CTE + """
 ),
 sig AS (
   SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx,
+         -- prefix scheme mirrors _minhash_wide: md5 block j = hash_idx // 4
+         -- gets prefix '' for j=0 else '<j>|' (generalizes past 8 hashes)
          min(('0x' || substr(md5(CASE WHEN hash_idx < 4 THEN shingle
-                                      ELSE '1|' || shingle END),
+                                      ELSE CAST(hash_idx // 4 AS VARCHAR) || '|' || shingle END),
                              1 + 8 * (hash_idx % 4), 8))::BIGINT) AS minhash
   FROM exp GROUP BY 1, 2
 )

@@ -155,3 +155,12 @@ def test_xcf_bandjoin_matches_udf(spark, ev):
     d = xcf_bandjoin(ev, keys[0], keys[1], nlags=5, tau=3600.0).toPandas().set_index("lag").sort_index()
     assert len(u) == len(d) == 11
     assert float(np.abs(u["xcf"] - d["xcf"]).max()) < 1e-9
+
+
+def test_xcf_bandjoin_rejects_same_series():
+    import pytest
+
+    from tits_spark.operators.correlate import xcf_bandjoin
+
+    with pytest.raises(ValueError, match="two distinct series"):
+        xcf_bandjoin(None, "a", "a")

@@ -99,3 +99,20 @@ def test_locf_on_rollup(transcripts):
     w_nulls = filled.filter(F.col("v_last").isNull()).count()
     assert w_nulls == 0  # spine starts at each key's min bucket -> no leading nulls
     assert filled.count() >= t1m.count()
+
+
+def test_bucket_spine_rejects_non_day_dividing_tier():
+    """A sub-day tier width that does not divide 86400 would silently
+    misalign the two-level day/bucket spine; it must raise instead."""
+    import pytest
+
+    from tits_spark.operators import gapfill
+
+    saved = dict(gapfill.TIERS)
+    try:
+        gapfill.TIERS["7m"] = ("minute", 420)  # 86400 % 420 != 0
+        with pytest.raises(ValueError, match="must divide 86400"):
+            gapfill.bucket_spine(None, "7m")
+    finally:
+        gapfill.TIERS.clear()
+        gapfill.TIERS.update(saved)

@@ -368,11 +368,24 @@ def xcf_bandjoin(
     pure DataFrame algebra (declarative twin of xcor_pairs, the XCF
     analog of acf_bandjoin; ref:xcor.c:153-181). Lags -nlags..+nlags;
     kernel width from the smaller mean time-step (ref:xcor.c:223).
-    Both series are rebased to series 1's first timestamp."""
+    Both series are rebased to series 1's first timestamp.
+
+    PRECONDITION — exactly two series: this operator uses two global
+    (unpartitioned) windows for the shared rebase origin and kernel
+    width, which funnel the input through a single partition. That is
+    safe ONLY because the first thing it does is filter to the two
+    named keys; do NOT adapt it to a many-pair table — ``xcor_pairs``
+    is the scalable many-pair path (broadcast pair registry, one
+    cogroup shuffle, no global window)."""
     from pyspark.sql import Window
 
     from tits_spark.functions.exprs import ts_seconds
 
+    if key1 == key2:
+        raise ValueError(
+            "xcf_bandjoin needs two distinct series; for the "
+            "autocorrelation use acf_bandjoin"
+        )
     t_sec = ts_seconds(ts)
     w = Window.partitionBy(key)
     wot = Window.partitionBy(key).orderBy(t_sec)

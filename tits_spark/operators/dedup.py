@@ -409,25 +409,30 @@ def dedup_clusters(
         lut = merged.select(
             F.col("node").alias("label"), F.col("label").alias("_label2")
         )
+        # the changed-flag is computed INSIDE the round's checkpoint job
+        # (one extra equi-join against the previous labels, same node
+        # key); the convergence probe below then only scans the already-
+        # materialized checkpoint blocks with a limit-1 early exit — no
+        # second join job per iteration
         new_labels = (
             merged.join(lut, "label", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("_label2"), F.col("label"))).alias("label"),
             )
+            .join(labels.withColumnRenamed("label", "_old"), "node")
+            .select(
+                "node", "label",
+                (F.col("label") != F.col("_old")).alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        # release the superseded round's checkpoint blocks now — relying
-        # on GC pins up to max_iter copies of the label table in
-        # executor storage on large graphs
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        # superseded rounds' checkpoint blocks are RDD-level storage not
+        # registered with the cache manager (unpersist() would be a
+        # no-op); dropping the Python reference lets the ContextCleaner
+        # GC them — O(log n) rounds bounds the transient pinning
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break

@@ -34,8 +34,17 @@ def bucket_spine(tier_df: DataFrame, tier: str) -> DataFrame:
     ~40MB row, an executor-OOM hazard exactly on the long-lived keys a
     10^12-turn table is guaranteed to contain. Day boundaries lie on
     every sub-day tier grid, so the two-level expansion produces
-    row-identical output to the single sequence."""
+    row-identical output to the single sequence — PROVIDED the tier
+    width divides a day and the session timezone has no DST (both hold
+    for the UTC-pinned 60/3600/86400 tiers; the assert below turns a
+    violation, e.g. a future '7m' tier, into an error instead of a
+    silently misaligned spine)."""
     _, secs = TIERS[tier]
+    if secs < 86400 and 86400 % secs != 0:
+        raise ValueError(
+            f"bucket_spine: sub-day tier width {secs}s must divide 86400 "
+            "for the day/bucket two-level expansion to stay on the grid"
+        )
     per_key = tier_df.groupBy("key").agg(
         F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
     )
