@@ -1,0 +1,71 @@
+"""Recall floors for the approximate similarity paths at non-toy size.
+
+Plan-shape tests (test_plans.py) prove lsh_topk / ivf_topk never scan
+all pairs; these tests prove the approximation is *useful* — on a 15k
+vector clustered corpus (the regime embedding models produce; see
+tits_spark/datagen/embeddings.py) the candidates they do rerank must
+contain most of the true top-k. Floors are set ~0.1 under the measured
+values in BENCH/ANN.md so host-independent, seed-fixed runs never flap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.datagen.embeddings import generate_embeddings
+from tits_spark.operators import similarity as S
+
+N, N_QUERIES, DIM, K = 15_000, 30, 64, 10
+
+
+@pytest.fixture(scope="module")
+def corpus_and_truth(spark):
+    all_vecs = generate_embeddings(
+        spark, N + N_QUERIES, dim=DIM, n_clusters=50, sigma=0.05, seed=0
+    ).cache()
+    corpus = all_vecs.filter(F.col("vec_id") < N).select("vec_id", "embedding")
+    queries = all_vecs.filter(F.col("vec_id") >= N).select("vec_id", "embedding")
+    truth = _topk_sets(S.cosine_topk(corpus, queries, k=K))
+    yield corpus, queries, truth
+    all_vecs.unpersist()
+
+
+def _topk_sets(df):
+    out: dict[int, set] = {}
+    for r in df.select("query_id", "vec_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(approx, truth):
+    per_q = [
+        len(approx.get(q, set()) & t) / max(1, len(t))
+        for q, t in truth.items()
+    ]
+    return sum(per_q) / len(per_q)
+
+
+def test_lsh_topk_recall_floor(corpus_and_truth):
+    corpus, queries, truth = corpus_and_truth
+    approx = _topk_sets(
+        S.lsh_topk(corpus, queries, k=K, nbits=8, n_tables=8, dim=DIM))
+    assert _recall(approx, truth) >= 0.75
+
+
+def test_ivf_topk_recall_floor(corpus_and_truth):
+    corpus, queries, truth = corpus_and_truth
+    approx = _topk_sets(
+        S.ivf_topk(corpus, queries, k=K, n_centroids=64, nprobe=2))
+    assert _recall(approx, truth) >= 0.90
+
+
+def test_generator_partition_invariant(spark):
+    """Counter-hash determinism: the same ids produce bit-identical
+    vectors under different partition layouts (rand()/randn() would
+    not)."""
+    a = generate_embeddings(spark, 500, dim=8, seed=3, partitions=1)
+    b = generate_embeddings(spark, 500, dim=8, seed=3, partitions=7)
+    ra = {r["vec_id"]: r["embedding"] for r in a.collect()}
+    rb = {r["vec_id"]: r["embedding"] for r in b.collect()}
+    assert ra == rb
