@@ -61,7 +61,14 @@ def ensure_input(convs: int) -> pathlib.Path:
     return path
 
 
-def run_once(pyz: pathlib.Path, inp: pathlib.Path, execs: int, cores: int, tag: str) -> dict:
+def run_once(
+    pyz: pathlib.Path,
+    inp: pathlib.Path,
+    execs: int,
+    cores: int,
+    tag: str,
+    extra_conf: list[str] | None = None,
+) -> dict:
     tiers = SHM / f"tiers_{tag}"
     metrics = SHM / f"metrics_{tag}"
     local = SHM / f"tmp_{tag}"
@@ -83,6 +90,7 @@ def run_once(pyz: pathlib.Path, inp: pathlib.Path, execs: int, cores: int, tag: 
         "--conf", "spark.sql.files.maxPartitionBytes=33554432",
         "--conf", "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=4000000",
         "--conf", f"spark.sql.shuffle.partitions={shuffle_parts}",
+        *[a for c in (extra_conf or []) for a in ("--conf", c)],
         "--py-files", str(pyz),
         str(REPO / "jobs" / "rollup_job.py"),
         "--input", str(inp),
