@@ -1113,7 +1113,12 @@ LEFT JOIN near n ON n.doc_id = feat.doc_id
 
 _MINHASH_CTE = _SHINGLE_CTE + """
 , exp AS (
-  SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS hash_idx FROM sh
+  -- sh0, NOT the frequency-capped sh: the engine's MinHash is the
+  -- standard definition over ALL of a doc's shingles (the doc-freq cap
+  -- is ngram_jaccard's join-explosion guard, not part of MinHash).
+  -- Using sh here diverged exactly when a shingle's doc frequency
+  -- crossed 1000 -- invisible at sf0.01, caught by the sf0.1 soak.
+  SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS hash_idx FROM sh0
 ),
 sig AS (
   SELECT doc_id, CAST(hash_idx AS INT) AS hash_idx,
