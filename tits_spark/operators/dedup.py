@@ -38,18 +38,26 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def char_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct character n-gram shingles per doc: (<id_col>, shingle).
-    Pure column expr: substring over a sequence of offsets, exploded."""
+    """Character n-gram shingles per doc: (<id_col>, shingle).
+    Pure column expr: substring over a sequence of offsets, exploded.
+
+    ``distinct=True`` (default) gives set semantics — REQUIRED for
+    Jaccard counting — at the price of a full shuffle of the exploded
+    rows. Pass ``distinct=False`` for duplicate-insensitive consumers:
+    MinHash's per-hash *min* is identical over multiset and set, so the
+    wide signature aggregation skips the dedup shuffle entirely and its
+    map-side partial min absorbs repeats for free."""
     txt = F.col(text_col)
     offs = F.sequence(F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(1)))
-    return (
+    sh = (
         df.select(F.col(id_col), F.explode(offs).alias("off"), txt.alias("_t"))
         .select(id_col, F.substring(F.col("_t"), F.col("off"), n).alias("shingle"))
         .filter(F.length("shingle") == n)
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(
@@ -120,7 +128,9 @@ def _minhash_wide(
     candidates 2.6x (1782 vs 689 pairs, same 25 true near-dups), a
     quadratic-in-corpus cost at scale. Independent md5 windows match
     the ideal family (610 candidates, same 25 true)."""
-    sh = char_shingles(df, id_col, text_col, shingle_n)
+    # distinct=False: min() is duplicate-insensitive, so skipping the
+    # (doc, shingle) dedup removes a full shuffle of the exploded rows
+    sh = char_shingles(df, id_col, text_col, shingle_n, distinct=False)
     n_md5 = (num_hashes + 3) // 4
     for j in range(n_md5):
         src = (
