@@ -375,6 +375,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(docs, ["lang_pred"], k=20)
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct 5-word-gram
+    overlaps with a 'benchmark' set (docs with doc_id % 97 == 0 stand in
+    for the eval suite). Benchmark grams broadcast; corpus side is a
+    map-only explode + broadcast semi-join."""
+    from tits_spark.operators.decontam import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(docs, bench, n=5)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: top-2/3-gram char
+    fraction, duplicate-5-gram char fraction, duplicate-line fraction
+    per document (one tagged-gram shuffle for all n)."""
+    from tits_spark.operators.text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mixture domain reweighting: down-sample to target source
+    proportions 3:2:2:1:1:1 over six domains with maximum retention,
+    selection by deterministic Knuth-hash order within each domain."""
+    from tits_spark.operators.sampling import domain_mix_exact
+
+    weights = {"src0": 3.0, "src1": 2.0, "src2": 2.0, "src3": 1.0, "src4": 1.0, "src5": 1.0}
+    out = domain_mix_exact(_docs(spark, sf_dir), weights)
+    return out.select("doc_id", "source")
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: each doc's (chunk_id, offset)
     in the budget-2048 token stream, computed with the two-phase
@@ -775,6 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "ewma": q_ewma,
         "percentiles": q_percentiles,
+        "decontam": q_decontam,
+        "repetition": q_repetition,
+        "domain_mix": q_domain_mix,
     }
 
 
@@ -1767,5 +1802,99 @@ SELECT user_id AS key,
        round(quantile_cont(value, 0.75), 6) AS p75,
        round(quantile_cont(value, 0.9), 6) AS p90
 FROM events GROUP BY 1
+""",
+        # word-5-gram overlap vs the doc_id % 97 == 0 "benchmark" set;
+        # tokenization mirrors decontam._tokens exactly
+        "decontam": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i+4], ' ') AS ngram
+  FROM tok, unnest(range(1, len(w) - 3)) AS t(i)
+),
+bgrams AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bgrams USING (ngram)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+        # Gopher repetition filters; definitions mirror
+        # text.repetition_features (top by (cnt, char mass, gram) max)
+        "repetition": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, ns.n, array_to_string(w[t.i : t.i + ns.n - 1], ' ') AS gram,
+         length(array_to_string(w, '')) AS tot
+  FROM tok, (VALUES (2), (3), (5)) AS ns(n),
+       unnest(range(1, len(w) - ns.n + 2)) AS t(i)
+),
+counts AS (
+  SELECT doc_id, n, gram, any_value(tot) AS tot, count(*) AS cnt,
+         length(replace(gram, ' ', '')) AS mass
+  FROM g GROUP BY doc_id, n, gram
+),
+pern AS (
+  SELECT doc_id, n,
+         max(struct_pack(c := cnt, m := cnt * mass, g := gram)) AS top,
+         sum(CASE WHEN cnt > 1 THEN (cnt - 1) * mass ELSE 0 END) AS dupmass,
+         any_value(tot) AS tot
+  FROM counts GROUP BY 1, 2
+),
+wide AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN n = 2 THEN round(top.m / tot, 6) END), 0.0) AS top2gram_char_frac,
+         coalesce(max(CASE WHEN n = 3 THEN round(top.m / tot, 6) END), 0.0) AS top3gram_char_frac,
+         coalesce(max(CASE WHEN n = 5 THEN round(dupmass / tot, 6) END), 0.0) AS dup5gram_char_frac
+  FROM pern GROUP BY 1
+),
+ln AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM documents
+)
+SELECT ln.doc_id,
+       coalesce(w.top2gram_char_frac, 0.0) AS top2gram_char_frac,
+       coalesce(w.top3gram_char_frac, 0.0) AS top3gram_char_frac,
+       coalesce(w.dup5gram_char_frac, 0.0) AS dup5gram_char_frac,
+       CASE WHEN len(ls) > 0
+            THEN round((len(ls) - len(list_distinct(ls))) / len(ls), 6)
+            ELSE 0.0 END AS dup_line_frac
+FROM ln LEFT JOIN wide w USING (doc_id)
+""",
+        # exact-mixture reweighting: weights 3:2:2:1:1:1 normalized by
+        # /10 exactly as the Python side computes them
+        "domain_mix": """
+WITH wts(source, w) AS (
+  VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.2),
+         ('src3', 0.1), ('src4', 0.1), ('src5', 0.1)
+),
+cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+t AS (SELECT min(cnt.c / wts.w) AS tt FROM cnt JOIN wts USING (source)),
+quota AS (
+  SELECT wts.source, CAST(floor(wts.w * t.tt) AS BIGINT) AS k FROM wts, t
+),
+rk AS (
+  SELECT d.doc_id, d.source, q.k,
+         row_number() OVER (PARTITION BY d.source
+             ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 4294967296,
+                      d.doc_id) AS r
+  FROM documents d JOIN quota q USING (source)
+)
+SELECT doc_id, source FROM rk WHERE r <= k
 """,
     }

@@ -78,3 +78,58 @@ def stratified_sample_exact(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def domain_mix_exact(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Down-sample a multi-domain corpus to an exact target mixture
+    with maximum retention — the "domain reweighting" step of a
+    training-data pipeline (the deterministic analog of the sampling
+    ratios in public recipes like The Pile / DoReMi): given target
+    proportions ``weights`` (need not sum to 1 — they are normalized),
+    keep ``k_d = floor(w_d * T)`` documents of domain ``d`` where
+    ``T = min_d(count_d / w_d)`` is the largest total for which no
+    domain is over-drawn. Domains absent from ``weights`` (weight 0)
+    are dropped.
+
+    Selection within a domain is by the deterministic Knuth-hash order
+    (ties by id), so the output is a pure function of the data —
+    identical at any parallelism, and expressible in ANSI SQL for the
+    oracle gate.
+
+    Plan shape at 100 TB: one hash aggregation for the per-domain
+    counts (|domains| rows — these tiny frames use a single-partition
+    window, which is bounded by the domain count, not the data); the
+    per-domain quota joins back as a **broadcast**; the only data-sized
+    shuffle is the per-domain row_number window, the same shape as any
+    stratified top-k, with AQE handling skewed domains.
+    """
+    total_w = float(sum(weights.values()))
+    wdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(d, w / total_w) for d, w in weights.items()], f"{domain_col} string, _w double"
+        )
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # T over the |domains|-row counts frame; global window is bounded
+    quotas = (
+        counts.join(wdf, domain_col)
+        .withColumn(
+            "_T", F.min(F.col("_cnt") / F.col("_w")).over(Window.partitionBy())
+        )
+        .select(domain_col, F.floor(F.col("_w") * F.col("_T")).alias("_k"))
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        sample_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(quotas), domain_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_k"))
+        .drop("_rk", "_k")
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from tits_spark.operators.decontam import word_ngrams_col, _tokens
+
 # tiny English stopword list for the n-gram/stopword heuristics
 STOPWORDS = [
     "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
@@ -81,3 +83,110 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     ref:hash.c:325-344)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Gopher-style within-document repetition features (Rae et al.
+    2021, table A1): documents dominated by a repeated phrase or
+    boilerplate block are low-quality training data even when their
+    character-class ratios look fine.
+
+    Per document, over lowercased-alphanumeric word tokens:
+
+     - ``top{n}gram_char_frac`` for n in ``top_ns``: character mass of
+       the single most frequent word n-gram (count x its non-space
+       char length) over the doc's total token chars. The "most
+       frequent" gram is chosen by (count, char mass, gram) descending
+       — a total order, so the result is partition-layout invariant.
+     - ``dup{n}gram_char_frac`` for n in ``dup_ns``: character mass of
+       the *repeated* occurrences (count - 1 per distinct gram that
+       appears more than once) over total token chars.
+     - ``dup_line_frac``: fraction of non-empty trimmed lines that are
+       duplicates of an earlier line — computed purely with array
+       expressions (size - size(array_distinct)), no shuffle.
+
+    Plan shape: ONE exploded frame carries every (n, gram) pair tagged
+    by n, so all gram statistics share a single shuffle keyed by
+    (doc, n, gram) with map-side partial aggregation; line stats are
+    shuffle-free column algebra. Docs with no qualifying grams get 0.0
+    via the final left join from the id spine.
+    """
+    txt = F.col(text_col)
+    toks = _tokens(txt)
+    tot_chars = F.length(F.concat_ws("", toks))
+
+    # one array of (n, gram) structs covering every requested n.
+    # NB: the tag lambda must be single-argument — a two-parameter
+    # lambda is PySpark's (element, index) transform form and would
+    # silently receive the array index as its second argument.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(
+            *[F.transform(word_ngrams_col(txt, n), _tag(n)) for n in (*top_ns, *dup_ns)]
+        )
+    )
+    exploded = df.select(
+        F.col(id_col),
+        tot_chars.alias("_tot"),
+        F.explode(tagged).alias("t"),
+    ).select(id_col, "_tot", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+
+    gram_counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("_tot").alias("_tot")
+    )
+    mass = F.length(F.regexp_replace(F.col("gram"), " ", ""))
+    per_n = gram_counts.groupBy(id_col, "n").agg(
+        # argmax by (count, char mass, gram): struct max is lexicographic
+        F.max(
+            F.struct(F.col("cnt"), (F.col("cnt") * mass).alias("m"), F.col("gram"))
+        ).alias("top"),
+        F.sum(F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * mass).otherwise(0)).alias(
+            "dupmass"
+        ),
+        F.first("_tot").alias("_tot"),
+    )
+    frac = lambda num: F.round(num / F.col("_tot"), 6)  # noqa: E731
+    wide = per_n.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("top.m")))), F.lit(0.0)
+            ).alias(f"top{n}gram_char_frac")
+            for n in top_ns
+        ],
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac(F.col("dupmass")))), F.lit(0.0)
+            ).alias(f"dup{n}gram_char_frac")
+            for n in dup_ns
+        ],
+    )
+
+    lines = F.filter(
+        F.transform(F.split(txt, "\n"), lambda ln: F.trim(ln)), lambda ln: ln != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6),
+    ).otherwise(F.lit(0.0))
+
+    frac_cols = [f"top{n}gram_char_frac" for n in top_ns] + [
+        f"dup{n}gram_char_frac" for n in dup_ns
+    ]
+    return (
+        df.select(F.col(id_col), dup_line_frac.alias("dup_line_frac"))
+        .join(wide, id_col, "left")
+        .select(
+            id_col,
+            *[F.coalesce(c, F.lit(0.0)).alias(c) for c in frac_cols],
+            "dup_line_frac",
+        )
+    )
