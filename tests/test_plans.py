@@ -274,3 +274,44 @@ def test_rollup_multi_single_pass(spark):
     assert p.count(" Exchange (") == 1
     assert p.count("+- Scan parquet") == 1  # tree node (details repeat the name)
     assert "partial_min_by" in p and "partial_sum" in p
+
+
+def test_decontam_corpus_side_never_shuffled_before_agg(spark):
+    """Decontamination at 100 TB: the benchmark gram set broadcasts,
+    the corpus probe is a BroadcastHashJoin (no SortMergeJoin, no
+    cartesian), and the only shuffle exchanges serve the per-doc count
+    aggregation and final id-spine join — never the raw gram explode."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_decontam(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # semi-join against benchmark grams must be broadcast, not shuffled
+    assert "LeftSemi BuildRight" in p
+
+
+def test_repetition_single_tagged_gram_shuffle(spark):
+    """All n-gram statistics (n=2,3,5) must share ONE exploded frame:
+    one scan feeds the gram pipeline, and the gram aggregation path
+    contains a single data-sized exchange (the (doc, n, gram) hash agg;
+    the remaining exchanges are the per-doc rollup + spine join of
+    already-aggregated, docs-sized frames)."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_repetition(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    # one explode (Generate) node: the tagged array covers every n
+    assert p.count("Generate ") == 1
+    assert "partial_count" in p or "partial_max" in p  # map-side partials
+
+
+def test_domain_mix_quota_join_broadcast(spark):
+    """Exact-mixture reweighting: the |domains|-row quota frame joins
+    back as a broadcast; the only data-sized shuffle is the per-domain
+    row_number window."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_domain_mix(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "RunningWindowFunction" in p or "Window" in p
