@@ -315,3 +315,19 @@ def test_domain_mix_quota_join_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_ewma_single_exchange_no_self_join(spark, ev):
+    """The segmented EWMA must stay one window chain: a single shuffle
+    exchange on the key, one scan, and NO self-join — the per-chunk
+    carry is range-frame window sums, not an aggregate joined back
+    (which would re-execute the whole upstream a second time)."""
+    from tits_spark.operators.sessionize import ewma_irregular
+
+    q = ewma_irregular(
+        ev.select(F.col("user_id").alias("key"), "ts", "value")
+    )
+    p = plan_of(q)
+    assert p.count(" Exchange (") == 1
+    assert p.count("+- Scan parquet") == 1
+    assert "Join" not in p

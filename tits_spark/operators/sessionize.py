@@ -21,9 +21,9 @@ that model:
    the timeline is segmented into chunks of EWMA_CHUNK_EXP*tau (=256),
    prefix sums run within a chunk (exp <= e^256), and the influence of
    earlier chunks arrives as a per-chunk carry decayed by e^{-256*d}:
-   only the two nearest populated predecessor chunks can contribute
+   only predecessor chunks at distance 1 and 2 can contribute
    (e^{-768} underflows to exactly 0 in double), so the carry is two
-   LAGs over a tiny per-chunk summary that broadcast-joins back. The
+   range-frame window sums over the chunk index — same exchange. The
    chunk-local rebase factor cancels in the num/den ratio, so results
    match the single-chunk factoring bit-for-near (~1e-15) on small
    spans and the naive O(n^2) definition on any span.
@@ -136,15 +136,41 @@ def ewma_irregular(
     Computed as a ratio of two ordered prefix sums after factoring the
     decay, segmented into EWMA_CHUNK_EXP*tau chunks so the factored
     exponent never exceeds 256 regardless of the key's time span (see
-    module docstring). Plan shape: one shuffle on the key for the
-    windows, one hash aggregate to the tiny per-(key, chunk) summary,
-    which joins back broadcast-style; no UDF anywhere."""
+    module docstring).
+
+    The cross-chunk carry needs each chunk's predecessor totals. Any
+    predecessor >= 3 chunks away decays by e^-768, which underflows to
+    exactly 0.0 — so only chunks at distance 1 and 2 can contribute,
+    and both are RANGE window frames over the chunk index
+    (``rangeBetween(-1, -1)`` / ``(-2, -2)``). That keeps the whole
+    operator a single window chain: ONE exchange on the key, shared by
+    every frame (Catalyst re-sorts within partitions for the two order
+    specs, no extra shuffle) — no self-join, no second traversal of the
+    input, no UDF. (An earlier formulation aggregated a per-chunk
+    summary and joined it back, which re-executed the entire upstream
+    scan + windows a second time — 2x the cost for identical output.)"""
     cw = float(EWMA_CHUNK_EXP) * float(tau_seconds)
     wk = Window.partitionBy(key)
     wc = Window.partitionBy(key, "_ewma_chunk").orderBy(ts).rowsBetween(
         Window.unboundedPreceding, 0)
+    # chunk totals of the 1-away / 2-away chunks, as range frames over
+    # the chunk index (empty frame -> NULL -> 0.0 carry)
+    w1 = Window.partitionBy(key).orderBy("_ewma_chunk").rangeBetween(-1, -1)
+    w2 = Window.partitionBy(key).orderBy("_ewma_chunk").rangeBetween(-2, -2)
+    d1 = F.lit(float(EWMA_CHUNK_EXP))
     t_rel = ts_seconds(F.col(ts)) - F.min(ts_seconds(F.col(ts))).over(wk)
-    rows = (
+
+    def carry(term):
+        # prev-chunk totals were accumulated against their own chunk's
+        # local base; rescale by the chunk distance. The current chunk's
+        # own rebase factor cancels in the final num/den ratio.
+        return (
+            F.coalesce(F.sum(term).over(w1) * F.exp(-d1), F.lit(0.0))
+            + F.coalesce(F.sum(term).over(w2) * F.exp(-d1 * F.lit(2.0)), F.lit(0.0))
+        )
+
+    num_term = F.col(value) * F.col("_ewma_g")
+    return (
         df.withColumn("_ewma_trel", t_rel)
         .withColumn("_ewma_chunk", F.floor(F.col("_ewma_trel") / F.lit(cw)))
         .withColumn(
@@ -152,50 +178,10 @@ def ewma_irregular(
             F.exp((F.col("_ewma_trel") - F.col("_ewma_chunk") * F.lit(cw))
                   / F.lit(tau_seconds)),
         )
-        .withColumn("_ewma_num_in", F.sum(F.col(value) * F.col("_ewma_g")).over(wc))
-        .withColumn("_ewma_den_in", F.sum(F.col("_ewma_g")).over(wc))
-    )
-    # tiny per-chunk summary: totals of each populated chunk, then the
-    # carry from the two nearest populated predecessors, decayed by the
-    # actual chunk distance (>= 3 chunks of distance is exactly 0.0)
-    wchunks = Window.partitionBy(key).orderBy("_ewma_chunk")
-    decay = lambda d: F.exp(-F.lit(EWMA_CHUNK_EXP) * d.cast("double"))
-
-    def lag_carry(col: str, n: int):
-        prev = F.lag(col, n).over(wchunks)
-        dist = F.col("_ewma_chunk") - F.lag("_ewma_chunk", n).over(wchunks)
-        return F.coalesce(prev * decay(dist), F.lit(0.0))
-
-    chunks = (
-        rows.groupBy(key, "_ewma_chunk")
-        .agg(
-            F.sum(F.col(value) * F.col("_ewma_g")).alias("_ewma_tot_num"),
-            F.sum(F.col("_ewma_g")).alias("_ewma_tot_den"),
-        )
         .withColumn(
-            "_ewma_carry_num",
-            lag_carry("_ewma_tot_num", 1) + lag_carry("_ewma_tot_num", 2),
-        )
-        .withColumn(
-            "_ewma_carry_den",
-            lag_carry("_ewma_tot_den", 1) + lag_carry("_ewma_tot_den", 2),
-        )
-        .select(key, "_ewma_chunk", "_ewma_carry_num", "_ewma_carry_den")
-    )
-    # the carry was accumulated against its own chunk's local base;
-    # decay() rescales by the actual chunk distance, so num/den are
-    # directly comparable (the current chunk's local rebase factor
-    # cancels in the ratio). Join is left unhinted: the summary has one
-    # row per populated (key, chunk) — AQE broadcasts it when small but
-    # may not at e.g. 1e9 keys, where a shuffle join on the same key
-    # prefix is the right plan anyway.
-    joined = rows.join(chunks, [key, "_ewma_chunk"], "left")
-    return (
-        joined.withColumn(
             out,
-            (F.col("_ewma_num_in") + F.col("_ewma_carry_num"))
-            / (F.col("_ewma_den_in") + F.col("_ewma_carry_den")),
+            (F.sum(num_term).over(wc) + carry(num_term))
+            / (F.sum(F.col("_ewma_g")).over(wc) + carry(F.col("_ewma_g"))),
         )
-        .drop("_ewma_trel", "_ewma_chunk", "_ewma_g", "_ewma_num_in",
-              "_ewma_den_in", "_ewma_carry_num", "_ewma_carry_den")
+        .drop("_ewma_trel", "_ewma_chunk", "_ewma_g")
     )
