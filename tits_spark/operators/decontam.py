@@ -56,10 +56,15 @@ def word_ngrams(
 
     Distinct within doc so a gram repeated inside one document counts
     once toward its contamination score (and the explode volume stays
-    bounded by unique grams).
+    bounded by unique grams). Routed through ``ensure_min_parallelism``
+    (no-op at scale) so the CPU-amplifying explode never runs on fewer
+    cores than the cluster offers when the corpus is small/few-file.
     """
+    from tits_spark.operators.skew import ensure_min_parallelism
+
     return (
-        df.select(id_col, F.explode(word_ngrams_col(F.col(text_col), n)).alias("ngram"))
+        ensure_min_parallelism(df)
+        .select(id_col, F.explode(word_ngrams_col(F.col(text_col), n)).alias("ngram"))
         .distinct()
     )
 

@@ -49,7 +49,16 @@ def char_shingles(
     rows. Pass ``distinct=False`` for duplicate-insensitive consumers:
     MinHash's per-hash *min* is identical over multiset and set, so the
     wide signature aggregation skips the dedup shuffle entirely and its
-    map-side partial min absorbs repeats for free."""
+    map-side partial min absorbs repeats for free.
+
+    The input is routed through ``ensure_min_parallelism`` first: the
+    explode amplifies per-row CPU ~100x, so byte-based file splitting
+    (sized for the input) can leave the whole hash stage on one core
+    when the corpus is small / few-file; the guard is a no-op at
+    production scale."""
+    from tits_spark.operators.skew import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     txt = F.col(text_col)
     offs = F.sequence(F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(1)))
     sh = (
@@ -139,12 +148,23 @@ def _minhash_wide(
             else F.concat(F.lit(f"{j}|"), F.col("shingle"))
         )
         sh = sh.withColumn(f"_m{j}", F.md5(src))
+    # min over the HEX STRING windows, not their numeric values: md5's
+    # fixed-width lowercase hex makes lexicographic order == numeric
+    # order, so the per-row base-16 conversion (the dominant CPU after
+    # md5 itself — |shingles| x num_hashes conv calls) moves below the
+    # aggregation, where it runs once per (doc, hash) on the minima.
     aggs = []
     for i in range(num_hashes):
         j, w = divmod(i, 4)
-        val = F.conv(F.substring(F.col(f"_m{j}"), 1 + 8 * w, 8), 16, 10).cast("long")
-        aggs.append(F.min(val).alias(f"h{i}"))
-    return sh.groupBy(id_col).agg(*aggs)
+        aggs.append(F.min(F.substring(F.col(f"_m{j}"), 1 + 8 * w, 8)).alias(f"_s{i}"))
+    wide = sh.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        id_col,
+        *[
+            F.conv(F.col(f"_s{i}"), 16, 10).cast("long").alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_signatures(
@@ -335,9 +355,15 @@ def simhash_fast(
             out[nz] = (votes > 0).astype(np.int64) @ weights
         return pd.Series(out, index=texts.index)
 
+    from tits_spark.operators.skew import ensure_min_parallelism
+
     sig = pandas_udf(sig_batch, "long")
+    # same CPU-amplification guard as char_shingles: the pandas_udf
+    # hashes every token of every doc, so a small/few-file corpus must
+    # not leave the whole batch on one core (no-op at scale)
     return (
-        df.select(F.col(id_col), sig(F.col(text_col)).alias("simhash"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), sig(F.col(text_col)).alias("simhash"))
         .filter(F.col("simhash").isNotNull())
     )
 

@@ -85,3 +85,24 @@ def key_size_stats(df: DataFrame, key: str) -> DataFrame:
         (F.col("n_rows") / F.sum("n_rows").over(total)).alias("share"),
         F.row_number().over(Window.orderBy(F.desc("n_rows"))).alias("rank"),
     )
+
+
+def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Guarantee at least defaultParallelism input partitions before a
+    CPU-amplifying stage (shingle explode -> hash, n-gram generation):
+    byte-based file splitting provisions map tasks for the INPUT size,
+    but an explode amplifies per-row work ~two orders of magnitude, so
+    a corpus that fits one 128 MB split would hash on a single core.
+
+    No-op (zero cost, no shuffle) whenever the scan already yields
+    enough splits — i.e. always at production scale, where thousands of
+    file splits exceed cluster parallelism. The repartition only ever
+    fires on inputs so small they undershoot the core count, where
+    shuffling the compact (id, text) rows costs milliseconds and buys
+    full map-side parallelism for the expensive stage above it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -133,7 +133,9 @@ def repetition_features(
             *[F.transform(word_ngrams_col(txt, n), _tag(n)) for n in (*top_ns, *dup_ns)]
         )
     )
-    exploded = df.select(
+    from tits_spark.operators.skew import ensure_min_parallelism
+
+    exploded = ensure_min_parallelism(df).select(
         F.col(id_col),
         tot_chars.alias("_tot"),
         F.explode(tagged).alias("t"),
