@@ -87,8 +87,19 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b.
     """
     sh = char_shingles(df, id_col, text_col, n)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+    # frequency cap as a LEFT ANTI join against the over-frequent
+    # shingle set: the blacklist (boilerplate shared by > max_doc_freq
+    # docs) is tiny relative to the corpus, so AQE broadcasts it and
+    # the corpus-sized exploded frame is NOT shuffled for the cap —
+    # the inner-join formulation shuffled all |shingle| rows a second
+    # time just to drop the few hot ones.
+    blacklist = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("shingle")
+    )
+    sh = sh.join(blacklist, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
