@@ -304,3 +304,43 @@ def test_stream_ewma_long_span_backfill(spark, tmp_path):
         "key", "ts", F.round("ewma", 9).alias("ewma"))
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-gated survivors must equal the batch decontaminate sweep
+    over the same corpus, and a checkpointed restart adds nothing."""
+    from tits_spark.operators.decontam import decontaminate
+    from tits_spark.streaming.decontam_stream import stream_decontaminate
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    rows = [(1, "intro alpha beta gamma delta epsilon outro"),
+            (2, "totally unrelated words that are clean here"),
+            (3, "alpha beta gamma NOT-THE-SAME delta epsilon"),
+            (4, "another clean document with plenty of words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(src)
+
+    q = stream_decontaminate(
+        spark, src, "doc_id long, text string", bench, out, ckpt, n=5
+    )
+    q.awaitTermination(300)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=5).collect()
+    )
+    assert got == want
+    assert 1 not in got and 2 in got
+
+    # restart over the already-processed source: no duplicates appended
+    q2 = stream_decontaminate(
+        spark, src, "doc_id long, text string", bench, out, ckpt, n=5
+    )
+    q2.awaitTermination(300)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == want
