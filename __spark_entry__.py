@@ -407,6 +407,94 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TimescaleDB time_weight('LOCF')
+    analog): per-(key, 1h bucket) integral of the LOCF step function
+    with a 2h staleness horizon, segments split exactly at bucket
+    boundaries (integer-µs arithmetic end to end)."""
+    from tits_spark.operators.timeweight import time_weighted_avg
+
+    out = time_weighted_avg(
+        _events(spark, sf_dir), key_col="key", bucket_secs=3600, max_gap_sec=7200
+    )
+    return out.select(
+        "key",
+        "bucket_ts",
+        F.round("twa", 6).alias("twa"),
+        F.round("covered_sec", 6).alias("covered_sec"),
+    )
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL increase()/rate() analog over irregular samples with
+    counter-reset detection (a value drop restarts the counter from
+    zero); per-(key, 1h bucket)."""
+    from tits_spark.operators.timeweight import counter_rate
+
+    out = counter_rate(_events(spark, sf_dir), key_col="key", bucket_secs=3600)
+    return out.select(
+        "key",
+        "bucket_ts",
+        F.round("increase", 4).alias("increase"),
+        F.round("rate_per_sec", 6).alias("rate_per_sec"),
+        "n_samples",
+        "n_resets",
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII detection + redaction (map-only, zero shuffles). The
+    synthetic corpus is PII-free, so deterministic doc_id-derived PII
+    (emails / IPs / SSNs / phone-shaped digit runs) is injected into a
+    subset of documents identically on both sides first; the gate then
+    checks per-type counts and the md5 of the redacted text."""
+    from tits_spark.operators.pii import pii_scrub
+
+    d = F.col("doc_id")
+    salted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7 and ssn 123-45-6789")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" call +1 555 123 4567 x"), d.cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(salted)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_digits", "n_pii",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-200 by frequency (BPE-seed / CCNet
+    frequency-table pass); deterministic tie-break, TakeOrdered plan
+    (no global sort)."""
+    from tits_spark.operators.vocab import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=200)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    model (two-pass: global token counts, then an equi-join back onto
+    the exploded corpus)."""
+    from tits_spark.operators.vocab import unigram_logprob
+
+    out = unigram_logprob(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens", F.round("logprob", 6).alias("logprob"))
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: each doc's (chunk_id, offset)
     in the budget-2048 token stream, computed with the two-phase
@@ -810,6 +898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "repetition": q_repetition,
         "domain_mix": q_domain_mix,
+        "twa": q_twa,
+        "counter_rate": q_counter_rate,
+        "pii_scrub": q_pii_scrub,
+        "vocab_topk": q_vocab_topk,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1257,6 +1350,53 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank F
   FROM scored
 ) WHERE rank <= {k}
 """.format(dim=64, K=16, k_m1=15, nprobe=6, k=5)
+
+
+def _pii_oracle_sql() -> str:
+    """Generated from operators/pii.py PII_PATTERNS so the oracle can
+    never desynchronize from the engine's pattern list. The injected
+    PII mirrors q_pii_scrub exactly."""
+    from tits_spark.operators.pii import PII_PATTERNS
+
+    cur = "text2"
+    count_exprs = []
+    for name, pat in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT) AS n_{name.lower()}"
+        )
+        cur = f"regexp_replace({cur}, '{p}', '<{name}>', 'g')"
+    counts = ",\n         ".join(count_exprs)
+    total = " + ".join(f"n_{name.lower()}" for name, _ in PII_PATTERNS)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 and ssn 123-45-6789' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 123 4567 x' || CAST(doc_id AS VARCHAR) ELSE '' END AS text2
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         {counts},
+         md5({cur}) AS clean_md5
+  FROM s
+)
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_digits,
+       CAST({total} AS BIGINT) AS n_pii, clean_md5
+FROM c
+"""
+
+
+_TOK_CTE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS w
+  FROM documents
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1896,5 +2036,81 @@ rk AS (
   FROM documents d JOIN quota q USING (source)
 )
 SELECT doc_id, source FROM rk WHERE r <= k
+""",
+        # LOCF time-weighted mean: identical integer-µs segment/bucket
+        # arithmetic to operators/timeweight.py (2h staleness clip,
+        # bucket split via generate_series, overlap in exact µs)
+        "twa": """
+WITH seg0 AS (
+  SELECT user_id AS key, epoch_us(ts) AS s_us, value AS v,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value) AS e0
+  FROM events
+),
+seg AS (
+  SELECT key, s_us, least(e0, s_us + 7200000000) AS e_us, v
+  FROM seg0 WHERE e0 IS NOT NULL AND e0 > s_us
+),
+burst AS (
+  SELECT key, s_us, e_us, v,
+         unnest(generate_series(s_us // 3600000000, (e_us - 1) // 3600000000)) AS b
+  FROM seg
+),
+ov AS (
+  SELECT key, b, v,
+         least(e_us, (b + 1) * 3600000000) - greatest(s_us, b * 3600000000) AS o_us
+  FROM burst
+)
+SELECT key, make_timestamp(b * 3600000000) AS bucket_ts,
+       round(sum(v * o_us) / sum(o_us), 6) AS twa,
+       round(CAST(sum(o_us) AS DOUBLE) / 1e6, 6) AS covered_sec
+FROM ov GROUP BY 1, 2
+""",
+        # PromQL increase(): positive deltas, value drops restart from 0;
+        # first sample of a key has no baseline and contributes nothing
+        "counter_rate": """
+WITH d AS (
+  SELECT user_id AS key, epoch_us(ts) AS s_us, value AS v,
+         lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value) AS prev
+  FROM events
+),
+agg AS (
+  SELECT key, (s_us // 3600000000) AS b,
+         coalesce(sum(CASE WHEN prev IS NULL THEN NULL
+                           WHEN v - prev < 0 THEN v ELSE v - prev END), 0) AS inc,
+         count(*) AS n_samples,
+         coalesce(sum(CASE WHEN prev IS NOT NULL AND v - prev < 0 THEN 1 ELSE 0 END), 0) AS n_resets
+  FROM d GROUP BY 1, 2
+)
+SELECT key, make_timestamp(b * 3600000000) AS bucket_ts,
+       round(inc, 4) AS increase,
+       round(inc / 3600, 6) AS rate_per_sec,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_resets AS BIGINT) AS n_resets
+FROM agg
+""",
+        "pii_scrub": _pii_oracle_sql(),
+        "vocab_topk": _TOK_CTE + """
+, cnts AS (
+  SELECT t AS token, count(*) AS cnt
+  FROM tok, unnest(w) AS u(t)
+  GROUP BY 1
+)
+SELECT token, cnt, rank FROM (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+  FROM cnts
+) WHERE rank <= 200
+""",
+        "unigram_logprob": _TOK_CTE + """
+, ex AS (SELECT doc_id, t AS token FROM tok, unnest(w) AS u(t)),
+cnts AS (SELECT token, count(*) AS cnt FROM ex GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t FROM cnts),
+sc AS (
+  SELECT ex.doc_id, count(*) AS n_tokens, avg(ln(cnt / t)) AS lp
+  FROM ex JOIN cnts USING (token), tot
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
+FROM documents d LEFT JOIN sc s USING (doc_id)
 """,
     }

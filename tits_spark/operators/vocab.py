@@ -1,0 +1,108 @@
+"""Corpus vocabulary statistics + unigram language-model scoring.
+
+The two-pass pattern every tokenizer-training / quality-filtering
+pipeline runs over the full corpus:
+
+ 1. :func:`token_counts` / :func:`vocab_topk` — global token frequency
+    table (the seed vocabulary for BPE/unigram tokenizer training, and
+    the frequency table CCNet-style quality filters use);
+ 2. :func:`unigram_logprob` — score every document by its mean token
+    log-probability under the corpus unigram model. Low scores mark
+    gibberish/boilerplate (far from the corpus distribution), very high
+    scores mark degenerate repetition of frequent tokens — both are
+    standard cut candidates.
+
+Tokenization is the shared lowercased-alphanumeric scheme
+(operators/decontam.py), identical to the ANSI-SQL form the oracle
+runs.
+
+Plan shapes at 100 TB:
+ - token_counts: explode -> partial map-side count -> one hash
+   aggregation keyed by token (vocab-sized output, corpus-sized input
+   never re-shuffled afterwards);
+ - vocab_topk: ``orderBy(count desc).limit(k)`` over the vocab-sized
+   table — Catalyst plans TakeOrderedAndProject (per-partition heaps +
+   single merge), not a global sort;
+ - unigram_logprob: the exploded corpus joins the count table on
+   token. The count table is vocab-sized (tens of millions of rows at
+   web scale) — too big to broadcast blindly, so it stays a shuffle
+   equi-join on a high-cardinality, naturally well-distributed key;
+   pass ``broadcast_counts=True`` when a capped vocab is known small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tits_spark.operators.decontam import _tokens
+
+
+def _exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from tits_spark.operators.skew import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).select(
+        id_col, F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Global (token, cnt) frequency table over the corpus."""
+    return (
+        _exploded(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 1000, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-``k`` tokens by frequency: (token, cnt, rank), rank 1-based,
+    ties broken by token ascending (deterministic)."""
+    counts = token_counts(df, id_col, text_col)
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select("token", "cnt", F.row_number().over(w).cast("int").alias("rank"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_counts: bool = False,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    model: avg over token occurrences of ln(cnt(token) / total_tokens).
+
+    Every token of every document is in the model by construction (the
+    model IS the corpus), so no smoothing is needed. Documents with no
+    tokens are returned with ``n_tokens = 0`` and NULL score.
+
+    Returns ``(id_col, n_tokens, logprob)``.
+    """
+    toks = _exploded(df, id_col, text_col)
+    counts = token_counts(df, id_col, text_col)
+    total = counts.agg(F.sum("cnt").alias("t"))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("cnt") / F.col("t"))).alias("logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "logprob",
+        )
+    )
