@@ -242,6 +242,34 @@ def main() -> None:
 
     repeat("q11_dedup_clusters", _body_q11_dedup_clusters)
 
+    # q12: time-weighted rollup family over the events table — LOCF
+    # integral per 1h bucket (2h staleness clip) + reset-aware counter
+    # rate; one window shuffle + one hash agg each
+    from tits_spark.operators.timeweight import counter_rate, time_weighted_avg
+
+    inputs["q12_rows"] = inputs["q3_rows"]
+    def _body_q12_timeweight():
+        time_weighted_avg(
+            events, key_col="key", bucket_secs=3600, max_gap_sec=7200
+        ).write.format("noop").mode("overwrite").save()
+        counter_rate(events, key_col="key", bucket_secs=3600).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    repeat("q12_timeweight", _body_q12_timeweight)
+
+    # q13: curation text pass — map-only PII scrub + two-pass unigram
+    # log-prob scoring over the documents corpus
+    from tits_spark.operators.pii import pii_scrub
+    from tits_spark.operators.vocab import unigram_logprob
+
+    inputs["q13_docs"] = inputs["q6_docs"]
+    def _body_q13_pii_unigram():
+        pii_scrub(docs).write.format("noop").mode("overwrite").save()
+        unigram_logprob(docs).write.format("noop").mode("overwrite").save()
+
+    repeat("q13_pii_unigram", _body_q13_pii_unigram)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

@@ -81,20 +81,34 @@ def unigram_logprob(
     model IS the corpus), so no smoothing is needed. Documents with no
     tokens are returned with ``n_tokens = 0`` and NULL score.
 
+    Single-pass at corpus scale: the text is tokenized and exploded
+    ONCE into per-doc token counts (doc_id, token, k) — the map-side
+    partial agg collapses repeats before the shuffle — and both the
+    global frequency table and the final weighted score
+    (sum k*ln(p) / sum k == mean over occurrences) derive from that
+    much smaller table; the raw occurrence stream is never shuffled
+    and never re-read.
+
     Returns ``(id_col, n_tokens, logprob)``.
     """
-    toks = _exploded(df, id_col, text_col)
-    counts = token_counts(df, id_col, text_col)
+    per_doc = (
+        _exploded(df, id_col, text_col)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    counts = per_doc.groupBy("token").agg(F.sum("k").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("t"))
     if broadcast_counts:
         counts = F.broadcast(counts)
     scored = (
-        toks.join(counts, "token")
+        per_doc.join(counts, "token")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(F.log(F.col("cnt") / F.col("t"))).alias("logprob"),
+            F.sum("k").alias("n_tokens"),
+            (
+                F.sum(F.col("k") * F.log(F.col("cnt") / F.col("t"))) / F.sum("k")
+            ).alias("logprob"),
         )
     )
     return (
