@@ -72,6 +72,58 @@ def test_stream_twa_max_gap_matches_batch(spark, events, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def _closed_counter_batch(ev, bucket_secs):
+    from tits_spark.operators.timeweight import counter_rate
+
+    out = counter_rate(ev, key_col="key", bucket_secs=bucket_secs)
+    last = ev.groupBy("key").agg(F.max("ts").alias("mx"))
+    lastb = last.select(
+        "key", F.expr(f"CAST(mx AS LONG) DIV {bucket_secs}").alias("last_b")
+    )
+    return (
+        out.join(lastb, "key")
+        .filter(F.expr(f"CAST(bucket_ts AS LONG) DIV {bucket_secs}") < F.col("last_b"))
+        .select("key", "bucket_ts", F.round("increase", 9).alias("increase"),
+                F.round("rate_per_sec", 9).alias("rate_per_sec"),
+                "n_samples", "n_resets")
+    )
+
+
+def test_stream_counter_rate_matches_batch(spark, events, tmp_path):
+    from tits_spark.streaming.counter_stream import stream_counter_rate
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("csrc", "cout", "cckpt"))
+    ev = _ev(events)
+    ev.write.mode("overwrite").parquet(src)
+    stream_counter_rate(spark, src, SCHEMA, out, ckpt, bucket_secs=3600).awaitTermination(300)
+    got = spark.read.parquet(out).select(
+        "key", "bucket_ts", F.round("increase", 9).alias("increase"),
+        F.round("rate_per_sec", 9).alias("rate_per_sec"), "n_samples", "n_resets"
+    )
+    want = _closed_counter_batch(ev, 3600)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_counter_rate_across_batches(spark, events, tmp_path):
+    from tits_spark.streaming.counter_stream import stream_counter_rate
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("c2src", "c2out", "c2ckpt"))
+    ev = _ev(events)
+    mid = ev.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)").alias("m")).first().m
+    ev.filter(F.col("ts").cast("double") <= mid).write.mode("overwrite").parquet(src)
+    stream_counter_rate(spark, src, SCHEMA, out, ckpt, bucket_secs=3600).awaitTermination(300)
+    ev.filter(F.col("ts").cast("double") > mid).write.mode("append").parquet(src)
+    stream_counter_rate(spark, src, SCHEMA, out, ckpt, bucket_secs=3600).awaitTermination(300)
+    got = spark.read.parquet(out).select(
+        "key", "bucket_ts", F.round("increase", 9).alias("increase"),
+        F.round("rate_per_sec", 9).alias("rate_per_sec"), "n_samples", "n_resets"
+    )
+    want = _closed_counter_batch(ev, 3600)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_stream_twa_carries_state_across_batches(spark, events, tmp_path):
     """Split the input at a global mid-timestamp, run the stream twice
     incrementally: the union of emissions must still equal the batch
