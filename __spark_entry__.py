@@ -495,6 +495,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.round("logprob", 6).alias("logprob"))
 
 
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. ExactSubstr, relationally
+    reformulated): remove every non-canonical duplicated 8-token span,
+    merge overlapping spans, rebuild the surviving token stream."""
+    from tits_spark.operators.substring_dedup import exact_substring_dedup
+
+    out = exact_substring_dedup(_docs(spark, sf_dir), length=8)
+    return out.select(
+        "doc_id", "n_tokens", "n_spans", "n_tokens_removed",
+        F.md5("text_dedup").alias("clean_md5"),
+    )
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: each doc's (chunk_id, offset)
     in the budget-2048 token stream, computed with the two-phase
@@ -901,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa": q_twa,
         "counter_rate": q_counter_rate,
         "pii_scrub": q_pii_scrub,
+        "substr_dedup": q_substr_dedup,
         "vocab_topk": q_vocab_topk,
         "unigram_logprob": q_unigram_logprob,
     }
@@ -2100,6 +2114,51 @@ SELECT token, cnt, rank FROM (
          CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
   FROM cnts
 ) WHERE rank <= 200
+""",
+        # ExactSubstr: L=8 windows; canonical occurrence = first by
+        # (id, start); islands merged by running-max; reconstruction by
+        # position filter over the token list
+        "substr_dedup": _TOK_CTE + """
+, occ AS (
+  SELECT doc_id AS id, i AS start, array_to_string(w[i : i+7], ' ') AS gram
+  FROM tok, unnest(range(1, len(w) - 6)) AS t(i)
+),
+rn AS (
+  SELECT id, start,
+         row_number() OVER (PARTITION BY gram ORDER BY id, start) AS rn
+  FROM occ
+),
+spans AS (SELECT id, start AS s, start + 7 AS e FROM rn WHERE rn >= 2),
+isl0 AS (
+  SELECT id, s, e,
+         max(e) OVER (PARTITION BY id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM spans
+),
+isl1 AS (
+  SELECT id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl0
+),
+isl AS (SELECT id, island, min(s) AS ss, max(e) AS se FROM isl1 GROUP BY 1, 2),
+rep AS (
+  SELECT id, count(*) AS n_spans, sum(se - ss + 1) AS n_rem,
+         list(struct_pack(ss := ss, se := se)) AS spans
+  FROM isl GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(r.n_rem, 0) AS BIGINT) AS n_tokens_removed,
+       md5(coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.w) + 1),
+             p -> coalesce(len(list_filter(r.spans, y -> p >= y.ss AND p <= y.se)), 0) = 0),
+           p -> t.w[p]),
+         ' '), '')) AS clean_md5
+FROM tok t LEFT JOIN rep r ON r.id = t.doc_id
 """,
         "unigram_logprob": _TOK_CTE + """
 , ex AS (SELECT doc_id, t AS token FROM tok, unnest(w) AS u(t)),
