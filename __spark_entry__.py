@@ -495,6 +495,29 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.round("logprob", 6).alias("logprob"))
 
 
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort x age retention grid over the event stream (daily
+    cohorts by first-ever event; user-keyed shuffles only)."""
+    from tits_spark.operators.events_analytics import cohort_retention
+
+    out = cohort_retention(_events(spark, sf_dir), bucket_secs=86400)
+    return out.select(
+        "cohort_ts", "age", "n_active", "cohort_size",
+        F.round("retention", 6).alias("retention"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view->click->purchase funnel per user (greedy
+    earliest-valid progression; per-step pre-filtered shuffles)."""
+    from tits_spark.operators.events_analytics import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "ts", "event_type"
+    )
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. ExactSubstr, relationally
     reformulated): remove every non-canonical duplicated 8-token span,
@@ -915,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "pii_scrub": q_pii_scrub,
         "substr_dedup": q_substr_dedup,
+        "cohort": q_cohort,
+        "funnel": q_funnel,
         "vocab_topk": q_vocab_topk,
         "unigram_logprob": q_unigram_logprob,
     }
@@ -2114,6 +2139,38 @@ SELECT token, cnt, rank FROM (
          CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
   FROM cnts
 ) WHERE rank <= 200
+""",
+        "cohort": """
+WITH ev AS (
+  SELECT user_id AS k, epoch_us(ts) // 86400000000 AS b FROM events
+),
+frst AS (SELECT k, min(b) AS cb FROM ev GROUP BY 1),
+actv AS (SELECT DISTINCT k, b FROM ev),
+cells AS (
+  SELECT f.cb, a.b - f.cb AS age, count(*) AS n_active
+  FROM actv a JOIN frst f USING (k) GROUP BY 1, 2
+),
+sizes AS (SELECT cb, count(*) AS cohort_size FROM frst GROUP BY 1)
+SELECT make_timestamp(c.cb * 86400000000) AS cohort_ts,
+       CAST(age AS BIGINT) AS age,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM cells c JOIN sizes USING (cb)
+""",
+        "funnel": """
+WITH s1 AS (SELECT user_id AS k, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS k, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON s1.k = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id AS k, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON s2.k = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT s1.k AS key, s1.t1, s2.t2, s3.t3,
+       CAST(1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT AS INT)
+         AS steps_completed
+FROM s1 LEFT JOIN s2 USING (k) LEFT JOIN s3 USING (k)
 """,
         # ExactSubstr: L=8 windows; canonical occurrence = first by
         # (id, start); islands merged by running-max; reconstruction by

@@ -1,0 +1,93 @@
+"""cohort_retention / funnel: hand cases + invariants on real events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.operators.events_analytics import cohort_retention, funnel, funnel_summary
+
+UTC = dt.timezone.utc
+DAY = 86400
+
+
+def _ts(day: float, sec: float = 0) -> dt.datetime:
+    return dt.datetime.fromtimestamp(day * DAY + sec, tz=UTC)
+
+
+def test_cohort_retention_grid(spark):
+    rows = [
+        ("u1", _ts(0)), ("u1", _ts(1)), ("u1", _ts(2)),
+        ("u2", _ts(0)), ("u2", _ts(2)),
+        ("u3", _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = {(r.cohort_ts.replace(tzinfo=UTC), r.age): r
+           for r in cohort_retention(df, bucket_secs=DAY).collect()}
+    # cohort day0 = {u1, u2}; day1 = {u3}
+    assert out[(_ts(0), 0)].n_active == 2 and out[(_ts(0), 0)].cohort_size == 2
+    assert out[(_ts(0), 1)].n_active == 1              # only u1 on day1
+    assert out[(_ts(0), 2)].n_active == 2              # u1 and u2 on day2
+    assert out[(_ts(1), 0)].n_active == 1 and out[(_ts(1), 0)].cohort_size == 1
+    assert out[(_ts(0), 1)].retention == pytest.approx(0.5)
+    assert (_ts(1), 1) not in out                      # u3 never returns
+
+
+def test_cohort_age0_is_full(spark, events):
+    ev = events.select(F.col("user_id").alias("key"), "ts")
+    out = cohort_retention(ev, bucket_secs=DAY)
+    bad = out.filter((F.col("age") == 0) & (F.col("n_active") != F.col("cohort_size")))
+    assert bad.count() == 0
+    # n_active never exceeds cohort_size
+    assert out.filter(F.col("n_active") > F.col("cohort_size")).count() == 0
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1 completes in order
+        ("u1", _ts(0, 10), "view"), ("u1", _ts(0, 20), "click"), ("u1", _ts(0, 30), "purchase"),
+        # u2: purchase BEFORE click -> chain breaks at step 3
+        ("u2", _ts(0, 10), "view"), ("u2", _ts(0, 30), "click"), ("u2", _ts(0, 20), "purchase"),
+        # u3: never viewed -> absent from output
+        ("u3", _ts(0, 5), "click"), ("u3", _ts(0, 6), "purchase"),
+        # u4: equal timestamps do NOT count (strictly after)
+        ("u4", _ts(0, 10), "view"), ("u4", _ts(0, 10), "click"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, event_type string")
+    out = {r.key: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {"u1", "u2", "u4"}
+    assert out["u1"].steps_completed == 3
+    assert out["u2"].steps_completed == 2 and out["u2"].t3 is None
+    assert out["u4"].steps_completed == 1 and out["u4"].t2 is None
+
+
+def test_funnel_greedy_doesnt_miss_completion(spark):
+    # first view at t=10; click only at t=5 (before) and t=15 (after);
+    # purchase at t=20: greedy from the FIRST view still completes
+    rows = [
+        ("u1", _ts(0, 10), "view"),
+        ("u1", _ts(0, 5), "click"), ("u1", _ts(0, 15), "click"),
+        ("u1", _ts(0, 20), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, event_type string")
+    r = funnel(df, ["view", "click", "purchase"]).collect()[0]
+    assert r.steps_completed == 3
+    assert r.t2.replace(tzinfo=UTC) == _ts(0, 15)
+
+
+def test_funnel_summary_monotone(spark, events):
+    ev = events.select(F.col("user_id").alias("key"), "ts", "event_type")
+    s = funnel_summary(ev, ["view", "click", "purchase"]).collect()
+    ns = [r.n_users for r in sorted(s, key=lambda r: r.step_idx)]
+    assert ns[0] >= ns[1] >= ns[2] >= 0 and ns[0] > 0
+    assert sorted(r.conversion for r in s)[-1] == pytest.approx(1.0)
+
+
+def test_plans_no_cartesian(spark, events):
+    ev = events.select(F.col("user_id").alias("key"), "ts", "event_type")
+    for q in (cohort_retention(ev.select("key", "ts")),
+              funnel(ev, ["view", "click", "purchase"])):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

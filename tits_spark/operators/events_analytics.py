@@ -1,0 +1,152 @@
+"""Event-stream analytics: cohort retention and ordered funnels.
+
+The two classic product-analytics queries over irregular event streams
+(Amplitude/Mixpanel-class), here as first-class operators over the
+engine's (user, ts, event_type) tables — the same irregular-series
+data model the rollup/gap-fill family operates on.
+
+Both are pure DataFrame algebra with oracle-able semantics:
+
+ - :func:`cohort_retention` — users are cohorted by the bucket of
+   their first-ever event; for every (cohort, age) cell the output
+   counts distinct users active ``age`` buckets after their cohort
+   bucket, plus the cohort size and the retention ratio.
+ - :func:`funnel` — per user, the earliest strictly-ordered
+   progression through the step list (each step's timestamp must be
+   strictly after the previous step's); the standard "view ->
+   click -> purchase" conversion query.
+
+Scale notes (100 TB):
+ - cohort_retention: one per-user aggregation (min ts), one equi-join
+   back (both keyed by the high-cardinality user id), one
+   (user, bucket) dedup, one final (cohort, age) aggregation — every
+   shuffle is on user id or on the small (cohort, age) grid; no
+   windows, no skew-prone low-cardinality keys.
+ - funnel: k chained (filter -> per-user min -> equi-join) stages for
+   a k-step funnel. Each stage's input is pre-filtered to ONE event
+   type before its shuffle, so the shuffled volume is the step's own
+   event count, not the stream; all joins are user-keyed equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    bucket_secs: int = 86400,
+) -> DataFrame:
+    """Cohort x age retention grid.
+
+    Returns ``(cohort_ts, age, n_active, cohort_size, retention)``:
+    users whose first event fell in ``cohort_ts``'s bucket and who were
+    active in the bucket ``age`` steps later (age 0 = the cohort bucket
+    itself, so ``n_active == cohort_size`` and retention = 1.0 there).
+    """
+    bu = bucket_secs * _US
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        (F.col(ts_col).cast("timestamp").cast("double") * _US).cast("long").alias("us"),
+    ).select("k", F.expr(f"us DIV {bu}L").alias("b"))
+    first = ev.groupBy("k").agg(F.min("b").alias("cb"))
+    active = ev.distinct()
+    cells = (
+        active.join(first, "k")
+        .groupBy("cb", (F.col("b") - F.col("cb")).alias("age"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = first.groupBy("cb").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(sizes, "cb")
+        .select(
+            F.timestamp_seconds(F.col("cb") * bucket_secs).alias("cohort_ts"),
+            F.col("age").cast("long").alias("age"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "key",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Earliest strictly-ordered funnel progression per user.
+
+    Returns one row per user who performed step 1, with columns
+    ``t1..tk`` (timestamp of the earliest valid occurrence of each
+    step, NULL once the chain breaks) and ``steps_completed``.
+
+    "Earliest valid" is the standard greedy semantics: t1 = first
+    step-1 event; t_i = first step-i event strictly after t_{i-1}.
+    Greedy is optimal here: taking the earliest possible t_{i-1} never
+    excludes a later completion (any valid chain's t_i is also valid
+    for the greedy prefix).
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    ev = df.select(
+        F.col(key_col).alias("k"), F.col(ts_col).alias("ts"), F.col(type_col).alias("e")
+    )
+    cur = (
+        ev.filter(F.col("e") == steps[0])
+        .groupBy("k")
+        .agg(F.min("ts").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("e") == step)
+            .join(cur.select("k", F.col(f"t{i-1}").alias("_prev")), "k")
+            .filter(F.col("ts") > F.col("_prev"))
+            .groupBy("k")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "k", "left")
+    completed = sum(
+        (F.col(f"t{i}").isNotNull().cast("int") for i in range(1, len(steps) + 1)),
+        start=F.lit(0),
+    )
+    return cur.select(
+        F.col("k").alias(key_col),
+        *[f"t{i}" for i in range(1, len(steps) + 1)],
+        completed.cast("int").alias("steps_completed"),
+    )
+
+
+def funnel_summary(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "key",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-step reach counts: (step_idx, step, n_users, conversion)
+    where conversion is vs step 1."""
+    per_user = funnel(df, steps, key_col, ts_col, type_col)
+    reach = per_user.agg(
+        *[
+            F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"r{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = []
+    for i, s in enumerate(steps, start=1):
+        rows.append(
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"r{i}").cast("long").alias("n_users"),
+                (F.col(f"r{i}") / F.col("r1")).alias("conversion"),
+            )
+        )
+    return reach.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
