@@ -495,6 +495,36 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.round("logprob", 6).alias("logprob"))
 
 
+def q_rollup_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment continuous aggregate: mean + sample variance at
+    the 1d tier derived from the CASCADED (sum, sumsq) — proving the
+    cascade is exact for second moments, vs DuckDB's direct
+    var_samp over the raw stream (a different algorithm)."""
+    from tits_spark.operators.rollup import rollup_all_tiers, with_derived
+
+    tiers = rollup_all_tiers(_events(spark, sf_dir), key="key", ts="ts", value="value")
+    out = with_derived(tiers["1d"])
+    return out.select(
+        "key", "bucket_ts", "n_obs",
+        F.round("v_mean", 6).alias("v_mean"),
+        F.round("v_var", 6).alias("v_var"),
+    )
+
+
+def q_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the EARLIEST 1d rollup
+    point at or after its timestamp (mirrored union-window strategy)."""
+    from tits_spark.operators.resample import asof_join
+    from tits_spark.operators.rollup import rollup_from_raw
+
+    ev = _events(spark, sf_dir)
+    t1d = rollup_from_raw(ev, "key", "ts", "value", "1d").select(
+        "key", F.col("bucket_ts").alias("ts"), F.col("v_first").alias("dv")
+    )
+    out = asof_join(ev, t1d, value_cols=["dv"], direction="forward")
+    return out.select("key", "ts", "value", F.col("dv_r").alias("dv"))
+
+
 def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort x age retention grid over the event stream (daily
     cohorts by first-ever event; user-keyed shuffles only)."""
@@ -940,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_dedup": q_substr_dedup,
         "cohort": q_cohort,
         "funnel": q_funnel,
+        "rollup_var": q_rollup_var,
+        "asof_fwd": q_asof_fwd,
         "vocab_topk": q_vocab_topk,
         "unigram_logprob": q_unigram_logprob,
     }
@@ -2139,6 +2171,22 @@ SELECT token, cnt, rank FROM (
          CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
   FROM cnts
 ) WHERE rank <= 200
+""",
+        "rollup_var": """
+SELECT user_id AS key, date_trunc('day', ts) AS bucket_ts,
+       count(*) AS n_obs,
+       round(avg(value), 6) AS v_mean,
+       round(var_samp(value), 6) AS v_var
+FROM events GROUP BY 1, 2
+""",
+        "asof_fwd": """
+WITH t1d AS (
+  SELECT user_id AS key, date_trunc('day', ts) AS bts, arg_min(value, ts) AS dv
+  FROM events GROUP BY 1, 2
+)
+SELECT e.user_id AS key, e.ts, e.value, t.dv
+FROM events e
+ASOF LEFT JOIN t1d t ON e.user_id = t.key AND e.ts <= t.bts
 """,
         "cohort": """
 WITH ev AS (

@@ -53,6 +53,46 @@ def test_asof_join_tolerance(sides):
     assert got[("a", 100)] is None  # 70s stale > 20s tolerance
 
 
+def test_asof_join_forward(sides):
+    left, right = sides
+    got = _collect(asof_join(left, right, value_cols=["rv"], direction="forward"))
+    assert got[("a", 5)] == 20.0
+    assert got[("a", 15)] == 20.0   # equal ts matches ("at or after")
+    assert got[("a", 25)] == 30.0
+    assert got[("a", 100)] is None  # nothing ahead
+    assert got[("b", 3)] is None
+
+
+def test_asof_join_forward_tolerance(sides):
+    left, right = sides
+    got = _collect(asof_join(left, right, value_cols=["rv"],
+                             direction="forward", tolerance_sec=4.0))
+    assert got[("a", 25)] is None   # next is 5s ahead > 4s tolerance
+    assert got[("a", 15)] == 20.0
+
+
+def test_asof_forward_matches_pandas_on_events(spark):
+    import pandas as pd
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.col("user_id").cast("string").alias("key"), "ts", F.col("value").alias("lv"))
+        .filter(F.col("key").isin("1", "2", "3"))
+    )
+    right = ev.sample(0.3, seed=7).select("key", "ts", F.col("lv").alias("rv"))
+    got = asof_join(ev, right, value_cols=["rv"], direction="forward").toPandas()
+    lp = ev.toPandas().sort_values("ts", kind="stable")
+    rp = right.toPandas().sort_values("ts", kind="stable")
+    want = (
+        pd.merge_asof(lp, rp.rename(columns={"rv": "rv_want"}),
+                      on="ts", by="key", direction="forward")
+    )
+    m = got.sort_values(["key", "ts"], kind="stable").reset_index(drop=True)
+    w = want.sort_values(["key", "ts"], kind="stable").reset_index(drop=True)
+    assert len(m) == len(w)
+    assert (m["rv_r"].fillna(-1) == w["rv_want"].fillna(-1)).all()
+
+
 def test_asof_pandas_matches_declarative(sides):
     left, right = sides
     a = _collect(asof_join(left, right, value_cols=["rv"]))

@@ -30,12 +30,17 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_sec: float | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row + the latest right row with
-    right.ts <= left.ts for the same key (NULLs when none, or when the
-    match is older than ``tolerance_sec``)."""
+    right.ts <= left.ts (``direction='backward'``, default) or the
+    earliest right row with right.ts >= left.ts
+    (``direction='forward'``) for the same key (NULLs when none, or
+    when the match is further than ``tolerance_sec``)."""
     from tits_spark.functions.exprs import ts_seconds
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, ts)]
 
@@ -45,25 +50,41 @@ def asof_join(
     ).withColumn("_side", F.lit(0))
     both = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal ts -> "at or before"
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts -> "at or before"
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # left rows sort before right rows at equal ts, frame looks
+        # ahead -> "at or after"
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), F.col("_side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     filled = both.select(
         "*",
         *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "_f")
+            pick(c + suffix).over(w).alias(c + suffix + "_f")
             for c in value_cols
         ],
-        F.last(F.when(F.col("_side") == 0, ts_seconds(ts)), ignorenulls=True)
+        pick(F.when(F.col("_side") == 0, ts_seconds(ts)))
         .over(w)
         .alias("_rts"),
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance_sec is not None:
-        keep = ts_seconds(ts) - F.col("_rts") <= F.lit(float(tolerance_sec))
+        gap = (
+            ts_seconds(ts) - F.col("_rts")
+            if direction == "backward"
+            else F.col("_rts") - ts_seconds(ts)
+        )
+        keep = gap <= F.lit(float(tolerance_sec))
         out = out.select(
             "*",
             *[
