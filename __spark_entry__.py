@@ -499,7 +499,16 @@ def q_rollup_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment continuous aggregate: mean + sample variance at
     the 1d tier derived from the CASCADED (sum, sumsq) — proving the
     cascade is exact for second moments, vs DuckDB's direct
-    var_samp over the raw stream (a different algorithm)."""
+    var_samp over the raw stream (a different algorithm).
+
+    The comparison is on the standard deviation, not the variance:
+    the source values sit on a decimal lattice, and variance (a lattice
+    combination divided by n-1) can land EXACTLY on a rounding
+    half-point, where Spark's BigDecimal HALF_UP and DuckDB's
+    scaled-double round() legitimately disagree (observed: 2 rows at
+    6 dp, 6 rows at 3 dp on sf0.01). sqrt maps the lattice to
+    irrationals, so half-point landings have measure zero and the only
+    residual risk is the ~1e-11 Welford-vs-sumsq formula gap."""
     from tits_spark.operators.rollup import rollup_all_tiers, with_derived
 
     tiers = rollup_all_tiers(_events(spark, sf_dir), key="key", ts="ts", value="value")
@@ -507,7 +516,7 @@ def q_rollup_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", "bucket_ts", "n_obs",
         F.round("v_mean", 6).alias("v_mean"),
-        F.round("v_var", 6).alias("v_var"),
+        F.round(F.sqrt("v_var"), 4).alias("v_std"),
     )
 
 
@@ -2176,7 +2185,7 @@ SELECT token, cnt, rank FROM (
 SELECT user_id AS key, date_trunc('day', ts) AS bucket_ts,
        count(*) AS n_obs,
        round(avg(value), 6) AS v_mean,
-       round(var_samp(value), 6) AS v_var
+       round(sqrt(var_samp(value)), 4) AS v_std
 FROM events GROUP BY 1, 2
 """,
         "asof_fwd": """
