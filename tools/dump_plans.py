@@ -131,6 +131,47 @@ def main() -> None:
         "constant-size across iterations.",
         one_round,
     )
+    add(
+        "twa (LOCF time-weighted mean per bucket)",
+        "ONE exchange total (the per-key lead window); the bucket split "
+        "is a generator explode inside codegen and the final partial+"
+        "final HashAggregate reuses no extra shuffle beyond the group-by.",
+        E.q_twa(spark, SF),
+    )
+    add(
+        "counter_rate (reset-aware PromQL increase)",
+        "Same single-window shape as twa: one exchange for the per-key "
+        "lag, then partial+final aggregation onto buckets.",
+        E.q_counter_rate(spark, SF),
+    )
+    add(
+        "pii_scrub (chained regex redaction)",
+        "Map-only: zero exchanges, the whole pattern chain is one "
+        "codegen'd projection over the scan.",
+        E.q_pii_scrub(spark, SF),
+    )
+    add(
+        "unigram_logprob (single-pass corpus LM scoring)",
+        "The corpus text is tokenized/exploded ONCE; per-doc (token, k) "
+        "partial-aggregates map-side before the first shuffle; the "
+        "vocab-sized count table joins back by token and the 1-row "
+        "total arrives via broadcast.",
+        E.q_unigram_logprob(spark, SF),
+    )
+    add(
+        "substr_dedup (ExactSubstr span removal)",
+        "No window on the hot gram key: canonical election is a "
+        "partial+final min-over-struct HashAggregate; the only windows "
+        "run per-DOC (island merge), and the candidate join is a hash "
+        "equi-join on gram. No cartesian anywhere.",
+        E.q_substr_dedup(spark, SF),
+    )
+    add(
+        "funnel (ordered 3-step progression)",
+        "Each stage shuffles only its own pre-filtered event type "
+        "(partial min map-side), chained by user-keyed equi-joins.",
+        E.q_funnel(spark, SF),
+    )
 
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
