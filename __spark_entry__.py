@@ -534,6 +534,20 @@ def q_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "ts", "value", F.col("dv_r").alias("dv"))
 
 
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling to 5 points per series. The per-series
+    selection is sequential (bucket i depends on bucket i-1), so the
+    oracle unrolls the FIXED n_out in chained SQL CTEs — the same
+    unrolling discipline as ar_fit (order-3 Levinson) and ivf_topk
+    (2 Lloyd iterations). Areas are quantized to 1e2 on both sides
+    (area_decimals=-2) so the argmax is invariant to the ~1e-5
+    centroid summation-order noise; ties break by earliest point."""
+    from tits_spark.operators.lttb import lttb
+
+    out = lttb(_events(spark, sf_dir), n_out=5, area_decimals=-2)
+    return out.select("key", "ts", "value", "pt_idx")
+
+
 def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort x age retention grid over the event stream (daily
     cohorts by first-ever event; user-keyed shuffles only)."""
@@ -981,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "rollup_var": q_rollup_var,
         "asof_fwd": q_asof_fwd,
+        "lttb": q_lttb,
         "vocab_topk": q_vocab_topk,
         "unigram_logprob": q_unigram_logprob,
     }
@@ -1430,6 +1445,73 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank F
   FROM scored
 ) WHERE rank <= {k}
 """.format(dim=64, K=16, k_m1=15, nprobe=6, k=5)
+
+
+def _lttb_oracle_sql() -> str:
+    """n_out=5 LTTB unrolled: 3 middle buckets selected in sequence,
+    each a quantized-area argmax against the previous selection and the
+    next bucket's centroid. Mirrors operators/lttb.py bit-for-bit up to
+    the 1e2 area quantum (same rebase, same parenthesization)."""
+    area = (
+        "round(abs((p.ax - c.cx) * (b.v - p.ay) - (p.ax - b.tt) * (c.cy - p.ay)), -2)"
+    )
+    sel = []
+    for i in (1, 2, 3):
+        cent = (
+            f"(SELECT k, cx, cy FROM cent WHERE bkt = {i})"
+            if i < 3
+            else "lastpt"
+        )
+        sel.append(f"""
+s{i} AS (
+  SELECT k, i, tt, v, ts FROM (
+    SELECT b.k, b.i, b.tt, b.v, b.ts,
+           row_number() OVER (PARTITION BY b.k
+             ORDER BY {area} DESC, b.i ASC) AS rn
+    FROM big b
+    JOIN edges e USING (k)
+    JOIN (SELECT k, tt AS ax, v AS ay FROM s{i - 1}) p USING (k)
+    JOIN {cent} c USING (k)
+    WHERE b.i >= e.e{i - 1} AND b.i < e.e{i}
+  ) WHERE rn = 1
+)""")
+    chain = ",".join(sel)
+    return f"""
+WITH pts AS (
+  SELECT user_id AS k, ts, value AS v,
+         row_number() OVER w - 1 AS i,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         epoch(ts) - first_value(epoch(ts)) OVER w AS tt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+big AS (SELECT * FROM pts WHERE n > 5),
+edges AS (
+  SELECT k, n,
+         1 + ((n - 2) * 0) // 3 AS e0, 1 + ((n - 2) * 1) // 3 AS e1,
+         1 + ((n - 2) * 2) // 3 AS e2, 1 + ((n - 2) * 3) // 3 AS e3
+  FROM (SELECT DISTINCT k, n FROM big)
+),
+cent AS (
+  SELECT b.k,
+         CASE WHEN i < e1 THEN 0 WHEN i < e2 THEN 1 ELSE 2 END AS bkt,
+         avg(tt) AS cx, avg(v) AS cy
+  FROM big b JOIN edges e USING (k)
+  WHERE i >= e0 AND i < e3
+  GROUP BY 1, 2
+),
+lastpt AS (SELECT k, tt AS cx, v AS cy FROM big WHERE i = n - 1),
+s0 AS (SELECT k, i, tt, v, ts FROM big WHERE i = 0),{chain}
+SELECT k AS key, ts, v AS value, CAST(pt_idx AS INT) AS pt_idx FROM (
+  SELECT k, ts, v, 0 AS pt_idx FROM s0
+  UNION ALL SELECT k, ts, v, 1 FROM s1
+  UNION ALL SELECT k, ts, v, 2 FROM s2
+  UNION ALL SELECT k, ts, v, 3 FROM s3
+  UNION ALL SELECT k, ts, v, 4 FROM big WHERE i = n - 1
+  UNION ALL SELECT k, ts, v, i FROM pts WHERE n <= 5
+)
+"""
 
 
 def _pii_oracle_sql() -> str:
@@ -2181,6 +2263,7 @@ SELECT token, cnt, rank FROM (
   FROM cnts
 ) WHERE rank <= 200
 """,
+        "lttb": _lttb_oracle_sql(),
         "rollup_var": """
 SELECT user_id AS key, date_trunc('day', ts) AS bucket_ts,
        count(*) AS n_obs,
