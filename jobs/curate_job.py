@@ -18,6 +18,20 @@ near-dup removal (operators/curate.py) over a documents table
                         row per stage, for pipeline lineage
 
 and prints ONE JSON line with counts and wall time.
+
+Optional post-gates over the kept set (off by default):
+
+  --pii-max-per-kchar X   drop kept docs whose PII density (matches per
+                          1000 chars, operators/pii.py) exceeds X, and
+                          redact the survivors' text in <output>/kept
+  --substr-dedup-len L    remove non-canonical duplicated L-token spans
+                          from the survivors (operators/substring_dedup
+                          ExactSubstr); rewrites text, records
+                          n_tokens_removed
+
+Both run on the already-curated survivors (cheapest-last: they only see
+the kept fraction), and their counts land in the JSON line under
+"post_gates" (the decisions/metrics tables keep the core four stages).
 """
 
 from __future__ import annotations
@@ -42,6 +56,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--shingle-n", type=int, default=8)
     ap.add_argument("--jaccard", type=float, default=0.12)
     ap.add_argument("--max-doc-freq", type=int, default=1000)
+    ap.add_argument("--pii-max-per-kchar", type=float, default=None)
+    ap.add_argument("--substr-dedup-len", type=int, default=None)
     ap.add_argument("--cores", default="inherit")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--job-id", default=None)
@@ -76,12 +92,46 @@ def main(argv: list[str] | None = None) -> None:
 
     decisions.write.mode("overwrite").parquet(f"{args.output}/decisions")
     kept_ids = decisions.filter(F.col("stage") == "kept").select(args.id_col)
-    docs.join(kept_ids, args.id_col).write.mode("overwrite").parquet(
-        f"{args.output}/kept"
-    )
+    kept = docs.join(kept_ids, args.id_col)
 
     counts = {r["stage"]: r["n_docs"] for r in curate_summary(decisions).collect()}
     n_in = sum(counts.values())
+
+    if args.pii_max_per_kchar is not None:
+        from tits_spark.operators.pii import PII_PATTERNS, pii_scrub
+
+        s = pii_scrub(kept, text_col=args.text_col).cache()
+        density = F.col("n_pii") * 1000.0 / F.greatest(
+            F.length(args.text_col), F.lit(1)
+        )
+        counts["pii"] = s.filter(density > args.pii_max_per_kchar).count()
+        drop_cols = [f"n_{name.lower()}" for name, _ in PII_PATTERNS] + ["n_pii"]
+        kept = (
+            s.filter(density <= args.pii_max_per_kchar)
+            .drop(args.text_col, *drop_cols)
+            .withColumnRenamed("text_clean", args.text_col)
+        )
+
+    if args.substr_dedup_len is not None:
+        from tits_spark.operators.substring_dedup import exact_substring_dedup
+
+        # NOTE: rewrites text as the normalized (lowercased-alphanumeric)
+        # token stream — span removal is defined on tokens, not bytes
+        dd = exact_substring_dedup(
+            kept, length=args.substr_dedup_len,
+            id_col=args.id_col, text_col=args.text_col,
+        ).cache()
+        counts["substr_touched"] = dd.filter(F.col("n_spans") > 0).count()
+        kept = kept.drop(args.text_col).join(
+            dd.select(
+                args.id_col,
+                F.col("text_dedup").alias(args.text_col),
+                "n_tokens_removed",
+            ),
+            args.id_col,
+        )
+
+    kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     if args.metrics:
         job_id = args.job_id or f"curate-{int(time.time())}"
         summary = curate_summary(decisions).select(
@@ -94,10 +144,15 @@ def main(argv: list[str] | None = None) -> None:
         summary.coalesce(1).write.mode("append").parquet(args.metrics)
 
     dt = time.perf_counter() - t0
+    post = {
+        k: counts.pop(k) for k in ("pii", "substr_touched") if k in counts
+    }
+    n_kept = counts.get("kept", 0) - post.get("pii", 0)
     print(json.dumps({
         "docs_in": n_in,
-        "kept": counts.get("kept", 0),
+        "kept": n_kept,
         "dropped_by_stage": {k: v for k, v in sorted(counts.items()) if k != "kept"},
+        "post_gates": post,
         "sec": round(dt, 3),
         "docs_per_sec": round(n_in / dt, 1),
     }))
