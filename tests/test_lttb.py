@@ -68,6 +68,29 @@ def test_lttb_passthrough_short_series():
     assert lttb_numpy(t, v, 10).tolist() == [0, 1, 2, 3]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(3, 400),
+    n_out=st.integers(3, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_lttb_property_vs_naive(n, n_out, seed):
+    rng = np.random.default_rng(seed)
+    # duplicate timestamps and constant stretches included on purpose
+    t = np.sort(rng.choice(rng.uniform(0, 1e4, max(3, n // 2)), n, replace=True))
+    v = np.where(rng.random(n) < 0.2, 7.0, rng.normal(0, 1000, n))
+    got = lttb_numpy(t, v, n_out)
+    want = np.asarray(naive_lttb(list(t), list(v), n_out))
+    assert got.tolist() == want.tolist()
+    assert got[0] == 0 and got[-1] == n - 1
+    assert (np.diff(got) > 0).all()
+    assert got.size == min(n, n_out)
+
+
 def test_lttb_spark_matches_numpy(spark, events):
     ev = events.select(F.col("user_id").alias("key"), "ts", "value").filter(
         F.col("key") < 20
