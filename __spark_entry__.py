@@ -516,7 +516,13 @@ def q_rollup_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", "bucket_ts", "n_obs",
         F.round("v_mean", 6).alias("v_mean"),
-        F.round(F.sqrt("v_var"), 4).alias("v_std"),
+        # NULL-preserving clamp at 0 (greatest() would skip the NULL of
+        # n=1 groups): cancellation can leave a ~-1e-12 variance on
+        # near-constant groups; sqrt would yield NaN where Welford gives 0
+        F.round(
+            F.sqrt(F.when(F.col("v_var") < 0, F.lit(0.0)).otherwise(F.col("v_var"))),
+            4,
+        ).alias("v_std"),
     )
 
 

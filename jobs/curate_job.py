@@ -98,16 +98,14 @@ def main(argv: list[str] | None = None) -> None:
     n_in = sum(counts.values())
 
     if args.pii_max_per_kchar is not None:
-        from tits_spark.operators.pii import PII_PATTERNS, pii_scrub
+        from tits_spark.operators.pii import PII_PATTERNS, pii_density, pii_scrub
 
         s = pii_scrub(kept, text_col=args.text_col).cache()
-        density = F.col("n_pii") * 1000.0 / F.greatest(
-            F.length(args.text_col), F.lit(1)
-        )
-        counts["pii"] = s.filter(density > args.pii_max_per_kchar).count()
+        keep_pred = pii_density(args.pii_max_per_kchar, args.text_col)
+        counts["pii"] = s.filter(~keep_pred).count()
         drop_cols = [f"n_{name.lower()}" for name, _ in PII_PATTERNS] + ["n_pii"]
         kept = (
-            s.filter(density <= args.pii_max_per_kchar)
+            s.filter(keep_pred)
             .drop(args.text_col, *drop_cols)
             .withColumnRenamed("text_clean", args.text_col)
         )

@@ -62,6 +62,14 @@ def test_lttb_keeps_endpoints_and_spike():
     assert idx.size == 10
 
 
+def test_lttb_invalid_n_out_fails_fast(spark, events):
+    with pytest.raises(ValueError):
+        lttb_numpy(np.arange(2.0), np.arange(2.0), 2)
+    ev = events.select(F.col("user_id").alias("key"), "ts", "value")
+    with pytest.raises(ValueError):
+        lttb(ev, n_out=2)  # driver-side, before any job runs
+
+
 def test_lttb_passthrough_short_series():
     t = np.arange(4, dtype=float)
     v = np.ones(4)

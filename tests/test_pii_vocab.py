@@ -45,6 +45,19 @@ def test_pii_short_numbers_survive(spark, docs):
     assert "42" in out[4].text_clean and "7" in out[4].text_clean
 
 
+def test_pii_null_text_counted_and_kept(spark):
+    rows = [(1, None), (2, "mail me a@b.io")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    # NULL text: zero counts (not NULL), NULL redacted text
+    assert out[1].n_pii == 0 and out[1].text_clean is None
+    assert out[2].n_email == 1
+    # and the density gate keeps the NULL-text doc instead of silently
+    # dropping it from both sides of the threshold
+    kept = {r.doc_id for r in drop_pii_dense(df, max_pii_per_kchar=0.0).collect()}
+    assert kept == {1}
+
+
 def test_drop_pii_dense(spark, docs):
     kept = drop_pii_dense(docs, max_pii_per_kchar=20.0)
     ids = {r.doc_id for r in kept.select("doc_id").collect()}

@@ -91,6 +91,27 @@ def test_twa_conservation_vs_naive(spark, events):
         assert r.twa == pytest.approx(w / ws, rel=1e-9)
 
 
+def test_twa_pre_epoch_floor_bucketing(spark):
+    """Pre-1970 segments must land in negative buckets (floor, not
+    truncate-toward-zero): a segment [-100s, 50s) over 60s buckets
+    covers buckets -2, -1, and 0."""
+    rows = [("a", _ts(-100), 3.0), ("a", _ts(50), 9.0)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = {int(r.bucket_ts.timestamp()) // 60: r
+           for r in time_weighted_avg(df, bucket_secs=60).collect()}
+    assert set(out) == {-2, -1, 0}
+    assert out[-2].covered_sec == pytest.approx(40.0)  # [-100, -60) -> 40s
+    assert out[-1].covered_sec == pytest.approx(60.0)
+    assert out[0].covered_sec == pytest.approx(50.0)
+    assert sum(r.covered_sec for r in out.values()) == pytest.approx(150.0)
+
+
+def test_twa_max_gap_zero_yields_nothing(spark):
+    rows = [("a", _ts(0), 1.0), ("a", _ts(100), 2.0)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    assert time_weighted_avg(df, bucket_secs=60, max_gap_sec=0).count() == 0
+
+
 def test_counter_rate_resets(spark):
     # counter 0 -> 10 -> 3 (reset) -> 8 within one bucket
     rows = [

@@ -14,3 +14,23 @@ def ts_seconds(c: Column | str) -> Column:
     """
     col = F.col(c) if isinstance(c, str) else c
     return col.cast("timestamp").cast("double")
+
+
+def epoch_us(c: Column | str) -> Column:
+    """Timestamp -> integer epoch microseconds (exact; goes through the
+    same TZ-safe double cast as ts_seconds)."""
+    return (ts_seconds(c) * 1_000_000).cast("long")
+
+
+def floordiv(col: Column, divisor: int) -> Column:
+    """Integer FLOOR division of a long column by a positive literal.
+
+    Spark's `DIV` truncates toward zero, which disagrees with floor
+    (and with DuckDB's `//` and numpy's `//`) for negative values —
+    pre-1970 timestamps would otherwise land in the wrong bucket."""
+    d = F.lit(int(divisor))
+    # (col - mod) / d with a non-negative mod == floor division; the
+    # double division is exact because col - m is an exact multiple of
+    # d and the true quotient is a representable integer
+    m = ((col % d) + d) % d
+    return ((col - m) / d).cast("long")

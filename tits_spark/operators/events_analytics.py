@@ -49,11 +49,12 @@ def cohort_retention(
     active in the bucket ``age`` steps later (age 0 = the cohort bucket
     itself, so ``n_active == cohort_size`` and retention = 1.0 there).
     """
+    from tits_spark.functions.exprs import epoch_us, floordiv
+
     bu = bucket_secs * _US
     ev = df.select(
-        F.col(key_col).alias("k"),
-        (F.col(ts_col).cast("timestamp").cast("double") * _US).cast("long").alias("us"),
-    ).select("k", F.expr(f"us DIV {bu}L").alias("b"))
+        F.col(key_col).alias("k"), epoch_us(ts_col).alias("us")
+    ).select("k", floordiv(F.col("us"), bu).alias("b"))
     first = ev.groupBy("k").agg(F.min("b").alias("cb"))
     active = ev.distinct()
     cells = (

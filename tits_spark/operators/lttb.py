@@ -38,10 +38,10 @@ def lttb_numpy(
     """Indices of the selected points (sorted ascending). Pure-numpy
     reference used by both the Spark operator and tests."""
     n = t.size
-    if n_out >= n:
-        return np.arange(n)
     if n_out < 3:
         raise ValueError("lttb: n_out must be >= 3")
+    if n_out >= n:
+        return np.arange(n)
     t0 = t[0]
     ts = (t - t0).astype(np.float64)
     sel = [0]
@@ -79,6 +79,9 @@ def lttb(
     0-based output position (0 = series start). Series with <= n_out
     points pass through unchanged.
     """
+    if n_out < 3:
+        # fail fast on the driver, not inside executor Arrow tasks
+        raise ValueError("lttb: n_out must be >= 3")
     out_schema = (
         f"{key_col} {df.schema[key_col].dataType.simpleString()}, "
         f"{ts_col} {df.schema[ts_col].dataType.simpleString()}, "

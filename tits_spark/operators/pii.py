@@ -50,18 +50,38 @@ def pii_scrub(
     matches resolve deterministically and never double-count (the
     digits of an already-redacted SSN are ``<SSN>`` by the time the
     DIGITS pattern runs).
+
+    NULL text yields zero counts and NULL ``out_col`` (regexp functions
+    would otherwise propagate NULL counts, silently excluding the doc
+    from both sides of any density threshold downstream).
     """
     cols = [df["*"]]
     total = F.lit(0)
-    cur: Column = F.col(text_col)
+    # count/redact over '' for NULL text so counts are 0, not NULL
+    cur: Column = F.coalesce(F.col(text_col), F.lit(""))
     for name, pat in PII_PATTERNS:
         c = F.regexp_count(cur, F.lit(pat))
         cols.append(c.cast("long").alias(f"n_{name.lower()}"))
         total = total + c
         cur = F.regexp_replace(cur, F.lit(pat), F.lit(f"<{name}>"))
     cols.append(total.cast("long").alias("n_pii"))
-    cols.append(cur.alias(out_col))
+    cols.append(
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(cur)
+        .alias(out_col)
+    )
     return df.select(*cols)
+
+
+def pii_density(max_per_kchar: float, text_col: str = "text") -> Column:
+    """Keep-predicate: PII matches per 1000 chars <= threshold. The ONE
+    definition shared by :func:`drop_pii_dense` and the curate job's
+    --pii-max-per-kchar post-gate; expects :func:`pii_scrub` columns.
+    NULL/empty text has density 0 (kept)."""
+    density = F.col("n_pii") * 1000.0 / F.greatest(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))), F.lit(1)
+    )
+    return density <= F.lit(float(max_per_kchar))
 
 
 def drop_pii_dense(
@@ -74,5 +94,4 @@ def drop_pii_dense(
     directories/dumps with no training value. Keeps original columns
     plus the redacted text."""
     scrubbed = pii_scrub(df, text_col=text_col)
-    density = F.col("n_pii") * 1000.0 / F.greatest(F.length(text_col), F.lit(1))
-    return scrubbed.filter(density <= max_pii_per_kchar)
+    return scrubbed.filter(pii_density(max_pii_per_kchar, text_col))

@@ -38,13 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tits_spark.functions.exprs import epoch_us as _epoch_us
+from tits_spark.functions.exprs import floordiv
+
 _US = 1_000_000
-
-
-def _epoch_us(ts_col: str):
-    # µs-precision integer epoch; parquet timestamps may be NTZ in
-    # Spark 4 (session tz pinned UTC in tits_spark.session)
-    return (F.col(ts_col).cast("timestamp").cast("double") * _US).cast("long")
 
 
 def time_weighted_avg(
@@ -81,17 +78,25 @@ def time_weighted_avg(
             F.col(value_col).cast("double").alias("v"),
         )
         .withColumn("e_us", F.lead("s_us").over(w))
-        .filter(F.col("e_us").isNotNull() & (F.col("e_us") > F.col("s_us")))
+        # the last observation carries nothing — drop it BEFORE the
+        # clip (least() skips NULLs, so clipping first would give the
+        # open segment a max_gap-length tail)
+        .filter(F.col("e_us").isNotNull())
     )
+    # clip BEFORE the zero-length filter so max_gap_sec=0 drops every
+    # segment instead of leaking unclipped ones — mirrors the streaming
+    # twin's order of operations
     if max_gap_sec is not None:
         seg = seg.withColumn(
             "e_us", F.least("e_us", F.col("s_us") + F.lit(int(max_gap_sec * _US)))
         )
-    # buckets spanned: s div bu .. (e-1) div bu (end exclusive). Integer
-    # DIV, not floor(x / y): `/` is double division in Spark and a long
-    # epoch-µs near a bucket boundary could round across it.
-    b0 = F.expr(f"s_us DIV {bucket_us}L")
-    b1 = F.expr(f"(e_us - 1L) DIV {bucket_us}L")
+    seg = seg.filter(F.col("e_us") > F.col("s_us"))
+    # buckets spanned: floor(s/bu) .. floor((e-1)/bu) (end exclusive).
+    # floordiv, not Spark DIV (truncates toward zero — wrong bucket for
+    # pre-1970 timestamps) and not floor(x / y) (double division could
+    # round a long epoch-µs across a bucket boundary).
+    b0 = floordiv(F.col("s_us"), bucket_us)
+    b1 = floordiv(F.col("e_us") - 1, bucket_us)
     burst = seg.select(
         "key", "s_us", "e_us", "v", F.explode(F.sequence(b0, b1)).alias("b")
     )
@@ -147,7 +152,7 @@ def counter_rate(
     return (
         base.select(
             "key",
-            F.expr(f"s_us DIV {bucket_us}L").alias("b"),
+            floordiv(F.col("s_us"), bucket_us).alias("b"),
             adj.alias("adj"),
             F.when(delta < 0, 1).otherwise(0).alias("is_reset"),
         )
