@@ -344,3 +344,13 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == want
+
+    # replay with a FRESH checkpoint (foreachBatch at-least-once: the
+    # same micro-batch re-runs with the same batch_id): the per-batch
+    # partition overwrite must leave the corpus unduplicated
+    q3 = stream_decontaminate(
+        spark, src, "doc_id long, text string", bench, out,
+        str(tmp_path / "cckpt2"), n=5,
+    )
+    q3.awaitTermination(300)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == want

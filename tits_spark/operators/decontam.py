@@ -27,26 +27,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col: Column) -> Column:
-    """Lowercased alphanumeric word tokens, empties removed."""
-    return F.filter(
-        F.split(F.lower(F.regexp_replace(text_col, "[^a-zA-Z0-9]+", " ")), " "),
-        lambda t: t != "",
-    )
-
-
-def word_ngrams_col(text_col: Column, n: int) -> Column:
-    """Array of space-joined word ``n``-grams of ``text_col``.
-
-    Guarded so documents shorter than ``n`` words yield an empty array
-    (``F.sequence(1, 0)`` would otherwise produce a *descending* range).
-    """
-    toks = _tokens(text_col)
-    m = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
-    return F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+# canonical tokenizer + n-gram builder live in operators/text.py (the
+# shared text-utility module); re-exported here for compatibility
+from tits_spark.operators.text import _tokens, word_ngrams_col  # noqa: F401
 
 
 def word_ngrams(
@@ -118,8 +101,23 @@ def decontaminate(
 ) -> DataFrame:
     """Training rows with contaminated documents removed (left_anti
     against the flagged id set — the corpus is filtered, never
-    shuffled)."""
-    flagged = contamination_report(train, benchmark, n, id_col, text_col).filter(
-        "contaminated"
+    shuffled).
+
+    Builds the flagged-id set directly (corpus grams semi-joined to the
+    broadcast benchmark grams, distinct ids) rather than routing
+    through :func:`contamination_report`: the report's all-docs spine
+    (``train.select(id).join(hits, 'left')``) is a SECOND full corpus
+    scan that the contaminated-only filter would immediately discard —
+    an entire wasted pass at 100 TB.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams_col(F.col(text_col), n)).alias("ngram"))
+        .distinct()
     )
-    return train.join(flagged.select(id_col), id_col, "left_anti")
+    flagged = (
+        word_ngrams(train, n, id_col, text_col)
+        .join(F.broadcast(bench_grams), "ngram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(flagged, id_col, "left_anti")

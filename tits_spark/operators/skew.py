@@ -100,9 +100,25 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     fires on inputs so small they undershoot the core count, where
     shuffling the compact (id, text) rows costs milliseconds and buys
     full map-side parallelism for the expensive stage above it.
+
+    The probe is metadata-only: ``df.rdd.getNumPartitions()`` would
+    resolve the AdaptiveSparkPlan, EXECUTING any upstream shuffle
+    stages at plan-construction time (and again at the real action).
+    Instead, scan-rooted frames are sized by their file list (a
+    listing, no job); derived frames — which already carry shuffle
+    partitions >= cluster parallelism from whatever produced them —
+    pass through untouched.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - e.g. streaming frames
+        return df
+    if not files:
+        # derived (shuffle-rooted) or non-file frame: its partitioning
+        # already reflects spark.sql.shuffle.partitions
+        return df
+    if len(files) < target:
         return df.repartition(target)
     return df

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tits_spark.operators.decontam import _tokens
+from tits_spark.operators.text import _tokens
 
 
 def _window_grams(toks: Column, length: int) -> Column:

@@ -5,9 +5,32 @@ codegen-friendly at 100 TB."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-from tits_spark.operators.decontam import word_ngrams_col, _tokens
+
+def _tokens(text_col: Column) -> Column:
+    """THE shared curation tokenizer: lowercased alphanumeric word
+    tokens, empties removed. Canonical home of the scheme every
+    token-level operator (decontam, vocab, substring_dedup, repetition)
+    and every DuckDB oracle mirrors — change it here and nowhere else."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(text_col, "[^a-zA-Z0-9]+", " ")), " "),
+        lambda t: t != "",
+    )
+
+
+def word_ngrams_col(text_col: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of ``text_col``.
+
+    Guarded so documents shorter than ``n`` words yield an empty array
+    (``F.sequence(1, 0)`` would otherwise produce a *descending* range).
+    """
+    toks = _tokens(text_col)
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 # tiny English stopword list for the n-gram/stopword heuristics
 STOPWORDS = [
@@ -128,10 +151,12 @@ def repetition_features(
     def _tag(n: int):
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
+    # dedupe the union of requested n's: an n appearing in BOTH top_ns
+    # and dup_ns must explode once, not twice (double-counted grams
+    # would double every cnt and corrupt both fractions)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
     tagged = F.flatten(
-        F.array(
-            *[F.transform(word_ngrams_col(txt, n), _tag(n)) for n in (*top_ns, *dup_ns)]
-        )
+        F.array(*[F.transform(word_ngrams_col(txt, n), _tag(n)) for n in all_ns])
     )
     from tits_spark.operators.skew import ensure_min_parallelism
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tits_spark.operators.decontam import _tokens
+from tits_spark.operators.text import _tokens
 
 
 def _exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -20,6 +20,7 @@ batch-swept corpora agree document-for-document by construction
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from tits_spark.operators.decontam import decontaminate
@@ -48,12 +49,27 @@ def stream_decontaminate(
     filter — with the benchmark grams recomputed per batch; callers
     gating a high-rate stream should pass an already-materialized
     benchmark frame (e.g. a small parquet table) so the static side is
-    a cheap scan, exactly like the incremental-LSH band table."""
+    a cheap scan, exactly like the incremental-LSH band table.
 
-    def gate(batch: DataFrame, _batch_id: int) -> None:
-        decontaminate(batch, benchmark, n, id_col, text_col).write.mode(
-            "append"
-        ).parquet(out_path)
+    Exactly-once output under foreachBatch's at-least-once contract:
+    each micro-batch OVERWRITES its own ``batch_id=<id>`` partition
+    directory, so a replay after a mid-batch failure (sink committed,
+    checkpoint offset not yet) rewrites the same partition instead of
+    appending duplicates. Read the corpus as ``out_path`` (partition
+    discovery picks up the batch_id column)."""
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch commit: replays overwrite, never append
+        batch.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            decontaminate(batch, benchmark, n, id_col, text_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     stream = spark.readStream.schema(schema).parquet(source_path)
     writer = stream.writeStream.foreachBatch(gate).option(
