@@ -194,6 +194,21 @@ def q_ar_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1..3 per key (Levinson reflection
+    coefficients over the kernel-weighted ACF). Oracle: the same order-3
+    recursion unrolled in closed form — pacf1 = r1, pacf2 = -k2,
+    pacf3 = -k3 off the shared Levinson CTE chain."""
+    from tits_spark.operators.correlate import pacf_by_key
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    out = pacf_by_key(ev, "key", "ts", "value", order=3, tau=3600.0)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "lag",
+        F.round("pacf", 6).alias("pacf"),
+    )
+
+
 def q_perio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lomb-Scargle periodogram per key via the C-parity numpy kernel —
     shares the declarative strategy's SQL oracle (identical [0,1) grid)."""
@@ -953,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_band": q_acf_band,
         "sacf_udf": q_sacf_udf,
         "ar_fit": q_ar_fit,
+        "pacf": q_pacf,
         "ar_stationarity": q_ar_stationarity,
         "perio": q_perio,
         "perio_decl": q_perio_decl,
@@ -1113,6 +1129,16 @@ l3 AS (SELECT key, r1, r2, r3,
        FROM l2),
 l4 AS (SELECT key, a1_1, a2_1, (-r3 - a1_1 * r2 - a2_1 * r1) / e2 AS k3 FROM l3),
 fin AS (SELECT key, a1_1 + k3 * a2_1 AS a1, a2_1 + k3 * a1_1 AS a2, k3 AS a3 FROM l4)
+"""
+
+# PACF oracle: the negated reflection coefficients of the same unrolled
+# Levinson chain (l2 exposes k2, l4 exposes k3; pacf1 == r1 directly).
+_PACF_SQL = _AR_FIN_CTE + """
+SELECT key, lag, round(pacf, 6) AS pacf FROM (
+  SELECT key, 1 AS lag, r1 AS pacf FROM wide
+  UNION ALL SELECT key, 2, -k2 FROM l2
+  UNION ALL SELECT key, 3, -k3 FROM l4
+)
 """
 
 _AR_SQL = _AR_FIN_CTE + """
@@ -1634,6 +1660,7 @@ ORDER BY n_events DESC, key ASC LIMIT 10
         "acf_band": _ACF_SQL,
         "sacf_udf": _ACF_SQL,
         "ar_fit": _AR_SQL,
+        "pacf": _PACF_SQL,
         "ar_stationarity": _AR_STAT_SQL,
         "perio": _perio_sql(6, dp=4),
         "perio_decl": _perio_sql(4),

@@ -75,6 +75,19 @@ def test_ar_fit_shape(ev):
     assert not out["ar"].isna().any()
 
 
+def test_pacf_matches_per_order_ar_fits(ev):
+    from tits_spark.operators.correlate import pacf_by_key
+
+    pacf = pacf_by_key(ev, order=3, tau=3600.0).toPandas()
+    assert set(pacf["lag"]) == {1, 2, 3}
+    # lag-k pacf == -(last coefficient of the order-k AR fit), per key
+    for k in (1, 2, 3):
+        ar_k = ar_fit_by_key(ev, order=k, tau=3600.0).toPandas()
+        last = ar_k[ar_k["coef_idx"] == k - 1].set_index("key")["ar"]
+        got = pacf[pacf["lag"] == k].set_index("key")["pacf"]
+        assert np.allclose(got.sort_index(), -last.sort_index(), atol=1e-9)
+
+
 def test_perio_finds_planted_frequency(spark):
     # y = sin(2*pi*4*t/span) on irregular t -> peak at freq_idx 3
     rng = np.random.Generator(np.random.PCG64(12))

@@ -436,6 +436,39 @@ def acf2ar(acf: np.ndarray, mo: int | None = None, dtype=np.float64) -> np.ndarr
     return ar
 
 
+def acf2pacf(acf: np.ndarray, mo: int | None = None, dtype=np.float64) -> np.ndarray:
+    """Partial autocorrelation function from the ACF: the negated
+    reflection coefficients of the same Levinson-Durbin recursion
+    :func:`acf2ar` runs (ref:acf24ar.c:48-73), so pacf[k-1] equals the
+    last coefficient of an order-k AR fit under the statistical sign
+    convention (pacf at lag 1 == acf at lag 1). Orders past an early
+    |E| <= eps break are NaN (the recursion is undefined there, which
+    the C signals by stopping)."""
+    acf = np.asarray(acf, dtype=dtype)
+    dt = np.dtype(dtype).type
+    eps = _eps(dtype)
+    if mo is None:
+        mo = acf.size
+    ar = np.zeros(mo, dtype=dtype)
+    pacf = np.full(mo, np.nan, dtype=dtype)
+    E = dt(1.0)
+    for i in range(mo):
+        if not (abs(E) > eps):
+            break
+        k = -acf[i]
+        for j in range(1, i + 1):
+            k -= ar[j - 1] * acf[i - j]
+        k /= E
+        pacf[i] = -k
+        an = ar.copy()
+        an[i] = k
+        for j in range(1, i + 1):
+            an[j - 1] = ar[j - 1] + k * ar[i - j]
+        ar[: i + 1] = an[: i + 1]
+        E *= dt(1) - k * k
+    return pacf
+
+
 # Cap on the (frequencies x points) trig block materialized at once
 # (~3 arrays of this many elements); larger problems chunk over rows.
 _PERIO_BLOCK = 4_000_000

@@ -35,6 +35,8 @@ from tits_spark.functions import kernels as K
 _ACF_SCHEMA = "key string, lag int, acf double"
 _XCF_SCHEMA = "key1 string, key2 string, lag int, xcf double"
 _AR_SCHEMA = "key string, coef_idx int, ar double"
+
+_PACF_SCHEMA = "key string, lag int, pacf double"
 _PERIO_SCHEMA = "key string, freq_idx int, power double"
 
 
@@ -221,6 +223,43 @@ def ar_fit_by_key(
         })
 
     return df.groupBy(key).applyInPandas(fn, schema=_AR_SCHEMA)
+
+
+def pacf_by_key(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    order: int = 4,
+    tau: float = 1.0,
+    min_points: int = 8,
+    stats: str = "fast",
+) -> DataFrame:
+    """Per-key partial autocorrelation at lags 1..order: sacf -> the
+    Levinson reflection coefficients (Q1 composed with the Q3 recursion,
+    ref:acf24ar.c:48-73 — pacf[k] is what the order-k AR fit's last
+    coefficient would be, the standard model-identification diagnostic
+    the reference's acf->ar tooling exists to serve).
+
+    Returns (key, lag 1..order, pacf); one shuffle (groupBy key), NaN
+    lags (early Levinson break) dropped."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < min_points:
+            return pd.DataFrame(columns=["key", "lag", "pacf"])
+        t, y = _series(pdf, ts, value)
+        acf = K.sacf(t, y, order, tau, stats=stats)
+        if np.isnan(acf).any():
+            return pd.DataFrame(columns=["key", "lag", "pacf"])
+        pacf = K.acf2pacf(acf, order)
+        keep = ~np.isnan(pacf)
+        return pd.DataFrame({
+            "key": pdf[key].iloc[0],
+            "lag": np.arange(1, order + 1, dtype=np.int32)[keep],
+            "pacf": pacf[keep],
+        })
+
+    return df.groupBy(key).applyInPandas(fn, schema=_PACF_SCHEMA)
 
 
 def ar_stationarity_by_key(
