@@ -592,6 +592,41 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per key: mean(value | key, hour)
+    minus the key mean, recovered from one groupBy pass."""
+    from tits_spark.operators.seasonal import seasonal_profile
+
+    # events.value sits on a 2-decimal lattice -> the exact fixed-point
+    # path (integer micro-units) makes the compare rounding-mode-proof
+    out = seasonal_profile(
+        _events(spark, sf_dir), "key", "ts", "value", fixed_point_scale=100
+    )
+    return out.select("key", "phase", "n_obs", "seasonal_u6")
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized outliers: rows more than 3 residual stddevs from
+    their key's hour-of-day expectation."""
+    from tits_spark.operators.seasonal import seasonal_anomalies
+
+    out = seasonal_anomalies(_events(spark, sf_dir), "key", "ts", "value", z_thresh=3.0)
+    return out.select("key", "ts", "value", F.round("z", 6).alias("z"))
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per key: argmax |running deviation
+    sum|, its normalized magnitude, and the closed-form before/after
+    mean delta."""
+    from tits_spark.operators.changepoint import cusum_changepoint
+
+    out = cusum_changepoint(_events(spark, sf_dir), "key", "ts", "value")
+    return out.select(
+        "key", "cp_ts", "cp_idx", "n_obs",
+        F.round("stat", 6).alias("stat"), F.round("delta", 6).alias("delta"),
+    )
+
+
 def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. ExactSubstr, relationally
     reformulated): remove every non-canonical duplicated 8-token span,
@@ -1004,6 +1039,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tick_roundtrip": q_tick_roundtrip,
         "tpch_q5": q_tpch_q5,
         "sessionize": q_sessionize,
+        "seasonal": q_seasonal,
+        "anomaly": q_anomaly,
+        "cusum": q_cusum,
         "ewma": q_ewma,
         "percentiles": q_percentiles,
         "decontam": q_decontam,
@@ -2113,6 +2151,71 @@ SELECT key, session_idx, count(*) AS n_events,
        round(max(t) - min(t), 6) AS duration_s,
        round(sum(value), 4) AS v_sum
 FROM s GROUP BY 1, 2
+""",
+        # hour-of-day profile in exact integer arithmetic over the
+        # 2-decimal value lattice (mirrors seasonal_profile's
+        # fixed_point_scale=100 path); floor division spelled with the
+        # mod adjustment because DuckDB's // truncates toward zero
+        "seasonal": """
+WITH prof AS (
+  SELECT user_id AS key, hour(ts) AS phase, count(*) AS n_obs,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT key, phase, n_obs, s,
+         CAST(sum(n_obs) OVER (PARTITION BY key) AS BIGINT) AS nk,
+         CAST(sum(s) OVER (PARTITION BY key) AS BIGINT) AS sk
+  FROM prof
+),
+frac AS (
+  SELECT key, phase, n_obs,
+         (s * nk - sk * n_obs) * 1000000 AS num,
+         100 * n_obs * nk AS den
+  FROM w
+)
+SELECT key, CAST(phase AS INT) AS phase, n_obs,
+       CAST((num - ((num % den) + den) % den) // den AS BIGINT) AS seasonal_u6
+FROM frac
+""",
+        "anomaly": """
+WITH r AS (
+  SELECT user_id AS key, ts, value,
+         value - avg(value) OVER (PARTITION BY user_id, hour(ts)) AS resid
+  FROM events
+),
+s AS (
+  SELECT key, ts, value,
+         resid / nullif(stddev_samp(resid) OVER (PARTITION BY key), 0) AS z
+  FROM r
+)
+SELECT key, ts, value, round(z, 6) AS z FROM s WHERE abs(z) > 3
+""",
+        # CUSUM argmax |S_i| with the engine's exact candidate set
+        # (i < n, n >= 8, sd > 0) and (abs(s) DESC, ts, value) pick order
+        "cusum": """
+WITH base AS (
+  SELECT user_id AS key, ts, value,
+         count(*) OVER w AS n, avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd
+  FROM events WINDOW w AS (PARTITION BY user_id)
+),
+cum AS (
+  SELECT key, ts, value, n, m, sd,
+         sum(value - m) OVER (PARTITION BY key ORDER BY ts, value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         row_number() OVER (PARTITION BY key ORDER BY ts, value) AS i
+  FROM base
+),
+cand AS (SELECT * FROM cum WHERE n >= 8 AND sd > 0 AND i < n),
+pick AS (
+  SELECT key, ts AS cp_ts, CAST(i AS INT) AS cp_idx, n AS n_obs,
+         abs(s) / (sd * sqrt(n)) AS stat,
+         -s * n / (i * (n - i)) AS delta,
+         row_number() OVER (PARTITION BY key ORDER BY abs(s) DESC, ts ASC, value ASC) AS rk
+  FROM cand
+)
+SELECT key, cp_ts, cp_idx, n_obs, round(stat, 6) AS stat, round(delta, 6) AS delta
+FROM pick WHERE rk = 1
 """,
         "ewma": """
 WITH e AS (

@@ -22,13 +22,17 @@ def epoch_us(c: Column | str) -> Column:
     return (ts_seconds(c) * 1_000_000).cast("long")
 
 
-def floordiv(col: Column, divisor: int) -> Column:
-    """Integer FLOOR division of a long column by a positive literal.
+def floordiv(col: Column, divisor: int | Column) -> Column:
+    """Integer FLOOR division of a long column by a positive divisor
+    (literal int or positive long column).
 
     Spark's `DIV` truncates toward zero, which disagrees with floor
     (and with DuckDB's `//` and numpy's `//`) for negative values —
-    pre-1970 timestamps would otherwise land in the wrong bucket."""
-    d = F.lit(int(divisor))
+    pre-1970 timestamps would otherwise land in the wrong bucket.
+
+    Exactness bound: |col| and the quotient must stay below 2**53 so
+    the final double division of the exact multiple is lossless."""
+    d = F.lit(int(divisor)) if isinstance(divisor, int) else divisor
     # (col - mod) / d with a non-negative mod == floor division; the
     # double division is exact because col - m is an exact multiple of
     # d and the true quotient is a representable integer

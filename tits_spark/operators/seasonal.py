@@ -1,0 +1,119 @@
+"""Seasonal profile extraction and deseasonalized anomaly detection.
+
+Classic hypertable diagnostics over irregular event series: a per-key
+periodic profile (hour-of-day by default) and outliers measured against
+it. Everything is window/groupBy algebra — no UDFs, fully
+whole-stage-codegen, and every shuffle is keyed on (or a superset of)
+the series key, so at 100 TB the work stays co-partitioned with the
+raw table's natural layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PERIODS = {
+    "hour": F.hour,           # hour of day 0..23
+    "dow": F.dayofweek,       # 1..7
+    "minute": F.minute,       # minute of hour 0..59
+}
+
+
+def _phase(ts: str, period: str) -> Column:
+    try:
+        return _PERIODS[period](F.col(ts))
+    except KeyError:
+        raise ValueError(f"period must be one of {sorted(_PERIODS)}, got {period!r}")
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    period: str = "hour",
+    fixed_point_scale: int | None = None,
+) -> DataFrame:
+    """Per-(key, phase) seasonal offset: mean(value | key, phase) minus
+    the key's overall mean, with the phase observation count.
+
+    One shuffle (groupBy key x phase); the key-level mean is recovered
+    from the phase aggregates themselves (sum/count re-aggregated over
+    a window on the tiny profile frame), so the raw table is scanned
+    exactly once.
+
+    Default output column ``seasonal`` (double). With
+    ``fixed_point_scale`` set (e.g. 100 for 2-decimal prices), the
+    input is treated as a fixed-point lattice and the offset is
+    computed entirely in integer arithmetic, emitting exact
+    ``seasonal_u6`` integer micro-units instead — the mean difference
+    of lattice values is a small rational, and exact integer floor
+    division sidesteps the half-ulp rounding ties that make the float
+    path engine-dependent at the 6th decimal.
+    """
+    ph = _phase(ts, period)
+    wk = Window.partitionBy("key")
+    if fixed_point_scale is None:
+        prof = df.groupBy(F.col(key).alias("key"), ph.alias("phase")).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(value).alias("_sum"),
+        )
+        key_mean = F.sum("_sum").over(wk) / F.sum("n_obs").over(wk)
+        return prof.select(
+            "key",
+            "phase",
+            "n_obs",
+            (F.col("_sum") / F.col("n_obs") - key_mean).alias("seasonal"),
+        )
+
+    from tits_spark.functions.exprs import floordiv
+
+    scaled = F.round(F.col(value) * fixed_point_scale).cast("long")
+    prof = df.groupBy(F.col(key).alias("key"), ph.alias("phase")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(scaled).alias("_s"),
+    )
+    n_key = F.sum("n_obs").over(wk)
+    s_key = F.sum("_s").over(wk)
+    # seasonal = _s/(scale*n) - s_key/(scale*n_key)
+    #          = (_s*n_key - s_key*n) / (scale*n*n_key)  -- exact rational
+    num = (F.col("_s") * n_key - s_key * F.col("n_obs")) * F.lit(1_000_000)
+    den = F.lit(int(fixed_point_scale)) * F.col("n_obs") * n_key
+    return prof.select(
+        "key", "phase", "n_obs", floordiv(num, den).alias("seasonal_u6")
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    period: str = "hour",
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates from their key's seasonal expectation
+    by more than ``z_thresh`` residual standard deviations.
+
+    The residual is ``value - mean(value | key, phase)`` (identically
+    key_mean + seasonal offset), and the scale is the sample stddev of
+    those residuals per key — both as window aggregates over the
+    (key)- and (key, phase)-partitioned frames, so the only exchanges
+    are hash-partitions by key. Keys whose residual stddev is zero (or
+    a single-row key) produce no anomalies by definition.
+
+    Returns (key, ts, value, z).
+    """
+    ph = _phase(ts, period)
+    w_kp = Window.partitionBy(key, "_phase")
+    w_k = Window.partitionBy(key)
+    resid = F.col(value) - F.avg(value).over(w_kp)
+    with_resid = df.withColumn("_phase", ph).withColumn("_resid", resid)
+    sd = F.stddev_samp("_resid").over(w_k)
+    z = F.col("_resid") / F.nullif(sd, F.lit(0.0))
+    return (
+        with_resid.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_thresh)
+        .select(key, ts, value, "z")
+    )
