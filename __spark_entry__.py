@@ -627,6 +627,30 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via temporal bucketing: for each
+    6h-gap session, how many events of OTHER keys fall inside it (plus
+    how many distinct keys) — the naive BETWEEN join Spark would plan
+    as a nested loop, reformulated as a bucket equi-join."""
+    from tits_spark.operators.intervals import point_in_interval_join
+    from tits_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf_dir)
+    sess = session_stats(ev, gap_seconds=21600.0).select(
+        F.col("key").alias("s_key"), "session_idx", "start_ts", "end_ts"
+    )
+    pts = ev.select(F.col("key").alias("p_key"), "ts")
+    j = point_in_interval_join(pts, sess, point_ts="ts", bucket_seconds=21600)
+    return (
+        j.filter(F.col("p_key") != F.col("s_key"))
+        .groupBy(F.col("s_key").alias("key"), "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_other"),
+            F.countDistinct("p_key").alias("n_other_keys"),
+        )
+    )
+
+
 def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. ExactSubstr, relationally
     reformulated): remove every non-canonical duplicated 8-token span,
@@ -1042,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal": q_seasonal,
         "anomaly": q_anomaly,
         "cusum": q_cusum,
+        "copresence": q_copresence,
         "ewma": q_ewma,
         "percentiles": q_percentiles,
         "decontam": q_decontam,
@@ -2216,6 +2241,31 @@ pick AS (
 )
 SELECT key, cp_ts, cp_idx, n_obs, round(stat, 6) AS stat, round(delta, 6) AS delta
 FROM pick WHERE rk = 1
+""",
+        # BETWEEN range join as ground truth for the bucketized
+        # point-in-interval reformulation (sessions = 6h-gap, closed ends)
+        "copresence": """
+WITH e AS (SELECT user_id AS key, ts, epoch(ts) AS t FROM events),
+g AS (
+  SELECT key, ts, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY ts) >= 21600.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+s AS (
+  SELECT key, ts,
+         CAST(sum(is_new) OVER (PARTITION BY key ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_idx
+  FROM g
+),
+iv AS (SELECT key, session_idx, min(ts) AS start_ts, max(ts) AS end_ts FROM s GROUP BY 1, 2),
+j AS (
+  SELECT iv.key, iv.session_idx, e2.user_id AS p_key
+  FROM iv JOIN events e2
+    ON e2.ts BETWEEN iv.start_ts AND iv.end_ts AND e2.user_id <> iv.key
+)
+SELECT key, session_idx, count(*) AS n_other, count(DISTINCT p_key) AS n_other_keys
+FROM j GROUP BY 1, 2
 """,
         "ewma": """
 WITH e AS (

@@ -1,0 +1,124 @@
+"""Bucketized interval joins vs the naive BETWEEN formulation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.operators.intervals import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+
+
+def _frames(spark, seed=3, n_iv=40, n_pt=300):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2026-02-01")
+    lo = base + pd.to_timedelta(rng.integers(0, 86400 * 10, n_iv), unit="s")
+    span = pd.to_timedelta(rng.integers(0, 86400, n_iv), unit="s")
+    iv = pd.DataFrame({
+        "iv_id": np.arange(n_iv),
+        "start_ts": lo,
+        "end_ts": lo + span,
+    })
+    pt = pd.DataFrame({
+        "pt_id": np.arange(n_pt),
+        "ts": base + pd.to_timedelta(rng.integers(0, 86400 * 10, n_pt), unit="s"),
+    })
+    return (
+        spark.createDataFrame(pt, "pt_id long, ts timestamp"),
+        spark.createDataFrame(iv, "iv_id long, start_ts timestamp, end_ts timestamp"),
+        pt,
+        iv,
+    )
+
+
+def test_point_in_interval_matches_naive(spark):
+    pts, ivs, pt, iv = _frames(spark)
+    got = (
+        point_in_interval_join(pts, ivs, bucket_seconds=3600)
+        .select("pt_id", "iv_id")
+        .toPandas()
+        .sort_values(["pt_id", "iv_id"])
+        .reset_index(drop=True)
+    )
+    cross = pt.merge(iv, how="cross")
+    want = (
+        cross[(cross["ts"] >= cross["start_ts"]) & (cross["ts"] <= cross["end_ts"])]
+        [["pt_id", "iv_id"]]
+        .sort_values(["pt_id", "iv_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # exactly-once: no duplicate pairs even for multi-bucket intervals
+    assert not got.duplicated().any()
+
+
+def test_interval_overlap_matches_naive(spark):
+    _, ivs, _, iv = _frames(spark, seed=8)
+    right = (
+        ivs.withColumnRenamed("iv_id", "r_id")
+        .withColumnRenamed("start_ts", "r_start_ts")
+        .withColumnRenamed("end_ts", "r_end_ts")
+    )
+    got = (
+        interval_overlap_join(ivs, right, bucket_seconds=3600)
+        .select("iv_id", "r_id")
+        .toPandas()
+        .sort_values(["iv_id", "r_id"])
+        .reset_index(drop=True)
+    )
+    r = iv.rename(columns={"iv_id": "r_id", "start_ts": "r_start_ts", "end_ts": "r_end_ts"})
+    cross = iv.merge(r, how="cross")
+    want = (
+        cross[(cross["start_ts"] <= cross["r_end_ts"]) & (cross["r_start_ts"] <= cross["end_ts"])]
+        [["iv_id", "r_id"]]
+        .sort_values(["iv_id", "r_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert not got.duplicated().any()
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    pts, ivs, _, _ = _frames(spark)
+    p = point_in_interval_join(pts, ivs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_oversized_interval_raises(spark):
+    iv = spark.createDataFrame(
+        pd.DataFrame({
+            "iv_id": [0],
+            "start_ts": [pd.Timestamp("2020-01-01")],
+            "end_ts": [pd.Timestamp("2026-01-01")],
+        }),
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    pt = spark.createDataFrame(
+        pd.DataFrame({"pt_id": [0], "ts": [pd.Timestamp("2021-01-01")]}),
+        "pt_id long, ts timestamp",
+    )
+    with pytest.raises(Exception, match="max_buckets"):
+        point_in_interval_join(pt, iv, bucket_seconds=60).count()
+
+
+def test_inverted_interval_raises(spark):
+    iv = spark.createDataFrame(
+        pd.DataFrame({
+            "iv_id": [0],
+            "start_ts": [pd.Timestamp("2026-01-02")],
+            "end_ts": [pd.Timestamp("2026-01-01")],
+        }),
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    pt = spark.createDataFrame(
+        pd.DataFrame({"pt_id": [0], "ts": [pd.Timestamp("2026-01-01")]}),
+        "pt_id long, ts timestamp",
+    )
+    with pytest.raises(Exception, match="invalid interval"):
+        point_in_interval_join(pt, iv).count()

@@ -1,0 +1,147 @@
+"""Bucketized interval joins: point-in-interval and interval-overlap.
+
+Spark has no native range/interval join, and the naive formulation
+(`a JOIN b ON a.ts BETWEEN b.lo AND b.hi`) plans as a broadcast
+nested-loop or cartesian product — quadratic and fatal at 100 TB. The
+standard scale-out reformulation is temporal bucketing: quantize time
+into fixed buckets, explode each interval to the buckets it covers,
+and equi-join on the bucket key. The join is then an ordinary hash
+shuffle whose fan-out is bounded by (interval span / bucket width),
+and every Catalyst join optimization (AQE skew split, broadcast of a
+small side) applies as usual.
+
+Dedup discipline:
+ - a point lives in exactly one bucket, so point-in-interval emits
+   each qualifying (point, interval) pair exactly once — no distinct;
+ - interval-overlap restricts the emit to the FIRST bucket both
+   intervals share (`bucket == greatest(lo_bucket_a, lo_bucket_b)`),
+   the classic duplicate-free trick, so no distinct there either.
+
+All timestamp arithmetic is exact integer microseconds (epoch_us +
+floordiv) — no float epoch, no DST surprises (session tz is pinned
+UTC project-wide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tits_spark.functions.exprs import epoch_us, floordiv
+
+
+def _bucket(col: Column, width_us: int) -> Column:
+    return floordiv(epoch_us(col), width_us)
+
+
+def _explode_buckets(
+    lo: Column, hi: Column, width_us: int, max_buckets: int
+) -> Column:
+    """Array of bucket ids [bucket(lo) .. bucket(hi)], with a runtime
+    guard: an interval covering more than ``max_buckets`` buckets
+    raises instead of silently exploding the stage (a single year-long
+    interval at 1-minute buckets is a 525k-row fan-out — almost always
+    a caller bug; widen the bucket instead)."""
+    b_lo, b_hi = floordiv(lo, width_us), floordiv(hi, width_us)
+    n = b_hi - b_lo + 1
+    return (
+        F.when(
+            n > max_buckets,
+            F.raise_error(
+                F.concat(
+                    F.lit("interval spans "), n.cast("string"),
+                    F.lit(f" buckets > max_buckets={max_buckets}; widen bucket_seconds"),
+                )
+            ).cast("array<long>"),
+        )
+        .when(
+            n < 1,
+            F.raise_error(F.lit("invalid interval: hi < lo")).cast("array<long>"),
+        )
+        .otherwise(F.sequence(b_lo, b_hi))
+    )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    lo: str = "start_ts",
+    hi: str = "end_ts",
+    bucket_seconds: int = 3600,
+    max_buckets: int = 4096,
+) -> DataFrame:
+    """Inner join of each point to every interval containing it
+    (``lo <= ts <= hi``, both ends inclusive).
+
+    Returns points columns + interval columns (names must not collide
+    apart from the join internals). One shuffle per side, keyed on the
+    time bucket; each matched pair appears exactly once because a point
+    belongs to exactly one bucket.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+    p = points.withColumn("_b", _bucket(F.col(point_ts), w_us))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            _explode_buckets(
+                epoch_us(F.col(lo)), epoch_us(F.col(hi)), w_us, max_buckets
+            )
+        ),
+    )
+    joined = p.join(iv, "_b").filter(
+        (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) <= F.col(hi))
+    )
+    return joined.drop("_b")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str = "start_ts",
+    left_hi: str = "end_ts",
+    right_lo: str = "r_start_ts",
+    right_hi: str = "r_end_ts",
+    bucket_seconds: int = 3600,
+    max_buckets: int = 4096,
+) -> DataFrame:
+    """Inner join of every overlapping interval pair
+    (``left.lo <= right.hi AND right.lo <= left.hi``, closed ends).
+
+    Both sides explode to their covered buckets and equi-join on the
+    bucket; a pair is emitted only in the first bucket both cover
+    (``greatest(lo_buckets)``), so the output is duplicate-free without
+    a distinct/shuffle-dedup pass.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+    lv = left.withColumn(
+        "_b",
+        F.explode(
+            _explode_buckets(
+                epoch_us(F.col(left_lo)), epoch_us(F.col(left_hi)), w_us, max_buckets
+            )
+        ),
+    )
+    rv = right.withColumn(
+        "_b",
+        F.explode(
+            _explode_buckets(
+                epoch_us(F.col(right_lo)), epoch_us(F.col(right_hi)), w_us, max_buckets
+            )
+        ),
+    )
+    joined = (
+        lv.join(rv, "_b")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+        )
+        .filter(
+            F.col("_b")
+            == F.greatest(
+                floordiv(epoch_us(F.col(left_lo)), w_us),
+                floordiv(epoch_us(F.col(right_lo)), w_us),
+            )
+        )
+    )
+    return joined.drop("_b")
