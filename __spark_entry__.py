@@ -651,6 +651,19 @@ def q_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index lexical retrieval: top-5 tf-idf-cosine neighbors
+    for every 50th document, term-keyed equi-join (never doc x doc),
+    df-capped vocabulary, rank on the rounded score."""
+    from tits_spark.operators.lexical import tfidf_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qs = docs.filter(F.col("doc_id") % 50 == 0)
+    # synthetic vocab is 31 head-heavy terms: cap at 0.8 so the cap
+    # fires (max df ~0.80) without emptying the vocabulary
+    return tfidf_topk(docs, qs, k=5, max_df_frac=0.8)
+
+
 def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. ExactSubstr, relationally
     reformulated): remove every non-canonical duplicated 8-token span,
@@ -1067,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly": q_anomaly,
         "cusum": q_cusum,
         "copresence": q_copresence,
+        "tfidf": q_tfidf,
         "ewma": q_ewma,
         "percentiles": q_percentiles,
         "decontam": q_decontam,
@@ -2266,6 +2280,47 @@ j AS (
 )
 SELECT key, session_idx, count(*) AS n_other, count(DISTINCT p_key) AS n_other_keys
 FROM j GROUP BY 1, 2
+""",
+        # tf-idf cosine top-5 per query doc; mirrors lexical.tfidf_topk
+        # (canonical tokenizer, sklearn-smoothed idf, df cap 0.8, norms
+        # over the kept vocabulary, rank on the ROUNDED score)
+        "tfidf": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+keep AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) <= 0.8 * (SELECT n FROM n)
+),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln(((SELECT n FROM n) + 1.0) / (keep.df + 1.0)) + 1.0) AS w
+  FROM tf JOIN keep USING (term)
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+q AS (SELECT * FROM w WHERE doc_id % 50 = 0),
+dot AS (
+  SELECT q.doc_id AS q_doc, c.doc_id AS c_doc, sum(q.w * c.w) AS dot
+  FROM q JOIN w c ON q.term = c.term AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT q_doc, c_doc, round(dot / (nq.nrm * nc.nrm), 6) AS score
+  FROM dot
+  JOIN nrm nq ON nq.doc_id = dot.q_doc
+  JOIN nrm nc ON nc.doc_id = dot.c_doc
+),
+rk AS (
+  SELECT q_doc, c_doc, score,
+         row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, c_doc ASC) AS rank
+  FROM sc
+)
+SELECT q_doc, CAST(rank AS INT) AS rank, c_doc, score FROM rk WHERE rank <= 5
 """,
         "ewma": """
 WITH e AS (

@@ -1,0 +1,103 @@
+"""tf-idf inverted-index top-k vs a naive numpy reference."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tits_spark.operators.lexical import tfidf_topk, tfidf_weights
+
+DOCS = [
+    (0, "spark shuffles data across the cluster"),
+    (1, "the cluster shuffles spark data quickly"),
+    (2, "ducks swim across the pond"),
+    (3, "the pond holds many swimming ducks"),
+    (4, "spark reads parquet data from the lake"),
+    (5, "completely unrelated zebra xylophone"),
+]
+
+
+def _tok(s):
+    return [t for t in re.sub(r"[^a-zA-Z0-9]+", " ", s).lower().split(" ") if t]
+
+
+def _naive_topk(corpus, queries, k=3, max_df_frac=1.0):
+    n = len(corpus)
+    tfs = {i: Counter(_tok(t)) for i, t in corpus}
+    df = Counter(t for c in tfs.values() for t in c)
+    keep = {t for t, d in df.items() if d <= max_df_frac * n}
+    idf = {t: math.log((n + 1) / (df[t] + 1)) + 1 for t in keep}
+
+    def vec(c):
+        return {t: c[t] * idf[t] for t in c if t in keep}
+
+    cvecs = {i: vec(c) for i, c in tfs.items()}
+    out = []
+    for qi, qt in queries:
+        qv = vec(Counter(_tok(qt)))
+        qn = math.sqrt(sum(w * w for w in qv.values()))
+        scored = []
+        for ci, cv in cvecs.items():
+            if ci == qi:
+                continue
+            dot = sum(qv.get(t, 0.0) * w for t, w in cv.items())
+            if dot == 0.0:
+                continue
+            cn = math.sqrt(sum(w * w for w in cv.values()))
+            scored.append((round(dot / (qn * cn), 6), ci))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        out += [(qi, r + 1, ci, sc) for r, (sc, ci) in enumerate(scored[:k])]
+    return pd.DataFrame(out, columns=["q_doc", "rank", "c_doc", "score"])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), "doc_id long, text string"
+    )
+
+
+def test_tfidf_topk_matches_naive(spark):
+    corpus = _df(spark, DOCS)
+    queries = corpus.filter(F.col("doc_id").isin(0, 2))
+    got = (
+        tfidf_topk(corpus, queries, k=3, max_df_frac=1.0)
+        .toPandas()
+        .sort_values(["q_doc", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _naive_topk(DOCS, [(0, DOCS[0][1]), (2, DOCS[2][1])], k=3)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tfidf_df_cap_drops_head_terms(spark):
+    corpus = _df(spark, DOCS)
+    # "the" appears in 5/6 docs; cap at 0.5 must remove it
+    w = tfidf_weights(corpus, max_df_frac=0.5).toPandas()
+    assert "the" not in set(w["term"])
+    assert "zebra" in set(w["term"])
+
+
+def test_tfidf_query_outside_corpus(spark):
+    corpus = _df(spark, DOCS)
+    queries = _df(spark, [(99, "zebra xylophone music")])
+    got = tfidf_topk(corpus, queries, k=2, max_df_frac=1.0).toPandas()
+    # doc 5 is the only one sharing kept terms
+    assert list(got["c_doc"]) == [5]
+    assert got.iloc[0]["score"] > 0
+
+
+def test_tfidf_broadcasts_query_side(spark):
+    corpus = _df(spark, DOCS)
+    queries = corpus.filter(F.col("doc_id") == 0)
+    plan = (
+        tfidf_topk(corpus, queries)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,134 @@
+"""Sparse lexical similarity: tf-idf vectors and inverted-index top-k.
+
+The scale path for "find me similar documents" when embeddings are too
+expensive or a lexical signal is wanted (near-dup triage, template
+detection, retrieval baselines): cosine over tf-idf weights, computed
+as a TERM-keyed equi-join (the relational form of an inverted index),
+never a doc x doc cross product. Ingredients:
+
+ - tokenizer: the canonical curation tokenizer
+   (:func:`tits_spark.operators.text._tokens`), so oracles and the
+   other token-level operators share one scheme;
+ - idf: smoothed ``ln((N+1)/(df+1)) + 1`` (the scikit-learn
+   formulation, pinned so the DuckDB oracle can reproduce it exactly);
+ - df cap: terms appearing in more than ``max_df_frac`` of the corpus
+   are dropped BEFORE the join — at web scale the head terms ("the")
+   are both useless for ranking and the skew that kills the shuffle,
+   so the cap is simultaneously the quality filter and the skew guard;
+ - norms are computed over the kept vocabulary only, identically on
+   both sides of the score.
+
+Plan shape: one groupBy per side keyed (doc, term), the df table, a
+term-keyed join for the dot products (query side broadcast when small
+— the common retrieval case, making the corpus-side scan map-only),
+and a per-query window for the top-k. Ranking is on the ROUNDED score
+(6 dp) with doc-id tie-break, a total order that is stable across
+summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tits_spark.operators.text import _tokens
+
+
+def _term_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    return toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_weights(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-(doc, term) tf-idf weights over the df-capped vocabulary,
+    with the per-doc L2 norm attached.
+
+    ``n_docs`` skips the corpus count when the caller already knows it
+    (e.g. from table metadata). Returns (doc, term, w, norm).
+    """
+    n = int(n_docs) if n_docs is not None else corpus.count()
+    tf = _term_counts(corpus, id_col, text_col)
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df_frac * n)
+    )
+    w = tf.join(dfreq, "term").withColumn(
+        "w", F.col("tf") * (F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    )
+    norm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc")))
+    return w.select("doc", "term", "w", norm.alias("norm"))
+
+
+def tfidf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df_frac: float = 0.5,
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` corpus documents by tf-idf cosine for each query doc.
+
+    idf/df (and the df cap) come from the CORPUS; query documents are
+    weighted against that same vocabulary, so queries need not be a
+    subset of the corpus. Pairs sharing no kept term score 0 and are
+    simply absent (standard inverted-index semantics). Returns
+    (q_doc, rank, c_doc, score) with score rounded to 6 dp and rank a
+    1-based dense position by (score desc, c_doc asc).
+    """
+    n = int(n_docs) if n_docs is not None else corpus.count()
+    ctf = _term_counts(corpus, id_col, text_col)
+    dfreq = (
+        ctf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df_frac * n)
+    )
+    idf = F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)) + 1.0
+
+    cw = ctf.join(dfreq, "term").withColumn("w", F.col("tf") * idf)
+    cw = cw.withColumn(
+        "norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc")))
+    ).select(
+        F.col("doc").alias("c_doc"), "term", F.col("w").alias("cw"),
+        F.col("norm").alias("cnorm"),
+    )
+
+    qtf = _term_counts(queries, id_col, text_col)
+    qw = qtf.join(dfreq, "term").withColumn("w", F.col("tf") * idf)
+    qw = qw.withColumn(
+        "norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc")))
+    ).select(
+        F.col("doc").alias("q_doc"), "term", F.col("w").alias("qw"),
+        F.col("norm").alias("qnorm"),
+    )
+    if broadcast_queries:
+        qw = F.broadcast(qw)
+
+    pairs = qw.join(cw, "term")
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_doc") != F.col("c_doc"))
+    dots = pairs.groupBy("q_doc", "c_doc").agg(
+        F.sum(F.col("qw") * F.col("cw")).alias("dot"),
+        F.first("qnorm").alias("qnorm"),
+        F.first("cnorm").alias("cnorm"),
+    )
+    score = F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 6)
+    ranked = dots.withColumn("score", score).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_doc").orderBy(F.desc("score"), F.asc("c_doc"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("q_doc", "rank", "c_doc", "score")
