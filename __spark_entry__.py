@@ -664,6 +664,25 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing per key (alpha=0.5, beta=0.3).
+    Oracle: the recursion unrolled as a DuckDB recursive CTE with the
+    IDENTICAL operation tree (1-alpha spelled as a subtraction), so
+    values match bit-for-bit before the 6 dp rounding."""
+    from tits_spark.operators.smoothing import holt_by_key
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    out = holt_by_key(ev, "key", "ts", "value", alpha=0.5, beta=0.3)
+    # floor to integer micro-units: the recursion is bit-identical on
+    # both sides, and floor is tie-free on identical doubles where
+    # round() half-modes diverge at the .5 lattice (interp_1h precedent)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "ts",
+        F.floor(F.col("level") * 1e6).cast("long").alias("level_u6"),
+        F.floor(F.col("trend") * 1e6).cast("long").alias("trend_u6"),
+    )
+
+
 def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. ExactSubstr, relationally
     reformulated): remove every non-canonical duplicated 8-token span,
@@ -1081,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "copresence": q_copresence,
         "tfidf": q_tfidf,
+        "holt": q_holt,
         "ewma": q_ewma,
         "percentiles": q_percentiles,
         "decontam": q_decontam,
@@ -2321,6 +2341,29 @@ rk AS (
   FROM sc
 )
 SELECT q_doc, CAST(rank AS INT) AS rank, c_doc, score FROM rk WHERE rank <= 5
+""",
+        # Holt recursion replayed step-by-step; the arithmetic mirrors
+        # smoothing.holt_by_key's op tree exactly (note 1 - 0.5 / 1 - 0.3
+        # kept as subtractions) so doubles agree bit-for-bit
+        "holt": """
+WITH RECURSIVE e AS (
+  SELECT user_id AS key, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
+  FROM events
+),
+rec AS (
+  SELECT e1.key, e1.ts, CAST(e1.rn AS BIGINT) AS rn,
+         e1.value AS l, e2.value - e1.value AS b
+  FROM e e1 JOIN e e2 ON e1.key = e2.key AND e1.rn = 1 AND e2.rn = 2
+  UNION ALL
+  SELECT e.key, e.ts, CAST(e.rn AS BIGINT) AS rn,
+         0.5 * e.value + (1 - 0.5) * (rec.l + rec.b) AS l,
+         0.3 * ((0.5 * e.value + (1 - 0.5) * (rec.l + rec.b)) - rec.l)
+           + (1 - 0.3) * rec.b AS b
+  FROM rec JOIN e ON e.key = rec.key AND e.rn = rec.rn + 1
+)
+SELECT key, ts, CAST(floor(l * 1e6) AS BIGINT) AS level_u6,
+       CAST(floor(b * 1e6) AS BIGINT) AS trend_u6 FROM rec
 """,
         "ewma": """
 WITH e AS (

@@ -1,0 +1,58 @@
+"""Holt level/trend smoothing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tits_spark.operators.smoothing import holt_by_key, holt_forecast
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    return spark.createDataFrame(pdf, "key string, ts timestamp, value double")
+
+
+def _naive(x, a=0.5, b_=0.3):
+    lev, trd = [x[0]], [x[1] - x[0]]
+    for i in range(1, len(x)):
+        ln = a * x[i] + (1 - a) * (lev[-1] + trd[-1])
+        trd.append(b_ * (ln - lev[-1]) + (1 - b_) * trd[-1])
+        lev.append(ln)
+    return np.array(lev), np.array(trd)
+
+
+def test_holt_matches_naive_bitexact(spark):
+    rng = np.random.default_rng(2)
+    rows = []
+    base = pd.Timestamp("2026-03-01")
+    series = {}
+    for k in ("a", "b"):
+        x = np.round(rng.normal(50, 10, 40), 2)
+        series[k] = x
+        rows += [(k, base + pd.Timedelta(minutes=i), float(v)) for i, v in enumerate(x)]
+    out = holt_by_key(_df(spark, rows)).toPandas().sort_values(["key", "ts"])
+    for k, x in series.items():
+        lev, trd = _naive(x)
+        sub = out[out["key"] == k]
+        assert np.array_equal(sub["level"].to_numpy(), lev)  # bit-exact
+        assert np.array_equal(sub["trend"].to_numpy(), trd)
+
+
+def test_holt_drops_single_point_keys(spark):
+    base = pd.Timestamp("2026-03-01")
+    rows = [("solo", base, 1.0)] + [
+        ("pair", base + pd.Timedelta(minutes=i), float(i)) for i in range(2)
+    ]
+    out = holt_by_key(_df(spark, rows)).toPandas()
+    assert set(out["key"]) == {"pair"}
+
+
+def test_holt_forecast_extrapolates_linear_series(spark):
+    base = pd.Timestamp("2026-03-01")
+    rows = [("lin", base + pd.Timedelta(hours=i), 3.0 + 2.0 * i) for i in range(30)]
+    sm = holt_by_key(_df(spark, rows))
+    fc = holt_forecast(sm, horizon=3).toPandas()
+    # on exactly linear data Holt locks to the line: y_29 = 61, +3 steps = 67
+    assert fc.iloc[0]["forecast"] == pytest.approx(67.0, abs=1e-6)

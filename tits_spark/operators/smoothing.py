@@ -1,0 +1,84 @@
+"""Holt double-exponential smoothing (level + linear trend) per key.
+
+The Holt recursion
+
+    l_i = alpha * x_i + (1 - alpha) * (l_{i-1} + b_{i-1})
+    b_i = beta * (l_i - l_{i-1}) + (1 - beta) * b_{i-1}
+
+is a genuinely sequential scan (unlike the plain EWMA, whose single
+geometric decay factors into a ratio of prefix sums —
+operators/sessionize.py — the coupled level/trend pair has no
+closed-form column-algebra factoring short of 2x2 matrix prefix
+products Spark lacks a primitive for). So this is the documented
+applyInPandas case: one shuffle keyed by series, an O(n) numpy loop
+per series with O(1) state, millions of independent series in
+parallel — the same shape as the sacf/AR kernels.
+
+Determinism contract (what the DuckDB recursive-CTE oracle relies
+on): rows are ordered by (ts, value) within a key, the init is the
+textbook l_1 = x_1, b_1 = x_2 - x_1, and every arithmetic step keeps
+the exact operation tree above — in particular ``1 - alpha`` is
+computed, not pre-folded, so both engines round identically and the
+outputs agree bit-for-bit, not just to tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_SCHEMA = "key string, ts timestamp, level double, trend double"
+
+
+def holt_by_key(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-row Holt level and trend for every key with >= 2
+    observations (shorter series are dropped — the trend init needs a
+    second point). Returns (key, ts, level, trend)."""
+    a, b_ = float(alpha), float(beta)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["key", "ts", "level", "trend"])
+        pdf = pdf.sort_values([ts, value], kind="stable")
+        x = pdf[value].to_numpy(dtype=np.float64)
+        n = x.size
+        lev = np.empty(n)
+        trd = np.empty(n)
+        lev[0] = x[0]
+        trd[0] = x[1] - x[0]
+        for i in range(1, n):
+            l_new = a * x[i] + (1 - a) * (lev[i - 1] + trd[i - 1])
+            trd[i] = b_ * (l_new - lev[i - 1]) + (1 - b_) * trd[i - 1]
+            lev[i] = l_new
+        return pd.DataFrame({
+            "key": pdf[key].to_numpy(),
+            "ts": pdf[ts].to_numpy(),
+            "level": lev,
+            "trend": trd,
+        })
+
+    return df.groupBy(key).applyInPandas(fn, schema=_SCHEMA)
+
+
+def holt_forecast(
+    smoothed: DataFrame, horizon: int = 1
+) -> DataFrame:
+    """h-step-ahead forecast from the LAST smoothed state per key:
+    yhat = level + h * trend. Tiny frame in, tiny frame out."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("key").orderBy(F.desc("ts"))
+    last = smoothed.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    return last.select(
+        "key",
+        F.col("ts").alias("asof_ts"),
+        (F.col("level") + horizon * F.col("trend")).alias("forecast"),
+    )
