@@ -683,6 +683,36 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 Bollinger bands + breach flag per key (one framed
+    window, single shuffle)."""
+    from tits_spark.operators.rolling import bollinger
+
+    out = bollinger(_events(spark, sf_dir), n=20, k=2.0)
+    return out.select(
+        "key", "ts", "value",
+        F.round("roll_mean", 6).alias("roll_mean"),
+        F.round("roll_std", 6).alias("roll_std"),
+        F.round("upper", 6).alias("upper"),
+        F.round("lower", 6).alias("lower"),
+        "breach",
+    )
+
+
+def q_rolling_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 median/IQR Tukey fence per key — exact percentile
+    as a framed window aggregate."""
+    from tits_spark.operators.rolling import robust_band
+
+    out = robust_band(_events(spark, sf_dir), n=20, k=1.5)
+    return out.select(
+        "key", "ts", "value",
+        F.round("roll_med", 6).alias("roll_med"),
+        F.round("roll_iqr", 6).alias("roll_iqr"),
+        "outlier",
+    )
+
+
 def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. ExactSubstr, relationally
     reformulated): remove every non-canonical duplicated 8-token span,
@@ -1101,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copresence": q_copresence,
         "tfidf": q_tfidf,
         "holt": q_holt,
+        "bollinger": q_bollinger,
+        "rolling_robust": q_rolling_robust,
         "ewma": q_ewma,
         "percentiles": q_percentiles,
         "decontam": q_decontam,
@@ -2364,6 +2396,34 @@ rec AS (
 )
 SELECT key, ts, CAST(floor(l * 1e6) AS BIGINT) AS level_u6,
        CAST(floor(b * 1e6) AS BIGINT) AS trend_u6 FROM rec
+""",
+        "bollinger": """
+WITH b AS (
+  SELECT user_id AS key, ts, value,
+         avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT key, ts, value,
+       round(m, 6) AS roll_mean, round(sd, 6) AS roll_std,
+       round(m + 2.0 * sd, 6) AS upper, round(m - 2.0 * sd, 6) AS lower,
+       (value > m + 2.0 * sd) OR (value < m - 2.0 * sd) AS breach
+FROM b
+""",
+        "rolling_robust": """
+WITH b AS (
+  SELECT user_id AS key, ts, value,
+         quantile_cont(value, 0.5) OVER w AS med,
+         quantile_cont(value, 0.75) OVER w - quantile_cont(value, 0.25) OVER w AS iqr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT key, ts, value,
+       round(med, 6) AS roll_med, round(iqr, 6) AS roll_iqr,
+       abs(value - med) > 1.5 * iqr AS outlier
+FROM b
 """,
         "ewma": """
 WITH e AS (

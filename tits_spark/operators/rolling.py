@@ -1,0 +1,81 @@
+"""Rolling-window diagnostics: Bollinger bands and robust (median/IQR)
+outlier bands.
+
+Trailing count-window statistics per series — the monitoring staple
+(is the latest observation outside its recent band?). Pure framed
+window aggregates over one hash partition by key: Catalyst keeps the
+whole computation in a single Window operator per frame spec, no UDFs,
+no second shuffle. The frame is ordered by (ts, value) so duplicate
+timestamps stay deterministic.
+
+The robust variant uses exact `percentile` as a FRAMED window
+aggregate (supported since Spark 3.1; DuckDB's `quantile_cont` is the
+bit-compatible twin — both interpolate a + (b-a)*frac), trading the
+Bollinger bands' Gaussian assumption for median ± k*IQR, which a
+single spike cannot inflate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _frame(key: str, ts: str, value: str, n: int):
+    return (
+        Window.partitionBy(key)
+        .orderBy(ts, value)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+
+
+def bollinger(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    n: int = 20,
+    k: float = 2.0,
+) -> DataFrame:
+    """Trailing-``n`` mean/stddev band per row: mean ± k*std and
+    whether the row breaches it. Warm-up rows (frame of 1) have NULL
+    std/bands and ``breach`` NULL — emitted, not dropped, so callers
+    see the full series."""
+    w = _frame(key, ts, value, n)
+    mean = F.avg(value).over(w)
+    std = F.stddev_samp(value).over(w)
+    upper, lower = mean + k * std, mean - k * std
+    return df.select(
+        key, ts, value,
+        mean.alias("roll_mean"),
+        std.alias("roll_std"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        ((F.col(value) > upper) | (F.col(value) < lower)).alias("breach"),
+    )
+
+
+def robust_band(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    n: int = 20,
+    k: float = 1.5,
+) -> DataFrame:
+    """Trailing-``n`` median and IQR per row, flagging rows with
+    ``|value - median| > k * IQR`` (the Tukey fence on a sliding
+    frame). IQR of a 1-row frame is 0, so warm-up rows are simply
+    unflagged rather than NULL."""
+    w = _frame(key, ts, value, n)
+    med = F.expr(f"percentile({value}, 0.5)").over(w)
+    iqr = (
+        F.expr(f"percentile({value}, 0.75)").over(w)
+        - F.expr(f"percentile({value}, 0.25)").over(w)
+    )
+    return df.select(
+        key, ts, value,
+        med.alias("roll_med"),
+        iqr.alias("roll_iqr"),
+        (F.abs(F.col(value) - med) > k * iqr).alias("outlier"),
+    )
