@@ -354,3 +354,73 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     )
     q3.awaitTermination(300)
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == want
+
+
+def test_stream_holt_matches_batch(spark, events, tmp_path):
+    """The O(1)-state streaming Holt twin equals the batch operator
+    bit-for-bit (same IEEE op tree), including the one-event-delayed
+    init row."""
+    from tits_spark.operators.smoothing import holt_by_key
+    from tits_spark.streaming.holt_stream import stream_holt
+
+    src = str(tmp_path / "hsrc")
+    out = str(tmp_path / "hout")
+    ckpt = str(tmp_path / "hckpt")
+    ev = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    ).filter(F.col("key").isin("1", "2", "3"))
+    ev.write.mode("overwrite").parquet(src)
+
+    stream_holt(
+        spark, src, "key string, ts timestamp, value double", out, ckpt
+    ).awaitTermination(300)
+
+    got = spark.read.parquet(out).select("key", "ts", "level", "trend")
+    want = holt_by_key(ev).select("key", "ts", "level", "trend")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_holt_carries_state_across_batches(spark, events, tmp_path):
+    """Rows processed after a restart resume from (level, trend) state
+    and still match the batch recursion over the FULL history — incl.
+    the case where a key's second-ever event arrives in the later run."""
+    from pyspark.sql import Window
+
+    from tits_spark.operators.smoothing import holt_by_key
+    from tits_spark.streaming.holt_stream import stream_holt
+
+    src = str(tmp_path / "h2src")
+    out = str(tmp_path / "h2out")
+    ckpt = str(tmp_path / "h2ckpt")
+    ev = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    ).filter(F.col("key").isin("1", "2")).cache()
+    days = sorted(r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    schema = "key string, ts timestamp, value double"
+
+    # split so one key has exactly ONE event in the first run: its init
+    # must stay buffered until the second run delivers event #2
+    w = Window.partitionBy("key").orderBy("ts", "value")
+    ranked = ev.withColumn("_rn", F.row_number().over(w))
+    first = ranked.filter(
+        ((F.col("key") == "1") & (F.col("_rn") <= 1))
+        | ((F.col("key") == "2") & (F.col("_rn") <= 30))
+    ).drop("_rn")
+    rest = ranked.join(first.select("key", "ts", "value"), ["key", "ts", "value"], "left_anti").drop("_rn")
+
+    first.write.mode("overwrite").parquet(src)
+    stream_holt(spark, src, schema, out, ckpt).awaitTermination(300)
+    mid = spark.read.parquet(out)
+    assert mid.filter(F.col("key") == "1").count() == 0  # init still buffered
+    rest.write.mode("append").parquet(src)
+    stream_holt(spark, src, schema, out, ckpt).awaitTermination(300)
+
+    got = spark.read.parquet(out).select("key", "ts", "level", "trend")
+    want = holt_by_key(ev).select("key", "ts", "level", "trend")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
