@@ -1074,6 +1074,71 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (p=8) per event_type, over two
+    item scopes: event_id (high cardinality, bias-corrected raw branch)
+    and user_id (low cardinality, linear-counting branch). The harmonic
+    register sum is integer-scaled so the estimate is deterministic
+    under any partitioning; the oracle re-derives every register from
+    the same md5 hash family."""
+    from tits_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parts = []
+    for scope, col in (("event", "event_id"), ("user", "user_id")):
+        est = hll_distinct(ev, "event_type", F.col(col).cast("string"), p=8)
+        exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+            F.countDistinct(col).alias("n_exact")
+        )
+        parts.append(
+            est.join(exact, "grp").select(
+                F.lit(scope).alias("scope"), "grp", "zeros", "sum_scaled",
+                F.round("hll_est", 4).alias("hll_est"), "n_exact",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=64) heavy hitters over the shared
+    corpus tokenizer: top-10 tokens by sketched count next to the exact
+    count (CMS never underestimates; ties broken by token)."""
+    from tits_spark.operators.sketches import cms_counts, cms_point
+    from tits_spark.operators.text import _tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    counts = cms_counts(toks, "tok", d=4, w=64)
+    est = cms_point(counts, toks.select(F.col("tok").alias("it")), d=4, w=64)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    joined = est.join(exact, est["it"] == exact["tok"]).select(
+        "tok", F.col("cms_cnt"), "exact_cnt"
+    )
+    ranked = joined.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("cms_cnt").desc(), F.col("tok")))
+        .alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= 10)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values (k=64) distinct estimate of event_id per
+    event_type, with the exact distinct count alongside."""
+    from tits_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = kmv_distinct(ev, "event_type", F.col("event_id").cast("string"), k=64)
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    return est.join(exact, "grp").select(
+        "grp", "n_min", "rk", F.round("kmv_est", 4).alias("kmv_est"), "n_exact"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1148,6 +1213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_fwd": q_asof_fwd,
         "lttb": q_lttb,
         "vocab_topk": q_vocab_topk,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy": q_cms_heavy,
+        "kmv_distinct": q_kmv_distinct,
         "unigram_logprob": q_unigram_logprob,
     }
 
@@ -1672,6 +1740,138 @@ SELECT k AS key, ts, v AS value, CAST(pt_idx AS INT) AS pt_idx FROM (
   UNION ALL SELECT k, ts, v, 4 FROM big WHERE i = n - 1
   UNION ALL SELECT k, ts, v, i FROM pts WHERE n <= 5
 )
+"""
+
+
+def _hll_oracle_sql() -> str:
+    """HLL registers re-derived from the md5 hash family; the scaled
+    numerator is computed by the engine's own hll_alpha and embedded as
+    the identical double literal Spark uses (repr round-trips)."""
+    from tits_spark.operators.sketches import hll_alpha
+
+    p, m = 8, 256
+    wmax = 61 - p  # 53
+    num = repr(hll_alpha(m) * (m * m) * float(2**wmax))
+    scale = 2**wmax
+    return f"""
+WITH src AS (
+  SELECT 'event' AS scope, event_type AS grp, CAST(event_id AS VARCHAR) AS it
+  FROM events
+  UNION ALL
+  SELECT 'user', event_type, CAST(user_id AS VARCHAR) FROM events
+),
+h AS (
+  SELECT scope, grp, ('0x' || substr(md5(it), 1, 15))::BIGINT AS h
+  FROM src WHERE it IS NOT NULL
+),
+r AS (
+  SELECT scope, grp, h & {m - 1} AS reg,
+         CASE WHEN (h >> {p}) = 0 THEN {wmax}
+              ELSE {wmax} - length(bin(h >> {p})) END AS rho
+  FROM h
+),
+regs AS (SELECT scope, grp, reg, max(rho) AS rho FROM r GROUP BY 1, 2, 3),
+agg AS (
+  SELECT scope, grp,
+         CAST(sum(CAST(power(2.0, {wmax} - rho) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS nreg
+  FROM regs GROUP BY 1, 2
+),
+est AS (
+  SELECT scope, grp, CAST({m} - nreg AS BIGINT) AS zeros,
+         s + ({m} - nreg) * {scale} AS sum_scaled
+  FROM agg
+),
+fin AS (
+  SELECT scope, grp, zeros, sum_scaled,
+         CASE WHEN ({num} / CAST(sum_scaled AS DOUBLE)) <= {2.5 * m}
+                   AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+              ELSE {num} / CAST(sum_scaled AS DOUBLE) END AS hll_est
+  FROM est
+),
+ex AS (
+  SELECT 'event' AS scope, event_type AS grp,
+         count(DISTINCT event_id) AS n_exact
+  FROM events GROUP BY 2
+  UNION ALL
+  SELECT 'user', event_type, count(DISTINCT user_id) FROM events GROUP BY 2
+)
+SELECT f.scope, f.grp, f.zeros, f.sum_scaled,
+       round(f.hll_est, 4) AS hll_est, ex.n_exact
+FROM fin f JOIN ex ON f.scope = ex.scope AND f.grp = ex.grp
+"""
+
+
+def _cms_oracle_sql() -> str:
+    """Count-min (d=4, w=64) counters re-derived bucket-for-bucket;
+    heavy-hitter top-10 with exact counts."""
+    d, w = 4, 64
+    grid = ", ".join(f"({r})" for r in range(d))
+    bexpr = (
+        "('0x' || substr(md5(CAST({r} AS VARCHAR) || '|' || {it}), 1, 15))"
+        f"::BIGINT & {w - 1}"
+    )
+    return _TOK_CTE + f"""
+, t AS (SELECT t AS tok FROM tok, unnest(w) AS u(t)),
+grid AS (SELECT r FROM (VALUES {grid}) AS v(r)),
+c AS (
+  SELECT grid.r AS r, {bexpr.format(r='grid.r', it='t.tok')} AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM t, grid GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT tok FROM t),
+candb AS (
+  SELECT cand.tok, grid.r AS r,
+         {bexpr.format(r='grid.r', it='cand.tok')} AS b
+  FROM cand, grid
+),
+pt AS (
+  SELECT candb.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_cnt
+  FROM candb LEFT JOIN c ON c.r = candb.r AND c.b = candb.b
+  GROUP BY 1
+),
+ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t GROUP BY 1)
+SELECT tok, cms_cnt, exact_cnt, rank FROM (
+  SELECT pt.tok, pt.cms_cnt, ex.exact_cnt,
+         CAST(row_number() OVER (ORDER BY pt.cms_cnt DESC, pt.tok) AS INT)
+           AS rank
+  FROM pt JOIN ex USING (tok)
+) WHERE rank <= 10
+"""
+
+
+def _kmv_oracle_sql() -> str:
+    """K-minimum-values (k=64); numerator literal matches the engine's
+    float((k-1) * 2^60) exactly."""
+    k = 64
+    num = repr(float(k - 1) * float(2**60))
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_id IS NOT NULL
+),
+rk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h
+),
+agg AS (
+  SELECT grp, max(h) AS rk, CAST(count(*) AS BIGINT) AS n_min
+  FROM rk WHERE rn <= {k} GROUP BY 1
+),
+fin AS (
+  SELECT grp, n_min, rk,
+         CASE WHEN n_min < {k} THEN CAST(n_min AS DOUBLE)
+              ELSE {num} / CAST(rk AS DOUBLE) END AS kmv_est
+  FROM agg
+),
+ex AS (
+  SELECT event_type AS grp, count(DISTINCT event_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT fin.grp, fin.n_min, fin.rk, round(fin.kmv_est, 4) AS kmv_est,
+       ex.n_exact
+FROM fin JOIN ex USING (grp)
 """
 
 
@@ -2595,6 +2795,9 @@ SELECT key, make_timestamp(b * 3600000000) AS bucket_ts,
 FROM agg
 """,
         "pii_scrub": _pii_oracle_sql(),
+        "hll_distinct": _hll_oracle_sql(),
+        "cms_heavy": _cms_oracle_sql(),
+        "kmv_distinct": _kmv_oracle_sql(),
         "vocab_topk": _TOK_CTE + """
 , cnts AS (
   SELECT t AS token, count(*) AS cnt

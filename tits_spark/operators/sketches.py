@@ -1,0 +1,213 @@
+"""Deterministic distributed sketches: HyperLogLog, count-min, KMV.
+
+The reference engine keeps per-key state tables sized by a hash of the
+stream key (ref:hash.c:248-344, ref:tits.c series registry); at 10^12
+turns the analogous "how many distinct X" / "which X are hot" questions
+need sub-linear state.  This module implements the three classic
+sketches as *pure relational aggregations* so they:
+
+ - shuffle only the sketch, never the items: HLL carries at most
+   ``groups x m`` register rows, CMS at most ``d x w`` counter rows,
+   both with map-side partial aggregation (max / sum combine);
+ - are **deterministic under any partitioning** — the usual float
+   register-sum of 2^-M_j is order-dependent, so the HLL harmonic sum
+   is computed in *integer* arithmetic (every term is the exact power
+   2^(wmax - rho), summed as BIGINT) and only the final division is
+   floating point, which is a single correctly-rounded IEEE op;
+ - reproduce bit-identically in any SQL engine with ``md5`` — the
+   item hash is the same 60-bit md5-prefix family the dedup/minhash
+   operators standardized on (operators/dedup.py:15), so DuckDB
+   oracles can re-derive every register and counter exactly.
+
+Estimator constants (alpha_m, the scaled numerators) are computed once
+in Python and embedded as double literals on both the Spark and the
+oracle side, so both engines parse the identical decimal literal.
+
+HLL follows Flajolet et al. 2007 (the m >= 128 alpha fit plus the
+small-range linear-counting correction); CMS is Cormode & Muthukrishnan
+2005 (one-sided overestimate, point query = min over d rows); KMV is
+the k-minimum-values estimator of Bar-Yossef et al. 2002.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+H_BITS = 60  # 15 md5 hex chars -> nonnegative 60-bit BIGINT
+
+
+def h60(col: Column) -> Column:
+    """60-bit nonnegative hash of a string column (md5 prefix).
+
+    Identical in DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------- HLL
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant for m >= 128 (Flajolet et al. 2007)."""
+    if m < 128:
+        raise ValueError("hll requires p >= 7 (m >= 128)")
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, group: str, item: Column | str, p: int = 8
+) -> DataFrame:
+    """Per-(group, register) max run-length table — the HLL sketch.
+
+    register = low ``p`` bits of the 60-bit hash; rho = 1 + number of
+    leading zeros of the remaining ``60 - p`` bits.  One hash-aggregate
+    shuffle; map-side combine keeps the exchange at <= groups x 2^p
+    rows regardless of input size, and the register table is itself
+    mergeable (max) across batches/days — the continuous-aggregate
+    form of distinct counting.
+    """
+    m = 1 << p
+    wmax = H_BITS - p + 1  # rho range: 1 .. wmax (wmax == all-zero rest)
+    it = F.col(item) if isinstance(item, str) else item
+    h = h60(it)
+    rest = F.shiftright(h, p)
+    rho = (
+        F.when(rest == 0, F.lit(wmax))
+        .otherwise(F.lit(wmax) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return (
+        df.where(it.isNotNull())
+        .select(
+            F.col(group).alias("grp"),
+            h.bitwiseAND(m - 1).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    The harmonic sum ``sum_j 2^-M_j`` is scaled by 2^wmax and summed as
+    exact integers (absent registers contribute 2^wmax each), so the
+    result is independent of aggregation order; for p=8 the total is
+    <= 2^61 and cannot overflow BIGINT.  Small-range correction uses
+    linear counting ``m * ln(m / zeros)`` when raw <= 2.5m.
+
+    Columns: grp, zeros, sum_scaled, hll_est.
+    """
+    m = 1 << p
+    wmax = H_BITS - p + 1
+    num = hll_alpha(m) * (m * m) * float(2**wmax)  # embedded as a literal
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.expr(f"CAST(power(2.0, {wmax} - rho) AS BIGINT)")).alias("s"),
+        F.count("*").alias("nreg"),
+    )
+    zeros = (F.lit(m) - F.col("nreg")).cast("long")
+    total = F.col("s") + zeros * F.lit(2**wmax)
+    raw = F.lit(num) / total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "grp", zeros.alias("zeros"), total.alias("sum_scaled"),
+        est.alias("hll_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group: str, item: Column | str, p: int = 8
+) -> DataFrame:
+    """groupBy(group) approx-distinct(item) via the two stages above."""
+    return hll_estimate(hll_registers(df, group, item, p), p)
+
+
+# --------------------------------------------------------- count-min
+
+def cms_counts(df: DataFrame, item: Column | str, d: int = 4, w: int = 64) -> DataFrame:
+    """Count-min sketch: d x w counter grid over an item stream.
+
+    Row r hashes item through md5('r|item'); w is a power of two so the
+    bucket is a bit-mask.  The d-way explode happens map-side and the
+    single shuffle carries at most d x w counter rows after partial
+    aggregation — constant state no matter the stream size, and two
+    sketches merge by adding counters (streaming/continuous form).
+    """
+    if w & (w - 1):
+        raise ValueError("w must be a power of two")
+    it = F.col(item) if isinstance(item, str) else item
+    rows = (
+        df.where(it.isNotNull())
+        .select(it.alias("it"))
+        .select("it", F.explode(F.array([F.lit(r) for r in range(d)])).alias("r"))
+    )
+    b = h60(F.concat_ws("|", F.col("r").cast("string"), F.col("it"))).bitwiseAND(w - 1)
+    return (
+        rows.select("r", b.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_point(
+    counts: DataFrame, candidates: DataFrame, item: str = "it",
+    d: int = 4, w: int = 64,
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: min over the d
+    rows of the item's counter.  Candidates is expected small (the
+    query set); the counter table is at most d x w rows, so Spark
+    broadcasts it and the probe is shuffle-free on the sketch side.
+
+    Columns: it, cms_cnt (>= true count, never under).
+    """
+    cand = candidates.select(F.col(item).alias("it")).distinct()
+    cand = cand.select(
+        "it", F.explode(F.array([F.lit(r) for r in range(d)])).alias("r")
+    )
+    b = h60(F.concat_ws("|", F.col("r").cast("string"), F.col("it"))).bitwiseAND(w - 1)
+    cand = cand.withColumn("b", b)
+    j = cand.join(F.broadcast(counts), ["r", "b"], "left")
+    return j.groupBy("it").agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("cms_cnt")
+    )
+
+
+# --------------------------------------------------------------- KMV
+
+def kmv_distinct(
+    df: DataFrame, group: str, item: Column | str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct estimate per group.
+
+    Distinct (group, hash) pairs, then the k smallest hashes per group
+    (one window shuffle over the *distinct* table, which is already the
+    deduped cardinality — bounded by true distinct count, not stream
+    size).  With fewer than k distinct values the k-th minimum does not
+    exist and the distinct set itself is exact, so the estimate falls
+    back to the observed count; otherwise est = (k-1) * 2^60 / h_(k).
+
+    Columns: grp, n_min (values kept), rk (k-th minimum hash),
+    kmv_est.
+    """
+    it = F.col(item) if isinstance(item, str) else item
+    num = float(k - 1) * float(2**H_BITS)  # embedded as a literal
+    hashes = (
+        df.where(it.isNotNull())
+        .select(F.col(group).alias("grp"), h60(it).alias("h"))
+        .distinct()
+    )
+    win = Window.partitionBy("grp").orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(win)).where(
+        F.col("rn") <= k
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.max("h").alias("rk"), F.count("*").alias("n_min")
+    )
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise(F.lit(num) / F.col("rk").cast("double"))
+    return agg.select("grp", "n_min", "rk", est.alias("kmv_est"))
