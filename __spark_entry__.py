@@ -1139,6 +1139,72 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 width-based downsampling (first/last/min/max point per 6h
+    bucket), one partial-aggregable groupBy; ties resolved by struct
+    lexicographic order so every selected point is deterministic."""
+    from tits_spark.operators.m4 import m4_downsample
+
+    return m4_downsample(_events(spark, sf_dir), width_sec=21600)
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak / drawdown / max-drawdown per key — running max is
+    exact (no accumulation), so no rounding is needed anywhere."""
+    from tits_spark.operators.rolling import drawdown
+
+    return drawdown(_events(spark, sf_dir))
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-bucket Pearson correlation between two series
+    aligned on daily buckets (bucket representative = max(value),
+    which is exact). The corr is explicit sum algebra, identical on the
+    oracle side."""
+    from tits_spark.operators.rolling import rolling_corr
+
+    ev = _events(spark, sf_dir)
+    bucketed = ev.groupBy(
+        "key", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("bts")
+    ).agg(F.max("value").alias("v"))
+    a = bucketed.where(F.col("key") == 1).select("bts", F.col("v").alias("x"))
+    b = bucketed.where(F.col("key") == 2).select("bts", F.col("v").alias("y"))
+    joined = a.join(b, "bts").select(F.lit("1|2").alias("pair"), "bts", "x", "y")
+    out = rolling_corr(joined, key="pair", ord_col="bts", x="x", y="y", n=7)
+    return out.select(
+        "pair", "bts", "x", "y", "n_obs",
+        F.round("roll_corr", 6).alias("roll_corr"),
+    )
+
+
+def q_time_to_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: for each 'view' event, microseconds to the
+    user's next 'purchase' (forward conditional-min window, no
+    self-join), then per-user count/median/p90. Percentiles run on
+    SECONDS (µs / 1e6) so the two engines' interpolation-formula ulp
+    difference sits far below the 4 dp rounding."""
+    from tits_spark.operators.events_analytics import (
+        latency_summary,
+        time_to_event,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = time_to_event(
+        ev, "user_id", "ts", "event_type",
+        from_type="view", to_type="purchase", order_tiebreak="event_id",
+    ).withColumn("latency_s", F.col("latency_us") / 1e6)
+    out = lat.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_conv"),
+        F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(latency_s, 0.9)").alias("p90_s"),
+    )
+    return out.select(
+        "key", "n_conv",
+        F.round("p50_s", 4).alias("p50_s"),
+        F.round("p90_s", 4).alias("p90_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1216,6 +1282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy": q_cms_heavy,
         "kmv_distinct": q_kmv_distinct,
+        "m4": q_m4,
+        "drawdown": q_drawdown,
+        "rolling_corr": q_rolling_corr,
+        "time_to_conv": q_time_to_conv,
         "unigram_logprob": q_unigram_logprob,
     }
 
@@ -2798,6 +2868,91 @@ FROM agg
         "hll_distinct": _hll_oracle_sql(),
         "cms_heavy": _cms_oracle_sql(),
         "kmv_distinct": _kmv_oracle_sql(),
+        # M4 tie semantics mirror the struct-lexicographic min/max:
+        # v_first = min value among ts = min ts, v_last = max value
+        # among ts = max ts, ts_vmin = min ts among v = v_min, ts_vmax
+        # = max ts among v = v_max.
+        "m4": """
+WITH e AS (
+  SELECT user_id AS key, ts, value, epoch_us(ts) // 21600000000 AS bkt
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+a AS (
+  SELECT key, bkt, CAST(count(*) AS BIGINT) AS n_obs,
+         min(ts) AS ts_first, max(ts) AS ts_last,
+         min(value) AS v_min, max(value) AS v_max
+  FROM e GROUP BY 1, 2
+),
+f AS (
+  SELECT e.key, e.bkt,
+         min(CASE WHEN e.ts = a.ts_first THEN e.value END) AS v_first,
+         max(CASE WHEN e.ts = a.ts_last THEN e.value END) AS v_last,
+         min(CASE WHEN e.value = a.v_min THEN e.ts END) AS ts_vmin,
+         max(CASE WHEN e.value = a.v_max THEN e.ts END) AS ts_vmax
+  FROM e JOIN a USING (key, bkt) GROUP BY 1, 2
+)
+SELECT a.key, make_timestamp(a.bkt * 21600000000) AS bucket_ts, a.n_obs,
+       a.ts_first, f.v_first, a.ts_last, f.v_last,
+       a.v_min, f.ts_vmin, a.v_max, f.ts_vmax
+FROM a JOIN f USING (key, bkt)
+""",
+        "drawdown": """
+WITH b AS (
+  SELECT user_id AS key, ts, value, max(value) OVER w AS peak
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key, ts, value, peak, peak - value AS dd,
+       CASE WHEN peak <> 0 THEN (peak - value) / peak END AS dd_pct,
+       max(peak - value) OVER (PARTITION BY key ORDER BY ts, value
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_dd
+FROM b
+""",
+        "rolling_corr": """
+WITH bk AS (
+  SELECT user_id AS key, date_trunc('day', ts) AS bts, max(value) AS v
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT '1|2' AS pair, a.bts, a.v AS x, b.v AS y
+  FROM (SELECT bts, v FROM bk WHERE key = 1) a
+  JOIN (SELECT bts, v FROM bk WHERE key = 2) b USING (bts)
+),
+s AS (
+  SELECT pair, bts, x, y,
+         CAST(count(*) OVER w AS DOUBLE) AS c,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+  FROM j
+  WINDOW w AS (PARTITION BY pair ORDER BY bts
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT pair, bts, x, y, CAST(c AS BIGINT) AS n_obs,
+       round(CASE WHEN (c * sxx - sx * sx) > 0 AND (c * syy - sy * sy) > 0
+             THEN (c * sxy - sx * sy)
+                  / (sqrt(c * sxx - sx * sx) * sqrt(c * syy - sy * sy))
+             END, 6) AS roll_corr
+FROM s
+""",
+        "time_to_conv": """
+WITH nx AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM events
+),
+lat AS (
+  SELECT user_id AS key, (nxt - us) / 1000000.0 AS latency_s FROM nx
+  WHERE event_type = 'view' AND nxt IS NOT NULL
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_conv,
+       round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(latency_s, 0.9), 4) AS p90_s
+FROM lat GROUP BY 1
+""",
         "vocab_topk": _TOK_CTE + """
 , cnts AS (
   SELECT t AS token, count(*) AS cnt

@@ -91,3 +91,90 @@ def test_plans_no_cartesian(spark, events):
               funnel(ev, ["view", "click", "purchase"])):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- time_to_event
+
+def test_time_to_event_basic(spark):
+    import pandas as pd
+
+    from tits_spark.operators.events_analytics import time_to_event
+
+    pdf = pd.DataFrame({
+        "key": ["u"] * 5,
+        "ts": pd.to_datetime([
+            "2026-01-01 00:00:00",  # view -> converts at 00:10
+            "2026-01-01 00:05:00",  # view -> converts at 00:10
+            "2026-01-01 00:10:00",  # purchase
+            "2026-01-01 00:20:00",  # view -> no later purchase: dropped
+            "2026-01-01 00:25:00",  # click: not a source
+        ]),
+        "event_type": ["view", "view", "purchase", "view", "click"],
+        "eid": [1, 2, 3, 4, 5],
+    })
+    df = spark.createDataFrame(
+        pdf, "key string, ts timestamp, event_type string, eid long"
+    )
+    got = {
+        r["ts"].isoformat(): r["latency_us"]
+        for r in time_to_event(
+            df, "key", "ts", "event_type", "view", "purchase",
+            order_tiebreak="eid",
+        ).collect()
+    }
+    assert got == {
+        "2026-01-01T00:00:00": 600_000_000,
+        "2026-01-01T00:05:00": 300_000_000,
+    }
+
+
+def test_time_to_event_horizon_and_tie(spark):
+    import pandas as pd
+
+    from tits_spark.operators.events_analytics import time_to_event
+
+    # purchase at the SAME timestamp as the view: the forward frame is
+    # strictly-after in (ts, eid) order, so the view converts to it
+    # only via the tiebreak ordering (purchase has the larger eid)
+    pdf = pd.DataFrame({
+        "key": ["u"] * 3,
+        "ts": pd.to_datetime([
+            "2026-01-01 00:00:00",
+            "2026-01-01 00:00:00",
+            "2026-01-02 00:00:00",
+        ]),
+        "event_type": ["view", "purchase", "purchase"],
+        "eid": [1, 2, 3],
+    })
+    df = spark.createDataFrame(
+        pdf, "key string, ts timestamp, event_type string, eid long"
+    )
+    lat = time_to_event(
+        df, "key", "ts", "event_type", "view", "purchase",
+        order_tiebreak="eid",
+    ).collect()
+    assert len(lat) == 1 and lat[0]["latency_us"] == 0
+    # horizon cuts the conversion off entirely when only the day-later
+    # purchase exists
+    df2 = df.where("eid != 2")
+    lat2 = time_to_event(
+        df2, "key", "ts", "event_type", "view", "purchase",
+        order_tiebreak="eid", horizon_sec=3600,
+    ).collect()
+    assert lat2 == []
+
+
+def test_latency_summary_counts(spark, events):
+    from tits_spark.operators.events_analytics import (
+        latency_summary,
+        time_to_event,
+    )
+
+    lat = time_to_event(
+        events.withColumnRenamed("key", "user_id"),
+        "user_id", "ts", "event_type", "view", "purchase",
+    ) if "event_type" in events.columns else None
+    if lat is None:
+        return
+    s = latency_summary(lat).collect()
+    assert all(r["n_conv"] >= 1 and r["p50_us"] <= r["p90_us"] for r in s)

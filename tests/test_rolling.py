@@ -47,3 +47,76 @@ def test_robust_band_matches_pandas_and_shrugs_off_spike(series):
     assert bool(got.loc[90, "outlier"])
     want = np.abs(pdf["value"].to_numpy() - r.median().to_numpy()) > 1.5 * iqr.to_numpy()
     assert np.array_equal(got["outlier"].to_numpy().astype(bool), want)
+
+
+# ------------------------------------------------------------ drawdown
+
+def test_drawdown_matches_pandas(series):
+    from tits_spark.operators.rolling import drawdown
+
+    df, pdf = series
+    got = drawdown(df).toPandas().sort_values("ts").reset_index(drop=True)
+    peak = pdf["value"].cummax()
+    dd = peak - pdf["value"]
+    assert np.allclose(got["peak"], peak)
+    assert np.allclose(got["dd"], dd)
+    assert np.allclose(got["max_dd"], dd.cummax())
+    assert np.allclose(got["dd_pct"], dd / peak)
+
+
+def test_drawdown_zero_peak_is_null(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "key": ["z", "z"],
+        "ts": pd.date_range("2026-01-01", periods=2, freq="h"),
+        "value": [0.0, -1.0],
+    })
+    df = spark.createDataFrame(pdf, "key string, ts timestamp, value double")
+    from tits_spark.operators.rolling import drawdown
+
+    rows = drawdown(df).orderBy("ts").collect()
+    assert rows[0]["dd_pct"] is None  # peak == 0 guard, not NaN
+    assert rows[1]["dd"] == 1.0
+
+
+# -------------------------------------------------------- rolling_corr
+
+def test_rolling_corr_matches_pandas(spark):
+    from tits_spark.operators.rolling import rolling_corr
+
+    rng = np.random.default_rng(5)
+    n = 200
+    pdf = pd.DataFrame({
+        "key": ["p"] * n,
+        "ts": pd.date_range("2026-02-01", periods=n, freq="min"),
+        "x": rng.normal(0, 1, n).round(3),
+    })
+    pdf["y"] = (0.6 * pdf["x"] + 0.4 * rng.normal(0, 1, n)).round(3)
+    df = spark.createDataFrame(
+        pdf, "key string, ts timestamp, x double, y double"
+    )
+    got = (
+        rolling_corr(df, key="key", ord_col="ts", x="x", y="y", n=30)
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    want = pdf["x"].rolling(30, min_periods=1).corr(pdf["y"])
+    # first row has a frame of 1 -> engine NULL, pandas NaN
+    assert got["roll_corr"].isna()[0] and np.isnan(want.iloc[0])
+    assert np.allclose(got["roll_corr"][1:], want[1:], atol=1e-7)
+
+
+def test_rolling_corr_constant_frame_is_null(spark):
+    from tits_spark.operators.rolling import rolling_corr
+
+    pdf = pd.DataFrame({
+        "key": ["c"] * 10,
+        "ts": pd.date_range("2026-02-01", periods=10, freq="min"),
+        "x": [1.0] * 10,
+        "y": list(range(10)),
+    })
+    df = spark.createDataFrame(
+        pdf, "key string, ts timestamp, x double, y double"
+    )
+    rows = rolling_corr(df, n=5).collect()
+    assert all(r["roll_corr"] is None for r in rows)  # zero x-variance

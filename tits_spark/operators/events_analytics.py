@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _US = 1_000_000
@@ -151,3 +151,66 @@ def funnel_summary(
             )
         )
     return reach.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def time_to_event(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    order_tiebreak: str | None = None,
+    horizon_sec: int | None = None,
+) -> DataFrame:
+    """Per source event: latency to the key's NEXT target event.
+
+    The "time to conversion" primitive: for every ``from_type`` event,
+    the microseconds until the same key's next ``to_type`` event
+    (strictly after it in the sort order). One window shuffle — a
+    conditional min over the forward frame — never a self-join, so the
+    cost is one pass over the partition regardless of how many target
+    events follow. Rows with no later target (or beyond ``horizon_sec``)
+    are dropped.
+
+    ``order_tiebreak`` (e.g. an event id) makes "next" deterministic
+    when timestamps collide; pass it whenever ts is not unique per key.
+
+    Columns: key, ts, latency_us.
+    """
+    from tits_spark.functions.exprs import epoch_us
+
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col(type_col) == to_type, epoch_us(ts_col))
+    ).over(w)
+    out = (
+        df.withColumn("_nxt", nxt)
+        .where((F.col(type_col) == from_type) & F.col("_nxt").isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            (F.col("_nxt") - epoch_us(ts_col)).alias("latency_us"),
+        )
+    )
+    if horizon_sec is not None:
+        out = out.where(F.col("latency_us") <= horizon_sec * 1_000_000)
+    return out
+
+
+def latency_summary(latencies: DataFrame, key: str = "key") -> DataFrame:
+    """Per-key conversion-latency profile over :func:`time_to_event`
+    output: count, exact median and p90 (interpolated percentile — the
+    same quantile_cont semantics the percentiles query establishes
+    cross-engine parity for). Latencies aggregate as exact integer
+    microseconds; only the final percentiles are doubles."""
+    return latencies.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_conv"),
+        F.expr("percentile(latency_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(latency_us, 0.9)").alias("p90_us"),
+    )

@@ -79,3 +79,80 @@ def robust_band(
         iqr.alias("roll_iqr"),
         (F.abs(F.col(value) - med) > k * iqr).alias("outlier"),
     )
+
+
+def drawdown(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Running peak and drawdown per series: peak = running max(value),
+    drawdown = peak - value, plus the running maximum drawdown (the
+    monitoring number "worst drop from a high so far").
+
+    Two framed aggregates over the SAME window spec — Catalyst fuses
+    them into one Window operator, one shuffle. dd_pct is NULL where
+    the peak is 0 (division guard), not a NaN.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max(value).over(w)
+    dd = peak - F.col(value)
+    out = df.select(
+        key, ts, value,
+        peak.alias("peak"),
+        dd.alias("dd"),
+        F.when(peak != 0, dd / peak).alias("dd_pct"),
+    )
+    w2 = (
+        Window.partitionBy(key)
+        .orderBy(ts, value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.withColumn("max_dd", F.max("dd").over(w2))
+
+
+def rolling_corr(
+    df: DataFrame,
+    key: str = "key",
+    ord_col: str = "ts",
+    x: str = "x",
+    y: str = "y",
+    n: int = 30,
+) -> DataFrame:
+    """Trailing-``n`` Pearson correlation between two aligned columns.
+
+    Built from framed SUMS with the explicit textbook algebra
+    ``(n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))``
+    instead of a native corr aggregate, so an oracle in another engine
+    can evaluate the IDENTICAL operation tree (native window-corr
+    implementations differ in accumulation scheme across engines).
+    NULL (not NaN) when either variance term is non-positive (constant
+    series in the frame, or a frame of one).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ord_col)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(F.col(x) * F.col(y)).over(w)
+    sxx = F.sum(F.col(x) * F.col(x)).over(w)
+    syy = F.sum(F.col(y) * F.col(y)).over(w)
+    vx = cnt * sxx - sx * sx
+    vy = cnt * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (cnt * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return df.select(
+        key, ord_col, x, y,
+        cnt.cast("long").alias("n_obs"),
+        corr.alias("roll_corr"),
+    )
