@@ -569,6 +569,18 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "ts", "value", "pt_idx")
 
 
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key matrix profile (m=8): nearest-neighbor z-normalized
+    subsequence distance per window, STOMP diagonal recurrence in a
+    grouped Arrow UDF (the scale path). The oracle mirrors the
+    declarative twin's relational algebra; distances are quantized to
+    1e-6 before the argmin with ties to the smaller neighbor index, so
+    the selection is stable across engines (the lttb/ar_fit device)."""
+    from tits_spark.operators.matrix_profile import matrix_profile
+
+    return matrix_profile(_events(spark, sf_dir), m=8)
+
+
 def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort x age retention grid over the event stream (daily
     cohorts by first-ever event; user-keyed shuffles only)."""
@@ -1287,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "time_to_conv": q_time_to_conv,
         "unigram_logprob": q_unigram_logprob,
+        "matrix_profile": q_matrix_profile,
     }
 
 
@@ -3070,5 +3083,45 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # mirrors operators/matrix_profile.py::matrix_profile_decl
+        # (m=8, exclusion 4, quantize 1e-6 before argmin, ties -> smaller j)
+        "matrix_profile": """
+WITH base AS (
+  SELECT user_id AS key, ts AS t, value AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS rn
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT * FROM (
+    SELECT key, rn AS wi, t,
+           count(*) OVER w AS cnt, sum(v) OVER w AS s, sum(v*v) OVER w AS s2
+    FROM base
+    WINDOW w AS (PARTITION BY key ORDER BY rn
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+  ) WHERE cnt = 8 AND 8*s2 - s*s > 0
+),
+offs AS (SELECT unnest(generate_series(0, 7)) AS o),
+dots AS (
+  SELECT a.key, a.wi AS i, b.wi AS j, a.t AS ti, a.s AS si, b.s AS sj,
+         8*a.s2 - a.s*a.s AS ei, 8*b.s2 - b.s*b.s AS ej,
+         sum(v1.v * v2.v) AS qt
+  FROM stats a
+  JOIN stats b ON a.key = b.key AND abs(a.wi - b.wi) >= 4
+  CROSS JOIN offs
+  JOIN base v1 ON v1.key = a.key AND v1.rn = a.wi + offs.o
+  JOIN base v2 ON v2.key = b.key AND v2.rn = b.wi + offs.o
+  GROUP BY a.key, a.wi, b.wi, a.t, a.s, b.s, a.s2, b.s2
+),
+scored AS (
+  SELECT key, i, j, ti,
+         round(sqrt(greatest(
+           2*8*(1 - 8*(qt - si*sj/8) / (sqrt(ei)*sqrt(ej))), 0)), 6) AS dq
+  FROM dots
+)
+SELECT key, CAST(i AS INT) AS wi, ti AS ts, dq AS mp, CAST(j AS INT) AS nn
+FROM (SELECT *, row_number() OVER (PARTITION BY key, i ORDER BY dq, j) AS rnk
+      FROM scored)
+WHERE rnk = 1
 """,
     }

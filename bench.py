@@ -270,6 +270,16 @@ def main() -> None:
 
     repeat("q13_pii_unigram", _body_q13_pii_unigram)
 
+    # q14: per-key matrix profile (STOMP diagonals in a grouped Arrow
+    # UDF) — motif/discord mining over the events series
+    from tits_spark.operators.matrix_profile import matrix_profile
+
+    inputs["q14_rows"] = inputs["q3_rows"]
+    def _body_q14_matrix_profile():
+        matrix_profile(events, m=8).write.format("noop").mode("overwrite").save()
+
+    repeat("q14_matrix_profile", _body_q14_matrix_profile)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
