@@ -569,6 +569,53 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "ts", "value", "pt_idx")
 
 
+def q_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise aggregate approximation: z-normalized 8-segment means
+    per key; integer segment split, PAA quantized to 1e-6."""
+    from tits_spark.operators.sax import paa
+
+    return paa(_events(spark, sf_dir), segments=8)
+
+
+def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words (8 segments, alphabet 4): the equi-joinable series
+    index key; oracle CASE generated from the same breakpoint table."""
+    from tits_spark.operators.sax import sax_words
+
+    return sax_words(_events(spark, sf_dir), segments=8, alphabet=4)
+
+
+def q_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 matrix-profile discords per key (anomaly ranking); the
+    oracle wraps the matrix_profile SQL with the same ranking window."""
+    from tits_spark.operators.matrix_profile import discords
+
+    return discords(_events(spark, sf_dir), m=8, k=5)
+
+
+def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence intervals: consecutive-observation gaps > 1 day."""
+    from tits_spark.operators.windows import gap_intervals
+
+    return gap_intervals(_events(spark, sf_dir), ["key"], "ts", 86400.0)
+
+
+def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key availability: span, gap count, downtime, uptime ratio
+    (sums rounded to 4dp here — summation-order tolerance, the
+    mean_dt device)."""
+    from tits_spark.operators.windows import uptime_stats
+
+    out = uptime_stats(_events(spark, sf_dir), ["key"], "ts", 86400.0)
+    return out.select(
+        "key",
+        F.round("span_sec", 4).alias("span_sec"),
+        "n_gaps",
+        F.round("downtime_sec", 4).alias("downtime_sec"),
+        "uptime_ratio",
+    )
+
+
 def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key matrix profile (m=8): nearest-neighbor z-normalized
     subsequence distance per window, STOMP diagonal recurrence in a
@@ -1300,6 +1347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_conv": q_time_to_conv,
         "unigram_logprob": q_unigram_logprob,
         "matrix_profile": q_matrix_profile,
+        "paa": q_paa,
+        "sax": q_sax,
+        "discords": q_discords,
+        "gaps": q_gaps,
+        "uptime": q_uptime,
     }
 
 
@@ -3086,7 +3138,76 @@ FROM documents d LEFT JOIN sc s USING (doc_id)
 """,
         # mirrors operators/matrix_profile.py::matrix_profile_decl
         # (m=8, exclusion 4, quantize 1e-6 before argmin, ties -> smaller j)
-        "matrix_profile": """
+        "matrix_profile": _MP_SQL,
+        "discords": f"""
+WITH prof AS ({_MP_SQL})
+SELECT key, wi, ts, mp, nn, rnk AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY mp DESC, wi) AS rnk
+  FROM prof
+) WHERE rnk <= 5
+""",
+        "paa": _PAA_SQL + """
+SELECT key, seg, n_pts, paa FROM p
+""",
+        "sax": _PAA_SQL + f"""
+, sym AS (SELECT key, seg, {_sax_case()} AS s FROM p)
+SELECT key, string_agg(s, '' ORDER BY seg) AS word FROM sym GROUP BY key
+""",
+        "gaps": """
+SELECT key, gap_start, gap_end, gap_sec FROM (
+  SELECT user_id AS key,
+         lag(ts) OVER w AS gap_start, ts AS gap_end,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap_sec
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+) WHERE gap_sec > 86400.0
+""",
+        "uptime": """
+WITH d AS (
+  SELECT user_id AS key, epoch(ts) AS t,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS dt
+  FROM events
+),
+agg AS (
+  SELECT key, max(t) - min(t) AS span,
+         count(*) FILTER (dt > 86400.0) AS n_gaps,
+         coalesce(sum(dt) FILTER (dt > 86400.0), 0.0) AS down
+  FROM d GROUP BY 1
+)
+SELECT key, round(span, 4) AS span_sec, n_gaps,
+       round(down, 4) AS downtime_sec,
+       CASE WHEN span > 0 THEN round(1.0 - down / span, 6) ELSE 1.0 END
+         AS uptime_ratio
+FROM agg
+""",
+    }
+
+
+def _sax_case() -> str:
+    from tits_spark.operators.sax import sax_symbol_sql
+
+    return sax_symbol_sql("paa", 4)
+
+
+# z-norm -> integer segment split -> quantized piecewise means;
+# mirrors operators/sax.py::paa (segments=8)
+_PAA_SQL = """
+WITH st AS (
+  SELECT user_id AS key, value,
+         count(*) OVER wk AS n, avg(value) OVER wk AS mu,
+         stddev_samp(value) OVER wk AS sd,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS i
+  FROM events WHERE value IS NOT NULL
+  WINDOW wk AS (PARTITION BY user_id)
+),
+p AS (
+  SELECT key, CAST(floor(i * 8.0 / n) AS INT) AS seg, count(*) AS n_pts,
+         round(avg((value - mu) / sd), 6) AS paa
+  FROM st WHERE n >= 8 AND sd > 0
+  GROUP BY 1, 2
+)
+"""
+
+_MP_SQL = """
 WITH base AS (
   SELECT user_id AS key, ts AS t, value AS v,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS rn
@@ -3123,5 +3244,4 @@ SELECT key, CAST(i AS INT) AS wi, ti AS ts, dq AS mp, CAST(j AS INT) AS nn
 FROM (SELECT *, row_number() OVER (PARTITION BY key, i ORDER BY dq, j) AS rnk
       FROM scored)
 WHERE rnk = 1
-""",
-    }
+"""

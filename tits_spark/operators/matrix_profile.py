@@ -160,6 +160,46 @@ def matrix_profile(
     )
 
 
+def discords(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    m: int = 8,
+    k: int = 3,
+    excl: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-``k`` discords per key: the windows FARTHEST from their own
+    nearest neighbor — the matrix-profile anomaly ranking (Yeh et al.
+    ICDM 2016 §4.2). Ties break toward the smaller window index. Adds a
+    ``rank`` column (1 = strongest anomaly)."""
+    prof = matrix_profile(df, key, ts, value, m, excl, decimals)
+    w = Window.partitionBy("key").orderBy(F.desc("mp"), "wi")
+    return prof.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def motifs(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    m: int = 8,
+    k: int = 3,
+    excl: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-``k`` motif windows per key: the CLOSEST-to-neighbor windows
+    (repeated shapes), rank 1 = strongest motif; ties to smaller wi."""
+    prof = matrix_profile(df, key, ts, value, m, excl, decimals)
+    w = Window.partitionBy("key").orderBy("mp", "wi")
+    return prof.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def matrix_profile_decl(
     df: DataFrame,
     key: str = "key",

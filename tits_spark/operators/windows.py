@@ -83,3 +83,64 @@ def best_by(
     )
     allkeys = df.select(*keys).distinct()
     return allkeys.join(agg, list(keys), "left")
+
+
+def gap_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    threshold_sec: float,
+) -> DataFrame:
+    """Silence intervals per key: consecutive-observation gaps longer
+    than ``threshold_sec`` — the irregular-series "downtime" view (the
+    complement of sessionize's activity view; same lag-window shape as
+    W2). Returns (keys..., gap_start, gap_end, gap_sec)."""
+    from tits_spark.functions.exprs import ts_seconds
+
+    out = (
+        df.select(*keys, F.col(ts).alias("gap_end"))
+        .withColumn("gap_start", F.lag("gap_end").over(
+            Window.partitionBy(*keys).orderBy("gap_end")))
+        .withColumn(
+            "gap_sec",
+            ts_seconds("gap_end") - ts_seconds("gap_start"),
+        )
+        .where(F.col("gap_sec") > threshold_sec)
+    )
+    return out.select(*keys, "gap_start", "gap_end", "gap_sec")
+
+
+def uptime_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    threshold_sec: float,
+) -> DataFrame:
+    """Per-key availability summary: observed span, count and total
+    seconds of gaps over ``threshold_sec``, and the uptime ratio
+    1 - downtime/span (1.0 for single-point/zero-span series). One
+    lag window + one hash agg — partial aggregation applies."""
+    from tits_spark.functions.exprs import ts_seconds
+
+    w = Window.partitionBy(*keys).orderBy(ts)
+    t = ts_seconds(ts)
+    dt = t - F.lag(t).over(w)
+    per = (
+        df.withColumn("_dt", dt)
+        .groupBy(*keys)
+        .agg(
+            (F.max(t) - F.min(t)).alias("span_sec"),
+            F.sum(F.when(F.col("_dt") > threshold_sec, 1).otherwise(0))
+            .alias("n_gaps"),
+            F.sum(
+                F.when(F.col("_dt") > threshold_sec, F.col("_dt")).otherwise(0.0)
+            ).alias("downtime_sec"),
+        )
+    )
+    return per.withColumn(
+        "uptime_ratio",
+        F.when(
+            F.col("span_sec") > 0,
+            F.round(1.0 - F.col("downtime_sec") / F.col("span_sec"), 6),
+        ).otherwise(F.lit(1.0)),
+    )
