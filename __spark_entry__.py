@@ -616,6 +616,32 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per 1h bucket via the sketch-bearing
+    rollup cascade: HLL registers built once at 1m, MERGED (register
+    max) up to 1h, then estimated — the continuous-aggregate form of
+    per-bucket approx-distinct. The oracle derives each hour's
+    registers directly from raw, which only matches because the
+    register cascade is exact (max associativity, property-tested)."""
+    from tits_spark.operators.rollup_sketch import (
+        distinct_by_bucket,
+        distinct_registers,
+        registers_cascade,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select("ts", F.col("user_id").cast("string").alias("item"))
+    regs = registers_cascade(distinct_registers(src, "ts", "item", "1m"), "1h")
+    est = distinct_by_bucket(regs)
+    exact = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "bucket_ts").select(
+        "bucket_ts", "zeros", "sum_scaled",
+        F.round("hll_est", 4).alias("hll_est"), "n_exact",
+    )
+
+
 def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key matrix profile (m=8): nearest-neighbor z-normalized
     subsequence distance per window, STOMP diagonal recurrence in a
@@ -1352,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discords": q_discords,
         "gaps": q_gaps,
         "uptime": q_uptime,
+        "active_users": q_active_users,
     }
 
 
@@ -3161,6 +3188,7 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ) WHERE gap_sec > 86400.0
 """,
+        "active_users": _bucket_hll_oracle_sql(),
         "uptime": """
 WITH d AS (
   SELECT user_id AS key, epoch(ts) AS t,
@@ -3180,6 +3208,57 @@ SELECT key, round(span, 4) AS span_sec, n_gaps,
 FROM agg
 """,
     }
+
+
+def _bucket_hll_oracle_sql() -> str:
+    """Per-1h-bucket HLL registers re-derived from raw (valid because
+    the engine's 1m->1h register cascade is exactly max-associative)."""
+    from tits_spark.operators.sketches import hll_alpha
+
+    p, m = 8, 256
+    wmax = 61 - p
+    num = repr(hll_alpha(m) * (m * m) * float(2**wmax))
+    scale = 2**wmax
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS b,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT b, h & {m - 1} AS reg,
+         CASE WHEN (h >> {p}) = 0 THEN {wmax}
+              ELSE {wmax} - length(bin(h >> {p})) END AS rho
+  FROM h
+),
+regs AS (SELECT b, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT b,
+         CAST(sum(CAST(power(2.0, {wmax} - rho) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS nreg
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT b, CAST({m} - nreg AS BIGINT) AS zeros,
+         s + ({m} - nreg) * {scale} AS sum_scaled
+  FROM agg
+),
+fin AS (
+  SELECT b, zeros, sum_scaled,
+         CASE WHEN ({num} / CAST(sum_scaled AS DOUBLE)) <= {2.5 * m}
+                   AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+              ELSE {num} / CAST(sum_scaled AS DOUBLE) END AS hll_est
+  FROM est
+),
+ex AS (
+  SELECT date_trunc('hour', ts) AS b, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT f.b AS bucket_ts, f.zeros, f.sum_scaled,
+       round(f.hll_est, 4) AS hll_est, ex.n_exact
+FROM fin f JOIN ex ON f.b = ex.b
+"""
 
 
 def _sax_case() -> str:

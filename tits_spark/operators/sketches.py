@@ -88,7 +88,9 @@ def hll_registers(
     )
 
 
-def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
+def hll_estimate(
+    regs: DataFrame, p: int = 8, group_cols: tuple[str, ...] = ("grp",)
+) -> DataFrame:
     """Cardinality estimate per group from a register table.
 
     The harmonic sum ``sum_j 2^-M_j`` is scaled by 2^wmax and summed as
@@ -97,12 +99,12 @@ def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
     <= 2^61 and cannot overflow BIGINT.  Small-range correction uses
     linear counting ``m * ln(m / zeros)`` when raw <= 2.5m.
 
-    Columns: grp, zeros, sum_scaled, hll_est.
+    Columns: *group_cols, zeros, sum_scaled, hll_est.
     """
     m = 1 << p
     wmax = H_BITS - p + 1
     num = hll_alpha(m) * (m * m) * float(2**wmax)  # embedded as a literal
-    agg = regs.groupBy("grp").agg(
+    agg = regs.groupBy(*group_cols).agg(
         F.sum(F.expr(f"CAST(power(2.0, {wmax} - rho) AS BIGINT)")).alias("s"),
         F.count("*").alias("nreg"),
     )
@@ -114,7 +116,7 @@ def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(
-        "grp", zeros.alias("zeros"), total.alias("sum_scaled"),
+        *group_cols, zeros.alias("zeros"), total.alias("sum_scaled"),
         est.alias("hll_est"),
     )
 
