@@ -616,6 +616,21 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles per event_type off the mergeable value-
+    lattice histogram — the shuffle carries (key, lattice point)
+    counts, never rows, unlike the buffering percentile agg. Rank
+    arithmetic is integer after one shared IEEE multiply, so the
+    oracle (generated from the same prob/scale constants) matches
+    bit-for-bit."""
+    from tits_spark.operators.quantiles import hist_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hist_quantiles(
+        ev, ["event_type"], "value", probs=(0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct active users per 1h bucket via the sketch-bearing
     rollup cascade: HLL registers built once at 1m, MERGED (register
@@ -1379,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaps": q_gaps,
         "uptime": q_uptime,
         "active_users": q_active_users,
+        "hist_quantiles": q_hist_quantiles,
     }
 
 
@@ -3189,6 +3205,7 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
 ) WHERE gap_sec > 86400.0
 """,
         "active_users": _bucket_hll_oracle_sql(),
+        "hist_quantiles": _hist_quantiles_oracle(),
         "uptime": """
 WITH d AS (
   SELECT user_id AS key, epoch(ts) AS t,
@@ -3208,6 +3225,14 @@ SELECT key, round(span, 4) AS span_sec, n_gaps,
 FROM agg
 """,
     }
+
+
+def _hist_quantiles_oracle() -> str:
+    from tits_spark.operators.quantiles import hist_quantiles_sql
+
+    return hist_quantiles_sql(
+        "events", ["event_type"], "value", probs=(0.25, 0.5, 0.75, 0.9, 0.99)
+    )
 
 
 def _bucket_hll_oracle_sql() -> str:
