@@ -616,6 +616,18 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between PAA-8 vectors for series pairs sharing a
+    2-symbol SAX prefix (candidate bucketing, never the cross
+    product). Every DP cell is one abs-diff + add + exact mins over
+    already-oracle-exact PAA values, so the oracle's unrolled 8x8
+    chained-alias SQL reproduces the distance bit-for-bit (the ar_fit
+    unrolled-Levinson discipline)."""
+    from tits_spark.operators.dtw import dtw_similar
+
+    return dtw_similar(_events(spark, sf_dir), segments=8, alphabet=4, prefix=2)
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 quantiles per event_type off the mergeable value-
     lattice histogram — the shuffle carries (key, lattice point)
@@ -1395,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uptime": q_uptime,
         "active_users": q_active_users,
         "hist_quantiles": q_hist_quantiles,
+        "dtw": q_dtw,
     }
 
 
@@ -3206,6 +3219,7 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
 """,
         "active_users": _bucket_hll_oracle_sql(),
         "hist_quantiles": _hist_quantiles_oracle(),
+        "dtw": _dtw_oracle(),
         "uptime": """
 WITH d AS (
   SELECT user_id AS key, epoch(ts) AS t,
@@ -3225,6 +3239,46 @@ SELECT key, round(span, 4) AS span_sec, n_gaps,
 FROM agg
 """,
     }
+
+
+def _dtw_oracle() -> str:
+    """Unrolled 8x8 DTW DP as chained lateral aliases over the shared
+    PAA/SAX CTEs; cell expressions generated by the same loop shape as
+    operators/dtw.py::dtw_numpy."""
+    s = 8
+
+    def d(i: int, j: int) -> str:
+        return f"abs(xs[{i + 1}] - ys[{j + 1}])"
+
+    exprs = [f"{d(0, 0)} AS c0_0"]
+    exprs += [f"{d(0, j)} + c0_{j - 1} AS c0_{j}" for j in range(1, s)]
+    for i in range(1, s):
+        exprs.append(f"{d(i, 0)} + c{i - 1}_0 AS c{i}_0")
+        exprs += [
+            f"{d(i, j)} + least(c{i - 1}_{j}, c{i - 1}_{j - 1}, c{i}_{j - 1})"
+            f" AS c{i}_{j}"
+            for j in range(1, s)
+        ]
+    chain = ",\n         ".join(exprs)
+    return _PAA_SQL + f"""
+, sym AS (SELECT key, seg, paa, {_sax_case()} AS sy FROM p),
+vecs AS (
+  SELECT key, list(paa ORDER BY seg) AS v,
+         string_agg(sy, '' ORDER BY seg) AS word
+  FROM sym GROUP BY key
+),
+cand AS (
+  SELECT a.key AS key1, b.key AS key2, a.v AS xs, b.v AS ys
+  FROM vecs a JOIN vecs b
+    ON substr(a.word, 1, 2) = substr(b.word, 1, 2) AND a.key < b.key
+),
+dp AS (
+  SELECT key1, key2,
+         {chain}
+  FROM cand
+)
+SELECT key1, key2, round(c{s - 1}_{s - 1}, 6) AS dtw FROM dp
+"""
 
 
 def _hist_quantiles_oracle() -> str:

@@ -95,6 +95,29 @@ def sax_symbol_sql(col: str, alphabet: int) -> str:
     return "CASE " + " ".join(parts) + f" ELSE '{_ALPHABET[len(bps)]}' END"
 
 
+def series_vectors(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    segments: int = 8,
+    alphabet: int = 4,
+    min_points: int | None = None,
+) -> DataFrame:
+    """(key, vec, word): the PAA vector AND the SAX word per series in
+    one pass — vec for distance computations (e.g. operators/dtw.py),
+    word for candidate bucketing. One extra agg over the paa output."""
+    if alphabet not in BREAKPOINTS:
+        raise ValueError(f"series_vectors: alphabet must be one of {sorted(BREAKPOINTS)}")
+    p = paa(df, key, ts, value, segments, min_points)
+    sym = p.withColumn("sym", _symbol_expr("paa", alphabet))
+    ordered = F.array_sort(F.collect_list(F.struct("seg", "paa", "sym")))
+    return sym.groupBy(key).agg(
+        F.transform(ordered, lambda x: x["paa"]).alias("vec"),
+        F.array_join(F.transform(ordered, lambda x: x["sym"]), "").alias("word"),
+    )
+
+
 def sax_words(
     df: DataFrame,
     key: str = "key",
