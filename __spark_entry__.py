@@ -616,6 +616,16 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per key. S and the
+    tie-corrected variance are exact-integer arithmetic; the slope
+    median is interpolation-pinned to the quantile_cont formula, so
+    the relational pair-set oracle matches hash-exactly."""
+    from tits_spark.operators.trend import trend_stats
+
+    return trend_stats(_events(spark, sf_dir))
+
+
 def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance between PAA-8 vectors for series pairs sharing a
     2-symbol SAX prefix (candidate bucketing, never the cross
@@ -1408,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "hist_quantiles": q_hist_quantiles,
         "dtw": q_dtw,
+        "trend": q_trend,
     }
 
 
@@ -3220,6 +3231,57 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
         "active_users": _bucket_hll_oracle_sql(),
         "hist_quantiles": _hist_quantiles_oracle(),
         "dtw": _dtw_oracle(),
+        # Mann-Kendall/Theil-Sen: i<j pair set materialized relationally;
+        # mirrors operators/trend.py::mk_numpy term for term
+        "trend": """
+WITH base AS (
+  SELECT user_id AS key, epoch(ts) AS t, value AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch(ts), value) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+),
+ok AS (SELECT * FROM base WHERE n >= 4),
+pairs AS (
+  SELECT a.key, a.v AS vi, b.v AS vj, a.t AS ti, b.t AS tj
+  FROM ok a JOIN ok b ON a.key = b.key AND b.rn > a.rn
+),
+s AS (
+  SELECT key,
+         sum(CASE WHEN vj > vi THEN 1 WHEN vj < vi THEN -1 ELSE 0 END) AS s_stat
+  FROM pairs GROUP BY 1
+),
+tg AS (
+  SELECT key, sum(c * (c - 1) * (2 * c + 5)) AS tc
+  FROM (SELECT key, v, count(*) AS c FROM ok GROUP BY 1, 2
+        HAVING count(*) > 1)
+  GROUP BY 1
+),
+slp AS (
+  SELECT key, quantile_cont((vj - vi) / (tj - ti), 0.5) AS sen
+  FROM pairs WHERE tj != ti GROUP BY 1
+),
+nn AS (SELECT key, max(n) AS n FROM ok GROUP BY 1),
+fin AS (
+  SELECT nn.key, nn.n, s.s_stat,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(tg.tc, 0)) / 18.0
+           AS var_raw,
+         slp.sen
+  FROM nn JOIN s USING (key)
+  LEFT JOIN tg USING (key) LEFT JOIN slp USING (key)
+)
+SELECT key, CAST(n AS BIGINT) AS n, CAST(s_stat AS BIGINT) AS s_stat,
+       round(var_raw, 6) AS var_s,
+       round(CASE WHEN s_stat > 0 AND var_raw > 0
+                    THEN (s_stat - 1) / sqrt(var_raw)
+                  WHEN s_stat < 0 AND var_raw > 0
+                    THEN (s_stat + 1) / sqrt(var_raw)
+                  ELSE 0.0 END, 6) AS z,
+       CASE WHEN z > 1.96 THEN 'inc' WHEN z < -1.96 THEN 'dec'
+            ELSE 'none' END AS trend,
+       round(sen, 6) AS sen_slope
+FROM fin
+""",
         "uptime": """
 WITH d AS (
   SELECT user_id AS key, epoch(ts) AS t,
