@@ -616,6 +616,26 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of value per 1h bucket, read from 1m histograms
+    MERGED up a tier (count addition — exact), never re-reading raw:
+    the quantile member of the continuous-aggregate column families
+    (sums: rollup, distinct: HLL registers, quantiles: histograms).
+    The oracle builds each hour directly from raw, which matches only
+    because the cascade is exact."""
+    from tits_spark.operators.quantiles import (
+        hist_cascade,
+        quantiles_from_hist,
+        value_histogram,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.date_trunc("minute", "ts").alias("bucket_ts"), "value"
+    )
+    h1h = hist_cascade(value_histogram(ev, ["bucket_ts"]), "bucket_ts", "1h")
+    return quantiles_from_hist(h1h, ["bucket_ts"], probs=(0.5, 0.9, 0.99))
+
+
 def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test + Theil-Sen slope per key. S and the
     tie-corrected variance are exact-integer arithmetic; the slope
@@ -1419,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "dtw": q_dtw,
         "trend": q_trend,
+        "bucket_quantiles": q_bucket_quantiles,
     }
 
 
@@ -3230,6 +3251,7 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
 """,
         "active_users": _bucket_hll_oracle_sql(),
         "hist_quantiles": _hist_quantiles_oracle(),
+        "bucket_quantiles": _bucket_quantiles_oracle(),
         "dtw": _dtw_oracle(),
         # Mann-Kendall/Theil-Sen: i<j pair set materialized relationally;
         # mirrors operators/trend.py::mk_numpy term for term
@@ -3348,6 +3370,15 @@ def _hist_quantiles_oracle() -> str:
 
     return hist_quantiles_sql(
         "events", ["event_type"], "value", probs=(0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+
+
+def _bucket_quantiles_oracle() -> str:
+    from tits_spark.operators.quantiles import hist_quantiles_sql
+
+    return hist_quantiles_sql(
+        "(SELECT date_trunc('hour', ts) AS bucket_ts, value FROM events) src",
+        ["bucket_ts"], "value", probs=(0.5, 0.9, 0.99),
     )
 
 

@@ -58,3 +58,30 @@ def test_merge_property(spark):
     a = hist_quantiles(df, ["key"]).collect()[0]
     b = hist_quantiles(half1.union(half2), ["key"]).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_hist_cascade_exact(spark, events):
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.quantiles import (
+        hist_cascade,
+        quantiles_from_hist,
+        value_histogram,
+    )
+
+    def at(tier_unit):
+        return events.select(
+            F.date_trunc(tier_unit, "ts").alias("bucket_ts"), "value"
+        )
+
+    h1m = value_histogram(at("minute"), ["bucket_ts"])
+    direct_1h = value_histogram(at("hour"), ["bucket_ts"])
+    casc_1h = hist_cascade(h1m, "bucket_ts", "1h")
+    as_map = lambda df: {(r["bucket_ts"], r["q"]): r["cnt"] for r in df.collect()}
+    assert as_map(casc_1h) == as_map(direct_1h)
+    # and the derived quantiles agree at the coarser tier too
+    qa = {r["bucket_ts"]: r for r in
+          quantiles_from_hist(casc_1h, ["bucket_ts"], probs=(0.5, 0.9)).collect()}
+    qb = {r["bucket_ts"]: r for r in
+          quantiles_from_hist(direct_1h, ["bucket_ts"], probs=(0.5, 0.9)).collect()}
+    assert qa == qb and len(qa) > 0

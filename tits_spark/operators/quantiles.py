@@ -27,27 +27,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def hist_quantiles(
-    df: DataFrame,
-    keys: Sequence[str],
-    value: str = "value",
-    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
-    scale: int = 100,
-) -> DataFrame:
-    """(keys..., n, q_p{...}): exact type-1 quantiles of the quantized
-    values. Column ``q_p50`` holds the 0.5-quantile etc. (prob * 100,
-    trailing zeros trimmed: p905 for 0.905 would collide — probs are
-    validated to 2dp for that reason)."""
+def _check_probs(probs: Sequence[float]) -> None:
     for p in probs:
         if not (0.0 < p <= 1.0) or round(p * 100) != p * 100:
             raise ValueError(f"probs must be 2-decimal fractions in (0,1]: {p}")
-    keys = list(keys)
+
+
+def value_histogram(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """(keys..., q, cnt): the lattice histogram — the tier-table form.
+
+    Histograms MERGE BY ADDING COUNTS, so this is a continuous-
+    aggregate column family like rollup.py's sums and rollup_sketch's
+    HLL registers: build once at the finest tier, derive coarser tiers
+    with :func:`hist_cascade`, read quantiles at any tier with
+    :func:`quantiles_from_hist` — raw is scanned exactly once.
+    """
     q = F.round(F.col(value) * scale).cast("long")
-    hist = (
+    return (
         df.where(F.col(value).isNotNull())
         .groupBy(*keys, q.alias("q"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def hist_cascade(hist: DataFrame, bucket: str, to_tier: str) -> DataFrame:
+    """Merge a finer tier's histograms into a coarser tier's by
+    re-truncating the bucket column and summing counts — exact (integer
+    addition is associative), same contract as rollup_sketch's
+    registers_cascade."""
+    from tits_spark.operators.rollup import bucket_col
+
+    others = [c for c in hist.columns if c not in (bucket, "q", "cnt")]
+    return (
+        hist.groupBy(
+            bucket_col(bucket, to_tier).alias(bucket), *others, "q"
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantiles_from_hist(
+    hist: DataFrame,
+    keys: Sequence[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+    scale: int = 100,
+) -> DataFrame:
+    """Read type-1 quantiles off a (keys..., q, cnt) histogram."""
+    _check_probs(probs)
+    keys = list(keys)
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy("q")
@@ -65,6 +97,21 @@ def hist_quantiles(
             ).alias(f"q_p{round(p * 100)}")
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def hist_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str = "value",
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+    scale: int = 100,
+) -> DataFrame:
+    """(keys..., n, q_p{...}): exact type-1 quantiles of the quantized
+    values. Column ``q_p50`` holds the 0.5-quantile etc. (prob * 100 —
+    probs are validated to 2dp so names cannot collide)."""
+    _check_probs(probs)
+    hist = value_histogram(df, keys, value, scale)
+    return quantiles_from_hist(hist, keys, probs, scale)
 
 
 def hist_quantiles_sql(
