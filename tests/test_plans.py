@@ -331,3 +331,49 @@ def test_ewma_single_exchange_no_self_join(spark, ev):
     assert p.count(" Exchange (") == 1
     assert p.count("+- Scan parquet") == 1
     assert "Join" not in p
+
+
+def test_matrix_profile_fixed_parallelism(spark, ev):
+    from tits_spark.operators.matrix_profile import matrix_profile
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    q = matrix_profile(df, m=8)
+    p = plan_of(q)
+    assert "FlatMapGroupsInPandas" in p
+    # the numbered repartition must survive into the plan so AQE's
+    # byte-based coalescing cannot serialize the CPU-bound UDF stage
+    # (observed pre-fix: 150 series -> 1 task)
+    n = spark.sparkContext.defaultParallelism
+    assert q.rdd.getNumPartitions() == n
+
+
+def test_dtw_no_cartesian(ev):
+    from tits_spark.operators.dtw import dtw_similar
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(dtw_similar(df, prefix=2))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p
+
+
+def test_hist_quantiles_partial_agg_and_bucketed_windows(ev):
+    from tits_spark.operators.quantiles import hist_quantiles
+
+    p = plan_of(hist_quantiles(ev, ["event_type"], "value"))
+    # histogram build: partial+final count around one exchange
+    assert "partial_count" in p
+    # both windows partition by the key -> no global single-partition
+    # window anywhere
+    assert "SinglePartition" not in p
+
+
+def test_bucket_hll_partial_max(ev):
+    from tits_spark.operators.rollup_sketch import distinct_registers
+
+    p = plan_of(
+        distinct_registers(
+            ev.select("ts", F.col("user_id").cast("string").alias("item")),
+            "ts", "item", "1m",
+        )
+    )
+    assert "partial_max" in p and p.count("Exchange (") == 1

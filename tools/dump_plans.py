@@ -173,6 +173,50 @@ def main() -> None:
         E.q_funnel(spark, SF),
     )
 
+    add(
+        "matrix_profile (blocked-GEMM subsequence search)",
+        "Numbered repartition feeds FlatMapGroupsInPandas with NO "
+        "second exchange (the hash distribution satisfies the grouped "
+        "UDF); the explicit partition count is exempt from AQE's "
+        "byte-based coalescing, which would otherwise serialize the "
+        "CPU-bound stage onto one task.",
+        E.q_matrix_profile(spark, SF),
+    )
+    add(
+        "dtw (SAX-bucketed DTW similarity)",
+        "Candidate pairs come from a hash EQUI-join on the SAX prefix "
+        "(never a cartesian); the unbanded DP runs vectorized across "
+        "pairs in MapInPandas.",
+        E.q_dtw(spark, SF),
+    )
+    add(
+        "bucket_quantiles (histogram tier cascade)",
+        "Raw is scanned once into 1m histograms (partial+final count), "
+        "the 1h merge aggregates the histogram only, and both quantile "
+        "windows partition by bucket — no SinglePartition window.",
+        E.q_bucket_quantiles(spark, SF),
+    )
+    add(
+        "active_users (HLL register cascade)",
+        "Register build: one exchange with partial_max map-side "
+        "combine; the 1m->1h merge and the estimate aggregate the "
+        "<= buckets x 256-row register table, never the items.",
+        E.q_active_users(spark, SF),
+    )
+    add(
+        "trend (Mann-Kendall / Theil-Sen grouped kernel)",
+        "Same numbered-repartition + FlatMapGroupsInPandas shape as "
+        "matrix_profile; quadratic work stays inside the per-key "
+        "kernel, parallel across keys.",
+        E.q_trend(spark, SF),
+    )
+    add(
+        "gaps + uptime (silence intervals)",
+        "One lag window keyed by the series; the uptime summary is a "
+        "partial+final HashAggregate over the same exchange.",
+        E.q_uptime(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
