@@ -616,6 +616,22 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shape for the pattern-occurrence query (spike with overshoot); the
+#: oracle embeds the z-normalized values via repr so both engines
+#: evaluate identical literals
+_PATTERN = [0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0, -1.0]
+
+
+def q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 windows most similar to a query shape across all
+    series (the matrix-profile AB-join / MASS pattern-occurrence
+    query): per-key gemv + local top-k, then a deterministic global
+    TakeOrdered on (dist, key, wi)."""
+    from tits_spark.operators.matrix_profile import pattern_search
+
+    return pattern_search(_events(spark, sf_dir), _PATTERN, k=20)
+
+
 def q_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of value per 1h bucket, read from 1m histograms
     MERGED up a tier (count addition — exact), never re-reading raw:
@@ -1440,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw": q_dtw,
         "trend": q_trend,
         "bucket_quantiles": q_bucket_quantiles,
+        "pattern_search": q_pattern_search,
     }
 
 
@@ -3252,6 +3269,7 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
         "active_users": _bucket_hll_oracle_sql(),
         "hist_quantiles": _hist_quantiles_oracle(),
         "bucket_quantiles": _bucket_quantiles_oracle(),
+        "pattern_search": _pattern_oracle(),
         "dtw": _dtw_oracle(),
         # Mann-Kendall/Theil-Sen: i<j pair set materialized relationally;
         # mirrors operators/trend.py::mk_numpy term for term
@@ -3371,6 +3389,48 @@ def _hist_quantiles_oracle() -> str:
     return hist_quantiles_sql(
         "events", ["event_type"], "value", probs=(0.25, 0.5, 0.75, 0.9, 0.99)
     )
+
+
+def _pattern_oracle() -> str:
+    """Sliding z-norm distance to the embedded pattern; window stats +
+    offsets-join dot, mirroring pattern_search term for term."""
+    from tits_spark.operators.matrix_profile import normalized_pattern
+
+    zq, szq = normalized_pattern(_PATTERN)
+    vals = ", ".join(f"({o}, {v!r})" for o, v in enumerate(zq))
+    return f"""
+WITH base AS (
+  SELECT user_id AS key, ts AS t, value AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS rn
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT * FROM (
+    SELECT key, rn AS wi, t,
+           count(*) OVER w AS cnt, sum(v) OVER w AS s, sum(v*v) OVER w AS s2
+    FROM base
+    WINDOW w AS (PARTITION BY key ORDER BY rn
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+  ) WHERE cnt = 8 AND 8*s2 - s*s > 0
+),
+pat(o, p) AS (VALUES {vals}),
+dots AS (
+  SELECT st.key, st.wi, st.t, st.s, 8*st.s2 - st.s*st.s AS e,
+         sum(b.v * pat.p) AS qt
+  FROM stats st
+  JOIN pat ON TRUE
+  JOIN base b ON b.key = st.key AND b.rn = st.wi + pat.o
+  GROUP BY st.key, st.wi, st.t, st.s, st.s2
+),
+scored AS (
+  SELECT key, wi, t,
+         round(sqrt(greatest(
+           2*8 - 2*((qt - (s/8) * {szq!r}) / (sqrt(e)/8)), 0)), 6) AS dist
+  FROM dots
+)
+SELECT key, CAST(wi AS INT) AS wi, t AS ts, dist
+FROM scored ORDER BY dist, key, wi LIMIT 20
+"""
 
 
 def _bucket_quantiles_oracle() -> str:

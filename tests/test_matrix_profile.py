@@ -113,3 +113,43 @@ def test_m_guard(spark):
         matrix_profile(df, m=2)
     with pytest.raises(ValueError):
         matrix_profile_decl(df, m=2)
+
+
+def test_pattern_search_finds_planted(spark):
+    rng = np.random.default_rng(21)
+    shape = [0.0, 5.0, 10.0, 5.0, 0.0, -5.0, -10.0, -5.0]
+    series = {}
+    for i in range(6):
+        v = rng.normal(0, 1, 90)
+        series[f"s{i}"] = v
+    # plant scaled/shifted copies (z-norm invariant) in two series
+    series["s1"][30:38] = 3.0 * np.array(shape) + 40.0
+    series["s4"][60:68] = 0.5 * np.array(shape) - 7.0
+    df = _mk_df(spark, series)
+    from tits_spark.operators.matrix_profile import pattern_search
+
+    top = pattern_search(df, shape, k=2).collect()
+    got = {(r["key"], r["wi"]): r["dist"] for r in top}
+    assert set(got) == {("s1", 30), ("s4", 60)}
+    for d in got.values():
+        assert d < 1e-4          # exact shape up to affine transform
+
+
+def test_pattern_search_determinism_and_guards(spark):
+    import pytest as _pt
+
+    from tits_spark.operators.matrix_profile import (
+        normalized_pattern,
+        pattern_search,
+    )
+
+    with _pt.raises(ValueError):
+        normalized_pattern([1.0, 1.0, 1.0])
+    with _pt.raises(ValueError):
+        normalized_pattern([1.0, 2.0])
+    rng = np.random.default_rng(5)
+    df = _mk_df(spark, {"a": rng.normal(0, 1, 50), "b": rng.normal(0, 1, 50)})
+    a = [r.asDict() for r in pattern_search(df, [0, 1, 2, 1, 0, -1], k=5).collect()]
+    b = [r.asDict() for r in
+         pattern_search(df.repartition(7), [0, 1, 2, 1, 0, -1], k=5).collect()]
+    assert a == b and len(a) == 5

@@ -200,6 +200,90 @@ def motifs(
     )
 
 
+def normalized_pattern(pattern) -> tuple[np.ndarray, float]:
+    """(z-normalized pattern, sum of its entries) — the exact floats
+    :func:`pattern_search` uses; the oracle embeds their repr() so both
+    engines evaluate the identical literals."""
+    p = np.asarray(pattern, dtype=np.float64)
+    if p.size < 3:
+        raise ValueError("pattern_search: pattern must have >= 3 points")
+    sd = p.std()
+    if sd == 0:
+        raise ValueError("pattern_search: constant pattern has no shape")
+    zq = (p - p.mean()) / sd
+    return zq, float(zq.sum())
+
+
+def pattern_search(
+    df: DataFrame,
+    pattern,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    k: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Global top-``k`` windows most similar to ``pattern`` (z-norm
+    Euclidean) across ALL series — the matrix-profile AB-join/"pattern
+    occurrence" query (MASS/UCR framing, Yeh et al. ICDM 2016 §3).
+
+    Per key: one gemv (windows @ z-normalized pattern) + vectorized
+    window stats; each key emits only its local top-k, so the global
+    TakeOrdered sees k rows per key, never the windows. Distances are
+    quantized to ``decimals`` and the total order (dist, key, wi) makes
+    the global cut deterministic. Zero-variance windows are skipped.
+    """
+    zq, szq = normalized_pattern(pattern)
+    m = zq.size
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["key", "wi", "ts", "dist"]
+        pdf = pdf.sort_values([ts, value], kind="stable")
+        v = pdf[value].to_numpy(np.float64)
+        n = v.size
+        w = n - m + 1
+        if w < 1:
+            return pd.DataFrame(columns=cols)
+        wins = np.lib.stride_tricks.sliding_window_view(v, m)
+        cs = np.concatenate(([0.0], np.cumsum(v)))
+        cs2 = np.concatenate(([0.0], np.cumsum(v * v)))
+        s = cs[m:] - cs[:-m]
+        e = m * (cs2[m:] - cs2[:-m]) - s * s
+        ok = e > 0
+        if not ok.any():
+            return pd.DataFrame(columns=cols)
+        qt = wins @ zq
+        mu = s / m
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sd = np.sqrt(e) / m
+            ratio = (qt - mu * szq) / sd
+            dist = np.sqrt(np.maximum(2.0 * m - 2.0 * ratio, 0.0))
+        dq = np.round(dist, decimals)
+        wi = np.arange(w)[ok]
+        dq = dq[ok]
+        order = np.lexsort((wi, dq))[:k]
+        pick = wi[order]
+        return pd.DataFrame({
+            "key": pdf[key].iloc[0],
+            "wi": pick.astype(np.int32),
+            "ts": pdf[ts].to_numpy()[pick],
+            "dist": dq[order],
+        })
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    local = (
+        df.where(F.col(value).isNotNull())
+        .repartition(nparts, key)
+        .groupBy(key)
+        .applyInPandas(
+            fn,
+            schema=f"key {df.schema[key].dataType.simpleString()}, "
+                   "wi int, ts timestamp, dist double",
+        )
+    )
+    return local.orderBy("dist", "key", "wi").limit(k)
+
+
 def matrix_profile_decl(
     df: DataFrame,
     key: str = "key",
