@@ -280,6 +280,22 @@ def main() -> None:
 
     repeat("q14_matrix_profile", _body_q14_matrix_profile)
 
+    # q15: the series-similarity suite — SAX-bucketed DTW pairs,
+    # global pattern occurrence search, Mann-Kendall/Theil-Sen trend
+    from tits_spark.operators.dtw import dtw_similar
+    from tits_spark.operators.matrix_profile import pattern_search
+    from tits_spark.operators.trend import trend_stats
+
+    inputs["q15_rows"] = inputs["q3_rows"]
+    def _body_q15_series_similarity():
+        dtw_similar(events, prefix=2).write.format("noop").mode("overwrite").save()
+        pattern_search(
+            events, [0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0, -1.0], k=20
+        ).write.format("noop").mode("overwrite").save()
+        trend_stats(events).write.format("noop").mode("overwrite").save()
+
+    repeat("q15_series_similarity", _body_q15_series_similarity)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

@@ -66,16 +66,30 @@ def dtw_similar(
     alphabet: int = 4,
     prefix: int = 2,
     decimals: int = 6,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """(key1, key2, dtw): DTW distance between PAA vectors for every
     candidate pair sharing the first ``prefix`` SAX symbols, key1 <
     key2. ``prefix=0`` disables bucketing (all pairs — the exactness
-    baseline, quadratic; label it as such in any pipeline)."""
+    baseline, quadratic; label it as such in any pipeline).
+
+    ``vectors``: a precomputed :func:`series_vectors` frame (e.g. a
+    written table in an indexing pipeline). When omitted, it is
+    computed here and persisted for the duration of the job — a self-
+    join otherwise re-derives the whole PAA lineage (raw scan + window
+    pass) once PER SIDE, doubling the dominant cost at corpus scale.
+    The persisted table is one row per series (tiny next to raw);
+    Spark's ContextCleaner reclaims it when the plan is released.
+    """
     from tits_spark.operators.sax import series_vectors
 
     if not 0 <= prefix <= segments:
         raise ValueError("dtw_similar: prefix must be in [0, segments]")
-    vecs = series_vectors(df, key, ts, value, segments, alphabet)
+    vecs = (
+        vectors
+        if vectors is not None
+        else series_vectors(df, key, ts, value, segments, alphabet).persist()
+    )
     kt = df.schema[key].dataType.simpleString()
     a = vecs.select(
         F.col(key).alias("key1"), F.col("vec").alias("v1"),
