@@ -1338,28 +1338,31 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_to_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-conversion: for each 'view' event, microseconds to the
     user's next 'purchase' (forward conditional-min window, no
-    self-join), then per-user count/median/p90. Percentiles run on
-    SECONDS (µs / 1e6) so the two engines' interpolation-formula ulp
-    difference sits far below the 4 dp rounding."""
-    from tits_spark.operators.events_analytics import (
-        latency_summary,
-        time_to_event,
-    )
+    self-join), then per-user count/median/p90. Percentiles are
+    emitted as DECI-MICROSECOND INTEGERS: interpolating at p in
+    {0.5, 0.9} over the integer-µs lattice lands on the 0.1 µs
+    lattice, so 10x the percentile is an exact integer recovered by
+    rint on both engines (float error ~1e-4 of a unit) — immune to the
+    decimal-midpoint round() divergence the sf0.1 soak caught when
+    this query rounded seconds to 4 dp (Spark HALF_UP on the shortest
+    decimal repr vs DuckDB's scaled-binary rint disagree exactly on
+    lattice midpoints like 163079.49115)."""
+    from tits_spark.operators.events_analytics import time_to_event
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     lat = time_to_event(
         ev, "user_id", "ts", "event_type",
         from_type="view", to_type="purchase", order_tiebreak="event_id",
-    ).withColumn("latency_s", F.col("latency_us") / 1e6)
+    )
     out = lat.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_conv"),
-        F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
-        F.expr("percentile(latency_s, 0.9)").alias("p90_s"),
+        F.expr("percentile(latency_us, 0.5)").alias("p50"),
+        F.expr("percentile(latency_us, 0.9)").alias("p90"),
     )
     return out.select(
         "key", "n_conv",
-        F.round("p50_s", 4).alias("p50_s"),
-        F.round("p90_s", 4).alias("p90_s"),
+        F.round(F.col("p50") * 10, 0).cast("long").alias("p50_dus"),
+        F.round(F.col("p90") * 10, 0).cast("long").alias("p90_dus"),
     )
 
 
@@ -3115,12 +3118,12 @@ WITH nx AS (
   FROM events
 ),
 lat AS (
-  SELECT user_id AS key, (nxt - us) / 1000000.0 AS latency_s FROM nx
+  SELECT user_id AS key, CAST(nxt - us AS DOUBLE) AS latency_us FROM nx
   WHERE event_type = 'view' AND nxt IS NOT NULL
 )
 SELECT key, CAST(count(*) AS BIGINT) AS n_conv,
-       round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
-       round(quantile_cont(latency_s, 0.9), 4) AS p90_s
+       CAST(round(10 * quantile_cont(latency_us, 0.5), 0) AS BIGINT) AS p50_dus,
+       CAST(round(10 * quantile_cont(latency_us, 0.9), 0) AS BIGINT) AS p90_dus
 FROM lat GROUP BY 1
 """,
         "vocab_topk": _TOK_CTE + """

@@ -34,11 +34,16 @@ def main(argv: list[str] | None = None) -> None:
                          "pass N to force local[N]")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--job-id", default=None)
+    ap.add_argument("--sketches", action="store_true",
+                    help="also maintain the mergeable sketch tiers "
+                         "(per-1m HLL registers of the key for distinct "
+                         "counts + value histograms for quantiles), with "
+                         "the same lineage/resume discipline")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
-    from tits_spark.lineage import incremental_rollup
+    from tits_spark.lineage import incremental_rollup, incremental_sketches
     from tits_spark.session import get_spark
 
     spark = get_spark(
@@ -59,6 +64,11 @@ def main(argv: list[str] | None = None) -> None:
         spark, raw, args.tiers, args.metrics,
         key="conv_id", ts="ts", value="value", job_id=args.job_id,
     )
+    if args.sketches:
+        processed.update(incremental_sketches(
+            spark, raw, args.tiers, args.metrics,
+            ts="ts", item="conv_id", value="value", job_id=args.job_id,
+        ))
     dt = time.perf_counter() - t0
     print(json.dumps({
         "rows": n,

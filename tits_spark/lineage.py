@@ -187,16 +187,22 @@ def verify_lineage(spark: SparkSession, tiers_path: str, metrics_path: str) -> D
         .agg(F.max_by("checksum", "committed_at").alias("checksum"))
     )
     out = None
-    for tier in TIER_ORDER:
+    checks = [(f"tier_{t}", t, _CHECKSUM_EXPR) for t in TIER_ORDER]
+    # sketch tiers (if the job ran with them) verify with their own
+    # checksum expressions; SKETCH_STAGES is defined below
+    checks += [
+        (stage, stage, expr) for stage, (expr, _) in SKETCH_STAGES.items()
+    ]
+    for stage_name, tier_name, expr in checks:
         try:
-            t = io.read_tier(tier)
+            t = io.read_tier(tier_name)
         except Exception:  # noqa: BLE001
             continue
         cur = (
             t.withColumn("part", F.date_format(F.to_date("bucket_ts"), "yyyy-MM-dd"))
             .groupBy("part")
-            .agg(F.expr(_CHECKSUM_EXPR).alias("actual"))
-            .withColumn("stage", F.lit(f"tier_{tier}"))
+            .agg(F.expr(expr).alias("actual"))
+            .withColumn("stage", F.lit(stage_name))
         )
         out = cur if out is None else out.unionByName(cur)
     if out is None:
@@ -205,3 +211,113 @@ def verify_lineage(spark: SparkSession, tiers_path: str, metrics_path: str) -> D
         out.join(latest, ["stage", "part"], "left")
         .select("stage", "part", (F.col("actual") == F.col("checksum")).alias("match"))
     )
+
+
+# ---------------------------------------------------- sketch tiers
+
+#: checksum expressions per sketch stage (order-independent xor, same
+#: discipline as the rollup tiers' _CHECKSUM_EXPR)
+SKETCH_STAGES = {
+    "hll_1m": ("bit_xor(xxhash64(bucket_ts, reg, rho))", "count(1)"),
+    "hist_1m": ("bit_xor(xxhash64(bucket_ts, q, cnt))", "sum(cnt)"),
+}
+
+
+def _sketch_lineage_rows(
+    df: DataFrame, job_id: str, stage: str, checksum_expr: str,
+    input_count_expr: str,
+) -> DataFrame:
+    return (
+        df.withColumn("part", F.date_format(F.to_date("bucket_ts"), "yyyy-MM-dd"))
+        .groupBy("part")
+        .agg(
+            F.expr(input_count_expr).cast("long").alias("input_count"),
+            F.count(F.lit(1)).alias("bucket_count"),
+            F.expr(checksum_expr).alias("checksum"),
+        )
+        .select(
+            F.lit(job_id).alias("job_id"),
+            F.lit(stage).alias("stage"),
+            "part",
+            "input_count",
+            "bucket_count",
+            "checksum",
+            F.lit(dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)).alias("committed_at"),
+        )
+    )
+
+
+def incremental_sketches(
+    spark: SparkSession,
+    raw: DataFrame,
+    tiers_path: str,
+    metrics_path: str,
+    ts: str = "ts",
+    item: str = "conv_id",
+    value: str = "value",
+    job_id: str | None = None,
+    p: int = 8,
+    scale: int = 100,
+    files_per_day: int = 1,
+) -> dict[str, int]:
+    """Run (or resume) the sketch column families alongside the rollup
+    cascade: per-1m-bucket HLL registers of ``item`` (distinct counts)
+    and per-1m-bucket value histograms (quantiles). Both are mergeable,
+    so ONLY the finest tier is stored — coarser tiers derive at read
+    time via registers_cascade / hist_cascade at register/histogram
+    cost, never touching raw.
+
+    Same exactness argument as incremental_rollup: buckets nest in
+    days, so day-scoped resume is exact; writes are idempotent dynamic
+    partition overwrites and a partition is visible iff its lineage row
+    committed. Returns {stage: n_partitions_processed}.
+    """
+    from tits_spark.operators.quantiles import value_histogram
+    from tits_spark.operators.rollup_sketch import distinct_registers
+
+    job_id = job_id or uuid.uuid4().hex[:12]
+    io = resolve_table_io(spark, tiers_path, metrics_path)
+    log = MetricsLog(spark, metrics_path, io=io)
+    processed: dict[str, int] = {}
+
+    committed_all = {
+        (r["stage"], r["part"])
+        for r in log.read().select("stage", "part").distinct().collect()
+        if r["stage"] in SKETCH_STAGES
+    }
+    present_days = sorted(
+        r["day"]
+        for r in raw.select(F.to_date(ts).alias("day")).distinct().collect()
+    )
+
+    def build(stage: str, src: DataFrame) -> DataFrame:
+        if stage == "hll_1m":
+            return distinct_registers(
+                src.select(ts, F.col(item).cast("string").alias("_it")),
+                ts, "_it", "1m", p,
+            )
+        return value_histogram(
+            src.select(F.date_trunc("minute", ts).alias("bucket_ts"), value),
+            ["bucket_ts"], value, scale,
+        )
+
+    for stage, (checksum_expr, input_expr) in SKETCH_STAGES.items():
+        pending = [
+            d for d in present_days
+            if (stage, d.strftime("%Y-%m-%d")) not in committed_all
+        ]
+        if not pending:
+            processed[stage] = 0
+            continue
+        full = len(pending) == len(present_days)
+        src = raw if full else raw.filter(F.to_date(ts).isin(pending))
+        io.write_tier(build(stage, src), stage, files_per_day=files_per_day)
+        written = io.read_tier(stage).drop("bucket_date")
+        src_rows = written if full else written.filter(
+            F.to_date("bucket_ts").isin(pending)
+        )
+        log.append(
+            _sketch_lineage_rows(src_rows, job_id, stage, checksum_expr, input_expr)
+        )
+        processed[stage] = len(pending)
+    return processed
