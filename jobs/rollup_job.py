@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> None:
                          "pass N to force local[N]")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--job-id", default=None)
+    ap.add_argument("--backfill", action="store_true",
+                    help="re-process committed days whose raw row count "
+                         "changed since commit (late data); one extra "
+                         "count aggregate over the input")
     ap.add_argument("--sketches", action="store_true",
                     help="also maintain the mergeable sketch tiers "
                          "(per-1m HLL registers of the key for distinct "
@@ -63,6 +67,7 @@ def main(argv: list[str] | None = None) -> None:
     processed = incremental_rollup(
         spark, raw, args.tiers, args.metrics,
         key="conv_id", ts="ts", value="value", job_id=args.job_id,
+        backfill=args.backfill,
     )
     if args.sketches:
         processed.update(incremental_sketches(

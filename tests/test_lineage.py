@@ -77,3 +77,41 @@ def test_lineage_counts(spark, raw, tmp_path):
     n_raw = raw.count()
     for stage, n in per_stage.items():
         assert n == n_raw, stage
+
+
+def test_backfill_reprocesses_changed_days(spark, raw, tmp_path):
+    tiers = str(tmp_path / "tiers")
+    metrics = str(tmp_path / "metrics")
+
+    days = sorted(
+        r["d"] for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    late_day = days[1]
+    # commit everything EXCEPT some late rows of one day
+    wo_late = raw.filter(
+        (F.to_date("ts") != F.lit(late_day)) | (F.minute("ts") % 2 == 0)
+    )
+    held_back = raw.exceptAll(wo_late)
+    assert held_back.count() > 0
+    incremental_rollup(spark, wo_late, tiers, metrics, job_id="run1")
+
+    # late rows arrive; WITHOUT backfill the committed day stays stale
+    p_no = incremental_rollup(spark, raw, tiers, metrics, job_id="run2")
+    assert p_no == {"tier_1m": 0, "tier_1h": 0, "tier_1d": 0}
+
+    # WITH backfill only the changed day reprocesses, through all tiers
+    p_bf = incremental_rollup(
+        spark, raw, tiers, metrics, job_id="run3", backfill=True
+    )
+    assert p_bf == {"tier_1m": 1, "tier_1h": 1, "tier_1d": 1}
+    _tiers_equal(spark, tiers, raw)
+
+    # lineage verifies against the LATEST checksum after the rewrite
+    v = verify_lineage(spark, tiers, metrics)
+    assert v.filter(~F.col("match")).count() == 0
+
+    # and a further backfill run is a no-op (counts now agree)
+    p_again = incremental_rollup(
+        spark, raw, tiers, metrics, job_id="run4", backfill=True
+    )
+    assert p_again == {"tier_1m": 0, "tier_1h": 0, "tier_1d": 0}

@@ -97,6 +97,7 @@ def incremental_rollup(
     value: str = "value",
     job_id: str | None = None,
     files_per_day: int = 1,
+    backfill: bool = False,
 ) -> dict[str, int]:
     """Run (or resume) the raw -> 1m -> 1h -> 1d cascade.
 
@@ -105,6 +106,19 @@ def incremental_rollup(
     TableIO — parquet directories here, Iceberg tables when
     ``tiers_path`` is a dotted identifier and the runtime jar is on the
     classpath. Returns {stage: n_partitions_processed}.
+
+    ``backfill=True`` additionally detects LATE DATA: committed days
+    whose current raw row count no longer matches the lineage log's
+    ``input_count`` (written as sum(n_obs), i.e. the raw rows the day
+    had when committed) are re-processed through every tier. Correct
+    for late ARRIVALS and deletions that change the count; an
+    update-in-place that swaps one row for another (count unchanged)
+    is invisible to this probe — pass the affected days explicitly by
+    deleting their lineage rows if that ever matters. Costs one raw
+    count aggregate; the rewrite itself is the same idempotent
+    dynamic-partition overwrite as resume, and verify_lineage compares
+    against the LATEST committed checksum (max_by committed_at), so
+    backfilled partitions verify clean.
     """
     job_id = job_id or uuid.uuid4().hex[:12]
     io = resolve_table_io(spark, tiers_path, metrics_path)
@@ -126,6 +140,27 @@ def incremental_rollup(
             for r in raw.select(F.to_date(ts).alias("day")).distinct().collect()
         )
 
+    changed_parts: set[str] = set()
+    if backfill and committed_all:
+        latest_counts = {
+            r["part"]: r["n"]
+            for r in log.read()
+            .filter(F.col("stage") == "tier_1m")
+            .groupBy("part")
+            .agg(F.max_by("input_count", "committed_at").alias("n"))
+            .collect()
+        }
+        current_counts = {
+            r["day"].strftime("%Y-%m-%d"): r["n"]
+            for r in raw.groupBy(F.to_date(ts).alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        changed_parts = {
+            part for part, n in current_counts.items()
+            if part in latest_counts and latest_counts[part] != n
+        }
+
     fresh = not committed_all
     prev_tier: DataFrame | None = None
     for tier in TIER_ORDER:
@@ -133,6 +168,7 @@ def incremental_rollup(
         pending_days = present_days if fresh else [
             d for d in present_days
             if (stage, d.strftime("%Y-%m-%d")) not in committed_all
+            or d.strftime("%Y-%m-%d") in changed_parts
         ]
         if not fresh and not pending_days:
             processed[stage] = 0
