@@ -183,3 +183,44 @@ def rollup_multi(
     keys = [F.col(key).alias("key"), *[F.col(d) for d in (dims or [])],
             bucket_col(ts, tier).alias("bucket_ts")]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def choose_tier(start, end, target_points: int) -> str:
+    """The coarsest tier that still yields >= ``target_points`` buckets
+    over [start, end] — falling back to the finest tier for short
+    ranges. ``start``/``end`` are datetimes (or anything with
+    ``timestamp()``). The dashboard-router rule: never scan finer data
+    than the plot can show (the same motivation as M4/LTTB
+    downsampling, applied at the storage tier level)."""
+    span = end.timestamp() - start.timestamp()
+    if span <= 0:
+        raise ValueError("choose_tier: end must be after start")
+    for tier in reversed(TIER_ORDER):          # coarsest first
+        if span / TIERS[tier][1] >= target_points:
+            return tier
+    return TIER_ORDER[0]
+
+
+def read_resolution(
+    spark,
+    tiers_path: str,
+    start,
+    end,
+    target_points: int = 200,
+    derived: bool = True,
+) -> DataFrame:
+    """Read the right tier for a time range + target resolution, with
+    partition pruning doing the heavy lifting: the bucket_date filter
+    reaches the parquet partition columns, so a 1-day slice of a year
+    of 1m data scans one directory, not 365. Returns the tier rows
+    (plus derived mean/var unless ``derived=False``) restricted to
+    [start, end)."""
+    tier = choose_tier(start, end, target_points)
+    df = spark.read.parquet(f"{tiers_path}/tier={tier}")
+    out = df.where(
+        (F.col("bucket_date") >= F.lit(start.date()))
+        & (F.col("bucket_date") <= F.lit(end.date()))
+        & (F.col("bucket_ts") >= F.lit(start))
+        & (F.col("bucket_ts") < F.lit(end))
+    )
+    return with_derived(out) if derived else out
