@@ -296,6 +296,44 @@ def main() -> None:
 
     repeat("q15_series_similarity", _body_q15_series_similarity)
 
+    # q16: continuous-aggregate sketch families over the 5.5M-turn
+    # transcripts stream — HLL registers (distinct convs/hour) and
+    # value histograms (hourly length quantiles), built at 1m and
+    # cascaded to 1h without re-reading raw
+    from tits_spark.operators.quantiles import (
+        hist_cascade,
+        quantiles_from_hist,
+        value_histogram,
+    )
+    from tits_spark.operators.rollup_sketch import (
+        distinct_by_bucket,
+        distinct_registers,
+        registers_cascade,
+    )
+
+    inputs["q16_turns"] = n_turns
+    def _body_q16_sketch_families():
+        regs = distinct_registers(
+            transcripts.select("ts", F.col("conv_id").alias("item")),
+            "ts", "item", "1m",
+        )
+        distinct_by_bucket(registers_cascade(regs, "1h")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        h = value_histogram(
+            transcripts.select(
+                F.date_trunc("minute", "ts").alias("bucket_ts"),
+                F.length("text").cast("double").alias("value"),
+            ),
+            ["bucket_ts"],
+        )
+        quantiles_from_hist(
+            hist_cascade(h, "bucket_ts", "1h"), ["bucket_ts"],
+            probs=(0.5, 0.9, 0.99),
+        ).write.format("noop").mode("overwrite").save()
+
+    repeat("q16_sketch_families", _body_q16_sketch_families)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

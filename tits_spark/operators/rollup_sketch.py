@@ -22,6 +22,14 @@ This module adds that column family to the tier cascade:
 
 At 10^12 turns: "distinct active conversations per hour/day" touches
 raw once (the 1m pass), and every coarser tier is a sketch-only job.
+
+Retention interaction: unlike the rollup cascade (whose 1h/1d tiers
+are STORED), sketch coarser tiers derive at read time — so before
+expiring hll_1m/hist_1m day-partitions under a TTL
+(operators/retention.py accepts sketch tier names in ttl_days),
+materialize the coarser cascade first (``registers_cascade(...,
+"1d")`` written as its own tier). The cascade is exact, so expiring
+the fine tier afterwards loses nothing the coarse view needs.
 """
 
 from __future__ import annotations
