@@ -622,6 +622,20 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PATTERN = [0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0, -1.0]
 
 
+def q_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-step AR(3) forecast per key: the Levinson fit (ar_fit's green
+    pipeline) quantized to 1e-6, then the multi-step recursion built
+    symbolically as column expressions (no UDF). The oracle substitutes
+    the closed-form Levinson CTE and unrolls the same 5 steps as
+    chained lateral aliases — identical expression tree, one final
+    4 dp round."""
+    from tits_spark.operators.correlate import forecast_ar
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    out = forecast_ar(ev, order=3, horizon=5, tau=3600.0)
+    return out.select(F.col("key").cast("long").alias("key"), "step", "yhat")
+
+
 def q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 windows most similar to a query shape across all
     series (the matrix-profile AB-join / MASS pattern-occurrence
@@ -1460,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend": q_trend,
         "bucket_quantiles": q_bucket_quantiles,
         "pattern_search": q_pattern_search,
+        "forecast_ar": q_forecast_ar,
     }
 
 
@@ -3273,6 +3288,44 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
         "hist_quantiles": _hist_quantiles_oracle(),
         "bucket_quantiles": _bucket_quantiles_oracle(),
         "pattern_search": _pattern_oracle(),
+        # 5-step AR(3) forecast: closed-form Levinson coefs (the green
+        # ar_fit CTE) quantized to 1e-6, multi-step recursion unrolled
+        # as lateral aliases mirroring operators/correlate.forecast_ar
+        "forecast_ar": _AR_FIN_CTE + """
+, aq AS (
+  SELECT key, round(a1, 6) AS a1, round(a2, 6) AS a2, round(a3, 6) AS a3
+  FROM fin
+),
+lasts AS (
+  SELECT key, mean,
+         min(CASE WHEN rn = 1 THEN v - mean END) AS d1,
+         min(CASE WHEN rn = 2 THEN v - mean END) AS d2,
+         min(CASE WHEN rn = 3 THEN v - mean END) AS d3
+  FROM (
+    SELECT user_id AS key, value AS v,
+           avg(value) OVER (PARTITION BY user_id) AS mean,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM events WHERE value IS NOT NULL
+  ) WHERE rn <= 3 GROUP BY key, mean
+),
+fc AS (
+  SELECT aq.key, mean,
+         -(a1*d1 + a2*d2 + a3*d3) AS f1,
+         -(a1*f1 + a2*d1 + a3*d2) AS f2,
+         -(a1*f2 + a2*f1 + a3*d1) AS f3,
+         -(a1*f3 + a2*f2 + a3*f1) AS f4,
+         -(a1*f4 + a2*f3 + a3*f2) AS f5
+  FROM aq JOIN lasts USING (key)
+)
+SELECT key, step, round(mean + f, 4) AS yhat FROM (
+  SELECT key, mean, 1 AS step, f1 AS f FROM fc
+  UNION ALL SELECT key, mean, 2, f2 FROM fc
+  UNION ALL SELECT key, mean, 3, f3 FROM fc
+  UNION ALL SELECT key, mean, 4, f4 FROM fc
+  UNION ALL SELECT key, mean, 5, f5 FROM fc
+)
+""",
         "dtw": _dtw_oracle(),
         # Mann-Kendall/Theil-Sen: i<j pair set materialized relationally;
         # mirrors operators/trend.py::mk_numpy term for term

@@ -177,3 +177,51 @@ def test_xcf_bandjoin_rejects_same_series():
 
     with pytest.raises(ValueError, match="two distinct series"):
         xcf_bandjoin(None, "a", "a")
+
+
+def test_forecast_ar_matches_manual_recursion(spark):
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.correlate import ar_fit_by_key, forecast_ar
+
+    rng = np.random.default_rng(13)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k, phi in [("a", 0.8), ("b", -0.5)]:
+        y = [0.0]
+        for _ in range(199):
+            y.append(phi * y[-1] + rng.normal(0, 1))
+        rows += [
+            (k, t0 + dt.timedelta(seconds=60 * i), float(v) + 10.0)
+            for i, v in enumerate(y)
+        ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    got = {
+        (r["key"], r["step"]): r["yhat"]
+        for r in forecast_ar(df, order=3, horizon=5, tau=60.0).collect()
+    }
+    assert len(got) == 10
+    # manual recursion from the SAME quantized coefficients and lasts
+    coefs = {
+        k: [None] * 3
+        for k in ("a", "b")
+    }
+    for r in ar_fit_by_key(df, order=3, tau=60.0).collect():
+        coefs[r["key"]][r["coef_idx"]] = round(r["ar"], 6)
+    pdf = df.toPandas().sort_values(["key", "ts"])
+    for k in ("a", "b"):
+        v = pdf[pdf["key"] == k]["value"].to_numpy()
+        mean = v.mean()
+        lags = [v[-1] - mean, v[-2] - mean, v[-3] - mean]
+        a = coefs[k]
+        for s in range(1, 6):
+            f = -(a[0] * lags[0] + a[1] * lags[1] + a[2] * lags[2])
+            assert got[(k, s)] == pytest.approx(round(mean + f, 4), abs=2e-4), (k, s)
+            lags = [f] + lags[:2]
+    # AR(0.8) forecasts decay monotonically toward the mean
+    mean_a = pdf[pdf["key"] == "a"]["value"].mean()
+    dev = [abs(got[("a", s)] - mean_a) for s in range(1, 6)]
+    assert all(dev[i] > dev[i + 1] for i in range(4))

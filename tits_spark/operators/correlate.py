@@ -28,7 +28,7 @@ from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from tits_spark.functions import kernels as K
 
@@ -598,4 +598,79 @@ def acf_bandjoin(
     return (
         contrib.groupBy("key", "lag")
         .agg((F.sum(F.col("y1") * F.col("y2") * F.col("K")) / F.sum("K")).alias("acf"))
+    )
+
+
+def forecast_ar(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    order: int = 3,
+    horizon: int = 5,
+    tau: float = 1.0,
+    min_points: int = 8,
+    coef_decimals: int = 6,
+) -> DataFrame:
+    """h-step AR forecast per key: (key, step, yhat).
+
+    Composes :func:`ar_fit_by_key` (sacf -> Levinson, the error-filter
+    convention of ref:acf24ar.c:48-73 where the one-step prediction of
+    the demeaned series is ``-(a1*d[t-1] + ... + ap*d[t-p])``) with a
+    fixed-horizon recursion built SYMBOLICALLY as column expressions —
+    no UDF: each step's forecast substitutes earlier steps for
+    unavailable lags, exactly the textbook multi-step AR recursion.
+
+    Determinism contract: coefficients are quantized to
+    ``coef_decimals`` BEFORE forecasting (the ar_fit oracle proves the
+    quantized values engine-equal), the recursion is associated
+    left-to-right, and the mean enters once per step — so a SQL twin
+    evaluating the same expression tree reproduces every step to ~1e-9
+    (one final round on yhat absorbs it).
+    """
+    fit = ar_fit_by_key(df, key, ts, value, order, tau, min_points)
+    coefs = fit.groupBy(key).pivot("coef_idx", list(range(order))).agg(
+        F.first("ar")
+    )
+    coefs = coefs.select(
+        key, *[
+            F.round(F.col(str(i)), coef_decimals).alias(f"a{i + 1}")
+            for i in range(order)
+        ]
+    )
+    wk = Window.partitionBy(key)
+    wo = Window.partitionBy(key).orderBy(F.desc(ts), F.desc(value))
+    lasts = (
+        df.where(F.col(value).isNotNull())
+        .withColumn("_mean", F.avg(value).over(wk))
+        .withColumn("_rn", F.row_number().over(wo))
+        .where(F.col("_rn") <= order)
+        .groupBy(key)
+        .agg(
+            F.first("_mean").alias("mean"),
+            *[
+                F.min(F.when(F.col("_rn") == i + 1, F.col(value) - F.col("_mean")))
+                .alias(f"d{i + 1}")
+                for i in range(order)
+            ],
+        )
+    )
+    j = coefs.join(lasts, key)
+    # lags[0] = most recent demeaned value (or prior forecast)
+    lags = [F.col(f"d{i + 1}") for i in range(order)]
+    steps = []
+    for s in range(1, horizon + 1):
+        expr = None
+        for i in range(order):
+            term = F.col(f"a{i + 1}") * lags[i]
+            expr = term if expr is None else expr + term
+        f_s = -expr
+        steps.append(
+            F.struct(F.lit(s).alias("step"), (F.col("mean") + f_s).alias("y"))
+        )
+        lags = [f_s] + lags[:-1]
+    out = j.select(key, F.explode(F.array(steps)).alias("fc"))
+    return out.select(
+        key, F.col("fc.step").alias("step"),
+        F.round(F.col("fc.y"), 4).alias("yhat"),
     )
