@@ -17,13 +17,19 @@ from tits_spark.operators.matrix_profile import (
 def naive_mp(v: np.ndarray, m: int, excl: int, decimals: int = 6):
     """O(w^2 * m) direct definition: z-normalize every window, take the
     Euclidean distance, argmin outside the exclusion zone with ties to
-    the smaller neighbor index."""
+    the smaller neighbor index. Uses the operator's documented
+    zero-variance rule (algebraic e = m*s2 - s^2 > 0, the same
+    expression the decl twin and SQL oracle evaluate) — the centered
+    np.std classifies denormal-scale windows differently."""
     n = v.size
     w = n - m + 1
     wins = np.lib.stride_tricks.sliding_window_view(v, m).astype(np.float64)
     mu = wins.mean(axis=1)
-    sd = wins.std(axis=1)
-    ok = sd > 0
+    s = wins.sum(axis=1)
+    e = m * (wins * wins).sum(axis=1) - s * s
+    with np.errstate(invalid="ignore"):
+        sd = np.sqrt(e) / m
+    ok = e > 0
     mp = np.full(w, np.nan)
     nn = np.full(w, -1, dtype=np.int64)
     for i in range(w):

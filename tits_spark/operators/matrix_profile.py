@@ -63,10 +63,13 @@ def mp_numpy(
         return np.full(0, np.nan), np.full(0, -1)
     ex = max(excl, 1)
     wins = np.lib.stride_tricks.sliding_window_view(v, m)
-    cs = np.concatenate(([0.0], np.cumsum(v)))
-    cs2 = np.concatenate(([0.0], np.cumsum(v * v)))
-    s = cs[m:] - cs[:-m]          # window sums
-    s2 = cs2[m:] - cs2[:-m]       # window sums of squares
+    # DIRECT per-window sums (O(w*m), trivial next to the GEMM) — a
+    # cumsum-difference formulation absorbs tiny v^2 terms into the
+    # running total (found by fuzzing: a 1e-38 value next to a 1.0
+    # classifies as zero-variance under cumsum but not under the
+    # framed sums the decl twin / SQL oracle evaluate)
+    s = wins.sum(axis=1)                      # window sums
+    s2 = np.einsum("ij,ij->i", wins, wins)    # window sums of squares
     e = m * s2 - s * s            # m^2 * population variance
     ok = e > 0
     bad = ~ok
@@ -245,10 +248,10 @@ def pattern_search(
         if w < 1:
             return pd.DataFrame(columns=cols)
         wins = np.lib.stride_tricks.sliding_window_view(v, m)
-        cs = np.concatenate(([0.0], np.cumsum(v)))
-        cs2 = np.concatenate(([0.0], np.cumsum(v * v)))
-        s = cs[m:] - cs[:-m]
-        e = m * (cs2[m:] - cs2[:-m]) - s * s
+        # direct framed sums: same zero-variance rule as the oracle
+        # (see mp_numpy — cumsum differences absorb tiny terms)
+        s = wins.sum(axis=1)
+        e = m * np.einsum("ij,ij->i", wins, wins) - s * s
         ok = e > 0
         if not ok.any():
             return pd.DataFrame(columns=cols)
