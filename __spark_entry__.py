@@ -622,6 +622,50 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PATTERN = [0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0, -1.0]
 
 
+def q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant period per key: argmax of the (green) Lomb-Scargle
+    periodogram over the frequency grid, power quantized to 1e-6 with
+    ties to the smaller frequency index — the autoperiod primitive."""
+    from tits_spark.operators.correlate import perio_declarative
+
+    out = perio_declarative(_events(spark, sf_dir), "key", "ts", "value", nw=4)
+    ranked = out.select(
+        "key", "freq_idx", F.round("power", 6).alias("power")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy(F.desc("power"), "freq_idx")
+        ),
+    )
+    return ranked.where(F.col("rnk") == 1).select("key", "freq_idx", "power")
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of inter-event gaps per key:
+    B = (sd - mu) / (sd + mu) in [-1, 1] (B<0 regular, ~0 Poisson,
+    B>0 bursty). One lag window + one aggregate."""
+    from tits_spark.functions.exprs import ts_seconds
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    t = ts_seconds("ts")
+    gaps = ev.withColumn("dt", t - F.lag(t).over(w)).where(
+        F.col("dt").isNotNull()
+    )
+    agg = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("dt").alias("mu"),
+        F.stddev_samp("dt").alias("sd"),
+    )
+    return agg.select(
+        "key", "n_gaps",
+        F.round("mu", 4).alias("mu"),
+        F.round("sd", 4).alias("sd"),
+        F.round((F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6)
+        .alias("burstiness"),
+    )
+
+
 def q_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-step AR(3) forecast per key: the Levinson fit (ar_fit's green
     pipeline) quantized to 1e-6, then the multi-step recursion built
@@ -1475,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_quantiles": q_bucket_quantiles,
         "pattern_search": q_pattern_search,
         "forecast_ar": q_forecast_ar,
+        "dominant_period": q_dominant_period,
+        "burstiness": q_burstiness,
     }
 
 
@@ -3288,6 +3334,30 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
         "hist_quantiles": _hist_quantiles_oracle(),
         "bucket_quantiles": _bucket_quantiles_oracle(),
         "pattern_search": _pattern_oracle(),
+        "dominant_period": f"""
+WITH p AS ({_perio_sql(4)})
+SELECT key, freq_idx, power FROM (
+  SELECT key, freq_idx, power,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY power DESC, freq_idx) AS rnk
+  FROM p
+) WHERE rnk = 1
+""",
+        "burstiness": """
+WITH d AS (
+  SELECT user_id AS key,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS dt
+  FROM events
+),
+agg AS (
+  SELECT key, count(*) AS n_gaps, avg(dt) AS mu, stddev_samp(dt) AS sd
+  FROM d WHERE dt IS NOT NULL GROUP BY 1
+)
+SELECT key, CAST(n_gaps AS BIGINT) AS n_gaps,
+       round(mu, 4) AS mu, round(sd, 4) AS sd,
+       round((sd - mu) / (sd + mu), 6) AS burstiness
+FROM agg
+""",
         # 5-step AR(3) forecast: closed-form Levinson coefs (the green
         # ar_fit CTE) quantized to 1e-6, multi-step recursion unrolled
         # as lateral aliases mirroring operators/correlate.forecast_ar
