@@ -622,6 +622,16 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PATTERN = [0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0, -1.0]
 
 
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R/S Hurst exponent per key (sizes 8/16/32: ~67 points per key
+    at gate scale). Ordered-frame prefix sums evaluate left-to-right
+    identically in both engines; ln(size) literals embedded via repr;
+    the slope is a closed-form aggregate."""
+    from tits_spark.operators.hurst import hurst_rs
+
+    return hurst_rs(_events(spark, sf_dir), sizes=(8, 16, 32))
+
+
 def q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant period per key: argmax of the (green) Lomb-Scargle
     periodogram over the frequency grid, power quantized to 1e-6 with
@@ -1521,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_ar": q_forecast_ar,
         "dominant_period": q_dominant_period,
         "burstiness": q_burstiness,
+        "hurst": q_hurst,
     }
 
 
@@ -3334,6 +3345,7 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
         "hist_quantiles": _hist_quantiles_oracle(),
         "bucket_quantiles": _bucket_quantiles_oracle(),
         "pattern_search": _pattern_oracle(),
+        "hurst": _hurst_oracle(),
         "dominant_period": f"""
 WITH p AS ({_perio_sql(4)})
 SELECT key, freq_idx, power FROM (
@@ -3515,6 +3527,12 @@ def _hist_quantiles_oracle() -> str:
     return hist_quantiles_sql(
         "events", ["event_type"], "value", probs=(0.25, 0.5, 0.75, 0.9, 0.99)
     )
+
+
+def _hurst_oracle() -> str:
+    from tits_spark.operators.hurst import hurst_sql
+
+    return hurst_sql("events", sizes=(8, 16, 32))
 
 
 def _pattern_oracle() -> str:
