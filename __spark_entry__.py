@@ -622,6 +622,34 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PATTERN = [0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0, -1.0]
 
 
+def q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy per key (Bandt-Pompe): comparisons
+    and integer counts only, one log expression at the end."""
+    from tits_spark.operators.complexity import permutation_entropy
+
+    return permutation_entropy(_events(spark, sf_dir))
+
+
+def q_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-value runs (RLE/state intervals) via change-flag
+    running sum — both window passes share one exchange."""
+    from tits_spark.operators.windows import value_runs
+
+    return value_runs(_events(spark, sf_dir), ["key"], "ts", "value")
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities over the
+    event_type stream per user; totals join broadcast."""
+    from tits_spark.operators.events_analytics import transition_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_counts(
+        ev, key="user_id", ts="ts", state="event_type",
+        order_tiebreak="event_id",
+    )
+
+
 def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R/S Hurst exponent per key (sizes 8/16/32: ~67 points per key
     at gate scale). Ordered-frame prefix sums evaluate left-to-right
@@ -1532,6 +1560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_period": q_dominant_period,
         "burstiness": q_burstiness,
         "hurst": q_hurst,
+        "perm_entropy": q_perm_entropy,
+        "value_runs": q_value_runs,
+        "transitions": q_transitions,
     }
 
 
@@ -3346,6 +3377,41 @@ SELECT key, gap_start, gap_end, gap_sec FROM (
         "bucket_quantiles": _bucket_quantiles_oracle(),
         "pattern_search": _pattern_oracle(),
         "hurst": _hurst_oracle(),
+        "perm_entropy": _perm_entropy_oracle(),
+        "value_runs": """
+WITH s AS (
+  SELECT user_id AS key, ts, value,
+         CASE WHEN lag(value) OVER w IS NULL
+                OR value != lag(value) OVER w THEN 1 ELSE 0 END AS chg
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+isl AS (
+  SELECT key, ts, value,
+         sum(chg) OVER (PARTITION BY key ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+  FROM s
+)
+SELECT key, value, min(ts) AS run_start, max(ts) AS run_end,
+       count(*) AS n_obs
+FROM isl GROUP BY key, value, i
+""",
+        "transitions": """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events WHERE event_type IS NOT NULL
+),
+n AS (
+  SELECT from_state, to_state, count(*) AS n FROM p
+  WHERE from_state IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_state, sum(n) AS t FROM n GROUP BY 1)
+SELECT n.from_state, n.to_state, CAST(n.n AS BIGINT) AS n,
+       round(n.n / t, 6) AS p
+FROM n JOIN tot USING (from_state)
+""",
         "dominant_period": f"""
 WITH p AS ({_perio_sql(4)})
 SELECT key, freq_idx, power FROM (
@@ -3527,6 +3593,31 @@ def _hist_quantiles_oracle() -> str:
     return hist_quantiles_sql(
         "events", ["event_type"], "value", probs=(0.25, 0.5, 0.75, 0.9, 0.99)
     )
+
+
+def _perm_entropy_oracle() -> str:
+    import math
+
+    ln6 = repr(math.log(6))
+    return f"""
+WITH w AS (
+  SELECT user_id AS key, value AS y1,
+         lead(value, 1) OVER wk AS y2, lead(value, 2) OVER wk AS y3
+  FROM events WHERE value IS NOT NULL
+  WINDOW wk AS (PARTITION BY user_id ORDER BY ts, value)
+),
+pats AS (
+  SELECT key,
+         CAST(y2 < y1 AS INT) + 2 * CAST(y3 < y1 AS INT)
+           + 4 * CAST(y3 < y2 AS INT) AS p,
+         count(*) AS cnt
+  FROM w WHERE y3 IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT key, sum(cnt) AS n FROM pats GROUP BY 1)
+SELECT p.key, CAST(max(n) AS BIGINT) AS n_windows,
+       round(-sum((cnt / n) * ln(cnt / n)) / {ln6}, 6) AS perm_entropy
+FROM pats p JOIN tot USING (key) GROUP BY 1
+"""
 
 
 def _hurst_oracle() -> str:

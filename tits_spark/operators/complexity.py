@@ -1,0 +1,71 @@
+"""Series complexity measures, fully declarative.
+
+Permutation entropy (Bandt & Pompe, PRL 2002): the Shannon entropy of
+the distribution of ORDER PATTERNS of m consecutive values — a robust,
+scale-free complexity measure (low = predictable/monotone, high =
+noisy), standard in anomaly triage. For m=3 the pattern of
+(y1, y2, y3) is one of 6 permutations, identified by three pairwise
+comparisons — pure lag-window + groupBy algebra, one shuffle, exact in
+any engine (comparisons and integer counts only; the final entropy is
+one log expression per pattern row).
+
+Ties: resolved by order of appearance (earlier element ranks first on
+equality — the original paper's convention), expressed as strict
+comparisons in one fixed direction so both engines agree exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def permutation_entropy(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    normalize: bool = True,
+    decimals: int = 6,
+) -> DataFrame:
+    """(key, n_windows, perm_entropy) with order-3 patterns.
+
+    ``normalize=True`` divides by ln(6) so 1.0 = white noise. Keys with
+    fewer than 3 points are dropped.
+    """
+    w = Window.partitionBy(key).orderBy(ts, value)
+    y1 = F.col(value)
+    y2 = F.lead(value, 1).over(w)
+    y3 = F.lead(value, 2).over(w)
+    # pattern id from 3 pairwise strict comparisons; appearance-order
+    # tie rule means "later strictly smaller" is what moves a rank
+    pat = (
+        (y2 < y1).cast("int") * 1
+        + (y3 < y1).cast("int") * 2
+        + (y3 < y2).cast("int") * 4
+    )
+    pats = (
+        df.where(F.col(value).isNotNull())
+        .withColumn("_p", pat)
+        .where(F.col("_p").isNotNull())
+        .groupBy(key, "_p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = pats.groupBy(key).agg(F.sum("cnt").alias("n_windows"))
+    ent = (
+        pats.join(tot, key)
+        .groupBy(key)
+        .agg(
+            F.max("n_windows").alias("n_windows"),
+            (-F.sum(
+                (F.col("cnt") / F.col("n_windows"))
+                * F.log(F.col("cnt") / F.col("n_windows"))
+            )).alias("h"),
+        )
+    )
+    h = F.col("h") / float(math.log(6)) if normalize else F.col("h")
+    return ent.select(
+        key, "n_windows", F.round(h, decimals).alias("perm_entropy")
+    )

@@ -214,3 +214,38 @@ def latency_summary(latencies: DataFrame, key: str = "key") -> DataFrame:
         F.expr("percentile(latency_us, 0.5)").alias("p50_us"),
         F.expr("percentile(latency_us, 0.9)").alias("p90_us"),
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    state: str = "event_type",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition estimate over a categorical state
+    stream: (from_state, to_state, n, p) where p is row-normalized per
+    from_state. One lag window keyed by the entity + one aggregate;
+    the probability join is on the tiny per-state totals (broadcast).
+    Ties at equal timestamps break on ``order_tiebreak`` when given.
+    """
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    pairs = (
+        df.where(F.col(state).isNotNull())
+        .withColumn("_prev", F.lag(state).over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_state"),
+            F.col(state).alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_state").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(tot), "from_state")
+        .select(
+            "from_state", "to_state", "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+        )
+    )

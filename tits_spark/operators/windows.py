@@ -144,3 +144,38 @@ def uptime_stats(
             F.round(1.0 - F.col("downtime_sec") / F.col("span_sec"), 6),
         ).otherwise(F.lit(1.0)),
     )
+
+
+def value_runs(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Constant-value runs per key (RLE segments / state intervals):
+    (keys..., value, run_start, run_end, n_obs). Gaps-and-islands via
+    change-flag running sum — BOTH window passes share one
+    (keys)-partitioned exchange (the row_number-difference variant
+    would shuffle a second time on (keys, value)), then a hash
+    aggregate. The state view of a series (the complement of
+    first_diff's change view)."""
+    wo = Window.partitionBy(*keys).orderBy(ts)
+    run = Window.partitionBy(*keys).orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chg = F.when(
+        F.lag(value).over(wo).isNull()
+        | (F.col(value) != F.lag(value).over(wo)),
+        1,
+    ).otherwise(0)
+    runs = (
+        df.where(F.col(value).isNotNull())
+        .withColumn("_isl", F.sum(chg).over(run))
+        .groupBy(*keys, value, "_isl")
+        .agg(
+            F.min(ts).alias("run_start"),
+            F.max(ts).alias("run_end"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    return runs.select(*keys, value, "run_start", "run_end", "n_obs")
