@@ -1462,6 +1462,107 @@ def q_time_to_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval join: every event landing inside a
+    2h attribution window opened by the same user's purchases. The
+    entity key is folded into the equi-join (keys=["key"]) so the hash
+    join never cross-products unrelated users sharing a time bucket."""
+    from tits_spark.operators.intervals import point_in_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    points = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    ivs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = point_in_interval_join(
+        points, ivs, bucket_seconds=3600, keys=["key"]
+    )
+    return out.select("key", "iv_id", "ts", "value")
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval-overlap join: 30-minute windows opened by a
+    user's views vs 30-minute windows opened by the same user's errors;
+    emits each overlapping (view, error) window pair exactly once
+    (first-shared-bucket dedup, no distinct)."""
+    from tits_spark.operators.intervals import interval_overlap_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def windows(etype: str, id_alias: str, lo: str, hi: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(lo),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(hi),
+        )
+
+    left = windows("view", "l_id", "start_ts", "end_ts")
+    right = windows("error", "r_id", "r_start_ts", "r_end_ts")
+    out = interval_overlap_join(left, right, bucket_seconds=3600, keys=["key"])
+    return out.select("key", "l_id", "r_id")
+
+
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility as a cascading continuous aggregate: per-key
+    log returns -> 1m realized-variance tier -> merged to 1h (the gate
+    therefore also checks cascade == direct associativity, since the
+    oracle computes 1h straight from raw). Sums of ln() outputs are
+    quantized at 6 dp: logs are not on a decimal lattice, so the 1-ulp
+    JVM-vs-libm ln() divergence cannot straddle a rounding midpoint."""
+    from tits_spark.operators.returns import (
+        log_returns,
+        realized_vol,
+        realized_vol_cascade,
+    )
+
+    rets = log_returns(_events(spark, sf_dir), "key", "ts", "value")
+    rv1h = realized_vol_cascade(realized_vol(rets, "1m"), "1h")
+    return rv1h.select(
+        "key",
+        "bucket_ts",
+        "n_ret",
+        F.round("rv", 6).alias("rv"),
+        F.round("r_sum", 6).alias("r_sum"),
+        F.round("r_min", 6).alias("r_min"),
+        F.round("r_max", 6).alias("r_max"),
+    )
+
+
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint per user; every emitted column is exact
+    integer arithmetic (midrank identity), so the oracle match is
+    bit-for-bit with no quantization. p_approx (an exp()) is excluded
+    from the gated projection — transcendental libm outputs are the one
+    thing the hash compare can't absorb."""
+    from tits_spark.operators.changepoint import pettitt_changepoint
+
+    out = pettitt_changepoint(_events(spark, sf_dir), "key", "ts", "value")
+    return out.select("key", "cp_ts", "cp_idx", "n_obs", "k_stat")
+
+
+def q_cross_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional per-bucket ranking of users by quantized hourly
+    activity total (rank ties broken by key — a total order, so the
+    result is partitioning-invariant)."""
+    from tits_spark.operators.cross_section import cross_rank
+
+    return cross_rank(_events(spark, sf_dir), "key", "ts", "value", tier="1h")
+
+
+def q_rollup_1mo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar (variable-width) tier: the 1d tier cascaded into months
+    via date_trunc — the oracle computes months straight from raw, so
+    this gates that calendar boundaries nest the fixed-width cascade."""
+    from tits_spark.operators.rollup import rollup_all_tiers, rollup_calendar
+
+    day = rollup_all_tiers(_events(spark, sf_dir), "key", "ts", "value")["1d"]
+    return _rollup_out(rollup_calendar(day, "month"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1563,6 +1664,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perm_entropy": q_perm_entropy,
         "value_runs": q_value_runs,
         "transitions": q_transitions,
+        "point_in_interval": q_point_in_interval,
+        "interval_overlap": q_interval_overlap,
+        "realized_vol": q_realized_vol,
+        "pettitt": q_pettitt,
+        "cross_rank": q_cross_rank,
+        "rollup_1mo": q_rollup_1mo,
     }
 
 
@@ -3544,6 +3651,97 @@ SELECT key, round(span, 4) AS span_sec, n_gaps,
          AS uptime_ratio
 FROM agg
 """,
+        "point_in_interval": """
+SELECT p.user_id AS key, i.event_id AS iv_id, p.ts, p.value
+FROM events p
+JOIN events i
+  ON i.event_type = 'purchase'
+ AND p.user_id = i.user_id
+ AND p.ts >= i.ts
+ AND p.ts <= i.ts + INTERVAL 2 HOUR
+""",
+        "interval_overlap": """
+WITH l AS (
+  SELECT user_id AS key, event_id AS l_id, ts AS lo,
+         ts + INTERVAL 30 MINUTE AS hi
+  FROM events WHERE event_type = 'view'
+),
+r AS (
+  SELECT user_id AS key, event_id AS r_id, ts AS lo,
+         ts + INTERVAL 30 MINUTE AS hi
+  FROM events WHERE event_type = 'error'
+)
+SELECT l.key, l.l_id, r.r_id
+FROM l JOIN r ON l.key = r.key AND l.lo <= r.hi AND r.lo <= l.hi
+""",
+        # direct-from-raw 1h realized variance; the engine cascades
+        # 1m -> 1h, so this also gates the merge's associativity
+        "realized_vol": """
+WITH r AS (
+  SELECT user_id AS key, ts,
+         ln(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts))
+           AS lr
+  FROM events WHERE value > 0
+)
+SELECT key, date_trunc('hour', ts) AS bucket_ts,
+       count(*) AS n_ret,
+       round(sum(lr * lr), 6) AS rv,
+       round(sum(lr), 6) AS r_sum,
+       round(min(lr), 6) AS r_min,
+       round(max(lr), 6) AS r_max
+FROM r WHERE lr IS NOT NULL
+GROUP BY 1, 2
+""",
+        # Pettitt via the same midrank identity (exact integers end to
+        # end): U_t = cumsum_{ts-order}(2*midrank) - t*(n+1)
+        "pettitt": """
+WITH s AS (
+  SELECT user_id AS key, ts, value,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY value)
+           + count(*) OVER (PARTITION BY user_id, value) - 1 AS mr2,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS i
+  FROM events
+),
+u AS (
+  SELECT key, ts, value, n, i,
+         sum(mr2) OVER (PARTITION BY key ORDER BY ts, value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - i * (n + 1) AS u
+  FROM s
+),
+c AS (
+  SELECT key, ts AS cp_ts, i AS cp_idx, n AS n_obs,
+         CAST(abs(u) AS BIGINT) AS k_stat,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY abs(u) DESC, ts ASC, value ASC) AS pick
+  FROM u WHERE n >= 8 AND i < n
+)
+SELECT key, cp_ts, CAST(cp_idx AS INT) AS cp_idx,
+       CAST(n_obs AS BIGINT) AS n_obs, k_stat
+FROM c WHERE pick = 1
+""",
+        "cross_rank": """
+WITH a AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts,
+         round(sum(value), 6) AS v_total, count(value) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bucket_ts
+                            ORDER BY v_total DESC, key ASC) AS rnk,
+         count(*) OVER (PARTITION BY bucket_ts) AS n_keys
+  FROM a
+)
+SELECT key, bucket_ts, v_total, n_obs,
+       CAST(rnk AS INT) AS rnk, CAST(n_keys AS BIGINT) AS n_keys,
+       CASE WHEN n_keys > 1
+            THEN CAST(rnk - 1 AS DOUBLE) / (n_keys - 1)
+            ELSE 0.0 END AS pct_rank
+FROM r
+""",
+        "rollup_1mo": _ROLLUP_SQL.format(unit="month"),
     }
 
 

@@ -122,3 +122,57 @@ def test_inverted_interval_raises(spark):
     )
     with pytest.raises(Exception, match="invalid interval"):
         point_in_interval_join(pt, iv).count()
+
+
+def test_point_in_interval_keyed_matches_naive(spark):
+    """keys=[...] folds entity columns into the equi-join: pairs only
+    within the same key, and the join key in the plan carries both."""
+    pts, ivs, pt, iv = _frames(spark, seed=13)
+    rng = np.random.default_rng(99)
+    pk = rng.integers(0, 3, len(pt))
+    ik = rng.integers(0, 3, len(iv))
+    pts = pts.withColumn("uid", F.element_at(F.array(*[F.lit(int(x)) for x in pk]), F.col("pt_id").cast("int") + 1))
+    ivs = ivs.withColumn("uid", F.element_at(F.array(*[F.lit(int(x)) for x in ik]), F.col("iv_id").cast("int") + 1))
+    got = (
+        point_in_interval_join(pts, ivs, bucket_seconds=3600, keys=["uid"])
+        .select("pt_id", "iv_id")
+        .toPandas()
+        .sort_values(["pt_id", "iv_id"])
+        .reset_index(drop=True)
+    )
+    p2, i2 = pt.assign(uid=pk), iv.assign(uid=ik)
+    cross = p2.merge(i2, on="uid")
+    want = (
+        cross[(cross["ts"] >= cross["start_ts"]) & (cross["ts"] <= cross["end_ts"])]
+        [["pt_id", "iv_id"]]
+        .sort_values(["pt_id", "iv_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert not got.duplicated().any()
+
+
+def test_overlap_keyed_restricts_pairs(spark):
+    _, ivs, _, iv = _frames(spark, seed=8)
+    left = ivs.withColumn("uid", F.col("iv_id") % 2)
+    right = (
+        ivs.withColumnRenamed("iv_id", "r_id")
+        .withColumnRenamed("start_ts", "r_start_ts")
+        .withColumnRenamed("end_ts", "r_end_ts")
+        .withColumn("uid", F.col("r_id") % 2)
+    )
+    got = (
+        interval_overlap_join(left, right, bucket_seconds=3600, keys=["uid"])
+        .select("iv_id", "r_id")
+        .toPandas()
+    )
+    assert ((got["iv_id"] % 2) == (got["r_id"] % 2)).all()
+    unkeyed = (
+        interval_overlap_join(
+            left.drop("uid"), right.drop("uid"), bucket_seconds=3600
+        )
+        .select("iv_id", "r_id")
+        .toPandas()
+    )
+    same_key = unkeyed[(unkeyed["iv_id"] % 2) == (unkeyed["r_id"] % 2)]
+    assert len(got) == len(same_key)

@@ -1,0 +1,59 @@
+"""Cross-sectional analytics: rank entities against each other WITHIN
+a time bucket (the transpose of everything else in this package, which
+ranks time within an entity).
+
+The market-data idiom ("top decile of movers this minute"), equally
+the transcript idiom ("which conversations dominated this hour").
+Plan: one groupBy on (key, bucket) — partial+final hash agg — then one
+window partitioned by bucket only. The bucket window is safe at scale
+because its partition count is the number of buckets (time), not
+entities; a single bucket's cross-section (#entities) must fit a task,
+which holds until ~10^8 simultaneously-active keys per bucket — past
+that, use the two-phase top-k in windows.top_k instead of full ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tits_spark.operators.rollup import bucket_col
+
+
+def cross_rank(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    tier: str = "1h",
+    quantize: int = 6,
+) -> DataFrame:
+    """Per-bucket cross-section: each key's activity total, its rank
+    (1 = largest) and percentile among all keys active in the bucket.
+
+    The ranked measure is the bucket sum QUANTIZED to ``quantize``
+    decimals before comparison (float sums are order-dependent in the
+    last ulp; ranking unquantized sums would be nondeterministic
+    across partitionings), with key as the total-order tie-break.
+    Percentile is exact integer arithmetic (rank-1)/(n-1).
+    """
+    q = F.round(F.sum(value), quantize)
+    agg = df.groupBy(
+        F.col(key).alias("key"), bucket_col(ts, tier).alias("bucket_ts")
+    ).agg(q.alias("v_total"), F.count(value).alias("n_obs"))
+    w = Window.partitionBy("bucket_ts").orderBy(
+        F.col("v_total").desc(), F.col("key").asc()
+    )
+    n_keys = F.count(F.lit(1)).over(Window.partitionBy("bucket_ts"))
+    rk = F.row_number().over(w)
+    return agg.select(
+        "key",
+        "bucket_ts",
+        "v_total",
+        "n_obs",
+        rk.alias("rnk"),
+        n_keys.alias("n_keys"),
+        F.when(n_keys > 1, (rk - F.lit(1)).cast("double") / (n_keys - F.lit(1)))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+    )

@@ -70,6 +70,7 @@ def point_in_interval_join(
     hi: str = "end_ts",
     bucket_seconds: int = 3600,
     max_buckets: int = 4096,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Inner join of each point to every interval containing it
     (``lo <= ts <= hi``, both ends inclusive).
@@ -78,7 +79,14 @@ def point_in_interval_join(
     apart from the join internals). One shuffle per side, keyed on the
     time bucket; each matched pair appears exactly once because a point
     belongs to exactly one bucket.
+
+    ``keys``: entity columns present on BOTH sides that must also
+    match (e.g. user_id). Folding them into the equi-join key matters
+    at scale: without it every point in an hour collides with every
+    interval touching that hour across ALL entities — the hash join's
+    per-key bucket degenerates into a within-bucket cross product.
     """
+    keys = list(keys or [])
     w_us = int(bucket_seconds) * 1_000_000
     p = points.withColumn("_b", _bucket(F.col(point_ts), w_us))
     iv = intervals.withColumn(
@@ -89,7 +97,7 @@ def point_in_interval_join(
             )
         ),
     )
-    joined = p.join(iv, "_b").filter(
+    joined = p.join(iv, ["_b", *keys]).filter(
         (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) <= F.col(hi))
     )
     return joined.drop("_b")
@@ -104,6 +112,7 @@ def interval_overlap_join(
     right_hi: str = "r_end_ts",
     bucket_seconds: int = 3600,
     max_buckets: int = 4096,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Inner join of every overlapping interval pair
     (``left.lo <= right.hi AND right.lo <= left.hi``, closed ends).
@@ -112,7 +121,11 @@ def interval_overlap_join(
     bucket; a pair is emitted only in the first bucket both cover
     (``greatest(lo_buckets)``), so the output is duplicate-free without
     a distinct/shuffle-dedup pass.
+
+    ``keys``: entity columns present on BOTH sides folded into the
+    equi-join key (same scale rationale as point_in_interval_join).
     """
+    keys = list(keys or [])
     w_us = int(bucket_seconds) * 1_000_000
     lv = left.withColumn(
         "_b",
@@ -131,7 +144,7 @@ def interval_overlap_join(
         ),
     )
     joined = (
-        lv.join(rv, "_b")
+        lv.join(rv, ["_b", *keys])
         .filter(
             (F.col(left_lo) <= F.col(right_hi))
             & (F.col(right_lo) <= F.col(left_hi))

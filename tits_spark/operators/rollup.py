@@ -95,6 +95,40 @@ def rollup_cascade(tier_df: DataFrame, to_tier: str) -> DataFrame:
     )
 
 
+#: calendar (variable-width) units the 1d tier can cascade into.
+#: Kept separate from TIERS: fixed-width tier math (gapfill spines,
+#: resolution routing) assumes constant bucket seconds, which weeks /
+#: months / years don't have.
+CALENDAR_UNITS = ("week", "month", "quarter", "year")
+
+
+def rollup_calendar(day_tier: DataFrame, unit: str = "month") -> DataFrame:
+    """Cascade the 1d tier into a calendar bucket (week/month/quarter/
+    year). Exact for the same reason as rollup_cascade — every kept
+    aggregate is associative and calendar boundaries nest day
+    boundaries (session tz is pinned UTC, so date_trunc is stable).
+
+    Reads the ~86400x-smaller day tier, never raw: at 10^12 turns the
+    monthly continuous aggregate is a trivial job.
+    """
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(f"unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+    return (
+        day_tier.groupBy("key", F.date_trunc(unit, "bucket_ts").alias("bucket_ts"))
+        .agg(
+            F.sum("n_obs").alias("n_obs"),
+            F.sum("v_sum").alias("v_sum"),
+            F.sum("v_sumsq").alias("v_sumsq"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+            F.min_by("v_first", "first_ts").alias("v_first"),
+            F.max_by("v_last", "last_ts").alias("v_last"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
 def with_derived(tier_df: DataFrame) -> DataFrame:
     """Attach non-associative derived stats (mean, sample variance)."""
     n, s, ss = F.col("n_obs"), F.col("v_sum"), F.col("v_sumsq")
