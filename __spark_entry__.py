@@ -1563,6 +1563,24 @@ def q_rollup_1mo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_out(rollup_calendar(day, "month"))
 
 
+def q_atr_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar indicators (true range, SMA-ATR, Cutler RSI) over hourly
+    OHLC bars that come straight off the rollup tier's v_first/v_max/
+    v_min/v_last columns — indicator scans never touch raw. tr is
+    emitted unrounded (single exact ops over copied-through doubles);
+    the windowed averages are quantized inside the operator before the
+    RSI ratio."""
+    from tits_spark.operators.bars import atr_rsi, bars_from_tier
+    from tits_spark.operators.rollup import rollup_from_raw
+
+    tier = rollup_from_raw(_events(spark, sf_dir), "key", "ts", "value", "1h")
+    out = atr_rsi(bars_from_tier(tier), n=14)
+    return out.select(
+        "key", "bucket_ts", "open", "high", "low", "close",
+        "tr", "atr", "rsi", "n_win",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1670,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt": q_pettitt,
         "cross_rank": q_cross_rank,
         "rollup_1mo": q_rollup_1mo,
+        "atr_rsi": q_atr_rsi,
     }
 
 
@@ -3742,6 +3761,42 @@ SELECT key, bucket_ts, v_total, n_obs,
 FROM r
 """,
         "rollup_1mo": _ROLLUP_SQL.format(unit="month"),
+        # hourly OHLC bars -> true range / SMA-ATR / Cutler RSI; the
+        # windowed averages quantize to 6 dp before the RSI ratio on
+        # both sides, so the comparison boundary ag+al > 0 is exact
+        "atr_rsi": """
+WITH bars AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts,
+         arg_min(value, ts) AS "open", max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT *,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low, abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w)) END AS tr,
+         close - lag(close) OVER w AS d
+  FROM bars WINDOW w AS (PARTITION BY key ORDER BY bucket_ts)
+),
+a AS (
+  SELECT key, bucket_ts, "open", high, low, close, tr,
+         round(avg(tr) OVER f, 6) AS atr,
+         round(avg(CASE WHEN d > 0 THEN d
+                        WHEN d IS NOT NULL THEN 0.0 END) OVER f, 6) AS ag,
+         round(avg(CASE WHEN d < 0 THEN -d
+                        WHEN d IS NOT NULL THEN 0.0 END) OVER f, 6) AS al,
+         count(tr) OVER f AS n_win
+  FROM t WINDOW f AS (PARTITION BY key ORDER BY bucket_ts
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT key, bucket_ts, "open", high, low, close, tr, atr,
+       CASE WHEN ag IS NULL THEN NULL
+            WHEN ag + al > 0 THEN round(100 * ag / (ag + al), 6)
+            ELSE 50.0 END AS rsi,
+       n_win
+FROM a
+""",
     }
 
 

@@ -334,6 +334,72 @@ def main() -> None:
 
     repeat("q16_sketch_families", _body_q16_sketch_families)
 
+    # q17: event-window analytics over the events table — keyed
+    # bucketized interval joins (purchase attribution / view-error
+    # overlap), Pettitt rank changepoint, per-hour cross-sectional
+    # ranks; all window/equi-join algebra, no UDFs
+    from tits_spark.operators.changepoint import pettitt_changepoint
+    from tits_spark.operators.cross_section import cross_rank
+    from tits_spark.operators.intervals import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    ev_raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    inputs["q17_rows"] = inputs["q3_rows"]
+    def _body_q17_intervals_rank():
+        points = ev_raw.select(F.col("user_id").alias("key"), "ts", "value")
+        ivs = ev_raw.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+        point_in_interval_join(
+            points, ivs, bucket_seconds=3600, keys=["key"]
+        ).write.format("noop").mode("overwrite").save()
+        views = ev_raw.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("key"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+        errs = ev_raw.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("key"),
+            F.col("ts").alias("r_start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("r_end_ts"),
+        )
+        interval_overlap_join(
+            views, errs, bucket_seconds=3600, keys=["key"]
+        ).write.format("noop").mode("overwrite").save()
+        pettitt_changepoint(events).write.format("noop").mode("overwrite").save()
+        cross_rank(events, tier="1h").write.format("noop").mode("overwrite").save()
+
+    repeat("q17_intervals_rank", _body_q17_intervals_rank)
+
+    # q18: returns/bars family over the 5.5M-turn transcripts stream —
+    # per-conv log returns -> 1m realized-variance tier -> merged to
+    # 1h, and ATR/RSI indicators off the 1h OHLC tier (indicator scans
+    # read tier aggregates, never raw)
+    from tits_spark.operators.bars import atr_rsi, bars_from_tier
+    from tits_spark.operators.returns import (
+        log_returns,
+        realized_vol,
+        realized_vol_cascade,
+    )
+
+    inputs["q18_turns"] = n_turns
+    def _body_q18_returns_bars():
+        rets = log_returns(raw, "conv_id", "ts", "value")
+        realized_vol_cascade(realized_vol(rets, "1m"), "1h").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        tier1h = spark.read.parquet(f"{out_dir}/tier=1h")
+        atr_rsi(bars_from_tier(tier1h), n=14).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    repeat("q18_returns_bars", _body_q18_returns_bars)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

@@ -377,3 +377,54 @@ def test_bucket_hll_partial_max(ev):
         )
     )
     assert "partial_max" in p and p.count("Exchange (") == 1
+
+
+def test_pettitt_single_exchange(ev):
+    """All four windows (value-rank, tie-count, time-cumsum, argmax
+    pick) cluster on key, so hash(key) is established once."""
+    from tits_spark.operators.changepoint import pettitt_changepoint
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(pettitt_changepoint(df))
+    assert p.count("Exchange (") == 1
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_cross_rank_two_exchanges_no_global_window(ev):
+    from tits_spark.operators.cross_section import cross_rank
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(cross_rank(df, tier="1h"))
+    # groupBy (key,bucket) + window (bucket) — the window partitions by
+    # bucket_ts, never a single global partition
+    assert p.count("Exchange (") == 2
+    assert "SinglePartition" not in p
+    assert "partial_count" in p  # map-side combine on the agg
+
+
+def test_realized_vol_cascade_partial_final(ev):
+    from tits_spark.operators.returns import (
+        log_returns,
+        realized_vol,
+        realized_vol_cascade,
+    )
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(realized_vol_cascade(realized_vol(log_returns(df), "1m"), "1h"))
+    assert "partial_sum" in p  # both aggs partial+final
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+    assert p.count("Exchange (") <= 3
+
+
+def test_atr_rsi_no_global_window(ev):
+    from tits_spark.operators.bars import atr_rsi, bars_from_tier
+    from tits_spark.operators.rollup import rollup_from_raw
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(atr_rsi(bars_from_tier(rollup_from_raw(df, "key", "ts", "value", "1h"))))
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+    # tier agg exchange + per-key window exchange, nothing else
+    assert p.count("Exchange (") == 2
