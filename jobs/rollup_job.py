@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="re-process committed days whose raw row count "
                          "changed since commit (late data); one extra "
                          "count aggregate over the input")
+    ap.add_argument("--calendar", default=None,
+                    choices=["week", "month", "quarter", "year"],
+                    help="also maintain a calendar tier cascaded off "
+                         "the 1d tier, with log-driven recompute of "
+                         "buckets whose days changed (same lineage/"
+                         "resume discipline)")
     ap.add_argument("--sketches", action="store_true",
                     help="also maintain the mergeable sketch tiers "
                          "(per-1m HLL registers of the key for distinct "
@@ -47,7 +53,11 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import functions as F
 
-    from tits_spark.lineage import incremental_rollup, incremental_sketches
+    from tits_spark.lineage import (
+        incremental_calendar,
+        incremental_rollup,
+        incremental_sketches,
+    )
     from tits_spark.session import get_spark
 
     spark = get_spark(
@@ -73,6 +83,11 @@ def main(argv: list[str] | None = None) -> None:
         processed.update(incremental_sketches(
             spark, raw, args.tiers, args.metrics,
             ts="ts", item="conv_id", value="value", job_id=args.job_id,
+        ))
+    if args.calendar:
+        processed.update(incremental_calendar(
+            spark, args.tiers, args.metrics,
+            unit=args.calendar, job_id=args.job_id,
         ))
     dt = time.perf_counter() - t0
     print(json.dumps({

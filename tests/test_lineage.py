@@ -115,3 +115,44 @@ def test_backfill_reprocesses_changed_days(spark, raw, tmp_path):
         spark, raw, tiers, metrics, job_id="run4", backfill=True
     )
     assert p_again == {"tier_1m": 0, "tier_1h": 0, "tier_1d": 0}
+
+
+def test_calendar_tier_log_driven_recompute(spark, raw, tmp_path):
+    """Monthly tier: built from the committed 1d tier, no-op when
+    nothing changed, and recomputed ONLY for months whose days got new
+    tier_1d commits (late-data backfill path) — pendingness derived
+    from the lineage log alone."""
+    from tits_spark.lineage import incremental_calendar
+    from tits_spark.operators.rollup import rollup_calendar
+
+    tiers, metrics = str(tmp_path / "tiers"), str(tmp_path / "metrics")
+
+    # hold back part of the LAST day (late data for an already-built month)
+    last_day = raw.agg(F.max(F.to_date("ts"))).first()[0]
+    late = raw.filter(
+        (F.to_date("ts") == F.lit(last_day)) & (F.abs(F.xxhash64("conv_id")) % 3 == 0)
+    )
+    first = raw.exceptAll(late)
+
+    incremental_rollup(spark, first, tiers, metrics, job_id="r1")
+    p1 = incremental_calendar(spark, tiers, metrics, unit="month", job_id="r1")
+    assert p1["tier_month"] > 0
+
+    # nothing changed -> no-op
+    p2 = incremental_calendar(spark, tiers, metrics, unit="month", job_id="r2")
+    assert p2 == {"tier_month": 0}
+
+    # late rows arrive; backfill reruns the day through all tiers, and
+    # the calendar pass must pick up exactly the one affected month
+    incremental_rollup(spark, raw, tiers, metrics, job_id="r3", backfill=True)
+    p3 = incremental_calendar(spark, tiers, metrics, unit="month", job_id="r3")
+    assert p3 == {"tier_month": 1}
+
+    got = spark.read.parquet(f"{tiers}/tier=month").drop("bucket_date")
+    day = spark.read.parquet(f"{tiers}/tier=1d").drop("bucket_date")
+    want = rollup_calendar(day, "month")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    bad = verify_lineage(spark, tiers, metrics).filter(~F.col("match")).count()
+    assert bad == 0

@@ -31,7 +31,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tits_spark.operators.rollup import TIER_ORDER, rollup_cascade, rollup_from_raw
+from tits_spark.operators.rollup import (
+    CALENDAR_UNITS,
+    TIER_ORDER,
+    rollup_calendar,
+    rollup_cascade,
+    rollup_from_raw,
+)
 from tits_spark.sources.table_io import METRICS_SCHEMA, resolve_table_io
 
 
@@ -211,6 +217,89 @@ def incremental_rollup(
     return processed
 
 
+def _cal_start(day: dt.date, unit: str) -> dt.date:
+    """First day of the calendar bucket containing ``day`` (matches
+    Spark/DuckDB date_trunc: weeks start Monday, UTC)."""
+    if unit == "week":
+        return day - dt.timedelta(days=day.weekday())
+    if unit == "month":
+        return day.replace(day=1)
+    if unit == "quarter":
+        return day.replace(month=(day.month - 1) // 3 * 3 + 1, day=1)
+    if unit == "year":
+        return day.replace(month=1, day=1)
+    raise ValueError(f"unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+
+
+def incremental_calendar(
+    spark: SparkSession,
+    tiers_path: str,
+    metrics_path: str,
+    unit: str = "month",
+    job_id: str | None = None,
+) -> dict[str, int]:
+    """Maintain a calendar tier (week/month/quarter/year) off the 1d
+    tier under the same lineage/resume discipline.
+
+    The partition unit here is the CALENDAR BUCKET (part = its first
+    day), and pendingness is derived purely from the lineage log — no
+    data scan: a bucket needs (re)processing iff it has no committed
+    row yet, or any of its days' ``tier_1d`` rows committed AFTER the
+    bucket's last commit (which is exactly what resume, late-data
+    backfill, and ordinary new-day ingestion all look like from the
+    log). Recomputation reads only the affected buckets' slice of the
+    ~86400x-reduced day tier; the write is the same idempotent
+    dynamic-partition overwrite, so a crash mid-run just re-runs.
+
+    Returns {stage: n_buckets_processed}; stage name is
+    ``tier_<unit>``.
+    """
+    stage = f"tier_{unit}"
+    job_id = job_id or uuid.uuid4().hex[:12]
+    io = resolve_table_io(spark, tiers_path, metrics_path)
+    log = MetricsLog(spark, metrics_path, io=io)
+
+    day_commits = {
+        r["part"]: r["at"]
+        for r in log.read()
+        .filter(F.col("stage") == "tier_1d")
+        .groupBy("part")
+        .agg(F.max("committed_at").alias("at"))
+        .collect()
+    }
+    cal_commits = {
+        r["part"]: r["at"]
+        for r in log.read()
+        .filter(F.col("stage") == stage)
+        .groupBy("part")
+        .agg(F.max("committed_at").alias("at"))
+        .collect()
+    }
+    pending: set[dt.date] = set()
+    for day_str, at in day_commits.items():
+        start = _cal_start(dt.date.fromisoformat(day_str), unit)
+        prev = cal_commits.get(start.isoformat())
+        if prev is None or at > prev:
+            pending.add(start)
+    if not pending:
+        return {stage: 0}
+
+    day_tier = io.read_tier("1d").drop("bucket_date")
+    full = len(pending) >= len(
+        {_cal_start(dt.date.fromisoformat(d), unit) for d in day_commits}
+    )
+    src = day_tier if full else day_tier.filter(
+        F.date_trunc(unit, "bucket_ts").cast("date").isin(sorted(pending))
+    )
+    io.write_tier(rollup_calendar(src, unit), unit)
+    written = io.read_tier(unit).drop("bucket_date")
+    rows = written if full else written.filter(
+        F.to_date("bucket_ts").isin(sorted(pending))
+    )
+    log.append(_lineage_rows(rows, job_id, stage))
+    return {stage: len(pending)}
+
+
 def verify_lineage(spark: SparkSession, tiers_path: str, metrics_path: str) -> DataFrame:
     """Recompute per-partition checksums from the stored tiers and join
     against the logged ones — rows with match=false indicate corruption
@@ -224,6 +313,9 @@ def verify_lineage(spark: SparkSession, tiers_path: str, metrics_path: str) -> D
     )
     out = None
     checks = [(f"tier_{t}", t, _CHECKSUM_EXPR) for t in TIER_ORDER]
+    # calendar tiers store their bucket's first day as the part, so the
+    # generic yyyy-MM-dd grouping below verifies them unchanged
+    checks += [(f"tier_{u}", u, _CHECKSUM_EXPR) for u in CALENDAR_UNITS]
     # sketch tiers (if the job ran with them) verify with their own
     # checksum expressions; SKETCH_STAGES is defined below
     checks += [
