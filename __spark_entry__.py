@@ -1581,6 +1581,37 @@ def q_atr_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (views matched to the closest
+    purchase either side, ties backward) — completes the
+    backward/forward/nearest family. The oracle is an independent
+    relational formulation (per-row max/min candidate + re-join), not
+    the engine's union-window shape; gap comparison is exact integer
+    microseconds on both sides."""
+    from tits_spark.operators.resample import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("key"), F.col("event_id").alias("l_id"), "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), "ts", "value"
+    )
+    return asof_join(left, right, direction="nearest")
+
+
+def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution
+    (normalized by ln(n_cats)) — the value-distribution counterpart of
+    perm_entropy's order-pattern entropy."""
+    from tits_spark.operators.complexity import distribution_entropy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return distribution_entropy(
+        ev.select(F.col("user_id").alias("key"), "event_type"), "key", "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1689,6 +1720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_rank": q_cross_rank,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
+        "asof_nearest": q_asof_nearest,
+        "type_entropy": q_type_entropy,
     }
 
 
@@ -3796,6 +3829,59 @@ SELECT key, bucket_ts, "open", high, low, close, tr, atr,
             ELSE 50.0 END AS rsi,
        n_win
 FROM a
+""",
+        # independent relational nearest-as-of: candidate max/min per
+        # left row, exact integer-µs gap compare (ties -> backward),
+        # value fetched by re-joining the chosen timestamp
+        "asof_nearest": """
+WITH l AS (
+  SELECT user_id AS key, event_id AS l_id, ts
+  FROM events WHERE event_type = 'view'
+),
+r AS (
+  SELECT user_id AS key, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT l.key, l.l_id, max(r.ts) AS bts
+  FROM l LEFT JOIN r ON l.key = r.key AND r.ts <= l.ts GROUP BY 1, 2
+),
+f AS (
+  SELECT l.key, l.l_id, min(r.ts) AS fts
+  FROM l LEFT JOIN r ON l.key = r.key AND r.ts >= l.ts GROUP BY 1, 2
+),
+j AS (
+  SELECT l.key, l.l_id, l.ts, b.bts, f.fts,
+         epoch_us(l.ts) - epoch_us(b.bts) AS bgap,
+         epoch_us(f.fts) - epoch_us(l.ts) AS fgap
+  FROM l JOIN b USING (key, l_id) JOIN f USING (key, l_id)
+),
+c AS (
+  SELECT key, l_id, ts,
+         CASE WHEN fts IS NULL OR (bts IS NOT NULL AND bgap <= fgap)
+              THEN bts ELSE fts END AS mts,
+         CASE WHEN fts IS NULL OR (bts IS NOT NULL AND bgap <= fgap)
+              THEN bgap ELSE fgap END AS asof_gap_us
+  FROM j
+)
+SELECT c.key, c.l_id, c.ts, r.value AS value_r, c.asof_gap_us
+FROM c LEFT JOIN r ON c.key = r.key AND c.mts = r.ts
+""",
+        "type_entropy": """
+WITH c AS (
+  SELECT user_id AS key, event_type, count(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT key, sum(cnt) AS n_obs, count(*) AS n_cats FROM c GROUP BY 1),
+e AS (
+  SELECT c.key, max(t.n_obs) AS n_obs, max(t.n_cats) AS n_cats,
+         -sum((c.cnt / t.n_obs) * ln(c.cnt / t.n_obs)) AS h
+  FROM c JOIN t USING (key) GROUP BY 1
+)
+SELECT key, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_cats AS BIGINT) AS n_cats,
+       round(CASE WHEN n_cats > 1 THEN h / ln(CAST(n_cats AS DOUBLE))
+                  ELSE 0.0 END, 6) AS type_entropy
+FROM e
 """,
     }
 

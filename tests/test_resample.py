@@ -192,3 +192,86 @@ def test_compaction_preserves_content(spark, transcripts, tmp_path):
     # idempotent: second pass finds nothing over the threshold
     assert compact_partitions(spark, str(tmp_path), metrics, "1h",
                               max_files_per_day=4) == {}
+
+
+def test_asof_nearest_small(sides):
+    """key a: lefts at 5,15,25,100 vs rights at 0(10),15(20),30(30):
+    5 -> 0 (gap 5 vs 10), 15 -> exact (gap 0), 25 -> 30 (gap 5),
+    100 -> 30 (gap 70). key b has no rights -> NULL."""
+    left, right = sides
+    out = {
+        (r["key"], r["lv"]): (r["rv_r"], r["asof_gap_us"])
+        for r in asof_join(left, right, direction="nearest").collect()
+    }
+    assert out[("a", 0.0)] == (10.0, 5_000_000)
+    assert out[("a", 1.0)] == (20.0, 0)
+    assert out[("a", 2.0)] == (30.0, 5_000_000)
+    assert out[("a", 3.0)] == (30.0, 70_000_000)
+    assert out[("b", 9.0)] == (None, None)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(seconds=10), 1.0)],
+        "key string, ts timestamp, lv double",
+    )
+    right = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(seconds=5), 100.0),
+         ("a", T0 + dt.timedelta(seconds=15), 200.0)],
+        "key string, ts timestamp, rv double",
+    )
+    row = asof_join(left, right, direction="nearest").first()
+    assert row["rv_r"] == 100.0 and row["asof_gap_us"] == 5_000_000
+
+
+def test_asof_nearest_tolerance(sides):
+    left, right = sides
+    out = {
+        (r["key"], r["lv"]): r["rv_r"]
+        for r in asof_join(
+            left, right, direction="nearest", tolerance_sec=10
+        ).collect()
+    }
+    assert out[("a", 3.0)] is None  # gap 70s > 10s
+    assert out[("a", 0.0)] == 10.0
+
+
+def test_asof_nearest_matches_pandas_on_events(spark):
+    """Cross-check against pd.merge_asof(direction='nearest') on real
+    data, restricted to rows without exact-tie gaps (pandas breaks µs
+    ties by its own convention; ours is pinned to backward)."""
+    import pandas as pd
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("key"), "ts", F.col("event_id").alias("l_id")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), "ts", F.col("value").alias("rv")
+    )
+    got = (
+        asof_join(left, right, direction="nearest")
+        .toPandas()
+        .sort_values("l_id")
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    want = pd.merge_asof(lp, rp, on="ts", by="key", direction="nearest")
+    want = want.sort_values("l_id").reset_index(drop=True)
+    # exclude exact-tie rows from the comparison
+    g = got.merge(
+        want[["l_id", "rv"]], on="l_id", suffixes=("", "_want")
+    )
+    mism = g[(g["rv_r"] != g["rv"]) & ~(g["rv_r"].isna() & g["rv"].isna())]
+    if len(mism):
+        # every mismatch must be an equidistant tie
+        ids = set(mism["l_id"])
+        lpd = lp.set_index("l_id")
+        for i in ids:
+            lt = lpd.loc[i, "ts"]
+            r_k = rp[rp["key"] == lpd.loc[i, "key"]]["ts"]
+            before = r_k[r_k <= lt]
+            after = r_k[r_k >= lt]
+            assert len(before) and len(after)
+            assert (lt - before.max()) == (after.min() - lt)

@@ -69,3 +69,42 @@ def permutation_entropy(
     return ent.select(
         key, "n_windows", F.round(h, decimals).alias("perm_entropy")
     )
+
+
+def distribution_entropy(
+    df: DataFrame,
+    key: str = "key",
+    cat: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """Shannon entropy of a categorical column's distribution per key
+    (the VALUE-distribution counterpart of permutation_entropy, which
+    measures ORDER structure): (key, n_obs, n_cats, type_entropy) with
+    entropy normalized by ln(n_cats) (1.0 = uniform usage; keys with a
+    single category emit 0). Same plan shape: two hash aggs on key —
+    counts are exact integers, the entropy is one log expression per
+    category row."""
+    counts = (
+        df.where(F.col(cat).isNotNull())
+        .groupBy(key, cat)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.groupBy(key).agg(
+        F.sum("cnt").alias("n_obs"), F.count(F.lit(1)).alias("n_cats")
+    )
+    ent = (
+        counts.join(tot, key)
+        .groupBy(key)
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.max("n_cats").alias("n_cats"),
+            (-F.sum(
+                (F.col("cnt") / F.col("n_obs"))
+                * F.log(F.col("cnt") / F.col("n_obs"))
+            )).alias("h"),
+        )
+    )
+    h = F.when(F.col("n_cats") > 1, F.col("h") / F.log(F.col("n_cats").cast("double"))).otherwise(F.lit(0.0))
+    return ent.select(
+        key, "n_obs", "n_cats", F.round(h, decimals).alias("type_entropy")
+    )

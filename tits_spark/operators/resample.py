@@ -33,12 +33,17 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row + the latest right row with
-    right.ts <= left.ts (``direction='backward'``, default) or the
+    right.ts <= left.ts (``direction='backward'``, default), the
     earliest right row with right.ts >= left.ts
-    (``direction='forward'``) for the same key (NULLs when none, or
-    when the match is further than ``tolerance_sec``)."""
+    (``direction='forward'``), or the closer of the two
+    (``direction='nearest'``, ties to backward) for the same key
+    (NULLs when none, or when the match is further than
+    ``tolerance_sec``). ``nearest`` additionally emits the chosen
+    ``asof_gap_us`` distance."""
     from tits_spark.functions.exprs import ts_seconds
 
+    if direction == "nearest":
+        return _asof_nearest(left, right, key, ts, value_cols, tolerance_sec, suffix)
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     if value_cols is None:
@@ -98,6 +103,84 @@ def asof_join(
     return out.select(
         *left.columns,
         *[F.col(fc).alias(vc + suffix) for fc, vc in zip(final_cols, value_cols)],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str] | None,
+    tolerance_sec: float | None,
+    suffix: str,
+) -> DataFrame:
+    """direction='nearest': the closer of the at-or-before and
+    at-or-after right rows, ties to the earlier (backward) one.
+
+    Same union-window shape as the directional joins — ONE shuffle on
+    key carries both passes (two sorts share the exchange). Gap
+    comparison is exact integer microseconds (epoch_us), not float
+    seconds: a µs-level tie must break identically on every engine,
+    and doubles at epoch magnitude only resolve ~0.24 µs.
+    """
+    from tits_spark.functions.exprs import epoch_us
+
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, ts)]
+
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        key, ts, *[F.col(c).alias(c + suffix) for c in value_cols]
+    ).withColumn("_side", F.lit(0))
+    both = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    r_us = F.when(F.col("_side") == 0, epoch_us(ts))
+    filled = both.select(
+        "*",
+        *[
+            F.last(c + suffix, ignorenulls=True).over(wb).alias(c + "_b")
+            for c in value_cols
+        ],
+        *[
+            F.first(c + suffix, ignorenulls=True).over(wf).alias(c + "_f")
+            for c in value_cols
+        ],
+        F.last(r_us, ignorenulls=True).over(wb).alias("_bus"),
+        F.first(r_us, ignorenulls=True).over(wf).alias("_fus"),
+    ).filter(F.col("_side") == 1)
+
+    l_us = epoch_us(ts)
+    bgap, fgap = l_us - F.col("_bus"), F.col("_fus") - l_us
+    take_b = F.col("_fus").isNull() | (F.col("_bus").isNotNull() & (bgap <= fgap))
+    gap = F.when(take_b, bgap).otherwise(fgap)
+    if tolerance_sec is not None:
+        gap = F.when(gap <= F.lit(int(round(tolerance_sec * 1_000_000))), gap)
+    chosen = filled.select(
+        "*",
+        gap.alias("_gap_us"),
+        *[
+            F.when(take_b, F.col(c + "_b")).otherwise(F.col(c + "_f")).alias(c + "_n")
+            for c in value_cols
+        ],
+    )
+    return chosen.select(
+        *left.columns,
+        *[
+            F.when(F.col("_gap_us").isNotNull(), F.col(c + "_n")).alias(c + suffix)
+            for c in value_cols
+        ],
+        F.col("_gap_us").alias("asof_gap_us"),
     )
 
 
