@@ -1612,6 +1612,24 @@ def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (trend = centered 2x24-point
+    MA, daily seasonal indices, residual) of the LOCF-gapfilled hourly
+    series — chains rollup -> gapfill -> decompose, all tier-side.
+    Exactness: trend quantizes to 6 dp; the seasonal step is exact
+    integer µ-unit arithmetic (see classical_decompose — detrended
+    values are lattice-bound, so rounding them would midpoint-diverge)."""
+    from tits_spark.operators.gapfill import gapfill_locf
+    from tits_spark.operators.rollup import rollup_from_raw
+    from tits_spark.operators.seasonal import classical_decompose
+
+    t1h = rollup_from_raw(_events(spark, sf_dir), "key", "ts", "value", "1h")
+    filled = gapfill_locf(t1h, "1h", "v_last").select(
+        "key", "bucket_ts", F.col("v_last").alias("value")
+    )
+    return classical_decompose(filled, "key", "bucket_ts", "value", period=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1722,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
         "type_entropy": q_type_entropy,
+        "decompose": q_decompose,
     }
 
 
@@ -3882,6 +3901,54 @@ SELECT key, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_cats AS BIGINT) AS n_cats,
        round(CASE WHEN n_cats > 1 THEN h / ln(CAST(n_cats AS DOUBLE))
                   ELSE 0.0 END, 6) AS type_entropy
 FROM e
+""",
+        # classical additive decomposition of the LOCF-filled hourly
+        # series: trend = centered 2x24 MA (full windows only, rounded
+        # 6dp); seasonal via exact integer µ-unit sums — detrended
+        # values live on the 1e-6 lattice, where round() diverges at
+        # midpoints, so the seasonal step never rounds
+        "decompose": _T1H_CTE + """
+, s AS (
+  SELECT key, bucket_ts,
+         last_value(v_last IGNORE NULLS) OVER
+           (PARTITION BY key ORDER BY bucket_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM j
+),
+tr AS (
+  SELECT key, bucket_ts, value, hour(bucket_ts) AS ph,
+         CASE WHEN count(value) OVER f = 25 THEN
+           round((sum(value) OVER f
+                  - 0.5 * lag(value, 12) OVER w
+                  - 0.5 * lead(value, 12) OVER w) / 24, 6)
+         END AS trend
+  FROM s
+  WINDOW w AS (PARTITION BY key ORDER BY bucket_ts),
+         f AS (PARTITION BY key ORDER BY bucket_ts
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+d AS (
+  SELECT *, value - trend AS dd,
+         CAST(round((value - trend) * 1000000, 0) AS BIGINT) AS du
+  FROM tr
+),
+p AS (
+  SELECT key, ph, sum(du) AS s_num, count(du) AS s_den
+  FROM d WHERE du IS NOT NULL GROUP BY 1, 2
+),
+ctr AS (
+  SELECT key, sum(du) AS g_num, count(du) AS g_den
+  FROM d WHERE du IS NOT NULL GROUP BY 1
+),
+seas AS (
+  SELECT p.key, p.ph,
+         (CAST(s_num AS DOUBLE) / s_den
+          - CAST(g_num AS DOUBLE) / g_den) / 1000000 AS seasonal
+  FROM p JOIN ctr USING (key)
+)
+SELECT d.key, d.bucket_ts, d.value, d.trend, seas.seasonal,
+       d.dd - seas.seasonal AS resid
+FROM d LEFT JOIN seas ON d.key = seas.key AND d.ph = seas.ph
 """,
     }
 

@@ -102,3 +102,62 @@ def test_cusum_delta_closed_form_matches_split_means(spark):
     i = int(out["cp_idx"])
     before, after = pdf["value"][:i], pdf["value"][i:]
     assert out["delta"] == pytest.approx(after.mean() - before.mean(), rel=1e-9)
+
+
+def test_classical_decompose_recovers_planted_structure(spark):
+    """Linear trend + daily sinusoid + nothing else: the MA trend must
+    track the line (away from the ends), seasonal must match the
+    sinusoid per phase, and value == trend + seasonal + resid exactly
+    wherever trend is defined."""
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.operators.seasonal import classical_decompose
+
+    hours = 24 * 14
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(hours), unit="h")
+    phase = np.arange(hours) % 24
+    seasonal = 5.0 * np.sin(2 * np.pi * phase / 24)
+    value = 100.0 + 0.1 * np.arange(hours) + seasonal
+    pdf = pd.DataFrame({"key": 1, "bucket_ts": ts, "value": value})
+    df = spark.createDataFrame(pdf, "key long, bucket_ts timestamp, value double")
+
+    out = (
+        classical_decompose(df, "key", "bucket_ts", "value", period=24)
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    # ends have no full window
+    assert out["trend"].iloc[:12].isna().all()
+    assert out["trend"].iloc[-12:].isna().all()
+    mid = out.iloc[12:-12]
+    # a centered 2x24 MA of (line + sinusoid) is the line exactly
+    want_line = 100.0 + 0.1 * np.arange(hours)[12:-12]
+    np.testing.assert_allclose(mid["trend"], want_line, atol=1e-5)
+    # seasonal index per phase matches the planted sinusoid
+    got_seas = mid.assign(ph=np.arange(12, hours - 12) % 24).groupby("ph")[
+        "seasonal"
+    ].first()
+    want_seas = 5.0 * np.sin(2 * np.pi * np.arange(24) / 24)
+    want_seas = want_seas - want_seas.mean()
+    np.testing.assert_allclose(
+        got_seas.sort_index(), want_seas, atol=1e-3
+    )
+    # additive identity holds exactly where trend is defined
+    np.testing.assert_allclose(
+        mid["trend"] + mid["seasonal"] + mid["resid"], mid["value"], atol=1e-9
+    )
+
+
+def test_classical_decompose_rejects_bad_period(spark, events):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.seasonal import classical_decompose
+
+    df = events.select(F.col("user_id").alias("key"), F.col("ts").alias("bucket_ts"),
+                       "value")
+    with _pytest.raises(ValueError, match="period"):
+        classical_decompose(df, period=1)

@@ -117,3 +117,102 @@ def seasonal_anomalies(
         .filter(F.abs(F.col("z")) > z_thresh)
         .select(key, ts, value, "z")
     )
+
+
+def classical_decompose(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "bucket_ts",
+    value: str = "value",
+    period: int = 24,
+    phase_period: str = "hour",
+    decimals: int = 6,
+) -> DataFrame:
+    """Classical additive decomposition value = trend + seasonal +
+    residual (the moving-average method, Hyndman & Athanasopoulos
+    FPP3 ch. 3.4) per key over a REGULAR series — gap-fill first
+    (operators/gapfill) or the centered window spans more wall time
+    than it claims.
+
+    trend: centered moving average of ``period`` points — for even
+    period the standard 2xMA (half-weight endpoints), for odd a plain
+    centered mean; NULL within period/2 of either series end (no
+    partial windows: a shrinking window would bend the trend toward
+    the ends). seasonal: per-phase mean of the detrended series,
+    centered by subtracting the key's OVERALL detrended mean (equal to
+    the textbook mean-of-phase-means when phases are balanced, and the
+    variant that keeps the arithmetic integer-exact — see below);
+    residual: what remains.
+
+    Exactness discipline: trend is quantized to ``decimals`` (its
+    window sum is association-order dependent in the last ulp), which
+    puts the detrended series on the 10^-decimals lattice — where
+    round() is engine-divergent at exact midpoints. The seasonal step
+    therefore never rounds: detrended values become exact integer
+    µ-units (round-to-nearest of a near-integer double), phase and
+    overall means are ratios of exact integer sums, and the seasonal
+    index is two identical IEEE divisions and a subtraction — exact
+    equality in any engine with no quantization.
+
+    Plan: one hash-partition by key (window + the two phase aggs all
+    cluster on it), no UDFs.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    w = Window.partitionBy(key).orderBy(ts)
+    half = period // 2
+    if period % 2 == 0:
+        frame = w.rowsBetween(-half, half)
+        full_n = period + 1
+        ma = (
+            F.sum(value).over(frame)
+            - 0.5 * F.lag(value, half).over(w)
+            - 0.5 * F.lead(value, half).over(w)
+        ) / period
+    else:
+        frame = w.rowsBetween(-half, half)
+        full_n = period
+        ma = F.sum(value).over(frame) / period
+    trend = F.when(
+        F.count(value).over(frame) == full_n, F.round(ma, decimals)
+    )
+    t = (
+        df.select(
+            F.col(key).alias("key"),
+            F.col(ts).alias("bucket_ts"),
+            F.col(value).alias("value"),
+            _phase(ts, phase_period).alias("_ph"),
+        )
+        .withColumn("trend", trend)
+        .withColumn("_d", F.col("value") - F.col("trend"))
+    )
+    unit = 10 ** decimals
+    t = t.withColumn("_du", F.round(F.col("_d") * unit, 0).cast("long"))
+    ph = (
+        t.filter(F.col("_du").isNotNull())
+        .groupBy("key", "_ph")
+        .agg(F.sum("_du").alias("_s_num"), F.count("_du").alias("_s_den"))
+    )
+    ctr = t.filter(F.col("_du").isNotNull()).groupBy("key").agg(
+        F.sum("_du").alias("_g_num"), F.count("_du").alias("_g_den")
+    )
+    seas = ph.join(ctr, "key").select(
+        "key",
+        "_ph",
+        (
+            (
+                F.col("_s_num") / F.col("_s_den")
+                - F.col("_g_num") / F.col("_g_den")
+            )
+            / unit
+        ).alias("seasonal"),
+    )
+    out = t.join(seas, ["key", "_ph"], "left")
+    return out.select(
+        "key",
+        "bucket_ts",
+        "value",
+        "trend",
+        "seasonal",
+        (F.col("_d") - F.col("seasonal")).alias("resid"),
+    )
