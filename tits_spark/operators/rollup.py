@@ -219,16 +219,37 @@ def rollup_multi(
     return df.groupBy(*keys).agg(*aggs)
 
 
-def choose_tier(start, end, target_points: int) -> str:
+#: conservative (maximum) bucket seconds per calendar unit — used by
+#: the router so "span / width >= target_points" GUARANTEES at least
+#: target_points buckets even for variable-width months/quarters/years
+CALENDAR_MAX_SECONDS = {
+    "week": 7 * 86400,
+    "month": 31 * 86400,
+    "quarter": 92 * 86400,
+    "year": 366 * 86400,
+}
+
+
+def choose_tier(start, end, target_points: int, calendar: tuple = ()) -> str:
     """The coarsest tier that still yields >= ``target_points`` buckets
     over [start, end] — falling back to the finest tier for short
     ranges. ``start``/``end`` are datetimes (or anything with
     ``timestamp()``). The dashboard-router rule: never scan finer data
     than the plot can show (the same motivation as M4/LTTB
-    downsampling, applied at the storage tier level)."""
+    downsampling, applied at the storage tier level).
+
+    ``calendar``: calendar tiers ALSO maintained in storage (see
+    lineage.incremental_calendar) to consult before the fixed ladder;
+    their variable widths are bounded by CALENDAR_MAX_SECONDS so the
+    point guarantee is conservative (a 5-year span at 50 target points
+    routes to the ~60-row month tier instead of 1800 days)."""
     span = end.timestamp() - start.timestamp()
     if span <= 0:
         raise ValueError("choose_tier: end must be after start")
+    cal = [u for u in ("year", "quarter", "month", "week") if u in calendar]
+    for unit in cal:                           # coarsest first
+        if span / CALENDAR_MAX_SECONDS[unit] >= target_points:
+            return unit
     for tier in reversed(TIER_ORDER):          # coarsest first
         if span / TIERS[tier][1] >= target_points:
             return tier
@@ -242,14 +263,17 @@ def read_resolution(
     end,
     target_points: int = 200,
     derived: bool = True,
+    calendar: tuple = (),
 ) -> DataFrame:
     """Read the right tier for a time range + target resolution, with
     partition pruning doing the heavy lifting: the bucket_date filter
     reaches the parquet partition columns, so a 1-day slice of a year
     of 1m data scans one directory, not 365. Returns the tier rows
     (plus derived mean/var unless ``derived=False``) restricted to
-    [start, end)."""
-    tier = choose_tier(start, end, target_points)
+    [start, end). Pass ``calendar=("month",)`` etc. when those tiers
+    are maintained (rollup_job --calendar) to let multi-year ranges
+    route to them."""
+    tier = choose_tier(start, end, target_points, calendar=calendar)
     df = spark.read.parquet(f"{tiers_path}/tier={tier}")
     out = df.where(
         (F.col("bucket_date") >= F.lit(start.date()))
