@@ -1630,6 +1630,15 @@ def q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classical_decompose(filled, "key", "bucket_ts", "value", period=24)
 
 
+def q_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-crossing alert rows (level 100): every copied column,
+    no arithmetic — exact by construction. The O(1)-state streaming
+    twin emits identical rows (tests/test_crossing_stream.py)."""
+    from tits_spark.operators.windows import threshold_crossings
+
+    return threshold_crossings(_events(spark, sf_dir), ["key"], "ts", "value", 100.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1741,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "type_entropy": q_type_entropy,
         "decompose": q_decompose,
+        "crossings": q_crossings,
     }
 
 
@@ -3949,6 +3959,20 @@ seas AS (
 SELECT d.key, d.bucket_ts, d.value, d.trend, seas.seasonal,
        d.dd - seas.seasonal AS resid
 FROM d LEFT JOIN seas ON d.key = seas.key AND d.ph = seas.ph
+""",
+        "crossings": """
+WITH s AS (
+  SELECT user_id AS key, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+  FROM events
+)
+SELECT key, ts, value, prev_value,
+       CASE WHEN prev_value < 100.0 AND value >= 100.0 THEN 'up'
+            WHEN prev_value >= 100.0 AND value < 100.0 THEN 'down'
+       END AS direction
+FROM s
+WHERE (prev_value < 100.0 AND value >= 100.0)
+   OR (prev_value >= 100.0 AND value < 100.0)
 """,
     }
 

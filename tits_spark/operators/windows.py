@@ -179,3 +179,38 @@ def value_runs(
         )
     )
     return runs.select(*keys, value, "run_start", "run_end", "n_obs")
+
+
+def threshold_crossings(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    level: float,
+) -> DataFrame:
+    """Threshold-crossing events per key: a row for every observation
+    where the series crosses ``level`` relative to the previous
+    observation — ``up`` when prev < level <= value, ``down`` when
+    prev >= level > value (a sample sitting exactly ON the level
+    counts as being at-or-above it, so oscillation around the exact
+    level emits alternating rows, never duplicates). The monitoring
+    primitive behind "alert when latency exceeds L": one lag window,
+    no state beyond the previous sample — which is also why the
+    streaming twin (streaming/crossing_stream.py) carries exactly one
+    (ts, value) pair per key.
+
+    Returns (keys..., ts, value, prev_value, direction).
+    """
+    w = Window.partitionBy(*keys).orderBy(ts)
+    prev = F.lag(value).over(w)
+    lv = F.lit(float(level))
+    direction = (
+        F.when((prev < lv) & (F.col(value) >= lv), F.lit("up"))
+        .when((prev >= lv) & (F.col(value) < lv), F.lit("down"))
+    )
+    return (
+        df.select(*keys, ts, value)
+        .withColumn("prev_value", prev)
+        .withColumn("direction", direction)
+        .where(F.col("direction").isNotNull())
+    )
