@@ -216,6 +216,47 @@ def main() -> None:
         "partial+final HashAggregate over the same exchange.",
         E.q_uptime(spark, SF),
     )
+    add(
+        "point_in_interval (keyed bucketized range join)",
+        "The BETWEEN range join rewritten as explode-to-buckets + "
+        "EQUI-join on (bucket, entity key): no CartesianProduct / "
+        "BroadcastNestedLoopJoin; folding the entity key into the join "
+        "key keeps same-hour strangers from colliding.",
+        E.q_point_in_interval(spark, SF),
+    )
+    add(
+        "pettitt (rank changepoint)",
+        "Four windows (value-rank, tie-count, time-cumsum, argmax "
+        "pick) all cluster on the series key -> ONE exchange total; "
+        "exact integer midrank arithmetic end to end.",
+        E.q_pettitt(spark, SF),
+    )
+    add(
+        "realized_vol (log-return continuous aggregate)",
+        "lag window + 1m partial+final agg + 1h cascade merge: three "
+        "exchanges, each carrying less data than the last; every tier "
+        "column is a sum/min/max so the cascade is exact.",
+        E.q_realized_vol(spark, SF),
+    )
+    add(
+        "atr_rsi (bar indicators off the OHLC tier)",
+        "Tier agg exchange + one per-key window exchange; indicators "
+        "never read raw (open/high/low/close are tier columns).",
+        E.q_atr_rsi(spark, SF),
+    )
+    add(
+        "cross_rank (per-bucket cross-section)",
+        "groupBy (key, bucket) then a window partitioned by bucket — "
+        "partition count = number of time buckets, no SinglePartition.",
+        E.q_cross_rank(spark, SF),
+    )
+    add(
+        "decompose (classical seasonal decomposition)",
+        "Gapfill spine + centered-MA window + two phase aggregates, "
+        "all clustered on the series key; seasonal step is exact "
+        "integer micro-unit arithmetic (no lattice rounding).",
+        E.q_decompose(spark, SF),
+    )
 
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
