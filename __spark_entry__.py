@@ -1639,6 +1639,33 @@ def q_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_crossings(_events(spark, sf_dir), ["key"], "ts", "value", 100.0)
 
 
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data-quality profile of the events table
+    (the Deequ-style pre-training gate): row/null/exact-distinct counts
+    + stringified extrema; one scan, one wide aggregate."""
+    from tits_spark.operators.profile import data_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return data_profile(ev, _PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_s,
+       CAST(max({c}) AS VARCHAR) AS max_s
+FROM events"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1751,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_entropy": q_type_entropy,
         "decompose": q_decompose,
         "crossings": q_crossings,
+        "data_profile": q_data_profile,
     }
 
 
@@ -3974,6 +4002,10 @@ FROM s
 WHERE (prev_value < 100.0 AND value >= 100.0)
    OR (prev_value >= 100.0 AND value < 100.0)
 """,
+        # per-column UNION ALL generated from the same column list the
+        # engine profiles; extrema compared as rendered strings (both
+        # engines use shortest-roundtrip float rendering)
+        "data_profile": _profile_oracle(),
     }
 
 
