@@ -1639,6 +1639,28 @@ def q_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_crossings(_events(spark, sf_dir), ["key"], "ts", "value", 100.0)
 
 
+#: the Holt recursion as a DuckDB recursive CTE with the IDENTICAL
+#: operation tree as operators/smoothing.holt_by_key (alpha=0.5,
+#: beta=0.3) — shared by the "holt" and "forecast_eval" oracles
+_HOLT_REC_CTE = """
+WITH RECURSIVE e AS (
+  SELECT user_id AS key, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
+  FROM events
+),
+rec AS (
+  SELECT e1.key, e1.ts, CAST(e1.rn AS BIGINT) AS rn,
+         e1.value AS l, e2.value - e1.value AS b
+  FROM e e1 JOIN e e2 ON e1.key = e2.key AND e1.rn = 1 AND e2.rn = 2
+  UNION ALL
+  SELECT e.key, e.ts, CAST(e.rn AS BIGINT) AS rn,
+         0.5 * e.value + (1 - 0.5) * (rec.l + rec.b) AS l,
+         0.3 * ((0.5 * e.value + (1 - 0.5) * (rec.l + rec.b)) - rec.l)
+           + (1 - 0.3) * rec.b AS b
+  FROM rec JOIN e ON e.key = rec.key AND e.rn = rec.rn + 1
+)
+"""
+
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
@@ -1664,6 +1686,18 @@ FROM events"""
         for c in _PROFILE_COLS
     ]
     return " UNION ALL ".join(parts)
+
+
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead Holt forecast backtest per key (MAE/bias/RMSE,
+    init rows skipped): forecasting isn't done until it's scored.
+    Ordering ties pinned to (ts, value) to match the smoother."""
+    from tits_spark.operators.smoothing import holt_backtest, holt_by_key
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    sm = holt_by_key(ev, "key", "ts", "value", alpha=0.5, beta=0.3)
+    out = holt_backtest(sm, ev, "key", "ts", "value", skip_first=2)
+    return out.withColumn("key", F.col("key").cast("long"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1779,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose": q_decompose,
         "crossings": q_crossings,
         "data_profile": q_data_profile,
+        "forecast_eval": q_forecast_eval,
     }
 
 
@@ -3139,25 +3174,25 @@ SELECT q_doc, CAST(rank AS INT) AS rank, c_doc, score FROM rk WHERE rank <= 5
         # Holt recursion replayed step-by-step; the arithmetic mirrors
         # smoothing.holt_by_key's op tree exactly (note 1 - 0.5 / 1 - 0.3
         # kept as subtractions) so doubles agree bit-for-bit
-        "holt": """
-WITH RECURSIVE e AS (
-  SELECT user_id AS key, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
-  FROM events
-),
-rec AS (
-  SELECT e1.key, e1.ts, CAST(e1.rn AS BIGINT) AS rn,
-         e1.value AS l, e2.value - e1.value AS b
-  FROM e e1 JOIN e e2 ON e1.key = e2.key AND e1.rn = 1 AND e2.rn = 2
-  UNION ALL
-  SELECT e.key, e.ts, CAST(e.rn AS BIGINT) AS rn,
-         0.5 * e.value + (1 - 0.5) * (rec.l + rec.b) AS l,
-         0.3 * ((0.5 * e.value + (1 - 0.5) * (rec.l + rec.b)) - rec.l)
-           + (1 - 0.3) * rec.b AS b
-  FROM rec JOIN e ON e.key = rec.key AND e.rn = rec.rn + 1
-)
+        "holt": _HOLT_REC_CTE + """
 SELECT key, ts, CAST(floor(l * 1e6) AS BIGINT) AS level_u6,
        CAST(floor(b * 1e6) AS BIGINT) AS trend_u6 FROM rec
+""",
+        # one-step-ahead Holt backtest: yhat_i = l_{i-1} + b_{i-1};
+        # the recursion is bit-identical on both sides, so the errors
+        # are too; only the averaged summary stats need 6dp rounding
+        "forecast_eval": _HOLT_REC_CTE + """
+, p AS (
+  SELECT rec.key, rec.rn, e.value,
+         lag(rec.l + rec.b) OVER (PARTITION BY rec.key ORDER BY rec.rn)
+           AS yhat
+  FROM rec JOIN e ON e.key = rec.key AND e.rn = rec.rn
+)
+SELECT key, count(*) AS n_eval,
+       round(avg(abs(value - yhat)), 6) AS mae,
+       round(avg(value - yhat), 6) AS bias,
+       round(sqrt(avg((value - yhat) * (value - yhat))), 6) AS rmse
+FROM p WHERE rn >= 3 GROUP BY 1
 """,
         "bollinger": """
 WITH b AS (

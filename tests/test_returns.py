@@ -210,3 +210,61 @@ def test_rollup_calendar_rejects_unknown_unit(spark, events):
     day = rollup_all_tiers(ev, "key", "ts", "value")["1d"]
     with pytest.raises(ValueError, match="unit"):
         rollup_calendar(day, "fortnight")
+
+
+def test_pettitt_fuzz_vs_naive(spark):
+    """40 random series in ONE dataframe (mixed lengths, heavy-tie
+    integer series, constant series) — every k_stat/cp_idx must equal
+    the O(n^2) sign-sum definition."""
+    rng = np.random.default_rng(2027)
+    frames, truth = [], {}
+    base = pd.Timestamp("2026-01-01")
+    for k in range(40):
+        n = int(rng.integers(8, 80))
+        style = k % 4
+        if style == 0:
+            v = rng.normal(0, 1, n)
+        elif style == 1:
+            v = np.round(rng.normal(0, 1, n), 0)      # heavy ties
+        elif style == 2:
+            v = np.full(n, 7.0)                        # constant
+        else:
+            v = rng.normal(0, 1, n)
+            v[n // 2:] += rng.uniform(0.5, 3.0)        # planted shift
+        ts = base + pd.to_timedelta(np.arange(n), unit="m")
+        frames.append(pd.DataFrame({"key": k, "ts": ts, "value": v}))
+        truth[k] = _pettitt_naive(v)
+    df = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        "key long, ts timestamp, value double",
+    )
+    got = pettitt_changepoint(df).toPandas().set_index("key")
+    assert len(got) == 40
+    for k, (want_k, want_t) in truth.items():
+        assert int(got.loc[k, "k_stat"]) == want_k, k
+        assert int(got.loc[k, "cp_idx"]) == want_t, k
+
+
+# ------------------------------------------------------------ holt backtest
+
+def test_holt_backtest_matches_manual(spark):
+    """Errors recomputed by hand from the smoothed states."""
+    from tits_spark.operators.smoothing import holt_backtest, holt_by_key
+
+    rng = np.random.default_rng(3)
+    n = 50
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(n), unit="h")
+    v = np.cumsum(rng.normal(0.5, 1.0, n)) + 100
+    pdf = pd.DataFrame({"key": "a", "ts": ts, "value": v})
+    df = spark.createDataFrame(pdf, "key string, ts timestamp, value double")
+    sm = holt_by_key(df, alpha=0.5, beta=0.3)
+    out = holt_backtest(sm, df).collect()[0]
+
+    smp = sm.toPandas().sort_values("ts").reset_index(drop=True)
+    yhat = (smp["level"] + smp["trend"]).shift(1).to_numpy()
+    err = v - yhat
+    err = err[2:]  # skip_first=2
+    assert out["n_eval"] == n - 2
+    np.testing.assert_allclose(out["mae"], round(np.abs(err).mean(), 6), atol=2e-6)
+    np.testing.assert_allclose(out["rmse"], round(np.sqrt((err**2).mean()), 6), atol=2e-6)
+    np.testing.assert_allclose(out["bias"], round(err.mean(), 6), atol=2e-6)

@@ -82,3 +82,44 @@ def holt_forecast(
         F.col("ts").alias("asof_ts"),
         (F.col("level") + horizon * F.col("trend")).alias("forecast"),
     )
+
+
+def holt_backtest(
+    smoothed: DataFrame,
+    observed: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    skip_first: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-step-ahead forecast evaluation of the Holt fit: for each
+    observation i, the prediction made at i-1 is level + trend; the
+    backtest summarizes the errors per key (n_eval, mae, bias, rmse).
+
+    ``skip_first`` drops the first rows of each key from evaluation:
+    the Holt init consumes x[1] (trend seed), so the "prediction" of
+    row 2 is x[1] itself — zero error by construction, not skill.
+
+    The smoothed states are bit-identical to any faithful re-execution
+    of the recursion (same operation tree), so the per-row errors are
+    too; only the averaged summary stats are quantized.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key).orderBy(ts)
+    pred = smoothed.withColumn(
+        "_yhat", F.lag(F.col("level") + F.col("trend")).over(w)
+    ).withColumn("_rn", F.row_number().over(w))
+    joined = pred.join(observed.select(key, ts, value), [key, ts])
+    err = F.col(value) - F.col("_yhat")
+    return (
+        joined.filter(F.col("_rn") > skip_first)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(F.avg(F.abs(err)), decimals).alias("mae"),
+            F.round(F.avg(err), decimals).alias("bias"),
+            F.round(F.sqrt(F.avg(err * err)), decimals).alias("rmse"),
+        )
+    )
