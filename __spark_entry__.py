@@ -1700,6 +1700,24 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("key", F.col("key").cast("long"))
 
 
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed MACD (12h/26h/9h taus) over the irregular series of
+    keys 1-3 (same overflow-bounded key subset as the ewma query: the
+    ORACLE uses the unsegmented prefix factoring, whose exponent is
+    span/tau; the ENGINE is segmented and span-safe). Values quantized
+    at 6 dp — EWMAs are non-lattice ratios."""
+    from tits_spark.operators.smoothing import macd_irregular
+
+    ev = _events(spark, sf_dir).filter(F.col("key").isin("1", "2", "3"))
+    out = macd_irregular(ev, "key", "ts", "value")
+    return out.select(
+        "key", "ts", "value",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round("hist", 6).alias("hist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1814,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossings": q_crossings,
         "data_profile": q_data_profile,
         "forecast_eval": q_forecast_eval,
+        "macd": q_macd,
     }
 
 
@@ -4041,6 +4060,39 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         # engine profiles; extrema compared as rendered strings (both
         # engines use shortest-roundtrip float rendering)
         "data_profile": _profile_oracle(),
+        # nested prefix-factored time-decay EWMAs: fast/slow on value,
+        # then the signal EWMA over the derived macd column (same
+        # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
+        # factored exponent under the double overflow bound)
+        "macd": """
+WITH e AS (
+  SELECT user_id AS key, ts, value, epoch(ts) AS t FROM events
+  WHERE user_id IN (1, 2, 3)
+),
+r AS (
+  SELECT key, ts, value,
+         exp((t - min(t) OVER pk) / 43200.0) AS gf,
+         exp((t - min(t) OVER pk) / 93600.0) AS gs,
+         exp((t - min(t) OVER pk) / 32400.0) AS gg
+  FROM e WINDOW pk AS (PARTITION BY key)
+),
+m AS (
+  SELECT key, ts, value, gg,
+         sum(value * gf) OVER w / sum(gf) OVER w
+           - sum(value * gs) OVER w / sum(gs) OVER w AS macd
+  FROM r WINDOW w AS (PARTITION BY key ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT key, ts, value, macd,
+         sum(macd * gg) OVER w / sum(gg) OVER w AS signal
+  FROM m WINDOW w AS (PARTITION BY key ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key, ts, value, round(macd, 6) AS macd, round(signal, 6) AS signal,
+       round(macd - signal, 6) AS hist
+FROM s
+""",
     }
 
 

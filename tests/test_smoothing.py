@@ -56,3 +56,37 @@ def test_holt_forecast_extrapolates_linear_series(spark):
     fc = holt_forecast(sm, horizon=3).toPandas()
     # on exactly linear data Holt locks to the line: y_29 = 61, +3 steps = 67
     assert fc.iloc[0]["forecast"] == pytest.approx(67.0, abs=1e-6)
+
+
+def test_macd_matches_pandas_ewm_on_regular_grid(spark):
+    """On a regular grid, time-decay MACD with tau = -delta/ln(1-alpha)
+    equals pandas ewm(alpha, adjust=True) MACD."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.smoothing import macd_irregular
+
+    rng = np.random.default_rng(9)
+    n = 300
+    delta = 3600.0
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(n) * 3600, unit="s")
+    v = np.cumsum(rng.normal(0, 1, n)) + 50
+    pdf = pd.DataFrame({"key": "a", "ts": ts, "value": v})
+    df = spark.createDataFrame(pdf, "key string, ts timestamp, value double")
+
+    a_fast, a_slow, a_sig = 2 / 13, 2 / 27, 2 / 10
+    tau = lambda a: -delta / np.log(1 - a)  # noqa: E731
+    got = (
+        macd_irregular(df, tau_fast=tau(a_fast), tau_slow=tau(a_slow),
+                       tau_signal=tau(a_sig))
+        .orderBy("ts")
+        .toPandas()
+    )
+    s = pd.Series(v)
+    macd = (s.ewm(alpha=a_fast, adjust=True).mean()
+            - s.ewm(alpha=a_slow, adjust=True).mean())
+    signal = macd.ewm(alpha=a_sig, adjust=True).mean()
+    np.testing.assert_allclose(got["macd"], macd, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(got["signal"], signal, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(got["hist"], macd - signal, rtol=1e-9, atol=1e-9)

@@ -123,3 +123,38 @@ def holt_backtest(
             F.round(F.sqrt(F.avg(err * err)), decimals).alias("rmse"),
         )
     )
+
+
+def macd_irregular(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    tau_fast: float = 12 * 3600.0,
+    tau_slow: float = 26 * 3600.0,
+    tau_signal: float = 9 * 3600.0,
+) -> DataFrame:
+    """Time-decayed MACD for IRREGULAR series: fast/slow/signal lines
+    are the normalized time-decay EWMAs of operators/sessionize
+    (weights e^{-Δt/τ}), not bar-count EMAs — the natural translation
+    of the 12/26/9 convention to an engine whose series have no fixed
+    bar width (defaults are the classic periods read as hours). On a
+    regular grid with τ = -Δ/ln(1-α) this coincides with the
+    adjust=True EMA of the same α.
+
+    Three chained window passes sharing one hash-partition on the key
+    (the segmented prefix-sum EWMA is overflow-safe at any span/τ);
+    emits (key, ts, value, macd, signal, hist).
+    """
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.sessionize import ewma_irregular
+
+    fast = ewma_irregular(df, key, ts, value, tau_fast, out="_ema_fast")
+    slow = ewma_irregular(fast, key, ts, value, tau_slow, out="_ema_slow")
+    withm = slow.withColumn("macd", F.col("_ema_fast") - F.col("_ema_slow"))
+    sig = ewma_irregular(withm, key, ts, "macd", tau_signal, out="signal")
+    return sig.select(
+        key, ts, value, "macd", "signal",
+        (F.col("macd") - F.col("signal")).alias("hist"),
+    )
