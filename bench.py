@@ -400,6 +400,32 @@ def main() -> None:
 
     repeat("q18_returns_bars", _body_q18_returns_bars)
 
+    # q19: decomposition/profile/backtest wave — classical seasonal
+    # decomposition of the LOCF-gapfilled hourly tier (window + phase
+    # aggs per key), the single-pass per-column data profile of the
+    # 5.5M-turn transcripts table, and the one-step Holt backtest over
+    # the events series
+    from tits_spark.operators.gapfill import gapfill_locf
+    from tits_spark.operators.profile import data_profile
+    from tits_spark.operators.seasonal import classical_decompose
+    from tits_spark.operators.smoothing import holt_backtest, holt_by_key
+
+    inputs["q19_turns"] = n_turns
+    def _body_q19_decompose_profile():
+        filled = gapfill_locf(t1h, "1h", "v_last").select(
+            "key", "bucket_ts", F.col("v_last").alias("value")
+        )
+        classical_decompose(filled, "key", "bucket_ts", "value").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        data_profile(transcripts).write.format("noop").mode("overwrite").save()
+        sm = holt_by_key(events.withColumn("key", F.col("key").cast("string")))
+        holt_backtest(
+            sm, events.withColumn("key", F.col("key").cast("string"))
+        ).write.format("noop").mode("overwrite").save()
+
+    repeat("q19_decompose_profile", _body_q19_decompose_profile)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

@@ -428,3 +428,13 @@ def test_atr_rsi_no_global_window(ev):
     assert "EvalPython" not in p
     # tier agg exchange + per-key window exchange, nothing else
     assert p.count("Exchange (") == 2
+
+
+def test_holt_numbered_repartition(spark, ev):
+    """holt_by_key must not be AQE-coalesced onto one task (the
+    grouped-Arrow-UDF serialization trap, BENCH/PLANS.md)."""
+    from tits_spark.operators.smoothing import holt_by_key
+
+    df = ev.select(F.col("user_id").cast("string").alias("key"), "ts", "value")
+    sm = holt_by_key(df)
+    assert sm.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

