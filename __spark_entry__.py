@@ -1718,6 +1718,18 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation of per-user hourly activity totals
+    (bucket-aligned self-join; >= 8 shared buckets). Exactness: bucket
+    totals are exact integer cents, all moments exact DECIMAL/HUGEINT
+    integers, one identical float division+sqrt at the end — including
+    an EXACT zero-variance drop test (a float threshold would flip
+    inclusion between engines)."""
+    from tits_spark.operators.corr_matrix import corr_matrix
+
+    return corr_matrix(_events(spark, sf_dir), "key", "ts", "value", tier="1h")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1833,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile": q_data_profile,
         "forecast_eval": q_forecast_eval,
         "macd": q_macd,
+        "corr_matrix": q_corr_matrix,
     }
 
 
@@ -4092,6 +4105,34 @@ s AS (
 SELECT key, ts, value, round(macd, 6) AS macd, round(signal, 6) AS signal,
        round(macd - signal, 6) AS hist
 FROM s
+""",
+        # moments as exact HUGEINT integers over integer-cent bucket
+        # totals; one identical double division + sqrt at the end
+        "corr_matrix": """
+WITH cells AS (
+  SELECT user_id AS k, date_trunc('hour', ts) AS b,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.k AS key_a, bb.k AS key_b,
+         CAST(a.x AS HUGEINT) AS xa, CAST(bb.x AS HUGEINT) AS xb
+  FROM cells a JOIN cells bb ON a.b = bb.b AND a.k < bb.k
+),
+m AS (
+  SELECT key_a, key_b, count(*) AS n_buckets,
+         sum(xa) AS sa, sum(xb) AS sb, sum(xa * xb) AS sab,
+         sum(xa * xa) AS saa, sum(xb * xb) AS sbb
+  FROM p GROUP BY 1, 2
+)
+SELECT key_a, key_b, n_buckets,
+       round(CAST(n_buckets * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n_buckets * saa - sa * sa AS DOUBLE)
+                    * CAST(n_buckets * sbb - sb * sb AS DOUBLE)), 6) AS r
+FROM m
+WHERE n_buckets >= 8
+  AND n_buckets * saa - sa * sa > 0
+  AND n_buckets * sbb - sb * sb > 0
 """,
     }
 
