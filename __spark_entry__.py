@@ -1730,6 +1730,27 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(_events(spark, sf_dir), "key", "ts", "value", tier="1h")
 
 
+def q_resid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomalies: robust median/MAD z-scores on
+    the classical-decomposition residual — spikes the daily rhythm
+    can't explain. Identical residual doubles feed identical
+    percentile interpolation on both engines, so the z-scores and the
+    |z| > 3.5 inclusion test are deterministic."""
+    from tits_spark.operators.gapfill import gapfill_locf
+    from tits_spark.operators.rollup import rollup_from_raw
+    from tits_spark.operators.seasonal import (
+        classical_decompose,
+        deseasonalized_outliers,
+    )
+
+    t1h = rollup_from_raw(_events(spark, sf_dir), "key", "ts", "value", "1h")
+    filled = gapfill_locf(t1h, "1h", "v_last").select(
+        "key", "bucket_ts", F.col("v_last").alias("value")
+    )
+    dec = classical_decompose(filled, "key", "bucket_ts", "value", period=24)
+    return deseasonalized_outliers(dec, "key", z_thresh=3.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1846,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         "macd": q_macd,
         "corr_matrix": q_corr_matrix,
+        "resid_outliers": q_resid_outliers,
     }
 
 
@@ -2547,6 +2569,50 @@ WITH tok AS (
          list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
                      t -> t <> '') AS w
   FROM documents
+)
+"""
+
+
+#: shared decomposition CTE chain (through the seasonal-index table) —
+#: consumed by both the "decompose" and "resid_outliers" oracles
+_DECOMPOSE_CTE = _T1H_CTE + """
+, s AS (
+  SELECT key, bucket_ts,
+         last_value(v_last IGNORE NULLS) OVER
+           (PARTITION BY key ORDER BY bucket_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM j
+),
+tr AS (
+  SELECT key, bucket_ts, value, hour(bucket_ts) AS ph,
+         CASE WHEN count(value) OVER f = 25 THEN
+           round((sum(value) OVER f
+                  - 0.5 * lag(value, 12) OVER w
+                  - 0.5 * lead(value, 12) OVER w) / 24, 6)
+         END AS trend
+  FROM s
+  WINDOW w AS (PARTITION BY key ORDER BY bucket_ts),
+         f AS (PARTITION BY key ORDER BY bucket_ts
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+d AS (
+  SELECT *, value - trend AS dd,
+         CAST(round((value - trend) * 1000000, 0) AS BIGINT) AS du
+  FROM tr
+),
+p AS (
+  SELECT key, ph, sum(du) AS s_num, count(du) AS s_den
+  FROM d WHERE du IS NOT NULL GROUP BY 1, 2
+),
+ctr AS (
+  SELECT key, sum(du) AS g_num, count(du) AS g_den
+  FROM d WHERE du IS NOT NULL GROUP BY 1
+),
+seas AS (
+  SELECT p.key, p.ph,
+         (CAST(s_num AS DOUBLE) / s_den
+          - CAST(g_num AS DOUBLE) / g_den) / 1000000 AS seasonal
+  FROM p JOIN ctr USING (key)
 )
 """
 
@@ -4012,48 +4078,33 @@ FROM e
         # 6dp); seasonal via exact integer µ-unit sums — detrended
         # values live on the 1e-6 lattice, where round() diverges at
         # midpoints, so the seasonal step never rounds
-        "decompose": _T1H_CTE + """
-, s AS (
-  SELECT key, bucket_ts,
-         last_value(v_last IGNORE NULLS) OVER
-           (PARTITION BY key ORDER BY bucket_ts
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
-  FROM j
-),
-tr AS (
-  SELECT key, bucket_ts, value, hour(bucket_ts) AS ph,
-         CASE WHEN count(value) OVER f = 25 THEN
-           round((sum(value) OVER f
-                  - 0.5 * lag(value, 12) OVER w
-                  - 0.5 * lead(value, 12) OVER w) / 24, 6)
-         END AS trend
-  FROM s
-  WINDOW w AS (PARTITION BY key ORDER BY bucket_ts),
-         f AS (PARTITION BY key ORDER BY bucket_ts
-               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
-),
-d AS (
-  SELECT *, value - trend AS dd,
-         CAST(round((value - trend) * 1000000, 0) AS BIGINT) AS du
-  FROM tr
-),
-p AS (
-  SELECT key, ph, sum(du) AS s_num, count(du) AS s_den
-  FROM d WHERE du IS NOT NULL GROUP BY 1, 2
-),
-ctr AS (
-  SELECT key, sum(du) AS g_num, count(du) AS g_den
-  FROM d WHERE du IS NOT NULL GROUP BY 1
-),
-seas AS (
-  SELECT p.key, p.ph,
-         (CAST(s_num AS DOUBLE) / s_den
-          - CAST(g_num AS DOUBLE) / g_den) / 1000000 AS seasonal
-  FROM p JOIN ctr USING (key)
-)
+        "decompose": _DECOMPOSE_CTE + """
 SELECT d.key, d.bucket_ts, d.value, d.trend, seas.seasonal,
        d.dd - seas.seasonal AS resid
 FROM d LEFT JOIN seas ON d.key = seas.key AND d.ph = seas.ph
+""",
+        # robust deseasonalized anomalies: per-key median/MAD of the
+        # residual (quantile_cont == Spark percentile, identical
+        # doubles in -> identical out), z = (resid-med)/(1.4826*mad)
+        "resid_outliers": _DECOMPOSE_CTE + """
+, r0 AS (
+  SELECT d.key, d.bucket_ts, d.value, d.dd - seas.seasonal AS resid
+  FROM d JOIN seas ON d.key = seas.key AND d.ph = seas.ph
+  WHERE d.dd IS NOT NULL
+),
+r1 AS (
+  SELECT *, quantile_cont(resid, 0.5) OVER (PARTITION BY key) AS med
+  FROM r0
+),
+r2 AS (
+  SELECT *, quantile_cont(abs(resid - med), 0.5)
+              OVER (PARTITION BY key) AS mad
+  FROM r1
+)
+SELECT key, bucket_ts, value, resid,
+       round((resid - med) / (1.482602218505602 * mad), 6) AS rz
+FROM r2
+WHERE mad > 0 AND abs((resid - med) / (1.482602218505602 * mad)) > 3.5
 """,
         "crossings": """
 WITH s AS (

@@ -161,3 +161,41 @@ def test_classical_decompose_rejects_bad_period(spark, events):
                        "value")
     with _pytest.raises(ValueError, match="period"):
         classical_decompose(df, period=1)
+
+
+def test_deseasonalized_outliers_flag_planted_spike(spark):
+    """A clean daily pattern with two injected spikes: the outliers
+    must be exactly the spiked timestamps, and the seasonal swing
+    itself must NOT trip the detector."""
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.operators.seasonal import (
+        classical_decompose,
+        deseasonalized_outliers,
+    )
+
+    hours = 24 * 10
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(hours), unit="h")
+    rng = np.random.default_rng(12)
+    v = (
+        100.0
+        + 10.0 * np.sin(2 * np.pi * (np.arange(hours) % 24) / 24)
+        + rng.normal(0, 2.0, hours)
+    )
+    # the spike leaks spike/period into neighbouring trends and
+    # spike/n_days into its own phase's seasonal index; keep both
+    # leaks well under the 3.5-sigma threshold (noise sd 2) while the
+    # spike itself stays unmissable
+    spikes = [60, 170]
+    v[spikes] += 30.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": 1, "bucket_ts": ts, "value": v}),
+        "key long, bucket_ts timestamp, value double",
+    )
+    dec = classical_decompose(df, "key", "bucket_ts", "value", period=24)
+    out = deseasonalized_outliers(dec, "key", z_thresh=3.5).toPandas()
+    got_idx = sorted(
+        (pd.to_datetime(out["bucket_ts"]) - ts[0]).dt.total_seconds() // 3600
+    )
+    assert got_idx == spikes

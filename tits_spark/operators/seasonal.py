@@ -216,3 +216,39 @@ def classical_decompose(
         "seasonal",
         (F.col("_d") - F.col("seasonal")).alias("resid"),
     )
+
+
+def deseasonalized_outliers(
+    decomposed: DataFrame,
+    key: str = "key",
+    z_thresh: float = 3.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Robust anomalies on the decomposition residual: per-key
+    median/MAD z-score (z = (resid - med) / (1.4826 * mad)), emitting
+    rows with |z| > ``z_thresh``. Consumes classical_decompose output —
+    seasonality and trend are already removed, so a spike here is a
+    spike the daily rhythm can't explain.
+
+    Median/MAD via exact-interpolation percentile (== DuckDB
+    quantile_cont on identical inputs), so the z-scores and the
+    inclusion test are deterministic cross-engine; keys whose residual
+    MAD is 0 (half the residuals identical) emit nothing.
+    """
+    w = Window.partitionBy(key)
+    base = decomposed.filter(F.col("resid").isNotNull())
+    with_med = base.withColumn(
+        "_med", F.expr("percentile(resid, 0.5)").over(w)
+    )
+    with_mad = with_med.withColumn(
+        "_mad", F.expr("percentile(abs(resid - _med), 0.5)").over(w)
+    )
+    # 1/qnorm(0.75): the consistency constant making MAD estimate sigma
+    c = 1.482602218505602
+    z = (F.col("resid") - F.col("_med")) / (c * F.col("_mad"))
+    return (
+        with_mad.filter(F.col("_mad") > 0)
+        .withColumn("rz", F.round(z, decimals))
+        .filter(F.abs(z) > z_thresh)
+        .select(key, "bucket_ts", "value", "resid", "rz")
+    )
