@@ -1751,6 +1751,16 @@ def q_resid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deseasonalized_outliers(dec, "key", z_thresh=3.5)
 
 
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-key stats (p05/p95 clip): bounds, clip counts,
+    and the winsorized sum as an exact 1/2000-unit integer — a rounded
+    lattice MEAN would hit engine-divergent round() midpoints, the
+    scaled-integer SUM cannot."""
+    from tits_spark.operators.robust import winsorized_stats
+
+    return winsorized_stats(_events(spark, sf_dir), "key", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1868,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macd": q_macd,
         "corr_matrix": q_corr_matrix,
         "resid_outliers": q_resid_outliers,
+        "winsorized": q_winsorized,
     }
 
 
@@ -4184,6 +4195,36 @@ FROM m
 WHERE n_buckets >= 8
   AND n_buckets * saa - sa * sa > 0
   AND n_buckets * sbb - sb * sb > 0
+""",
+        # type-1 quantile clip bounds via explicit integer rank
+        # arithmetic (interpolated quantiles are engine-divergent at
+        # the last ulp — the sf0.1 soak caught it); winsorized sum as
+        # an exact scaled integer
+        "winsorized": """
+WITH r AS (
+  SELECT user_id AS key, value,
+         count(value) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY value) AS rk
+  FROM events
+),
+b AS (
+  SELECT *,
+         max(CASE WHEN rk = greatest(1, (n * 1 + 19) // 20)
+                  THEN value END) OVER (PARTITION BY key) AS lo,
+         max(CASE WHEN rk = greatest(1, (n * 19 + 19) // 20)
+                  THEN value END) OVER (PARTITION BY key) AS hi
+  FROM r
+)
+SELECT key, count(value) AS n,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       min(lo) AS lo, min(hi) AS hi,
+       CAST(round(sum(CASE WHEN value < lo THEN lo
+                           WHEN value > hi THEN hi
+                           ELSE value END) * 100, 0) AS BIGINT) AS wsum_s
+FROM b GROUP BY 1
 """,
     }
 

@@ -1,0 +1,52 @@
+"""Winsorized per-key stats vs numpy ground truth (type-1 bounds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tits_spark.operators.robust import winsorized_stats
+
+
+def _mk(spark, vals: dict[int, np.ndarray]):
+    rows = []
+    for k, v in vals.items():
+        rows.append(pd.DataFrame({"key": k, "value": np.round(v, 2)}))
+    return spark.createDataFrame(
+        pd.concat(rows, ignore_index=True), "key long, value double"
+    )
+
+
+def test_winsorized_matches_numpy(spark):
+    rng = np.random.default_rng(6)
+    vals = {
+        1: rng.normal(100, 10, 200),
+        2: np.concatenate([rng.normal(5, 1, 95), [1e6] * 5]),  # fat tail
+    }
+    df = _mk(spark, vals)
+    got = {r["key"]: r for r in winsorized_stats(df).collect()}
+    for k, v in vals.items():
+        v = np.round(v, 2)
+        s = np.sort(v)
+        n = len(v)
+        lo = s[max(1, -(-n // 20)) - 1]          # type-1 p05
+        hi = s[max(1, -(-(19 * n) // 20)) - 1]   # type-1 p95
+        assert got[k]["lo"] == lo and got[k]["hi"] == hi
+        assert got[k]["n"] == n
+        assert got[k]["n_clip_lo"] == int((v < lo).sum())
+        assert got[k]["n_clip_hi"] == int((v > hi).sum())
+        wsum = np.clip(v, lo, hi).sum()
+        assert got[k]["wsum_s"] == round(wsum * 100)
+    # the corrupt tail must not own the winsorized mean
+    m2 = got[2]["wsum_s"] / (100 * got[2]["n"])
+    assert m2 < 10
+
+
+def test_winsorized_tiny_and_invalid(spark):
+    import pytest
+
+    df = _mk(spark, {1: np.array([3.0])})
+    r = winsorized_stats(df).collect()[0]
+    assert r["lo"] == r["hi"] == 3.0 and r["n_clip_lo"] == 0
+    with pytest.raises(ValueError, match="lo_k"):
+        winsorized_stats(df, lo_k=0)
