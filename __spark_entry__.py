@@ -1761,6 +1761,16 @@ def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(_events(spark, sf_dir), "key", "value")
 
 
+def q_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood-type scale (dispersion) changepoint per user — the
+    variance sibling of pettitt. Squared-centered-midrank prefix sums
+    are exact integers; the standardized z is one identical float
+    expression over them, so even the UNROUNDED argmax matches."""
+    from tits_spark.operators.changepoint import mood_changepoint
+
+    return mood_changepoint(_events(spark, sf_dir), "key", "ts", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1879,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "resid_outliers": q_resid_outliers,
         "winsorized": q_winsorized,
+        "mood_cp": q_mood,
     }
 
 
@@ -4225,6 +4236,51 @@ SELECT key, count(value) AS n,
                            WHEN value > hi THEN hi
                            ELSE value END) * 100, 0) AS BIGINT) AS wsum_s
 FROM b GROUP BY 1
+""",
+        # Mood scale changepoint: squared-centered-midrank prefix sums
+        # (exact integers, tie-corrected empirically) standardized by
+        # exact hypergeometric moments — same float expression tree as
+        # the engine, so even the unrounded argmax matches
+        "mood_cp": """
+WITH s AS (
+  SELECT user_id AS key, ts, value,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY value)
+           + count(*) OVER (PARTITION BY user_id, value) - 1
+           - (count(*) OVER (PARTITION BY user_id) + 1) AS c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS i
+  FROM events
+),
+m AS (
+  SELECT key, ts, value, n, i, c * c AS m,
+         sum(c * c) OVER (PARTITION BY key ORDER BY ts, value
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS mt,
+         sum(c * c) OVER (PARTITION BY key) AS sm,
+         sum(c * c * c * c) OVER (PARTITION BY key) AS sm2
+  FROM s
+),
+zz AS (
+  SELECT key, ts, value, i, n, mt,
+         (mt - CAST(i AS DOUBLE) * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)))
+           / sqrt(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1)
+                  * (CAST(sm2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)))) AS z
+  FROM m
+  WHERE n >= 8 AND i < n AND n * sm2 - sm * sm > 0
+),
+c AS (
+  SELECT key, ts AS cp_ts, i AS cp_idx, n AS n_obs,
+         CAST(mt AS BIGINT) AS m_stat, z AS z_raw,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY abs(z) DESC, ts ASC, value ASC) AS pick
+  FROM zz
+)
+SELECT key, cp_ts, CAST(cp_idx AS INT) AS cp_idx,
+       CAST(n_obs AS BIGINT) AS n_obs, m_stat, round(z_raw, 6) AS z
+FROM c WHERE pick = 1
 """,
     }
 

@@ -268,3 +268,84 @@ def test_holt_backtest_matches_manual(spark):
     np.testing.assert_allclose(out["mae"], round(np.abs(err).mean(), 6), atol=2e-6)
     np.testing.assert_allclose(out["rmse"], round(np.sqrt((err**2).mean()), 6), atol=2e-6)
     np.testing.assert_allclose(out["bias"], round(err.mean(), 6), atol=2e-6)
+
+
+# --------------------------------------------------------------------- Mood
+
+def _mood_naive_np(v: np.ndarray) -> tuple[int, float]:
+    """Direct definition: midranks -> squared centered -> prefix z."""
+    n = len(v)
+    sorted_v = np.sort(v, kind="stable")
+    import collections
+    first = {}
+    cnt = collections.Counter(v.tolist())
+    sr = 1
+    for x in sorted_v:
+        if x not in first:
+            first[x] = sr
+        sr += 1
+    c = np.array([2 * first[x] + cnt[x] - 1 - (n + 1) for x in v], dtype=np.int64)
+    m = c * c
+    sm, sm2 = m.sum(), (m * m).sum()
+    mean_m = sm / n
+    popvar = sm2 / n - mean_m * mean_m
+    best = (-1.0, -1, 0.0)
+    for t in range(1, n):
+        vt = t * (n - t) / (n - 1) * popvar
+        z = (m[:t].sum() - t * mean_m) / np.sqrt(vt)
+        if abs(z) > best[0]:
+            best = (abs(z), t, z)
+    return best[1], best[2]
+
+
+def test_mood_recovers_planted_variance_shift(spark):
+    rng = np.random.default_rng(21)
+    v = np.concatenate([rng.normal(10, 0.5, 60), rng.normal(10, 4.0, 60)])
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(120), unit="m")
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": 1, "ts": ts, "value": v}),
+        "key long, ts timestamp, value double",
+    )
+    from tits_spark.operators.changepoint import mood_changepoint
+
+    got = mood_changepoint(df).toPandas().iloc[0]
+    assert abs(int(got["cp_idx"]) - 60) <= 3
+    assert got["z"] < 0  # prefix less dispersed -> variance increased
+
+
+def test_mood_fuzz_vs_naive(spark):
+    rng = np.random.default_rng(2028)
+    frames, truth = [], {}
+    base = pd.Timestamp("2026-01-01")
+    for k in range(25):
+        n = int(rng.integers(10, 60))
+        v = rng.normal(0, 1, n)
+        if k % 3 == 0:
+            v = np.round(v, 0)                    # heavy ties
+        if k % 2 == 0:
+            v[n // 2:] *= rng.uniform(2.0, 5.0)   # planted scale shift
+        ts = base + pd.to_timedelta(np.arange(n), unit="m")
+        frames.append(pd.DataFrame({"key": k, "ts": ts, "value": v}))
+        truth[k] = _mood_naive_np(v)
+    from tits_spark.operators.changepoint import mood_changepoint
+
+    df = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        "key long, ts timestamp, value double",
+    )
+    got = mood_changepoint(df).toPandas().set_index("key")
+    assert len(got) == 25
+    for k, (want_t, want_z) in truth.items():
+        assert int(got.loc[k, "cp_idx"]) == want_t, k
+        np.testing.assert_allclose(got.loc[k, "z"], want_z, atol=2e-6)
+
+
+def test_mood_constant_series_dropped(spark):
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(20), unit="m")
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": 1, "ts": ts, "value": 5.0}),
+        "key long, ts timestamp, value double",
+    )
+    from tits_spark.operators.changepoint import mood_changepoint
+
+    assert mood_changepoint(df).count() == 0

@@ -143,3 +143,93 @@ def pettitt_changepoint(
             (2 * F.exp(-6 * k * k / (n * n * n + n * n))).alias("p_approx"),
         )
     )
+
+
+def mood_changepoint(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    min_points: int = 8,
+) -> DataFrame:
+    """Mood-type SCALE (dispersion) changepoint per key — the variance
+    sibling of pettitt_changepoint's location test.
+
+    Mood's statistic for a split at t is the prefix sum of squared
+    centered ranks; scanning all t (the CPM convention, Ross et al.
+    JSS 2015) standardizes each prefix by its exact
+    sampling-without-replacement moments and takes argmax |z|. With
+    c_i = 2*r_i - (n+1) (midranks doubled, so ties stay integers) and
+    m_i = c_i^2:
+
+        M_t = sum_{i<=t} m_i            (cumulative, time order)
+        E_t = t * mean(m)               (mean over the key's m values)
+        V_t = t(n-t)/(n-1) * popvar(m)  (exact hypergeometric variance)
+        z_t = (M_t - E_t) / sqrt(V_t)
+
+    mean(m)/popvar(m) are computed EMPIRICALLY from exact integer sums
+    (not the no-ties closed form), so tie correction is automatic and
+    every input to the float z expression is an exact integer —
+    identical doubles in any engine, no quantization needed anywhere.
+    z < 0 at the changepoint means the prefix is LESS dispersed
+    (variance increased afterwards).
+
+    Returns (key, cp_ts, cp_idx, n_obs, m_stat, z): the split
+    maximizing |z_t| over t in [1, n-1] (ties broken by earliest
+    (ts, value)), the exact integer prefix statistic, and its signed
+    z-score. Plan: one hash-partition by key, window algebra only.
+    Integer-exactness bound: Σm² <= 16n^5 must fit int64, i.e. n per
+    key up to ~3,500 observations; chunk or downsample longer series
+    first (the DuckDB side is HUGEINT and unbounded).
+    """
+    w_k = Window.partitionBy(key)
+    w_val = Window.partitionBy(key).orderBy(value)
+    w_tie = Window.partitionBy(key, value)
+    w_ord = Window.partitionBy(key).orderBy(ts, value)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    n = F.count(F.lit(1)).over(w_k)
+    c = (
+        2 * F.rank().over(w_val)
+        + F.count(F.lit(1)).over(w_tie)
+        - F.lit(1)
+        - (n + F.lit(1))
+    )
+    prepped = (
+        df.withColumn("_n", n)
+        .withColumn("_m", c * c)
+        .withColumn("_i", F.row_number().over(w_ord))
+        .withColumn("_mt", F.sum("_m").over(w_cum))
+        .withColumn("_sm", F.sum("_m").over(w_k))
+        .withColumn("_sm2", F.sum(F.col("_m") * F.col("_m")).over(w_k))
+        .filter((F.col("_n") >= min_points) & (F.col("_i") < F.col("_n")))
+    )
+    nn = F.col("_n").cast("double")
+    t = F.col("_i").cast("double")
+    mean_m = F.col("_sm") / nn
+    popvar_m = F.col("_sm2") / nn - mean_m * mean_m
+    v_t = t * (nn - t) / (nn - 1) * popvar_m
+    z = (F.col("_mt") - t * mean_m) / F.sqrt(v_t)
+    # zero-dispersion keys (all midranks equal, e.g. constant series)
+    # have no scale changepoint; the drop test is EXACT integer
+    # arithmetic (n*Σm² - (Σm)² > 0), never a float threshold
+    scored = prepped.filter(
+        F.col("_n") * F.col("_sm2") - F.col("_sm") * F.col("_sm") > 0
+    ).withColumn("_z", z)
+    pick = F.row_number().over(
+        Window.partitionBy(key).orderBy(
+            F.abs(F.col("_z")).desc(), F.col(ts).asc(), F.col(value).asc()
+        )
+    )
+    return (
+        scored.withColumn("_pick", pick)
+        .filter(F.col("_pick") == 1)
+        .select(
+            F.col(key).alias("key"),
+            F.col(ts).alias("cp_ts"),
+            F.col("_i").alias("cp_idx"),
+            F.col("_n").alias("n_obs"),
+            F.col("_mt").cast("long").alias("m_stat"),
+            F.round("_z", 6).alias("z"),
+        )
+    )
