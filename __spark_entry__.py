@@ -1771,6 +1771,19 @@ def q_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mood_changepoint(_events(spark, sf_dir), "key", "ts", "value")
 
 
+def q_kl_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user KL divergence of the event-type mix from the corpus
+    mix — the behavioural-outlier score relative twin of type_entropy.
+    Ratios of exact integer counts feed one ln per category row;
+    round-6 absorbs the libm ulp."""
+    from tits_spark.operators.complexity import kl_vs_global
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kl_vs_global(
+        ev.select(F.col("user_id").alias("key"), "event_type"), "key", "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1890,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resid_outliers": q_resid_outliers,
         "winsorized": q_winsorized,
         "mood_cp": q_mood,
+        "kl_global": q_kl_global,
     }
 
 
@@ -4281,6 +4295,20 @@ c AS (
 SELECT key, cp_ts, CAST(cp_idx AS INT) AS cp_idx,
        CAST(n_obs AS BIGINT) AS n_obs, m_stat, round(z_raw, 6) AS z
 FROM c WHERE pick = 1
+""",
+        "kl_global": """
+WITH c AS (
+  SELECT user_id AS key, event_type, count(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT key, sum(cnt) AS n_obs FROM c GROUP BY 1),
+g AS (SELECT event_type, sum(cnt) AS gcnt FROM c GROUP BY 1),
+gt AS (SELECT sum(gcnt) AS gn FROM g)
+SELECT c.key, CAST(max(t.n_obs) AS BIGINT) AS n_obs,
+       round(sum((c.cnt / t.n_obs)
+                 * ln((c.cnt / t.n_obs) / (g.gcnt / gt.gn))), 6) AS kl
+FROM c JOIN t USING (key) JOIN g USING (event_type) CROSS JOIN gt
+GROUP BY 1
 """,
     }
 

@@ -77,3 +77,23 @@ def test_transition_counts(spark):
     assert out[("b", "a")] == (1, 0.5) and out[("b", "c")] == (1, 0.5)
     assert out[("c", "a")] == (1, 1.0)
     assert sum(n for n, _ in out.values()) == 6      # 5 + 1 transitions
+
+
+def test_kl_vs_global_matches_scipy_style(spark, events):
+    """KL per user vs corpus, recomputed directly in numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.complexity import kl_vs_global
+
+    ev = events.select(F.col("user_id").alias("key"), "event_type")
+    got = {r["key"]: r["kl"] for r in kl_vs_global(ev).collect()}
+    pdf = ev.toPandas()
+    g = pdf["event_type"].value_counts()
+    q = g / g.sum()
+    for k, grp in pdf.groupby("key"):
+        p = grp["event_type"].value_counts() / len(grp)
+        want = sum(pv * np.log(pv / q[cat]) for cat, pv in p.items())
+        np.testing.assert_allclose(got[k], round(want, 6), atol=2e-6)
+    # KL is non-negative
+    assert all(v >= 0 for v in got.values())

@@ -108,3 +108,42 @@ def distribution_entropy(
     return ent.select(
         key, "n_obs", "n_cats", F.round(h, decimals).alias("type_entropy")
     )
+
+
+def kl_vs_global(
+    df: DataFrame,
+    key: str = "key",
+    cat: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """KL divergence of each key's categorical mix from the corpus mix:
+    D(p_key || p_global) = sum_c p ln(p/q) — the "how unusual is this
+    entity's behaviour profile" score ([[distribution_entropy]]'s
+    relative twin). q > 0 wherever p > 0 by construction (the global
+    distribution aggregates the same counts), so the sum is always
+    finite. Plan: the per-(key,cat) count table is aggregated once and
+    reused for both distributions; the per-cat global table is tiny and
+    broadcasts.
+    """
+    counts = (
+        df.where(F.col(cat).isNotNull())
+        .groupBy(key, cat)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.groupBy(key).agg(F.sum("cnt").alias("n_obs"))
+    gcat = counts.groupBy(cat).agg(F.sum("cnt").alias("gcnt"))
+    gtot = F.broadcast(gcat.agg(F.sum("gcnt").alias("gn")))
+    joined = (
+        counts.join(tot, key)
+        .join(F.broadcast(gcat), cat)
+        .crossJoin(gtot)
+    )
+    p = F.col("cnt") / F.col("n_obs")
+    q = F.col("gcnt") / F.col("gn")
+    return (
+        joined.groupBy(key)
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.round(F.sum(p * F.log(p / q)), decimals).alias("kl"),
+        )
+    )
