@@ -1784,6 +1784,15 @@ def q_kl_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness Q over the kernel-weighted ACF (lags 1..3)
+    — the residual-diagnostics closer of the AR chain. ACF estimates
+    quantize to 6dp before entering Q on both sides."""
+    from tits_spark.operators.correlate import ljung_box
+
+    return ljung_box(_events(spark, sf_dir), "key", "ts", "value", nlags=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1904,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized": q_winsorized,
         "mood_cp": q_mood,
         "kl_global": q_kl_global,
+        "ljung_box": q_ljung_box,
     }
 
 
@@ -4308,6 +4318,27 @@ SELECT c.key, CAST(max(t.n_obs) AS BIGINT) AS n_obs,
        round(sum((c.cnt / t.n_obs)
                  * ln((c.cnt / t.n_obs) / (g.gcnt / gt.gn))), 6) AS kl
 FROM c JOIN t USING (key) JOIN g USING (event_type) CROSS JOIN gt
+GROUP BY 1
+""",
+        # Ljung-Box over the SAME quantized kernel ACF the acf_band
+        # oracle emits; n is the lane-truncated length the ACF uses
+        "ljung_box": _ACF_CORE + """
+, acfq AS (
+  SELECT key, CAST(lag AS INT) AS lag,
+         round(sum(y1 * y2 * exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h))
+               / sum(exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h)), 6) AS r
+  FROM contrib
+  WHERE abs(lag - d) < 5 * h
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT user_id AS key, count(*) - count(*) % 4 AS ntr
+  FROM events GROUP BY 1
+)
+SELECT a.key, max(nn.ntr) AS n_obs, count(a.lag) AS dof,
+       round(CAST(max(nn.ntr) * (max(nn.ntr) + 2) AS DOUBLE)
+             * sum(a.r * a.r / (nn.ntr - a.lag)), 6) AS q_stat
+FROM acfq a JOIN nn ON a.key = nn.key
 GROUP BY 1
 """,
     }

@@ -225,3 +225,38 @@ def test_forecast_ar_matches_manual_recursion(spark):
     mean_a = pdf[pdf["key"] == "a"]["value"].mean()
     dev = [abs(got[("a", s)] - mean_a) for s in range(1, 6)]
     assert all(dev[i] > dev[i + 1] for i in range(4))
+
+
+def test_ljung_box_white_vs_persistent(spark):
+    """White noise must score far below a strongly autocorrelated
+    series, and Q must be non-negative with dof = nlags."""
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.operators.correlate import ljung_box
+
+    rng = np.random.default_rng(17)
+    n = 400
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        np.arange(n) * 3600, unit="s"
+    )
+    white = rng.normal(0, 1, n)
+    ar = np.empty(n)
+    ar[0] = 0.0
+    for i in range(1, n):
+        ar[i] = 0.9 * ar[i - 1] + rng.normal(0, 1)
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"key": 1, "ts": ts, "value": white}),
+            pd.DataFrame({"key": 2, "ts": ts, "value": ar}),
+        ],
+        ignore_index=True,
+    )
+    df = spark.createDataFrame(pdf, "key long, ts timestamp, value double")
+    out = {r["key"]: r for r in ljung_box(df, nlags=3).collect()}
+    assert out[1]["dof"] == out[2]["dof"] == 3
+    assert out[1]["q_stat"] >= 0 and out[2]["q_stat"] >= 0
+    # kernel smoothing inflates the small-Q null slightly vs the
+    # textbook chi2, so assert separation rather than the 7.81 quantile
+    assert out[2]["q_stat"] > 10 * max(out[1]["q_stat"], 1.0)
+    assert out[1]["q_stat"] < 30 and out[2]["q_stat"] > 100

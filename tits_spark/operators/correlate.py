@@ -674,3 +674,45 @@ def forecast_ar(
         key, F.col("fc.step").alias("step"),
         F.round(F.col("fc.y"), 4).alias("yhat"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    nlags: int = 3,
+    tau: float = 3600.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Ljung-Box whiteness statistic over the kernel-weighted ACF:
+    Q = n(n+2) * sum_k rho_k^2 / (n-k) for k = 1..nlags, with n the
+    SIMD-truncated series length the ACF itself uses (ref:
+    /root/reference/src/sacf.c lane truncation). Completes the AR
+    diagnostics chain fit -> stationarity -> residual whiteness; Q ~
+    chi2(nlags) under "no autocorrelation" (compare to 7.81 at 5% for
+    3 lags — the chi2 quantile itself is left to the caller, being a
+    transcendental constant, not data).
+
+    The ACF estimates are quantized to ``decimals`` BEFORE entering Q
+    (both engines then combine identical doubles), matching the gated
+    acf_band projection.
+    """
+    acf = acf_bandjoin(df, key, ts, value, nlags=nlags, tau=tau)
+    acf_q = acf.select(key, "lag", F.round("acf", decimals).alias("_r"))
+    n_tr = df.groupBy(key).agg(
+        (F.count(value) - F.count(value) % 4).alias("_ntr")
+    )
+    j = acf_q.join(n_tr, key)
+    term = F.col("_r") * F.col("_r") / (F.col("_ntr") - F.col("lag"))
+    n = F.max("_ntr")
+    return (
+        j.groupBy(key)
+        .agg(
+            n.alias("n_obs"),
+            F.count("lag").alias("dof"),
+            F.round((n * (n + 2)).cast("double") * F.sum(term), decimals).alias(
+                "q_stat"
+            ),
+        )
+    )
