@@ -1793,6 +1793,31 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ljung_box(_events(spark, sf_dir), "key", "ts", "value", nlags=3)
 
 
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy per key: Shannon entropy of the normalized
+    (green, 6dp-quantized) Lomb-Scargle periodogram over nw=8
+    frequencies, divided by ln(nw) — ~1 means flat spectrum (noise,
+    unforecastable), ~0 means one dominant cycle. The catch22/tsfresh
+    forecastability primitive, composed over the gated periodogram."""
+    from tits_spark.operators.correlate import perio_declarative
+
+    import math
+
+    out = perio_declarative(_events(spark, sf_dir), "key", "ts", "value", nw=8)
+    p6 = out.select("key", F.round("power", 6).alias("p"))
+    frac = F.col("p") / F.col("_tot")
+    ln8 = F.lit(math.log(8.0))  # same literal embedded in the oracle SQL
+    return (
+        p6.withColumn("_tot", F.sum("p").over(Window.partitionBy("key")))
+        .filter(F.col("p") > 0)
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_freq"),
+            F.round(-F.sum(frac * F.log(frac)) / ln8, 6).alias("spec_entropy"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1914,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_cp": q_mood,
         "kl_global": q_kl_global,
         "ljung_box": q_ljung_box,
+        "spectral_entropy": q_spectral_entropy,
     }
 
 
@@ -4339,6 +4365,18 @@ SELECT a.key, max(nn.ntr) AS n_obs, count(a.lag) AS dof,
        round(CAST(max(nn.ntr) * (max(nn.ntr) + 2) AS DOUBLE)
              * sum(a.r * a.r / (nn.ntr - a.lag)), 6) AS q_stat
 FROM acfq a JOIN nn ON a.key = nn.key
+GROUP BY 1
+""",
+        # entropy of the normalized 6dp-quantized periodogram; ln(8)
+        # embedded as the identical repr() literal on both sides
+        "spectral_entropy": f"""
+WITH p AS ({_perio_sql(8)}),
+t AS (SELECT key, sum(power) AS tot FROM p GROUP BY 1)
+SELECT p.key, count(*) AS n_freq,
+       round(-sum((power / tot) * ln(power / tot))
+             / {__import__("math").log(8.0)!r}, 6) AS spec_entropy
+FROM p JOIN t USING (key)
+WHERE power > 0
 GROUP BY 1
 """,
     }

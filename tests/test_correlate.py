@@ -260,3 +260,48 @@ def test_ljung_box_white_vs_persistent(spark):
     # textbook chi2, so assert separation rather than the 7.81 quantile
     assert out[2]["q_stat"] > 10 * max(out[1]["q_stat"], 1.0)
     assert out[1]["q_stat"] < 30 and out[2]["q_stat"] > 100
+
+
+def test_spectral_entropy_flat_vs_cyclic(spark):
+    """A pure sinusoid concentrates spectral mass (entropy near 0 of
+    the ln-nw scale); white noise spreads it (entropy near 1)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(23)
+    n = 512
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(n) * 3600, unit="s")
+    # t is span-normalized in the periodogram, so put the cycle ON the
+    # integer frequency grid: 3 full cycles over the span
+    cyc = np.sin(2 * np.pi * 3 * np.arange(n) / (n - 1))
+    white = rng.normal(0, 1, n)
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"key": 1, "ts": ts, "value": cyc}),
+            pd.DataFrame({"key": 2, "ts": ts, "value": white}),
+        ],
+        ignore_index=True,
+    )
+    df = spark.createDataFrame(pdf, "key long, ts timestamp, value double")
+
+    from pyspark.sql import Window, functions as F
+    from tits_spark.operators.correlate import perio_declarative
+
+    out = perio_declarative(df, "key", "ts", "value", nw=8)
+    p6 = out.select("key", F.round("power", 6).alias("p"))
+    frac = F.col("p") / F.col("_tot")
+    import math
+    got = {
+        r["key"]: r["se"]
+        for r in (
+            p6.withColumn("_tot", F.sum("p").over(Window.partitionBy("key")))
+            .filter(F.col("p") > 0)
+            .groupBy("key")
+            .agg((-F.sum(frac * F.log(frac)) / math.log(8.0)).alias("se"))
+            .collect()
+        )
+    }
+    assert got[1] < 0.55 < got[2]
+    assert 0 <= got[1] and got[2] <= 1.0001
