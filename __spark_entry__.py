@@ -1818,6 +1818,51 @@ def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-style ARCH-effect screen: Ljung-Box whiteness of the
+    SQUARED series (the ACF z-normalizes internally, so squaring is
+    the only preprocessing) — large Q = volatility clustering. Squares
+    of copied doubles are identical cross-engine; everything else is
+    the gated ljung_box machinery."""
+    from tits_spark.operators.correlate import ljung_box
+
+    ev = _events(spark, sf_dir).withColumn("v2", F.col("value") * F.col("value"))
+    return ljung_box(ev, "key", "ts", "v2", nlags=3)
+
+
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point count and rate per key: local extrema detected by
+    a strict sign flip of consecutive first differences (flat steps
+    break a run, matching the classic Kendall turning-point test's
+    strict inequality). Exact integer counts; the rate divides two
+    exact integers identically."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    d_prev = F.col("value") - F.lag("value").over(w)
+    d_next = F.lead("value").over(w) - F.col("value")
+    tp = (
+        ev.select("key", "ts", "value")
+        .withColumn("_dp", d_prev)
+        .withColumn("_dn", d_next)
+        .withColumn(
+            "_is_tp",
+            (F.col("_dp") * F.col("_dn") < 0).cast("long"),
+        )
+    )
+    return (
+        tp.groupBy("key")
+        .agg(
+            F.count("value").alias("n_obs"),
+            F.sum("_is_tp").alias("n_tp"),
+        )
+        .filter(F.col("n_obs") >= 3)
+        .withColumn(
+            "tp_rate",
+            F.col("n_tp").cast("double") / (F.col("n_obs") - 2),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1940,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_global": q_kl_global,
         "ljung_box": q_ljung_box,
         "spectral_entropy": q_spectral_entropy,
+        "arch_test": q_arch_test,
+        "turning_points": q_turning_points,
     }
 
 
@@ -2644,6 +2691,28 @@ WITH tok AS (
 )
 """
 
+
+#: Ljung-Box tail shared by the whiteness test and the ARCH screen
+#: (appended to _ACF_CORE or its squared-value variant)
+_LJUNG_SUFFIX = """
+, acfq AS (
+  SELECT key, CAST(lag AS INT) AS lag,
+         round(sum(y1 * y2 * exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h))
+               / sum(exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h)), 6) AS r
+  FROM contrib
+  WHERE abs(lag - d) < 5 * h
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT user_id AS key, count(*) - count(*) % 4 AS ntr
+  FROM events GROUP BY 1
+)
+SELECT a.key, max(nn.ntr) AS n_obs, count(a.lag) AS dof,
+       round(CAST(max(nn.ntr) * (max(nn.ntr) + 2) AS DOUBLE)
+             * sum(a.r * a.r / (nn.ntr - a.lag)), 6) AS q_stat
+FROM acfq a JOIN nn ON a.key = nn.key
+GROUP BY 1
+"""
 
 #: shared decomposition CTE chain (through the seasonal-index table) —
 #: consumed by both the "decompose" and "resid_outliers" oracles
@@ -4348,24 +4417,23 @@ GROUP BY 1
 """,
         # Ljung-Box over the SAME quantized kernel ACF the acf_band
         # oracle emits; n is the lane-truncated length the ACF uses
-        "ljung_box": _ACF_CORE + """
-, acfq AS (
-  SELECT key, CAST(lag AS INT) AS lag,
-         round(sum(y1 * y2 * exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h))
-               / sum(exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h)), 6) AS r
-  FROM contrib
-  WHERE abs(lag - d) < 5 * h
-  GROUP BY 1, 2
-),
-nn AS (
-  SELECT user_id AS key, count(*) - count(*) % 4 AS ntr
-  FROM events GROUP BY 1
+        "ljung_box": _ACF_CORE + _LJUNG_SUFFIX,
+        # ARCH screen: identical machinery over the squared series
+        "arch_test": _ACF_CORE.replace("value AS v", "value * value AS v")
+        + _LJUNG_SUFFIX,
+        "turning_points": """
+WITH s AS (
+  SELECT user_id AS key, value,
+         value - lag(value) OVER w AS dp,
+         lead(value) OVER w - value AS dn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 )
-SELECT a.key, max(nn.ntr) AS n_obs, count(a.lag) AS dof,
-       round(CAST(max(nn.ntr) * (max(nn.ntr) + 2) AS DOUBLE)
-             * sum(a.r * a.r / (nn.ntr - a.lag)), 6) AS q_stat
-FROM acfq a JOIN nn ON a.key = nn.key
-GROUP BY 1
+SELECT key, count(value) AS n_obs,
+       CAST(sum(CASE WHEN dp * dn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       CAST(sum(CASE WHEN dp * dn < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / (count(value) - 2) AS tp_rate
+FROM s GROUP BY 1
+HAVING count(value) >= 3
 """,
         # entropy of the normalized 6dp-quantized periodogram; ln(8)
         # embedded as the identical repr() literal on both sides

@@ -305,3 +305,57 @@ def test_spectral_entropy_flat_vs_cyclic(spark):
     }
     assert got[1] < 0.55 < got[2]
     assert 0 <= got[1] and got[2] <= 1.0001
+
+
+def test_arch_effect_detected_on_garch_like_series(spark):
+    """Volatility clustering (regime-switching variance) must score a
+    much larger squared-series Q than homoskedastic noise."""
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.operators.correlate import ljung_box
+
+    rng = np.random.default_rng(31)
+    n = 400
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(n) * 3600, unit="s")
+    homo = rng.normal(0, 1, n)
+    sigma = np.where((np.arange(n) // 50) % 2 == 0, 0.3, 3.0)  # clustered vol
+    hetero = rng.normal(0, 1, n) * sigma
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"key": 1, "ts": ts, "value": homo}),
+            pd.DataFrame({"key": 2, "ts": ts, "value": hetero}),
+        ],
+        ignore_index=True,
+    )
+    df = spark.createDataFrame(
+        pdf, "key long, ts timestamp, value double"
+    ).withColumn("v2", __import__("pyspark.sql.functions", fromlist=["col"]).col("value") ** 2)
+    out = {r["key"]: r["q_stat"] for r in ljung_box(df, value="v2", nlags=3).collect()}
+    assert out[2] > 10 * max(out[1], 1.0)
+
+
+def test_turning_points_exact_small(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import __spark_entry__  # noqa: F401  (query uses the same algebra)
+
+    rows = [
+        (1, "00:00", 1.0), (1, "00:01", 3.0), (1, "00:02", 2.0),  # peak at 3
+        (1, "00:03", 4.0),                                         # valley at 2
+        (1, "00:04", 4.0),                                         # flat: no tp
+        (1, "00:05", 1.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["key", "hm", "value"])
+    pdf["ts"] = pd.to_datetime("2026-01-01 " + pdf["hm"])
+    df = spark.createDataFrame(pdf[["key", "ts", "value"]])
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("key").orderBy("ts")
+    dp = F.col("value") - F.lag("value").over(w)
+    dn = F.lead("value").over(w) - F.col("value")
+    n_tp = (
+        df.withColumn("_t", (dp * dn < 0).cast("long"))
+        .agg(F.sum("_t"))
+        .first()[0]
+    )
+    assert n_tp == 2  # peak at 3.0 and valley at 2.0; flat 4,4 breaks runs
