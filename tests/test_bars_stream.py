@@ -74,3 +74,29 @@ def test_stream_bars_across_restarts(spark, events, tmp_path):
     want = _closed_batch(ev)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_bars_three_phase_restart(spark, events, tmp_path):
+    """Three incremental arrivals split at uneven quantiles: the ring
+    buffers and open-bar partials must survive two restarts."""
+    from tits_spark.streaming.bars_stream import stream_bars_atr_rsi
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("3src", "3out", "3ckpt"))
+    ev = _ev(events)
+    q1, q2 = (
+        ev.agg(
+            F.expr("percentile(CAST(ts AS DOUBLE), 0.3)"),
+            F.expr("percentile(CAST(ts AS DOUBLE), 0.8)"),
+        ).first()
+    )
+    t = F.col("ts").cast("double")
+    parts = [ev.filter(t <= q1), ev.filter((t > q1) & (t <= q2)), ev.filter(t > q2)]
+    for i, p in enumerate(parts):
+        p.write.mode("overwrite" if i == 0 else "append").parquet(src)
+        stream_bars_atr_rsi(
+            spark, src, SCHEMA, out, ckpt, bucket_secs=3600
+        ).awaitTermination(300)
+    got = _stream_out(spark, out)
+    want = _closed_batch(ev)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -258,6 +258,33 @@ def main() -> None:
         E.q_decompose(spark, SF),
     )
 
+    add(
+        "mood_cp (Mood scale changepoint)",
+        "Like pettitt: all windows cluster on the series key -> ONE "
+        "exchange; squared-centered-midrank arithmetic stays integer "
+        "until the final standardization expression.",
+        E.q_mood(spark, SF),
+    )
+    add(
+        "corr_matrix (all-pairs bucket-aligned Pearson)",
+        "Self EQUI-join on the time bucket (per-bucket key count "
+        "squared, never total keys squared); DECIMAL moment sums; no "
+        "cartesian product anywhere.",
+        E.q_corr_matrix(spark, SF),
+    )
+    add(
+        "winsorized (type-1 clip bounds)",
+        "One window chain (count + rank + picked order statistics) "
+        "plus one hash agg, all clustered on the key.",
+        E.q_winsorized(spark, SF),
+    )
+    add(
+        "ljung_box / arch_test (ACF whiteness family)",
+        "Extends the band-join ACF plan with one more keyed aggregate; "
+        "no new shuffle shape.",
+        E.q_ljung_box(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
