@@ -1863,6 +1863,46 @@ def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Benford expected first-digit probabilities, embedded as identical
+#: repr() literals in both the Spark expression and the oracle SQL
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance per user (the
+    fabricated-data screen): chi-square of the observed digit counts
+    vs log10(1+1/d). The digit comes from the value's STRING rendering
+    (first char 1-9) — no log10 on data, whose ulp at exact powers of
+    ten is engine-dependent; data_profile already proved the two
+    engines render doubles identically. Zero-count digits still
+    contribute n*p to the statistic (full 9-digit spine per key)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    digits = ev.filter(F.col("value") > 0).select(
+        F.col("user_id").alias("key"),
+        F.regexp_extract(F.col("value").cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("d"),
+    )
+    counts = digits.groupBy("key", "d").agg(F.count(F.lit(1)).alias("obs"))
+    tot = counts.groupBy("key").agg(F.sum("obs").alias("n_obs"))
+    spine = tot.select(
+        "key", "n_obs", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d")
+    )
+    full = spine.join(counts, ["key", "d"], "left").fillna({"obs": 0})
+    p = F.element_at(
+        F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]), F.col("d")
+    )
+    exp = F.col("n_obs") * p
+    term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return (
+        full.groupBy("key")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.round(F.sum(term), 6).alias("chi2"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1987,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_entropy": q_spectral_entropy,
         "arch_test": q_arch_test,
         "turning_points": q_turning_points,
+        "benford": q_benford,
     }
 
 
@@ -4434,6 +4475,29 @@ SELECT key, count(value) AS n_obs,
          / (count(value) - 2) AS tp_rate
 FROM s GROUP BY 1
 HAVING count(value) >= 3
+""",
+        # first digit from the identical string rendering (no log10 on
+        # data); expected probs embedded as the same repr() literals
+        "benford": """
+WITH digits AS (
+  SELECT user_id AS key,
+         CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS INT) AS d
+  FROM events WHERE value > 0
+),
+counts AS (SELECT key, d, count(*) AS obs FROM digits GROUP BY 1, 2),
+tot AS (SELECT key, sum(obs) AS n_obs FROM counts GROUP BY 1),
+spine AS (SELECT key, n_obs, unnest(range(1, 10)) AS d FROM tot),
+f AS (
+  SELECT s.key, s.n_obs, s.d, coalesce(c.obs, 0) AS obs,
+         CASE s.d """ + " ".join(
+            f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+        ) + """ END AS p
+  FROM spine s LEFT JOIN counts c ON s.key = c.key AND s.d = c.d
+)
+SELECT key, CAST(max(n_obs) AS BIGINT) AS n_obs,
+       round(sum((obs - n_obs * p) * (obs - n_obs * p) / (n_obs * p)), 6)
+         AS chi2
+FROM f GROUP BY 1
 """,
         # entropy of the normalized 6dp-quantized periodogram; ln(8)
         # embedded as the identical repr() literal on both sides

@@ -50,3 +50,37 @@ def test_winsorized_tiny_and_invalid(spark):
     assert r["lo"] == r["hi"] == 3.0 and r["n_clip_lo"] == 0
     with pytest.raises(ValueError, match="lo_k"):
         winsorized_stats(df, lo_k=0)
+
+
+def test_benford_separates_conforming_from_uniform(spark):
+    """Values sampled log-uniformly over 4 decades conform to Benford
+    (small chi2); uniform [1,10) values concentrate low digits' mass
+    on 1-9 equally and blow the statistic up."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    conforming = np.round(10 ** rng.uniform(0, 4, n), 2)
+    conforming = conforming[conforming > 0]
+    uniform = np.round(rng.uniform(1, 10, n), 2)
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"user_id": 1, "value": conforming}),
+            pd.DataFrame({"user_id": 2, "value": uniform}),
+        ],
+        ignore_index=True,
+    )
+    pdf["event_id"] = np.arange(len(pdf))
+    pdf["ts"] = pd.Timestamp("2026-01-01")
+    pdf["event_type"] = "x"
+    pdf["props"] = ""
+    import tempfile
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["key"]: r["chi2"] for r in E.q_benford(spark, d).collect()}
+    # chi2(8) 1% critical value is ~20.1
+    assert out[1] < 30
+    assert out[2] > 20 * out[1]
