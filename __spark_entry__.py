@@ -1903,6 +1903,31 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPP3 seasonal-strength summary F_s = max(0, 1 - var(resid) /
+    var(seasonal + resid)) per key over the classical decomposition —
+    1 means the daily rhythm explains everything, 0 means none of it.
+    resid and detrended are identical doubles cross-engine (decompose
+    is gated), so the variance ratio only needs 6dp rounding."""
+    from tits_spark.operators.gapfill import gapfill_locf
+    from tits_spark.operators.rollup import rollup_from_raw
+    from tits_spark.operators.seasonal import classical_decompose
+
+    t1h = rollup_from_raw(_events(spark, sf_dir), "key", "ts", "value", "1h")
+    filled = gapfill_locf(t1h, "1h", "v_last").select(
+        "key", "bucket_ts", F.col("v_last").alias("value")
+    )
+    dec = classical_decompose(filled, "key", "bucket_ts", "value", period=24)
+    base = dec.filter(F.col("resid").isNotNull()).select(
+        "key", "resid", (F.col("seasonal") + F.col("resid")).alias("detr")
+    )
+    vr, vd = F.var_samp("resid"), F.var_samp("detr")
+    return base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.greatest(F.lit(0.0), 1 - vr / vd), 6).alias("f_seasonal"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2028,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arch_test": q_arch_test,
         "turning_points": q_turning_points,
         "benford": q_benford,
+        "seasonal_strength": q_seasonal_strength,
     }
 
 
@@ -4455,6 +4481,19 @@ SELECT c.key, CAST(max(t.n_obs) AS BIGINT) AS n_obs,
                  * ln((c.cnt / t.n_obs) / (g.gcnt / gt.gn))), 6) AS kl
 FROM c JOIN t USING (key) JOIN g USING (event_type) CROSS JOIN gt
 GROUP BY 1
+""",
+        # var_samp over the SAME resid/detrended doubles the decompose
+        # oracle produces — only the ratio needs rounding
+        "seasonal_strength": _DECOMPOSE_CTE + """
+, r0 AS (
+  SELECT d.key, d.dd - seas.seasonal AS resid, d.dd AS detr
+  FROM d JOIN seas ON d.key = seas.key AND d.ph = seas.ph
+  WHERE d.dd IS NOT NULL
+)
+SELECT key, count(*) AS n_obs,
+       round(greatest(0.0, 1 - var_samp(resid) / var_samp(detr)), 6)
+         AS f_seasonal
+FROM r0 GROUP BY 1
 """,
         # Ljung-Box over the SAME quantized kernel ACF the acf_band
         # oracle emits; n is the lane-truncated length the ACF uses

@@ -199,3 +199,32 @@ def test_deseasonalized_outliers_flag_planted_spike(spark):
         (pd.to_datetime(out["bucket_ts"]) - ts[0]).dt.total_seconds() // 3600
     )
     assert got_idx == spikes
+
+
+def test_seasonal_strength_high_for_sinusoid_low_for_noise(spark):
+    import numpy as np
+    import pandas as pd
+    import tempfile
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(51)
+    hours = 24 * 14
+    ts0 = pd.Timestamp("2026-01-01")
+    rows = []
+    for uid, series in (
+        (1, 100 + 20 * np.sin(2 * np.pi * (np.arange(hours) % 24) / 24)
+            + rng.normal(0, 0.5, hours)),       # strongly daily
+        (2, 100 + rng.normal(0, 5.0, hours)),   # pure noise
+    ):
+        for i, v in enumerate(series):
+            rows.append((uid, i, ts0 + pd.Timedelta(hours=i), round(float(v), 2)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    pdf["event_type"] = "x"
+    pdf["props"] = ""
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["key"]: r["f_seasonal"] for r in E.q_seasonal_strength(spark, d).collect()}
+    assert out[1] > 0.95
+    assert out[2] < 0.3
