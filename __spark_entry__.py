@@ -1928,6 +1928,46 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing diagnostics per key from the (green, 6dp-quantized)
+    kernel ACF: the lag-1..3-truncated autocorrelation-time factor
+    1 + 2*sum(rho_k), the effective sample size n/factor (the MCMC-ESS
+    convention at fixed truncation), and the mean-reversion half-life
+    -ln2/ln(rho_1) where 0 < rho_1 < 1 (NULL otherwise). Identical
+    quantized rho feed identical expressions on both engines."""
+    from tits_spark.operators.correlate import acf_bandjoin
+
+    ev = _events(spark, sf_dir)
+    acf = acf_bandjoin(ev, "key", "ts", "value", nlags=3, tau=3600.0)
+    acf_q = acf.select("key", "lag", F.round("acf", 6).alias("_r"))
+    n_tr = ev.groupBy("key").agg(
+        (F.count("value") - F.count("value") % 4).alias("_ntr")
+    )
+    r1 = F.max(F.when(F.col("lag") == 1, F.col("_r")))
+    factor = 1 + 2 * F.sum("_r")
+    agg = acf_q.groupBy("key").agg(
+        F.round(factor, 6).alias("act_factor"),
+        r1.alias("_r1"),
+    )
+    hl = F.when(
+        (F.col("_r1") > 0) & (F.col("_r1") < 1),
+        F.round(-F.log(F.lit(2.0)) / F.log(F.col("_r1")), 6),
+    )
+    return (
+        agg.join(n_tr, "key")
+        .select(
+            "key",
+            F.col("_ntr").alias("n_obs"),
+            "act_factor",
+            F.when(
+                F.col("act_factor") > 0,
+                F.round(F.col("_ntr") / F.col("act_factor"), 6),
+            ).alias("ess"),
+            hl.alias("half_life_lags"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2054,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turning_points": q_turning_points,
         "benford": q_benford,
         "seasonal_strength": q_seasonal_strength,
+        "mixing_stats": q_mixing_stats,
     }
 
 
@@ -4501,6 +4542,34 @@ FROM r0 GROUP BY 1
         # ARCH screen: identical machinery over the squared series
         "arch_test": _ACF_CORE.replace("value AS v", "value * value AS v")
         + _LJUNG_SUFFIX,
+        # autocorrelation-time factor / ESS / mean-reversion half-life
+        # from the same quantized ACF (sums of 6dp-lattice rho land on
+        # the lattice, so round() is an identity with no midpoints)
+        "mixing_stats": _ACF_CORE + """
+, acfq AS (
+  SELECT key, CAST(lag AS INT) AS lag,
+         round(sum(y1 * y2 * exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h))
+               / sum(exp(-((lag - d) * (lag - d)) / (2 * h * h)) / sqrt(2 * pi() * h)), 6) AS r
+  FROM contrib
+  WHERE abs(lag - d) < 5 * h
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT user_id AS key, count(*) - count(*) % 4 AS ntr
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT key, round(1 + 2 * sum(r), 6) AS act_factor,
+         max(CASE WHEN lag = 1 THEN r END) AS r1
+  FROM acfq GROUP BY 1
+)
+SELECT a.key, CAST(nn.ntr AS BIGINT) AS n_obs, a.act_factor,
+       CASE WHEN act_factor > 0
+            THEN round(nn.ntr / act_factor, 6) END AS ess,
+       CASE WHEN r1 > 0 AND r1 < 1
+            THEN round(-ln(2.0) / ln(r1), 6) END AS half_life_lags
+FROM agg a JOIN nn ON a.key = nn.key
+""",
         "turning_points": """
 WITH s AS (
   SELECT user_id AS key, value,

@@ -359,3 +359,39 @@ def test_turning_points_exact_small(spark):
         .first()[0]
     )
     assert n_tp == 2  # peak at 3.0 and valley at 2.0; flat 4,4 breaks runs
+
+
+def test_mixing_stats_persistent_vs_white(spark):
+    """The AR(0.9) series must show a larger autocorrelation-time
+    factor (smaller ESS) than white noise, and a finite positive
+    half-life; both ESS values stay positive."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(61)
+    n = 400
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(n) * 3600, unit="s")
+    white = rng.normal(0, 1, n)
+    ar = np.empty(n)
+    ar[0] = 0.0
+    for i in range(1, n):
+        ar[i] = 0.9 * ar[i - 1] + rng.normal(0, 1)
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"user_id": 1, "ts": ts, "value": white}),
+            pd.DataFrame({"user_id": 2, "ts": ts, "value": ar}),
+        ],
+        ignore_index=True,
+    )
+    pdf["event_id"] = np.arange(len(pdf))
+    pdf["event_type"] = "x"
+    pdf["props"] = ""
+    import tempfile
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["key"]: r for r in E.q_mixing_stats(spark, d).collect()}
+    assert out[2]["act_factor"] > 2 * out[1]["act_factor"]
+    assert out[2]["ess"] < out[1]["ess"]
+    assert out[2]["half_life_lags"] is not None and out[2]["half_life_lags"] > 1
