@@ -1968,6 +1968,32 @@ def q_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality of each user's value distribution via the
+    rank formula G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n over
+    ascending-sorted values — ties contribute identically under any
+    tie order, so the rank sum is well-defined. Values carried as
+    exact integer cents: both moment sums are exact integers and the
+    two divisions are identical IEEE ops (round-6 only on the final
+    G)."""
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    xc = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("key").orderBy("value", "ts")
+    ranked = ev.select(
+        "key", xc.alias("_xc"), F.row_number().over(w).alias("_i")
+    )
+    n = F.count(F.lit(1))
+    num = F.sum(F.col("_i").cast("decimal(38,0)") * F.col("_xc"))
+    den = F.sum(F.col("_xc").cast("decimal(38,0)"))
+    g = (
+        2 * num.cast("double") / (n * den).cast("double")
+        - (n + 1).cast("double") / n
+    )
+    return ranked.groupBy("key").agg(
+        n.alias("n_obs"), F.round(g, 6).alias("gini")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2095,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "seasonal_strength": q_seasonal_strength,
         "mixing_stats": q_mixing_stats,
+        "gini": q_gini,
     }
 
 
@@ -4569,6 +4596,21 @@ SELECT a.key, CAST(nn.ntr AS BIGINT) AS n_obs, a.act_factor,
        CASE WHEN r1 > 0 AND r1 < 1
             THEN round(-ln(2.0) / ln(r1), 6) END AS half_life_lags
 FROM agg a JOIN nn ON a.key = nn.key
+""",
+        # Gini via the rank formula over exact integer cents (both
+        # moment sums exact, two identical divisions, round only at G)
+        "gini": """
+WITH r AS (
+  SELECT user_id AS key,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc,
+         row_number() OVER (PARTITION BY user_id ORDER BY value, ts) AS i
+  FROM events WHERE value > 0
+)
+SELECT key, count(*) AS n_obs,
+       round(2 * CAST(sum(CAST(i AS HUGEINT) * xc) AS DOUBLE)
+               / CAST(count(*) * sum(CAST(xc AS HUGEINT)) AS DOUBLE)
+             - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+FROM r GROUP BY 1
 """,
         "turning_points": """
 WITH s AS (

@@ -84,3 +84,43 @@ def test_benford_separates_conforming_from_uniform(spark):
     # chi2(8) 1% critical value is ~20.1
     assert out[1] < 30
     assert out[2] > 20 * out[1]
+
+
+def test_gini_known_values(spark):
+    """Equal values -> G ~ 0; one holder of everything -> G -> 1-1/n;
+    cross-checked against the direct O(n^2) mean-absolute-difference
+    definition on random data."""
+    import numpy as np
+    import pandas as pd
+    import tempfile
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(71)
+    equal = np.full(50, 7.0)
+    concentrated = np.concatenate([np.full(49, 0.01), [10000.0]])
+    random_v = np.round(rng.lognormal(3, 1, 200), 2)
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"user_id": 1, "value": equal}),
+            pd.DataFrame({"user_id": 2, "value": concentrated}),
+            pd.DataFrame({"user_id": 3, "value": random_v}),
+        ],
+        ignore_index=True,
+    )
+    pdf["event_id"] = np.arange(len(pdf))
+    pdf["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        np.arange(len(pdf)), unit="m"
+    )
+    pdf["event_type"] = "x"
+    pdf["props"] = ""
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["key"]: r["gini"] for r in E.q_gini(spark, d).collect()}
+    assert abs(out[1]) < 1e-9
+    assert out[2] > 0.95
+    # direct definition: G = mean|xi-xj| / (2*mean)
+    cents = np.round(random_v * 100)
+    mad = np.abs(cents[:, None] - cents[None, :]).mean()
+    want = mad / (2 * cents.mean())
+    np.testing.assert_allclose(out[3], want, atol=1e-5)
