@@ -1994,6 +1994,51 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket crest factor (peak-to-mean ratio, the capacity-
+    planning burst measure) straight off the 1h tier: v_max * n_obs /
+    v_sum — computed from the SAME 4dp-quantized v_sum the rollup
+    queries gate, so the division is identical cross-engine."""
+    from tits_spark.operators.rollup import rollup_from_raw
+
+    t = rollup_from_raw(_events(spark, sf_dir), "key", "ts", "value", "1h")
+    vs = F.round("v_sum", 4)
+    # a bucket of all-zero values has no mean to crest against (sf0.1
+    # carries a few exact-0.0 prints) — exact comparison, NULL out
+    crest = F.when(vs != 0, F.round(F.col("v_max") * F.col("n_obs") / vs, 6))
+    return t.select("key", "bucket_ts", "n_obs", crest.alias("crest"))
+
+
+def q_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive run of at-or-above-level observations per
+    key (level 100; gaps-and-islands over the time order) plus the
+    number of such runs — exact integer outputs."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    above = (F.col("value") >= 100.0).cast("int")
+    chg = F.when(
+        F.lag("value").over(w).isNull()
+        | ((F.lag("value").over(w) >= 100.0).cast("int") != above),
+        1,
+    ).otherwise(0)
+    isl = (
+        ev.select("key", "ts", "value")
+        .withColumn("_a", above)
+        .withColumn("_i", F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    runs = (
+        isl.filter(F.col("_a") == 1)
+        .groupBy("key", "_i")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("key").agg(
+        F.max("run_len").alias("longest_run"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2122,6 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_strength": q_seasonal_strength,
         "mixing_stats": q_mixing_stats,
         "gini": q_gini,
+        "crest": q_crest,
+        "streak": q_streak,
     }
 
 
@@ -4260,6 +4307,36 @@ SELECT key, bucket_ts, v_total, n_obs,
 FROM r
 """,
         "rollup_1mo": _ROLLUP_SQL.format(unit="month"),
+        "crest": f"""
+WITH t AS ({_ROLLUP_SQL.format(unit="hour")})
+SELECT key, bucket_ts, n_obs,
+       CASE WHEN v_sum != 0
+            THEN round(v_max * n_obs / v_sum, 6) END AS crest
+FROM t
+""",
+        "streak": """
+WITH s AS (
+  SELECT user_id AS key, ts, value,
+         CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN lag(value) OVER w IS NULL
+                OR (CASE WHEN lag(value) OVER w >= 100.0 THEN 1 ELSE 0 END)
+                   != (CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+isl AS (
+  SELECT key, a,
+         sum(chg) OVER (PARTITION BY key ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS i
+  FROM s
+),
+runs AS (
+  SELECT key, i, count(*) AS run_len FROM isl WHERE a = 1 GROUP BY 1, 2
+)
+SELECT key, max(run_len) AS longest_run, count(*) AS n_runs
+FROM runs GROUP BY 1
+""",
         # hourly OHLC bars -> true range / SMA-ATR / Cutler RSI; the
         # windowed averages quantize to 6 dp before the RSI ratio on
         # both sides, so the comparison boundary ag+al > 0 is exact

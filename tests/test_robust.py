@@ -124,3 +124,26 @@ def test_gini_known_values(spark):
     mad = np.abs(cents[:, None] - cents[None, :]).mean()
     want = mad / (2 * cents.mean())
     np.testing.assert_allclose(out[3], want, atol=1e-5)
+
+
+def test_streak_small_exact(spark):
+    import pandas as pd
+    import tempfile
+
+    import __spark_entry__ as E
+
+    # key 1: above-level runs of lengths 2, 1; key 2: one run of 3
+    vals = {1: [150, 150, 50, 150, 50], 2: [100, 100, 100]}
+    rows = []
+    eid = 0
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((uid, eid, pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=i),
+                         "x", float(v), ""))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type", "value", "props"])
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["key"]: (r["longest_run"], r["n_runs"]) for r in E.q_streak(spark, d).collect()}
+    assert out[1] == (2, 2)
+    assert out[2] == (3, 1)
