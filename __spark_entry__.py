@@ -2039,6 +2039,34 @@ def q_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where and how hard the daily rhythm peaks: per key, the
+    hour-of-day with the largest seasonal index (ties to the earlier
+    hour), the trough hour, and the peak-to-trough amplitude — read
+    straight off the decomposition's seasonal table (identical doubles
+    cross-engine, so only copied values and exact comparisons)."""
+    from tits_spark.operators.gapfill import gapfill_locf
+    from tits_spark.operators.rollup import rollup_from_raw
+    from tits_spark.operators.seasonal import classical_decompose
+
+    t1h = rollup_from_raw(_events(spark, sf_dir), "key", "ts", "value", "1h")
+    filled = gapfill_locf(t1h, "1h", "v_last").select(
+        "key", "bucket_ts", F.col("v_last").alias("value")
+    )
+    dec = classical_decompose(filled, "key", "bucket_ts", "value", period=24)
+    seas = (
+        dec.filter(F.col("seasonal").isNotNull())
+        .groupBy("key", F.hour("bucket_ts").alias("ph"))
+        .agg(F.max("seasonal").alias("s"))
+    )
+    return seas.groupBy("key").agg(
+        F.expr("min_by(ph, struct(-s, ph))").alias("peak_hour"),
+        F.expr("min_by(ph, struct(s, ph))").alias("trough_hour"),
+        F.round(F.max("s") - F.min("s"), 6).alias("amplitude"),
+        F.count(F.lit(1)).alias("n_phases"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2169,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "crest": q_crest,
         "streak": q_streak,
+        "seasonal_peak": q_seasonal_peak,
     }
 
 
@@ -4639,6 +4668,24 @@ SELECT key, count(*) AS n_obs,
        round(greatest(0.0, 1 - var_samp(resid) / var_samp(detr)), 6)
          AS f_seasonal
 FROM r0 GROUP BY 1
+""",
+        # peak/trough hour + amplitude straight off the decomposition's
+        # seasonal-index table (identical doubles; exact comparisons)
+        "seasonal_peak": _DECOMPOSE_CTE + """
+, sp AS (
+  SELECT key, ph, seasonal AS s,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY seasonal DESC, ph) AS rp,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY seasonal ASC, ph) AS rt
+  FROM seas
+)
+SELECT key,
+       CAST(max(CASE WHEN rp = 1 THEN ph END) AS INT) AS peak_hour,
+       CAST(max(CASE WHEN rt = 1 THEN ph END) AS INT) AS trough_hour,
+       round(max(s) - min(s), 6) AS amplitude,
+       count(*) AS n_phases
+FROM sp GROUP BY 1
 """,
         # Ljung-Box over the SAME quantized kernel ACF the acf_band
         # oracle emits; n is the lane-truncated length the ACF uses

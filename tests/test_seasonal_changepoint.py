@@ -228,3 +228,33 @@ def test_seasonal_strength_high_for_sinusoid_low_for_noise(spark):
     out = {r["key"]: r["f_seasonal"] for r in E.q_seasonal_strength(spark, d).collect()}
     assert out[1] > 0.95
     assert out[2] < 0.3
+
+
+def test_seasonal_peak_finds_planted_phase(spark):
+    import numpy as np
+    import pandas as pd
+    import tempfile
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(81)
+    hours = 24 * 14
+    ts0 = pd.Timestamp("2026-01-01")
+    # peak at hour 15, trough at hour 3 (sin peaks at phase/24 = 0.25)
+    phase = (np.arange(hours) - 9) % 24
+    v = 100 + 20 * np.sin(2 * np.pi * phase / 24) + rng.normal(0, 0.2, hours)
+    pdf = pd.DataFrame({
+        "user_id": 1,
+        "event_id": np.arange(hours),
+        "ts": ts0 + pd.to_timedelta(np.arange(hours), unit="h"),
+        "event_type": "x",
+        "value": np.round(v, 2),
+        "props": "",
+    })
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = E.q_seasonal_peak(spark, d).collect()[0]
+    assert row["peak_hour"] == 15
+    assert row["trough_hour"] == 3
+    assert 30 < row["amplitude"] < 45  # ~2*20 minus estimation noise
+    assert row["n_phases"] == 24
