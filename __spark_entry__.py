@@ -2067,6 +2067,43 @@ def q_seasonal_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-process check per key: fit an exponential to the
+    inter-arrival gaps (rate = n / sum(dt), exact integer-µs sums) and
+    report the two-sided KS distance of the empirical gap CDF from it
+    — burstiness's formal sibling. The per-gap exp() differs by an ulp
+    across engines but the MAX's rounded value cannot (candidates
+    within an ulp round identically)."""
+    from tits_spark.functions.exprs import epoch_us
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    dt_us = epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w)
+    gaps = ev.select("key", dt_us.alias("dt")).filter(F.col("dt").isNotNull())
+    wk = Window.partitionBy("key")
+    ws = Window.partitionBy("key").orderBy("dt")
+    scored = (
+        gaps.withColumn("_n", F.count(F.lit(1)).over(wk))
+        .withColumn("_s", F.sum("dt").over(wk))
+        .withColumn("_i", F.row_number().over(ws))
+    )
+    f_exp = 1 - F.exp(-(F.col("_n").cast("double") / F.col("_s")) * F.col("dt"))
+    d_i = F.greatest(
+        F.abs(F.col("_i").cast("double") / F.col("_n") - f_exp),
+        F.abs((F.col("_i") - 1).cast("double") / F.col("_n") - f_exp),
+    )
+    return (
+        scored.withColumn("_d", d_i)
+        .groupBy("key")
+        .agg(
+            F.max("_n").alias("n_gaps"),
+            F.round(F.max("_n").cast("double") * 1_000_000 / F.max("_s"), 6)
+            .alias("rate_per_sec"),
+            F.round(F.max("_d"), 6).alias("ks_d"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2198,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crest": q_crest,
         "streak": q_streak,
         "seasonal_peak": q_seasonal_peak,
+        "exp_fit": q_exp_fit,
     }
 
 
@@ -4668,6 +4706,40 @@ SELECT key, count(*) AS n_obs,
        round(greatest(0.0, 1 - var_samp(resid) / var_samp(detr)), 6)
          AS f_seasonal
 FROM r0 GROUP BY 1
+""",
+        # exponential inter-arrival fit + two-sided KS distance; rate
+        # from exact integer-µs sums, exp() ulp absorbed by round-6 on
+        # the max (candidates within an ulp round identically)
+        "exp_fit": """
+WITH g AS (
+  SELECT user_id AS key,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS dt
+  FROM events
+),
+s AS (
+  SELECT key, dt,
+         count(*) OVER pk AS n,
+         sum(dt) OVER pk AS ssum,
+         row_number() OVER (PARTITION BY key ORDER BY dt) AS i
+  FROM g WHERE dt IS NOT NULL
+  WINDOW pk AS (PARTITION BY key)
+),
+d AS (
+  SELECT key, n, ssum,
+         greatest(
+           abs(CAST(i AS DOUBLE) / n
+               - (1 - exp(-(CAST(n AS DOUBLE) / ssum) * dt))),
+           abs(CAST(i - 1 AS DOUBLE) / n
+               - (1 - exp(-(CAST(n AS DOUBLE) / ssum) * dt)))
+         ) AS di
+  FROM s
+)
+SELECT key, CAST(max(n) AS BIGINT) AS n_gaps,
+       round(CAST(max(n) AS DOUBLE) * 1000000 / max(ssum), 6)
+         AS rate_per_sec,
+       round(max(di), 6) AS ks_d
+FROM d GROUP BY 1
 """,
         # peak/trough hour + amplitude straight off the decomposition's
         # seasonal-index table (identical doubles; exact comparisons)

@@ -395,3 +395,37 @@ def test_mixing_stats_persistent_vs_white(spark):
     assert out[2]["act_factor"] > 2 * out[1]["act_factor"]
     assert out[2]["ess"] < out[1]["ess"]
     assert out[2]["half_life_lags"] is not None and out[2]["half_life_lags"] > 1
+
+
+def test_exp_fit_poisson_vs_regular(spark):
+    """Exponential gaps fit well (small KS distance); a perfectly
+    regular clock is maximally non-exponential."""
+    import numpy as np
+    import pandas as pd
+    import tempfile
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(91)
+    n = 2000
+    ts0 = pd.Timestamp("2026-01-01")
+    exp_gaps = rng.exponential(60.0, n)
+    regular = np.full(n, 60.0)
+    rows = []
+    eid = 0
+    for uid, gaps in ((1, exp_gaps), (2, regular)):
+        t = ts0 + pd.to_timedelta(np.cumsum(gaps), unit="s").round("us")
+        for x in t:
+            rows.append((uid, eid, x, "x", 1.0, ""))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type", "value", "props"]
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["key"]: r for r in E.q_exp_fit(spark, d).collect()}
+    assert out[1]["ks_d"] < 0.05          # good exponential fit
+    assert out[2]["ks_d"] > 0.3           # clock-like, strongly rejected
+    # rates recover ~1/60 Hz
+    assert 0.013 < out[1]["rate_per_sec"] < 0.021
+    assert abs(out[2]["rate_per_sec"] - 1 / 60) < 1e-4
