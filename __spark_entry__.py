@@ -2104,6 +2104,32 @@ def q_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap quantiles per key (p50/p90/p99), emitted as
+    CENTI-MICROSECOND INTEGERS — interpolating at hundredth-step p
+    over the integer-µs lattice lands on the 0.01 µs lattice,
+    recovered exactly by rint on both engines (the time_to_conv
+    device, scaled for p99's finer interpolation lattice); the
+    tail-gap sibling that mean_dt alone can't characterize for bursty
+    keys."""
+    from tits_spark.functions.exprs import epoch_us
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts")
+    dt_us = epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w)
+    gaps = ev.select("key", dt_us.alias("dt")).filter(F.col("dt").isNotNull())
+    out = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        *[
+            F.round(F.expr(f"percentile(dt, {p})") * 100, 0)
+            .cast("long")
+            .alias(f"p{int(p * 100)}_cus")
+            for p in (0.5, 0.9, 0.99)
+        ],
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2236,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streak": q_streak,
         "seasonal_peak": q_seasonal_peak,
         "exp_fit": q_exp_fit,
+        "gap_quantiles": q_gap_quantiles,
     }
 
 
@@ -4706,6 +4733,22 @@ SELECT key, count(*) AS n_obs,
        round(greatest(0.0, 1 - var_samp(resid) / var_samp(detr)), 6)
          AS f_seasonal
 FROM r0 GROUP BY 1
+""",
+        # gap quantiles as exact centi-µs integers (interpolation
+        # lattice device, scaled for p99's hundredth-step fracs)
+        "gap_quantiles": """
+WITH g AS (
+  SELECT user_id AS key,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) AS dt
+  FROM events
+)
+SELECT key, count(*) AS n_gaps,
+       CAST(round(quantile_cont(dt, 0.5) * 100, 0) AS BIGINT) AS p50_cus,
+       CAST(round(quantile_cont(dt, 0.9) * 100, 0) AS BIGINT) AS p90_cus,
+       CAST(round(quantile_cont(dt, 0.99) * 100, 0) AS BIGINT) AS p99_cus
+FROM g WHERE dt IS NOT NULL
+GROUP BY 1
 """,
         # exponential inter-arrival fit + two-sided KS distance; rate
         # from exact integer-µs sums, exp() ulp absorbed by round-6 on
