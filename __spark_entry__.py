@@ -2130,6 +2130,31 @@ def q_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_weekpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-vs-weekend activity split per key (the coarsest
+    calendar seasonal contrast, one hash agg): counts, 4dp-quantized
+    sums, extrema. Spark dayofweek == DuckDB's ISO dow shifted — both
+    sides derive the flag from their own calendar function over the
+    same UTC timestamps."""
+    ev = _events(spark, sf_dir)
+    # Spark dayofweek: 1=Sunday..7=Saturday
+    is_we = F.dayofweek("ts").isin(1, 7)
+    return (
+        ev.groupBy(
+            "key",
+            F.when(is_we, F.lit("weekend")).otherwise(F.lit("weekday")).alias(
+                "part"
+            ),
+        )
+        .agg(
+            F.count("value").alias("n_obs"),
+            F.round(F.sum("value"), 4).alias("v_sum"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -2263,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_peak": q_seasonal_peak,
         "exp_fit": q_exp_fit,
         "gap_quantiles": q_gap_quantiles,
+        "weekpart": q_weekpart,
     }
 
 
@@ -4733,6 +4759,18 @@ SELECT key, count(*) AS n_obs,
        round(greatest(0.0, 1 - var_samp(resid) / var_samp(detr)), 6)
          AS f_seasonal
 FROM r0 GROUP BY 1
+""",
+        # DuckDB dayofweek: 0=Sunday..6=Saturday (vs Spark 1..7)
+        "weekpart": """
+SELECT user_id AS key,
+       CASE WHEN dayofweek(ts) IN (0, 6)
+            THEN 'weekend' ELSE 'weekday' END AS part,
+       count(value) AS n_obs,
+       round(sum(value), 4) AS v_sum,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events
+GROUP BY 1, 2
 """,
         # gap quantiles as exact centi-µs integers (interpolation
         # lattice device, scaled for p99's hundredth-step fracs)
