@@ -1671,7 +1671,30 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tits_spark.operators.profile import data_profile
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return data_profile(ev, _PROFILE_COLS)
+    return data_profile(ev, _PROFILE_COLS, approx=False)
+
+
+_PROFILE_APPROX_EXACT = ["doc_id", "n_chars"]
+_PROFILE_APPROX_SKETCHED = ["text", "lang", "source"]
+_PROFILE_APPROX_P = 12
+
+
+def q_data_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mode data profile of the documents table: keys/numerics
+    keep the exact count_distinct, unbounded string columns (full
+    text) get the engine's deterministic HLL (p=12) instead — no
+    expand+exchange of multi-KB distinct values, the register shuffle
+    is bounded by n_cols x 4096 rows at any input size. The oracle
+    re-derives every register from the same md5 hash family."""
+    from tits_spark.operators.profile import data_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return data_profile(
+        docs,
+        _PROFILE_APPROX_EXACT + _PROFILE_APPROX_SKETCHED,
+        approx=_PROFILE_APPROX_SKETCHED,
+        p=_PROFILE_APPROX_P,
+    )
 
 
 def _profile_oracle() -> str:
@@ -1686,6 +1709,78 @@ FROM events"""
         for c in _PROFILE_COLS
     ]
     return " UNION ALL ".join(parts)
+
+
+def _profile_approx_oracle() -> str:
+    """Sketch-mode profile oracle: exact columns as in _profile_oracle,
+    sketched columns re-derive the HLL registers from the md5 family
+    (same device as _hll_oracle_sql) with the engine's p=12 constants
+    embedded as identical double literals."""
+    from tits_spark.operators.sketches import H_BITS, hll_alpha
+
+    p = _PROFILE_APPROX_P
+    m = 1 << p
+    wmax = H_BITS - p + 1
+    num = repr(hll_alpha(m) * (m * m) * float(2**wmax))
+    scale = 2**wmax
+    src = " UNION ALL ".join(
+        f"SELECT '{c}' AS grp, CAST({c} AS VARCHAR) AS it FROM documents"
+        for c in _PROFILE_APPROX_SKETCHED
+    )
+    hll = f"""
+WITH src AS ({src}),
+hsh AS (
+  SELECT grp, ('0x' || substr(md5(it), 1, 15))::BIGINT AS h
+  FROM src WHERE it IS NOT NULL
+),
+r AS (
+  SELECT grp, h & {m - 1} AS reg,
+         CASE WHEN (h >> {p}) = 0 THEN {wmax}
+              ELSE {wmax} - length(bin(h >> {p})) END AS rho
+  FROM hsh
+),
+regs AS (SELECT grp, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT grp,
+         CAST(sum(CAST(power(2.0, {wmax} - rho) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS nreg
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT grp, CAST({m} - nreg AS BIGINT) AS zeros,
+         s + ({m} - nreg) * {scale} AS sum_scaled
+  FROM agg
+),
+fin AS (
+  SELECT grp,
+         CASE WHEN ({num} / CAST(sum_scaled AS DOUBLE)) <= {2.5 * m}
+                   AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+              ELSE {num} / CAST(sum_scaled AS DOUBLE) END AS hll_est
+  FROM est
+)
+"""
+    parts = []
+    for c in _PROFILE_APPROX_EXACT:
+        parts.append(f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS n_distinct_est,
+       CAST(min({c}) AS VARCHAR) AS min_s,
+       CAST(max({c}) AS VARCHAR) AS max_s
+FROM documents""")
+    for c in _PROFILE_APPROX_SKETCHED:
+        parts.append(f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(NULL AS BIGINT) AS n_distinct,
+       coalesce((SELECT round(hll_est, 4) FROM fin WHERE grp = '{c}'), 0.0)
+         AS n_distinct_est,
+       CAST(min({c}) AS VARCHAR) AS min_s,
+       CAST(max({c}) AS VARCHAR) AS max_s
+FROM documents""")
+    return hll + " UNION ALL ".join(parts)
 
 
 def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose": q_decompose,
         "crossings": q_crossings,
         "data_profile": q_data_profile,
+        "data_profile_approx": q_data_profile_approx,
         "forecast_eval": q_forecast_eval,
         "macd": q_macd,
         "corr_matrix": q_corr_matrix,
@@ -4597,6 +4693,11 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         # engine profiles; extrema compared as rendered strings (both
         # engines use shortest-roundtrip float rendering)
         "data_profile": _profile_oracle(),
+        # sketch-mode profile: exact distincts for keys/numerics, HLL
+        # (p=12, registers re-derived from the shared md5 hash family)
+        # for unbounded string columns — the scale path for full-text
+        # profiling
+        "data_profile_approx": _profile_approx_oracle(),
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the

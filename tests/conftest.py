@@ -23,6 +23,11 @@ def events(spark):
 
 
 @pytest.fixture(scope="session")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="session")
 def transcripts(spark):
     from tits_spark.datagen import generate_transcripts
 

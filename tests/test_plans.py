@@ -438,3 +438,41 @@ def test_holt_numbered_repartition(spark, ev):
     df = ev.select(F.col("user_id").cast("string").alias("key"), "ts", "value")
     sm = holt_by_key(df)
     assert sm.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_cogroup_and_grouped_udf_numbered_repartition(spark, ev):
+    """The AQE grouped-Arrow-UDF serialization trap (BENCH/PLANS.md)
+    guard, extended to every remaining CPU-heavy cogroup/grouped path:
+    each must run at defaultParallelism, and the numbered repartition
+    must satisfy the (co)grouped distribution (no second shuffle)."""
+    from tits_spark.datagen import generate_quotes
+    from tits_spark.operators.dtw import dtw_similar
+    from tits_spark.operators.guess_lag import guess_lag
+    from tits_spark.operators.lttb import lttb
+    from tits_spark.operators.resample import asof_join_pandas
+
+    par = spark.sparkContext.defaultParallelism
+
+    quotes = generate_quotes(spark, n_ticks=500, seed=11)
+    gl = guess_lag(quotes, best=True, max_ticks=256, nlags=8, tau=0.01)
+    assert gl.rdd.getNumPartitions() == par
+    # two children each repartitioned once; the cogroup itself must not
+    # add a third exchange on top
+    p = plan_of(gl)
+    assert p.count("Exchange hashpartitioning") <= 2 or p.count("Exchange (") <= 4
+
+    df = ev.select(F.col("user_id").alias("k"), "ts", "value")
+    assert lttb(df, 10, key_col="k").rdd.getNumPartitions() == par
+
+    left = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    right = ev.select(
+        F.col("user_id").alias("key"), "ts", F.col("value").alias("rv")
+    )
+    aj = asof_join_pandas(left, right, key="key", ts="ts")
+    assert aj.rdd.getNumPartitions() == par
+
+    dt = dtw_similar(
+        df.withColumn("k", F.col("k").cast("string")),
+        key="k", ts="ts", value="value", segments=8,
+    )
+    assert dt.rdd.getNumPartitions() == par

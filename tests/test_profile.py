@@ -1,4 +1,4 @@
-"""Single-pass data-quality profile vs pandas ground truth."""
+"""Data-quality profile vs pandas ground truth — exact and sketch modes."""
 
 from __future__ import annotations
 
@@ -10,7 +10,9 @@ from tits_spark.operators.profile import data_profile
 def test_profile_matches_pandas(spark, events):
     got = {
         r["col_name"]: r
-        for r in data_profile(events, ["user_id", "event_type", "value"]).collect()
+        for r in data_profile(
+            events, ["user_id", "event_type", "value"], approx=False
+        ).collect()
     }
     pdf = events.toPandas()
     for c in ("user_id", "event_type", "value"):
@@ -20,18 +22,53 @@ def test_profile_matches_pandas(spark, events):
     assert got["event_type"]["min_s"] == sorted(pdf["event_type"].dropna())[0]
 
 
+def test_profile_approx_auto_sketches_strings(spark, events):
+    # default mode: string columns HLL-estimated, the rest exact
+    got = {r["col_name"]: r for r in data_profile(events).collect()}
+    pdf = events.toPandas()
+    assert got["user_id"]["n_distinct"] == pdf["user_id"].dropna().nunique()
+    assert got["user_id"]["n_distinct_est"] is None
+    for c in ("event_type", "props"):
+        assert got[c]["n_distinct"] is None
+        true = pdf[c].dropna().nunique()
+        est = got[c]["n_distinct_est"]
+        # p=12 -> ~1.6% stderr; allow 5% (and exact in the linear range)
+        assert abs(est - true) <= max(0.05 * true, 1.0), (c, est, true)
+        # the non-distinct stats stay exact in approx mode
+        assert got[c]["n_rows"] == len(pdf)
+        assert got[c]["n_null"] == int(pdf[c].isna().sum())
+
+
 def test_profile_null_column(spark):
     df = spark.createDataFrame(
         [(1, None), (2, None)], "a long, b string"
     ).select("a", F.col("b").cast("string"))
     out = {r["col_name"]: r for r in data_profile(df).collect()}
     assert out["b"]["n_null"] == 2
-    assert out["b"]["n_distinct"] == 0
+    assert out["b"]["n_distinct"] is None and out["b"]["n_distinct_est"] == 0.0
     assert out["b"]["min_s"] is None and out["b"]["max_s"] is None
+    out = {r["col_name"]: r for r in data_profile(df, approx=False).collect()}
+    assert out["b"]["n_distinct"] == 0
 
 
-def test_profile_is_one_scan_no_collect(spark, events):
-    p = data_profile(events)._jdf.queryExecution().executedPlan().toString()
+def test_profile_exact_is_one_scan_no_collect(spark, events):
+    p = (
+        data_profile(events, approx=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     # one wide aggregate (expand for multi-distinct), no joins/cartesian
     assert "CartesianProduct" not in p and "Join" not in p
     assert "Expand" in p  # Spark's multi-count_distinct strategy
+
+
+def test_profile_approx_no_expand_on_sketched(spark, docs):
+    # sketch mode on an all-string selection: NO expand (no exact
+    # multi-distinct), estimates arrive via a broadcast join of the
+    # bounded register table
+    plan = (
+        data_profile(docs, ["text", "source"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

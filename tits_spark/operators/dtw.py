@@ -115,6 +115,13 @@ def dtw_similar(
                 "dtw": np.round(dtw_numpy(x, y), decimals),
             })
 
-    return pairs.mapInPandas(
+    # numbered round-robin repartition before the DP stage: the O(n^2)
+    # band DP per pair is CPU-bound over compact rows, so AQE's
+    # byte-based coalescing of the post-join exchange would serialize
+    # it (grouped-UDF trap, BENCH/PLANS.md). Round-robin also rebalances
+    # SAX-bucket skew (hot prefixes produce most pairs), and rows are
+    # independent so no clustering is required for mapInPandas.
+    nparts = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(nparts).mapInPandas(
         fn, schema=f"key1 {kt}, key2 {kt}, dtw double"
     )

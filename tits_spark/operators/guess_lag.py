@@ -146,8 +146,17 @@ def guess_lag(
             "best_lag": [best_lag], "best_xcf": [bestx],
         })
 
+    # numbered repartition on both cogroup children: the XCF stage is
+    # the most CPU-per-byte stage in the engine (nlags x n kernel per
+    # pair over compact rows), exactly the shape AQE's advisory-size
+    # coalescing serializes onto one task. A numbered repartition is
+    # exempt from coalescing and its HashPartitioning satisfies the
+    # cogroup's clustered distribution on both sides (same keys, same
+    # count), so no second shuffle appears (tests/test_plans.py).
+    nparts = quotes.sparkSession.sparkContext.defaultParallelism
+    keys = ["side", "key1", "key2"]
     return (
-        side1.groupBy("side", "key1", "key2")
-        .cogroup(side2.groupBy("side", "key1", "key2"))
+        side1.repartition(nparts, *keys).groupBy(*keys)
+        .cogroup(side2.repartition(nparts, *keys).groupBy(*keys))
         .applyInPandas(run_pair, schema=_BEST_SCHEMA if best else _FULL_SCHEMA)
     )

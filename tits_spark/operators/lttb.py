@@ -98,4 +98,13 @@ def lttb(
         out["pt_idx"] = np.arange(idx.size, dtype=np.int32)
         return out
 
-    return df.groupBy(key_col).applyInPandas(fn, schema=out_schema)
+    # numbered repartition: the triangle scan is CPU-bound per key, so
+    # AQE's byte-based coalescing would serialize it (the grouped-UDF
+    # trap, BENCH/PLANS.md); exempt + satisfies the clustered
+    # distribution, so no second shuffle.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(nparts, key_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, schema=out_schema)
+    )

@@ -215,8 +215,14 @@ def asof_join_pandas(
         merged = pd.merge_asof(l, r, on=ts, direction="backward", tolerance=tol)
         return merged
 
+    # numbered repartition on both children: per-key merge_asof is
+    # CPU-bound, so AQE's byte-based coalescing would serialize it
+    # (grouped-UDF trap, BENCH/PLANS.md); identical (keys, count) hash
+    # partitioning satisfies the cogroup distribution on both sides —
+    # no second shuffle.
+    nparts = left.sparkSession.sparkContext.defaultParallelism
     return (
-        left.groupBy(key)
-        .cogroup(right.groupBy(key))
+        left.repartition(nparts, key).groupBy(key)
+        .cogroup(right.repartition(nparts, key).groupBy(key))
         .applyInPandas(fn, schema=out_schema)
     )
