@@ -2251,6 +2251,11 @@ def q_weekpart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the round driver's correctness gate runs the
+    # FIRST 50 entries, so the head is a rotating cross-section — the
+    # flagship core plus the newest operator families — and the rest
+    # follow in historical order (all are equally oracle-gated by
+    # tools/check_oracles.py, which runs every entry).
     return {
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h,
@@ -2258,47 +2263,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_1h": q_locf_1h,
         "interp_1h": q_interp_1h,
         "znorm": q_znorm,
-        "first_diff": q_first_diff,
         "mean_dt": q_mean_dt,
-        "sliding_last": q_sliding_last,
-        "top_users": q_top_users,
         "acf_band": q_acf_band,
         "sacf_udf": q_sacf_udf,
         "ar_fit": q_ar_fit,
-        "pacf": q_pacf,
         "ar_stationarity": q_ar_stationarity,
-        "perio": q_perio,
         "perio_decl": q_perio_decl,
         "xcf_band": q_xcf_band,
         "xcor_best_lag": q_xcor_best_lag,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
-        "curate": q_curate,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_sig": q_minhash_sig,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "decimal_ops": q_decimal_ops,
+        "tick_roundtrip": q_tick_roundtrip,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "dedup_clusters": q_dedup_clusters,
+        "pack_chunks": q_pack_chunks,
+        "curate": q_curate,
+        "data_profile_approx": q_data_profile_approx,
+        "rollup_1mo": q_rollup_1mo,
+        "atr_rsi": q_atr_rsi,
+        "asof_nearest": q_asof_nearest,
+        "decompose": q_decompose,
+        "crossings": q_crossings,
+        "data_profile": q_data_profile,
+        "macd": q_macd,
+        "corr_matrix": q_corr_matrix,
+        "pettitt": q_pettitt,
+        "mood_cp": q_mood,
+        "realized_vol": q_realized_vol,
+        "point_in_interval": q_point_in_interval,
+        "interval_overlap": q_interval_overlap,
+        "cross_rank": q_cross_rank,
+        "ljung_box": q_ljung_box,
+        "arch_test": q_arch_test,
+        "spectral_entropy": q_spectral_entropy,
+        "turning_points": q_turning_points,
+        "benford": q_benford,
+        "seasonal_strength": q_seasonal_strength,
+        "mixing_stats": q_mixing_stats,
+        "gini": q_gini,
+        "gap_quantiles": q_gap_quantiles,
+        "first_diff": q_first_diff,
+        "sliding_last": q_sliding_last,
+        "top_users": q_top_users,
+        "pacf": q_pacf,
+        "perio": q_perio,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_sig": q_minhash_sig,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
-        "cosine_topk": q_cosine_topk,
         "emb_near_dups": q_emb_near_dups,
         "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "decimal_ops": q_decimal_ops,
         "d32_roundtrip": q_d32_roundtrip,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "tpch_pricing": q_tpch_pricing,
-        "asof_join": q_asof_join,
-        "gorilla_roundtrip": q_gorilla_roundtrip,
-        "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
-        "pack_chunks": q_pack_chunks,
         "tpch_q14": q_tpch_q14,
         "rollup_multi": q_rollup_multi,
-        "tick_roundtrip": q_tick_roundtrip,
         "tpch_q5": q_tpch_q5,
         "sessionize": q_sessionize,
         "seasonal": q_seasonal,
@@ -2351,39 +2380,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perm_entropy": q_perm_entropy,
         "value_runs": q_value_runs,
         "transitions": q_transitions,
-        "point_in_interval": q_point_in_interval,
-        "interval_overlap": q_interval_overlap,
-        "realized_vol": q_realized_vol,
-        "pettitt": q_pettitt,
-        "cross_rank": q_cross_rank,
-        "rollup_1mo": q_rollup_1mo,
-        "atr_rsi": q_atr_rsi,
-        "asof_nearest": q_asof_nearest,
         "type_entropy": q_type_entropy,
-        "decompose": q_decompose,
-        "crossings": q_crossings,
-        "data_profile": q_data_profile,
-        "data_profile_approx": q_data_profile_approx,
         "forecast_eval": q_forecast_eval,
-        "macd": q_macd,
-        "corr_matrix": q_corr_matrix,
         "resid_outliers": q_resid_outliers,
         "winsorized": q_winsorized,
-        "mood_cp": q_mood,
         "kl_global": q_kl_global,
-        "ljung_box": q_ljung_box,
-        "spectral_entropy": q_spectral_entropy,
-        "arch_test": q_arch_test,
-        "turning_points": q_turning_points,
-        "benford": q_benford,
-        "seasonal_strength": q_seasonal_strength,
-        "mixing_stats": q_mixing_stats,
-        "gini": q_gini,
         "crest": q_crest,
         "streak": q_streak,
         "seasonal_peak": q_seasonal_peak,
         "exp_fit": q_exp_fit,
-        "gap_quantiles": q_gap_quantiles,
         "weekpart": q_weekpart,
     }
 
