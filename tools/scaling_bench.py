@@ -154,7 +154,7 @@ def main() -> None:
         else ""
     )
 
-    md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N executors)
+    md = f"""## Window (auto-appended) — scaling run
 
 Generated {dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds")} by
 `python tools/scaling_bench.py --execs {execs_str} --cores {args.cores} --convs {args.convs} --runs {args.runs}`.
@@ -203,7 +203,12 @@ box cannot multiply.
 """
     out_dir = REPO / "BENCH"
     out_dir.mkdir(exist_ok=True)
-    (out_dir / "BASELINE.md").write_text(md)
+    # APPEND, never overwrite: BENCH/BASELINE.md accumulates windows
+    # (hand-edited narrative + one auto section per run). The round-3
+    # clobber-and-hand-merge workflow lost a window once; never again.
+    target = out_dir / "BASELINE.md"
+    with target.open("a") as fh:
+        fh.write("\n" + md)
     print(md)
 
 
