@@ -100,6 +100,9 @@ def main(argv: list[str] | None = None) -> None:
     if args.pii_max_per_kchar is not None:
         from tits_spark.operators.pii import PII_PATTERNS, pii_density, pii_scrub
 
+        # cached for the two actions below (count + downstream write);
+        # unpersisted after kept.write so in-process callers don't leak
+        # executor storage for the rest of the session
         s = pii_scrub(kept, text_col=args.text_col).cache()
         keep_pred = pii_density(args.pii_max_per_kchar, args.text_col)
         counts["pii"] = s.filter(~keep_pred).count()
@@ -130,6 +133,10 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+    if args.pii_max_per_kchar is not None:
+        s.unpersist()
+    if args.substr_dedup_len is not None:
+        dd.unpersist()
     if args.metrics:
         job_id = args.job_id or f"curate-{int(time.time())}"
         summary = curate_summary(decisions).select(
@@ -146,6 +153,7 @@ def main(argv: list[str] | None = None) -> None:
         k: counts.pop(k) for k in ("pii", "substr_touched") if k in counts
     }
     n_kept = counts.get("kept", 0) - post.get("pii", 0)
+    decisions.unpersist()
     print(json.dumps({
         "docs_in": n_in,
         "kept": n_kept,

@@ -349,3 +349,19 @@ def test_mood_constant_series_dropped(spark):
     from tits_spark.operators.changepoint import mood_changepoint
 
     assert mood_changepoint(df).count() == 0
+
+
+def test_mood_oversized_key_fails_loudly(spark):
+    """Keys past the decimal(38,0) exactness bound must RAISE, not
+    silently wrap the moment sums (ADVICE r3)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from tits_spark.operators.changepoint import mood_changepoint
+
+    df = spark.range(1_300_100).select(
+        F.lit("k").alias("key"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    with pytest.raises(SparkRuntimeException, match="exactness bound"):
+        mood_changepoint(df).count()

@@ -144,3 +144,34 @@ def test_stream_twa_carries_state_across_batches(spark, events, tmp_path):
     want = _closed_batch(ev, 3600)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_twa_counts_late_rows(spark, tmp_path):
+    """An event older than the carried segment start is an ordering
+    violation: it must be COUNTED on the emitted rows (n_late_total),
+    not silently vanish (ADVICE r3)."""
+    import pandas as pd
+
+    from tits_spark.streaming.twa_stream import stream_twa
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("lsrc", "lout", "lckpt"))
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    b1 = pd.DataFrame({
+        "key": "k",
+        "ts": [base, base + pd.Timedelta(hours=2)],
+        "value": [1.0, 2.0],
+    })
+    spark.createDataFrame(b1, SCHEMA).write.mode("overwrite").parquet(src)
+    stream_twa(spark, src, SCHEMA, out, ckpt, bucket_secs=3600).awaitTermination(300)
+    # batch 2: one LATE event (older than the carried t0) + one fresh
+    # event that finalizes more buckets so an emission happens
+    b2 = pd.DataFrame({
+        "key": "k",
+        "ts": [base + pd.Timedelta(hours=1), base + pd.Timedelta(hours=4)],
+        "value": [9.0, 3.0],
+    })
+    spark.createDataFrame(b2, SCHEMA).write.mode("append").parquet(src)
+    stream_twa(spark, src, SCHEMA, out, ckpt, bucket_secs=3600).awaitTermination(300)
+    rows = spark.read.parquet(out).orderBy("bucket_ts").collect()
+    assert rows, "expected emissions"
+    assert max(r["n_late_total"] for r in rows) == 1

@@ -178,9 +178,12 @@ def mood_changepoint(
     maximizing |z_t| over t in [1, n-1] (ties broken by earliest
     (ts, value)), the exact integer prefix statistic, and its signed
     z-score. Plan: one hash-partition by key, window algebra only.
-    Integer-exactness bound: Σm² <= 16n^5 must fit int64, i.e. n per
-    key up to ~3,500 observations; chunk or downsample longer series
-    first (the DuckDB side is HUGEINT and unbounded).
+    Integer-exactness bound: the moment sums are carried in
+    decimal(38,0) (the widest exact integer both engines share), whose
+    tightest product here is n·Σm² <= 16n^6 — exact for n per key up to
+    ~1.3M observations, and ENFORCED: longer keys raise at runtime
+    (assert_true) instead of silently wrapping; chunk or downsample
+    them first (the DuckDB side is HUGEINT and unbounded).
     """
     w_k = Window.partitionBy(key)
     w_val = Window.partitionBy(key).orderBy(value)
@@ -195,14 +198,38 @@ def mood_changepoint(
         - F.lit(1)
         - (n + F.lit(1))
     )
+    # moment sums in decimal(38,0): |c| <= 2n so m <= 4n^2, and the
+    # widest exact value needed below is n*Σm² <= 16n^6 — safe to
+    # n ~ 1.3e6 per key, with the bound enforced loudly (non-ANSI
+    # int64 would instead wrap silently past ~3.5e3 and emit wrong
+    # changepoints while the HUGEINT oracle stayed exact)
+    _N_EXACT_BOUND = 1_300_000
+    md = (c * c).cast("decimal(38,0)")
     prepped = (
         df.withColumn("_n", n)
-        .withColumn("_m", c * c)
+        .withColumn(
+            "_ok",
+            F.assert_true(
+                n <= F.lit(_N_EXACT_BOUND),
+                F.lit(
+                    "mood_changepoint: key exceeds the decimal(38,0) "
+                    f"exactness bound of {_N_EXACT_BOUND} observations; "
+                    "chunk or downsample first"
+                ),
+            ),
+        )
         .withColumn("_i", F.row_number().over(w_ord))
-        .withColumn("_mt", F.sum("_m").over(w_cum))
-        .withColumn("_sm", F.sum("_m").over(w_k))
-        .withColumn("_sm2", F.sum(F.col("_m") * F.col("_m")).over(w_k))
-        .filter((F.col("_n") >= min_points) & (F.col("_i") < F.col("_n")))
+        .withColumn("_mt", F.sum(md).over(w_cum))
+        .withColumn("_sm", F.sum(md).over(w_k))
+        .withColumn("_sm2", F.sum(md * md).over(w_k))
+        # _ok is NULL on every surviving row; referencing it in the
+        # filter forces the assert to evaluate (it would otherwise be
+        # pruned as dead code)
+        .filter(
+            (F.col("_n") >= min_points)
+            & (F.col("_i") < F.col("_n"))
+            & F.col("_ok").isNull()
+        )
     )
     nn = F.col("_n").cast("double")
     t = F.col("_i").cast("double")

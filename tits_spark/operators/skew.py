@@ -116,8 +116,20 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     except Exception:  # noqa: BLE001 - e.g. streaming frames
         return df
     if not files:
-        # derived (shuffle-rooted) or non-file frame: its partitioning
-        # already reflects spark.sql.shuffle.partitions
+        # Derived (shuffle-rooted) or non-file frame: its partitioning
+        # already reflects spark.sql.shuffle.partitions. CAVEAT for
+        # callers: this pass-through trusts the producer — a frame that
+        # was coalesce(1)'d, or whose last exchange AQE already
+        # advisory-coalesced, arrives under-partitioned and is NOT
+        # repaired here (probing real partition metadata would resolve
+        # the AdaptiveSparkPlan and execute upstream stages, see above).
+        # If the stage you are protecting is a CPU-bound grouped/
+        # cogrouped Arrow UDF, do not rely on this helper: apply the
+        # numbered-repartition guard directly at the call site
+        # (BENCH/PLANS.md; matrix_profile.py / guess_lag.py show the
+        # pattern). Current callers (dedup/text/vocab/decontam/
+        # substring_dedup) all feed scan-rooted corpus frames, where
+        # the file-list probe above is authoritative.
         return df
     if len(files) < target:
         return df.repartition(target)

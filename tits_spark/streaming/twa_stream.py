@@ -45,8 +45,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _US = 1_000_000
 
-STATE_SCHEMA = "t0 long, v0 double, cb long, cw double, co double"
-OUTPUT_SCHEMA = "key string, bucket_ts timestamp, twa double, covered_sec double"
+STATE_SCHEMA = "t0 long, v0 double, cb long, cw double, co double, late long"
+OUTPUT_SCHEMA = (
+    "key string, bucket_ts timestamp, twa double, covered_sec double, "
+    "n_late_total long"
+)
 
 
 def _split_segments(s, e, val, bu):
@@ -77,10 +80,11 @@ def make_twa_fn(bucket_secs: int, max_gap_sec: float | None = None):
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            t0, v0, cb, cw, co = state.get
+            t0, v0, cb, cw, co, late = state.get
         else:
             t0 = v0 = cb = None
             cw = co = 0.0
+            late = 0
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -88,6 +92,12 @@ def make_twa_fn(bucket_secs: int, max_gap_sec: float | None = None):
             t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
             v = pdf["value"].to_numpy(np.float64)
             if t0 is not None:
+                # cross-batch ordering violation: an event strictly older
+                # than the carried segment start cannot extend coverage
+                # (its segment would have e <= s and be dropped below) —
+                # COUNT it instead of losing it silently, and surface the
+                # running total on every emitted row (ADVICE r3)
+                late += int(np.sum(t < t0))
                 t = np.concatenate(([t0], t))
                 v = np.concatenate(([v0], v))
             s, e, val = t[:-1], t[1:], v[:-1]
@@ -119,6 +129,7 @@ def make_twa_fn(bucket_secs: int, max_gap_sec: float | None = None):
                         "bucket_ts": pd.to_datetime(ub[fin] * bu, unit="us"),
                         "twa": w_sum[fin] / o_sum[fin],
                         "covered_sec": o_sum[fin] / _US,
+                        "n_late_total": np.int64(late),
                     }
                 )
             m = ub == bucket_last
@@ -127,7 +138,9 @@ def make_twa_fn(bucket_secs: int, max_gap_sec: float | None = None):
             co = float(o_sum[m][0]) if m.any() else 0.0
             t0, v0 = t_last, float(v[-1])
         if t0 is not None:
-            state.update((int(t0), float(v0), int(cb), float(cw), float(co)))
+            state.update(
+                (int(t0), float(v0), int(cb), float(cw), float(co), int(late))
+            )
 
     return fn
 
