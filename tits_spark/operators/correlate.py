@@ -440,6 +440,8 @@ def xcf_bandjoin(
     )
     wk = Window.partitionBy("key")
     wko = Window.partitionBy("key").orderBy("t_raw")
+    # bounded-global-window: broadcasts ONE scalar (key1's min t) across
+    # the two-key pair frame this operator is documented to receive
     glob = Window.partitionBy()
     prep = (
         trunc

@@ -71,6 +71,8 @@ def chunk_stream(
     )
 
     # phase 3: tiny prefix sum over bucket totals, broadcast back
+    # bounded-global-window: runs on the n_buckets-row per-bucket totals
+    # frame (n_buckets ~ rows/2^20), never on the row-level frame
     w_bkt = (
         Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     )

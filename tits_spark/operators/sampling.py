@@ -116,10 +116,11 @@ def domain_mix_exact(
         )
     )
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    # T over the |domains|-row counts frame; global window is bounded
     quotas = (
         counts.join(wdf, domain_col)
         .withColumn(
+            # bounded-global-window: T over the |domains|-row counts
+            # frame (one row per distinct domain, already aggregated)
             "_T", F.min(F.col("_cnt") / F.col("_w")).over(Window.partitionBy())
         )
         .select(domain_col, F.floor(F.col("_w") * F.col("_T")).alias("_k"))

@@ -78,11 +78,14 @@ def key_size_stats(df: DataFrame, key: str) -> DataFrame:
     from pyspark.sql import Window
 
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    # bounded-global-window: diagnostics over the per-key counts frame
+    # (|keys| rows post-aggregation); rank below shares the bound
     total = Window.partitionBy()
     return counts.select(
         key,
         "n_rows",
         (F.col("n_rows") / F.sum("n_rows").over(total)).alias("share"),
+        # bounded-global-window: same |keys|-row frame as above
         F.row_number().over(Window.orderBy(F.desc("n_rows"))).alias("rank"),
     )
 

@@ -64,6 +64,9 @@ def vocab_topk(
     ties broken by token ascending (deterministic)."""
     counts = token_counts(df, id_col, text_col)
     top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    # bounded-global-window: ranks the limit(k) frame above (<= k rows
+    # on one task by construction) — NEVER lift this window onto the
+    # unbounded counts frame
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return top.select("token", "cnt", F.row_number().over(w).cast("int").alias("rank"))
 
