@@ -166,24 +166,47 @@ def _band_corr(lag, t1, y1, t2, y2, thresh, xf, vf):
 _BAND_PAIR_CAP = 8_000_000
 
 
-def _regular_step(t: np.ndarray):
-    """If ``t`` is an (ulp-)regular grid, return its step, else None.
+def _lattice_cells(t: np.ndarray):
+    """If ``t`` lies on an integer LATTICE (a regular grid with gaps
+    allowed), return (g, cells) where cells[i] = round((t[i]-t[0])/g);
+    else None. The candidate step is the minimum positive diff — the
+    common data shapes (complete grids, randomly thinned grids, tick
+    grids with silences) always contain at least one adjacent pair.
 
-    Tolerance is deliberately tight (32 ulps of the span): the regular
-    fast path replaces per-pair deltas with per-diagonal representatives,
-    and the kernel-weight error that substitution introduces is
-    ~|2*xf*thresh*dev| relative — ulp-scale deviations keep it well
-    under the 1e-10 C-golden gate, anything looser would not."""
+    Tolerance is deliberately tight (32 ulps of the span): the lattice
+    fast path replaces per-pair deltas with per-diagonal
+    representatives, and the kernel-weight error that substitution
+    introduces is ~|2*xf*thresh*dev| relative — ulp-scale deviations
+    keep it well under the 1e-10 C-golden gate, anything looser would
+    not."""
     if t.size < 3:
         return None
-    g = (t[-1] - t[0]) / (t.size - 1)
-    if not np.isfinite(g) or g <= 0:
+    d = np.diff(t)
+    g0 = float(d.min())
+    if not np.isfinite(g0) or g0 <= 0:
         return None
+    # seed cells with the (ulp-noisy) min diff, then refit the step
+    # from the endpoints so rounding in g0 doesn't accumulate across
+    # the span (a complete grid then gets the exact same g the former
+    # regular-grid-only detection used)
+    q = np.rint((t - t[0]) / g0)
+    if q[-1] <= 0:
+        return None
+    g = float(t[-1] - t[0]) / float(q[-1])
+    q = np.rint((t - t[0]) / g)
     tol = 32.0 * np.finfo(t.dtype).eps * max(abs(float(t[0])), abs(float(t[-1])))
-    dev = np.abs(t - (t[0] + g * np.arange(t.size, dtype=t.dtype)))
-    if float(dev.max()) > tol:
+    if float(np.abs(t - (t[0] + q * g)).max()) > tol:
         return None
-    return float(g)
+    q = q.astype(np.int64)
+    if np.any(np.diff(q) <= 0):
+        return None
+    return g, q
+
+
+# Zero-fill density floor for the lattice path: bail out when the
+# filled axis would exceed this many cells per observed point (the
+# series is then too sparse for diagonal collapse to pay).
+_LATTICE_FILL_CAP = 8
 
 
 def _sliding_dots(y1: np.ndarray, y2: np.ndarray, d_lo: int, d_hi: int) -> np.ndarray:
@@ -198,42 +221,54 @@ def _sliding_dots(y1: np.ndarray, y2: np.ndarray, d_lo: int, d_hi: int) -> np.nd
     return c[np.mod(d, L)]
 
 
-def _band_corr_regular(lags, t1, y1, t2, y2, thresh, xf, vf, dtype):
-    """Regular-grid fast path for the banded Gaussian-weighted sums.
+def _band_corr_lattice(lags, t1, y1, t2, y2, thresh, xf, vf, dtype):
+    """Lattice fast path for the banded Gaussian-weighted sums.
 
-    When both series sit on the *same* regular grid (step g), the delta
-    of a pair depends only on the diagonal d = j - i: delta_d = (t2[0] -
-    t1[0]) + d*g.  The banded sums then collapse to per-diagonal sliding
-    dot products S_d = sum_i y1[i]*y2[i+d] (one FFT cross-correlation
-    for every diagonal at once) weighted by K(lag - delta_d) over the
-    ~2*thresh/g diagonals in each lag's band — O((n1+n2) log + nlags *
-    band) instead of O(nlags * band * n1).  This is the shape guess_lag
-    actually runs (first-differenced prices on a fixed 10ms grid,
-    ref:guess_lag.c:81,241-251); irregular inputs take
-    :func:`_band_corr_multi`.
+    When both series sit on integer lattices with the SAME step g
+    (complete regular grids, thinned/gapped grids, tick grids with
+    silences), the delta of a pair depends only on the diagonal
+    d = cell2[j] - cell1[i]: delta_d = (t2[0] - t1[0]) + d*g.  The
+    banded sums then collapse to per-diagonal sliding dot products
+    over the ZERO-FILLED value arrays,
+        S_d = sum_a yf1[a] * yf2[a + d],   c_d = sum_a m1[a] * m2[a + d]
+    (m = presence indicators, so gaps contribute nothing), weighted by
+    K(lag - delta_d) over the ~2*thresh/g diagonals in each lag's band
+    — O(cells * ndiag) direct dots for narrow bands, one FFT
+    cross-correlation for wide ones, instead of O(nlags * band * n1).
+    Complete grids are the gap-free special case (this path subsumes
+    the former regular-grid-only collapse); guess_lag's fixed 10ms tick
+    grid and the per-second/minute event lattices the engine's ACF
+    queries run on all land here.
 
-    Returns (nsums, dsums), or None when the collapse is unsafe: grids
-    not (ulp-)regular / steps unequal, non-finite values (the C
-    propagates NaN only through bands that contain it), or a band
-    boundary within rounding distance of a diagonal (membership could
-    differ from the C's per-pair comparison).
+    Returns (nsums, dsums), or None when the collapse is unsafe: not
+    same-step lattices, non-finite values (the C propagates NaN only
+    through bands that contain it), too sparse to zero-fill
+    (_LATTICE_FILL_CAP), or a band boundary within rounding distance
+    of a diagonal (membership could differ from the C's per-pair
+    comparison).
     """
     dt = np.dtype(dtype).type
     if not (np.isfinite(y1).all() and np.isfinite(y2).all()):
         return None
-    g1 = _regular_step(t1)
-    g2 = _regular_step(t2)
-    if g1 is None or g2 is None:
+    l1 = _lattice_cells(t1)
+    l2 = _lattice_cells(t2)
+    if l1 is None or l2 is None:
         return None
+    g1, q1 = l1
+    g2, q2 = l2
     g = 0.5 * (g1 + g2)
     if abs(g1 - g2) > 1e-9 * g:
         return None
-    delta0 = float(t2[0] - t1[0])
     n1, n2 = t1.size, t2.size
-    # diagonals d = j - i present: d in [-(n1-1), n2-1]; restrict to the
-    # union band of all lags
-    d_min = max(-(n1 - 1), int(np.floor((float(lags[0]) - float(thresh) - delta0) / g)) - 1)
-    d_max = min(n2 - 1, int(np.ceil((float(lags[-1]) + float(thresh) - delta0) / g)) + 1)
+    a_max = int(q1[-1])
+    b_max = int(q2[-1])
+    if a_max + 1 > _LATTICE_FILL_CAP * n1 or b_max + 1 > _LATTICE_FILL_CAP * n2:
+        return None
+    delta0 = float(t2[0] - t1[0])
+    # diagonals d = cell2 - cell1 present: d in [-a_max, b_max];
+    # restrict to the union band of all lags
+    d_min = max(-a_max, int(np.floor((float(lags[0]) - float(thresh) - delta0) / g)) - 1)
+    d_max = min(b_max, int(np.ceil((float(lags[-1]) + float(thresh) - delta0) / g)) + 1)
     nl = len(lags)
     nsums = np.zeros(nl, dtype=dtype)
     dsums = np.zeros(nl, dtype=dtype)
@@ -247,14 +282,37 @@ def _band_corr_regular(lags, t1, y1, t2, y2, thresh, xf, vf, dtype):
     guard = 1e-9 * scale
     edges = np.concatenate([np.asarray(lags, dtype=np.float64) - float(thresh),
                             np.asarray(lags, dtype=np.float64) + float(thresh)])
-    # distance of each edge to the nearest diagonal delta
     pos = (edges - delta0) / g
     frac = np.abs(pos - np.rint(pos)) * g
     if float(frac.min()) < guard:
         return None
-    S = _sliding_dots(y1, y2, d_min, d_max).astype(dtype)
-    counts = (np.minimum(n1 - 1, n2 - 1 - diags) - np.maximum(0, -diags) + 1)
-    counts = np.maximum(counts, 0).astype(dtype)
+    # zero-filled value/presence arrays on the lattice
+    yf1 = np.zeros(a_max + 1, dtype=dtype)
+    yf2 = np.zeros(b_max + 1, dtype=dtype)
+    yf1[q1] = y1
+    yf2[q2] = y2
+    ndiag = d_max - d_min + 1
+    if ndiag <= 64:
+        m1 = np.zeros(a_max + 1, dtype=dtype)
+        m2 = np.zeros(b_max + 1, dtype=dtype)
+        m1[q1] = 1.0
+        m2[q2] = 1.0
+        S = np.zeros(ndiag, dtype=dtype)
+        counts = np.zeros(ndiag, dtype=dtype)
+        for r, d in enumerate(range(d_min, d_max + 1)):
+            lo1 = max(0, -d)
+            hi1 = min(a_max + 1, b_max + 1 - d)
+            if lo1 >= hi1:
+                continue
+            S[r] = yf1[lo1:hi1] @ yf2[lo1 + d:hi1 + d]
+            counts[r] = m1[lo1:hi1] @ m2[lo1 + d:hi1 + d]
+    else:
+        S = _sliding_dots(yf1, yf2, d_min, d_max).astype(dtype)
+        m1 = np.zeros(a_max + 1, dtype=dtype)
+        m2 = np.zeros(b_max + 1, dtype=dtype)
+        m1[q1] = 1.0
+        m2[q2] = 1.0
+        counts = np.rint(_sliding_dots(m1, m2, d_min, d_max)).astype(dtype)
     for idx, k in enumerate(lags):
         kk = dt(k)
         lo = int(np.searchsorted(deltas, kk - thresh, side="left"))
@@ -269,11 +327,11 @@ def _band_corr_regular(lags, t1, y1, t2, y2, thresh, xf, vf, dtype):
 
 
 def _band_corr_lags(lags, t1, y1, t2, y2, thresh, xf, vf, dtype):
-    """Dispatch: regular-grid collapse when safe, else the delta-sorted
+    """Dispatch: lattice (regular-with-gaps) collapse when safe, else the delta-sorted
     union-band scan, chunked so each chunk's union stays within ~12
     band-widths of lag range (amortizes sort/build without letting the
     union balloon past the in-band work)."""
-    out = _band_corr_regular(lags, t1, y1, t2, y2, thresh, xf, vf, dtype)
+    out = _band_corr_lattice(lags, t1, y1, t2, y2, thresh, xf, vf, dtype)
     if out is not None:
         return out
     nl = len(lags)
@@ -469,8 +527,10 @@ def acf2pacf(acf: np.ndarray, mo: int | None = None, dtype=np.float64) -> np.nda
     return pacf
 
 
-# Cap on the (frequencies x points) trig block materialized at once
-# (~3 arrays of this many elements); larger problems chunk over rows.
+# Cap on the (harmonics x points) trig block materialized at once
+# (~3 arrays of this many elements); larger problems chunk over POINTS
+# so every chunk still holds all nw harmonic rows (the doubling scheme
+# below needs the low harmonics in reach) and partial sums accumulate.
 _PERIO_BLOCK = 4_000_000
 
 
@@ -478,36 +538,65 @@ def perio(t: np.ndarray, y: np.ndarray, nw: int, dtype=np.float64) -> np.ndarray
     """Lomb-Scargle periodogram at frequencies w_j = 2*pi*(j+1),
     j = 0..nw-1. ref:perio.c:49-86 (float twin ref:perio.c:88-104).
 
-    Vectorized as an (nw x n) outer-product trig block: one cos/sin pass
-    plus BLAS matvecs/einsum row reductions replace the per-frequency
-    Python loop; rows are chunked to bound the block at _PERIO_BLOCK
-    elements. Same formulas per row, golden-gated at rtol=1e-10."""
+    The frequencies are HARMONICS of one base phase
+    (theta_j = (j+1) * 2*pi*t), so the (nw x points) cos/sin block is
+    built from TWO libm trig rows (cos/sin of the base) followed by
+    log2(nw) angle-addition doubling steps
+        cos((m+h)p) = cos(mp)cos(hp) - sin(mp)sin(hp)
+    — six big fused ufunc passes per step instead of libm cos+sin per
+    element (the block's former dominant cost). Error grows with the
+    ~log2(nw) additions per harmonic (measured ~4e-12 absolute at
+    nw=400), well under the kernel's 1e-10 golden gate vs the C.
+    Points are chunked to bound the live block at _PERIO_BLOCK
+    elements; the five per-frequency sums accumulate across chunks and
+    the C's phase/power formulas (ref:perio.c:66-85) are applied once
+    at the end. Same per-row formulas as the C, golden-gated at
+    rtol=1e-10."""
     dt = np.dtype(dtype).type
     t = np.asarray(t, dtype=dtype)
     y = np.asarray(y, dtype=dtype)
-    out = np.empty(nw, dtype=dtype)
     n = t.size
-    rows = max(1, _PERIO_BLOCK // max(1, n))
-    for j0 in range(0, nw, rows):
-        j1 = min(nw, j0 + rows)
-        w = (dt(2.0) * dt(np.pi)) * np.arange(j0 + 1, j1 + 1, dtype=dtype)
-        theta = w[:, None] * t[None, :]
-        c = np.cos(theta)
-        s = np.sin(theta)
-        xc = c @ y
-        xs = s @ y
-        cc = np.einsum("ij,ij->i", c, c)
-        ss = np.einsum("ij,ij->i", s, s)
-        cs = np.einsum("ij,ij->i", c, s)
-        ph = np.arctan2(dt(2.0) * cs, cc - ss) / dt(2.0)
-        cp, sp = np.cos(ph), np.sin(ph)
-        ct = cp * xc + sp * xs
-        st = cp * xs - sp * xc
-        cct, sst, cst = cp * cp, sp * sp, cp * sp
-        p = (ct * ct) / (cct * cc + dt(2.0) * cst * cs + sst * ss)
-        p += (st * st) / (cct * ss - dt(2.0) * cst * cs + sst * cc)
-        out[j0:j1] = dt(0.5) * p
-    return out
+    xc = np.zeros(nw, dtype=dtype)
+    xs = np.zeros(nw, dtype=dtype)
+    cc = np.zeros(nw, dtype=dtype)
+    ss = np.zeros(nw, dtype=dtype)
+    cs = np.zeros(nw, dtype=dtype)
+    ncol = max(1, _PERIO_BLOCK // max(1, nw))
+    c = np.empty((nw, min(ncol, n)), dtype=dtype)
+    s = np.empty_like(c)
+    tmp = np.empty_like(c)
+    for i0 in range(0, n, ncol):
+        i1 = min(n, i0 + ncol)
+        w = i1 - i0
+        cb, sb, tb = c[:, :w], s[:, :w], tmp[:, :w]
+        base = (dt(2.0) * dt(np.pi)) * t[i0:i1]
+        np.cos(base, out=cb[0])
+        np.sin(base, out=sb[0])
+        m = 1
+        while m < nw:
+            k = min(m, nw - m)
+            cm, sm = cb[m - 1], sb[m - 1]
+            np.multiply(cm, cb[:k], out=cb[m:m + k])
+            np.multiply(sm, sb[:k], out=tb[:k])
+            np.subtract(cb[m:m + k], tb[:k], out=cb[m:m + k])
+            np.multiply(sm, cb[:k], out=sb[m:m + k])
+            np.multiply(cm, sb[:k], out=tb[:k])
+            np.add(sb[m:m + k], tb[:k], out=sb[m:m + k])
+            m += k
+        yk = y[i0:i1]
+        xc += cb @ yk
+        xs += sb @ yk
+        cc += np.einsum("ij,ij->i", cb, cb)
+        ss += np.einsum("ij,ij->i", sb, sb)
+        cs += np.einsum("ij,ij->i", cb, sb)
+    ph = np.arctan2(dt(2.0) * cs, cc - ss) / dt(2.0)
+    cp, sp = np.cos(ph), np.sin(ph)
+    ct = cp * xc + sp * xs
+    st = cp * xs - sp * xc
+    cct, sst, cst = cp * cp, sp * sp, cp * sp
+    p = (ct * ct) / (cct * cc + dt(2.0) * cst * cs + sst * ss)
+    p += (st * st) / (cct * ss - dt(2.0) * cst * cs + sst * cc)
+    return dt(0.5) * p
 
 
 # -------------------------------------------------------------------- roots

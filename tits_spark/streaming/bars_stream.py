@@ -139,11 +139,18 @@ def stream_bars_atr_rsi(
     bucket_secs: int = 3600,
     n: int = 14,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream (key, ts, value) samples into finalized OHLC bars with
     TR/ATR/RSI attached."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files: with availableNow
+        # the backlog then drains as MANY micro-batches (the soak
+        # harness uses this to drive a 50-batch run, tools/stream_soak)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
+        reader
         .parquet(source_path)
         .groupBy("key")
         .applyInPandasWithState(

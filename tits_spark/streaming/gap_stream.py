@@ -98,6 +98,7 @@ def stream_gaps(
     threshold_sec: float,
     stale_timeout_sec: float | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream (key, ts, ...) parquet into gap-alert rows; one double of
     state per key regardless of stream length."""
@@ -106,8 +107,14 @@ def stream_gaps(
         if stale_timeout_sec is not None
         else GroupStateTimeout.NoTimeout
     )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files: with availableNow
+        # the backlog then drains as MANY micro-batches (the soak
+        # harness uses this to drive a 50-batch run, tools/stream_soak)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
+        reader
         .parquet(source_path)
         .groupBy("key")
         .applyInPandasWithState(

@@ -99,11 +99,18 @@ def stream_holt(
     alpha: float = 0.5,
     beta: float = 0.3,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream a parquet directory of (key, ts, value) into per-event
     Holt (level, trend) rows; state is 5 scalars per key."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files: with availableNow
+        # the backlog then drains as MANY micro-batches (the soak
+        # harness uses this to drive a 50-batch run, tools/stream_soak)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
+        reader
         .parquet(source_path)
         .groupBy("key")
         .applyInPandasWithState(

@@ -1,0 +1,228 @@
+"""Streaming soak: 50 micro-batches, 3 restarts, bit-equality to batch.
+
+Round-3 verdict ask #7: the 16 streaming twins have per-pair
+equivalence tests, but no LONG-RUN evidence — many micro-batches with
+restarts under load, at sf0.1 scale. This harness drives the three
+stateful streams with the most state through exactly that:
+
+  - the sf0.1 events table (default) becomes a (key, ts, value) stream
+    split into 50 time-quantile chunk FILES (cross-batch per-key order
+    preserved — the streams' documented contract);
+  - each stream runs in THREE phases over the same checkpoint (fresh
+    query each phase = a restart with state recovered), with
+    maxFilesPerTrigger=1 so the phases drain as 17 + 18 + 15 separate
+    micro-batches;
+  - after the final phase, the union of all emissions must equal the
+    batch operator over the full history bit-for-bit (exceptAll both
+    ways), exactly like the unit equivalence tests but 50 batches and
+    2 mid-stream restarts deep.
+
+Writes BENCH/STREAM_SOAK.md. Run:
+    python tools/stream_soak.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import pathlib
+import shutil
+import tempfile
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+import sys
+
+sys.path.insert(0, str(REPO))
+
+N_CHUNKS = 50
+PHASES = (17, 35, 50)  # cumulative chunk counts per phase
+SCHEMA = "key string, ts timestamp, value double"
+
+
+def _chunks(ev, n_chunks):
+    """Split into n_chunks GLOBAL time-quantile chunks (preserves
+    per-key cross-batch ordering)."""
+    from pyspark.sql import functions as F
+
+    qs = ev.agg(
+        F.percentile_approx(
+            F.col("ts").cast("double"),
+            [i / n_chunks for i in range(1, n_chunks)],
+            10_000,
+        ).alias("qs")
+    ).first().qs
+    bounds = [float("-inf"), *qs, float("inf")]
+    return [
+        ev.filter(
+            (F.col("ts").cast("double") > bounds[i])
+            & (F.col("ts").cast("double") <= bounds[i + 1])
+        )
+        for i in range(n_chunks)
+    ]
+
+
+def _num_batches(spark, ckpt) -> int:
+    """Committed micro-batch count from the checkpoint's commit log."""
+    p = pathlib.Path(ckpt) / "commits"
+    return len([f for f in p.iterdir() if f.name.isdigit()]) if p.exists() else 0
+
+
+def _run_phases(spark, chunks, work, stream_fn, name):
+    src = str(work / f"{name}_src")
+    out = str(work / f"{name}_out")
+    ckpt = str(work / f"{name}_ckpt")
+    written = 0
+    t0 = time.perf_counter()
+    restarts = 0
+    for upto in PHASES:
+        for i in range(written, upto):
+            chunks[i].coalesce(1).write.mode("append").parquet(src)
+        written = upto
+        q = stream_fn(src, out, ckpt)
+        q.awaitTermination(1200)
+        restarts += 1
+    sec = time.perf_counter() - t0
+    return out, _num_batches(spark, ckpt), restarts - 1, sec
+
+
+def _bitwise_equal(got, want) -> tuple[bool, int, int]:
+    n_got, n_want = got.count(), want.count()
+    if n_got != n_want:
+        return False, n_got, n_want
+    eq = got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    return eq, n_got, n_want
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.bars import atr_rsi, bars_from_tier
+    from tits_spark.operators.rollup import rollup_from_raw
+    from tits_spark.operators.smoothing import holt_by_key
+    from tits_spark.operators.windows import gap_intervals
+    from tits_spark.session import get_spark
+    from tits_spark.streaming.bars_stream import stream_bars_atr_rsi
+    from tits_spark.streaming.gap_stream import stream_gaps
+    from tits_spark.streaming.holt_stream import stream_holt
+
+    spark = get_spark("stream-soak", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = pathlib.Path(args.workdir or tempfile.mkdtemp(prefix="stream_soak_"))
+    ev = (
+        spark.read.parquet(f"{args.sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+        .where(F.col("value").isNotNull())
+    )
+    n_rows = ev.count()
+    n_keys = ev.select("key").distinct().count()
+    chunks = _chunks(ev, N_CHUNKS)
+
+    results = []
+
+    # ---- bars + TR/ATR/RSI (ring-buffer state, the most state/key)
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_bars_atr_rsi(
+            spark, s, SCHEMA, o, c, bucket_secs=3600, max_files_per_trigger=1
+        ),
+        "bars",
+    )
+    tier = rollup_from_raw(ev, "key", "ts", "value", "1h")
+    bars_all = atr_rsi(bars_from_tier(tier), n=14)
+    last = ev.groupBy("key").agg(F.max("ts").alias("mx")).select(
+        "key", F.expr("CAST(mx AS LONG) DIV 3600").alias("last_b")
+    )
+    want = (
+        bars_all.join(last, "key")
+        .filter(F.expr("CAST(bucket_ts AS LONG) DIV 3600") < F.col("last_b"))
+        .select("key", "bucket_ts", "open", "high", "low", "close",
+                "n_obs", "tr", "atr", "rsi", "n_win")
+    )
+    got = spark.read.parquet(out).select(
+        "key", "bucket_ts", "open", "high", "low", "close",
+        "n_obs", "tr", "atr", "rsi", "n_win")
+    results.append(("bars_stream (OHLC+TR/ATR/RSI)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- holt (per-event emission: every input row crosses the sink)
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_holt(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1
+        ),
+        "holt",
+    )
+    want = holt_by_key(ev).select("key", "ts", "level", "trend")
+    got = spark.read.parquet(out).select("key", "ts", "level", "trend")
+    results.append(("holt_stream (level/trend per event)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- gaps (1 scalar state/key; output only on threshold crossings)
+    thresh = 6 * 3600.0
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_gaps(
+            spark, s, SCHEMA, o, c, thresh, max_files_per_trigger=1
+        ),
+        "gaps",
+    )
+    want = gap_intervals(ev, ["key"], "ts", thresh).select(
+        "key", "gap_start", "gap_end", F.round("gap_sec", 6).alias("g"))
+    got = spark.read.parquet(out).select(
+        "key", "gap_start", "gap_end", F.round("gap_sec", 6).alias("g"))
+    results.append(("gap_stream (gap alerts)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    rows = "\n".join(
+        f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
+        f"{'**bit-equal**' if eq else 'MISMATCH'} |"
+        for (name, nb, nr, sec, eq, n_got, _n_want) in results
+    )
+    md = f"""# BENCH/STREAM_SOAK — many-microbatch restart soak vs batch
+
+Generated {dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds")} by
+`python tools/stream_soak.py --sf-dir {args.sf_dir}`.
+
+Input: the sf0.1 events table as a (key, ts, value) stream —
+{n_rows:,} rows, {n_keys} keys — split into {N_CHUNKS} global
+time-quantile chunk files (per-key cross-batch order preserved, the
+streams' documented contract). Each stream ran THREE phases over one
+checkpoint (a fresh query per phase = a restart with recovered state)
+with `maxFilesPerTrigger=1`, so the phases drained as
+{PHASES[0]} + {PHASES[1] - PHASES[0]} + {PHASES[2] - PHASES[1]}
+separate committed micro-batches. After the last phase the union of
+all emissions is compared against the batch operator over the FULL
+history with `exceptAll` in both directions — bit equality, same gate
+as the unit tests, 50 micro-batches and 2 mid-stream restarts deep.
+
+| stream | committed micro-batches | mid-stream restarts | wall sec | emitted rows | vs batch |
+|---|---|---|---|---|---|
+{rows}
+
+The three streams were chosen for maximal state stress (verdict ask
+#7): bars_stream carries OHLC partials + two (n-1)-deep ring buffers
+per key; holt_stream emits EVERY input row (the heaviest sink
+traffic); gap_stream's single-scalar state must survive every
+restart to avoid phantom gaps at phase boundaries.
+"""
+    (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
+    print(md)
+    if not all(r[4] for r in results):
+        raise SystemExit(1)
+    if args.workdir is None:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
