@@ -2284,6 +2284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "curate": q_curate,
         "data_profile_approx": q_data_profile_approx,
+        "moments": q_moments,
+        "cube_rollup": q_cube_rollup,
+        "record_highs": q_record_highs,
+        "vwap": q_vwap,
+        "stochastic": q_stochastic,
+        "haar_energy": q_haar_energy,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4703,6 +4709,15 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         # for unbounded string columns — the scale path for full-text
         # profiling
         "data_profile_approx": _profile_approx_oracle(),
+        # round-4 families: integer-moment skew/kurt/JB, CUBE grouping
+        # sets, record extraction, VWAP, stochastic indicators, Haar
+        # dyadic-exact wavelet energies
+        "moments": _moments_oracle(),
+        "cube_rollup": _cube_oracle(),
+        "record_highs": _record_highs_oracle(),
+        "vwap": _vwap_oracle(),
+        "stochastic": _stochastic_oracle(),
+        "haar_energy": _haar_oracle(),
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5290,4 +5305,258 @@ SELECT key, CAST(i AS INT) AS wi, ti AS ts, dq AS mp, CAST(j AS INT) AS nn
 FROM (SELECT *, row_number() OVER (PARTITION BY key, i ORDER BY dq, j) AS rnk
       FROM scored)
 WHERE rnk = 1
+"""
+
+
+# ---------------------------------------------------- round-4 additions
+
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness / excess kurtosis / Jarque-Bera per key from exact
+    integer-cent power sums (the corr_matrix HUGEINT-moment device at
+    4th order): every float step is one identically-written IEEE op on
+    exact integers, so the match is bit-for-bit, no quantization."""
+    from tits_spark.operators.moments import moment_stats
+
+    return moment_stats(_events(spark, sf_dir))
+
+
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP cube over (event_type, hour-of-day): Spark cube() == SQL
+    GROUP BY CUBE; exact counts + integer-cent sums, aggregated rows
+    labeled '<all>' (no grouping_id bit-order dependency)."""
+    from tits_spark.operators.olap import cube_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return cube_profile(ev, dims=("event_type", "hr"), value="value")
+
+
+def q_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key record-breaking events (running-maximum setters) with
+    record index and exact integer-µs gap since the previous record —
+    pure copies and exact integers, zero quantization."""
+    from tits_spark.operators.olap import record_highs
+
+    return record_highs(_events(spark, sf_dir))
+
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(supplier, month) VWAP over lineitem plus the running
+    cumulative VWAP: integer cent*qty sums, one identical division
+    per output on both engines."""
+    from tits_spark.operators.olap import vwap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return vwap(
+        li.withColumn("_sd", F.col("l_shipdate").cast("timestamp")),
+        group="l_suppkey", ts="_sd", price="l_extendedprice",
+        qty="l_quantity", unit="month",
+    )
+
+
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic %K/%D, Williams %R and OBV over hourly bars; windowed
+    extrema are exact copies so %K/%R are single divisions (quantized
+    at emission), %D re-averages the quantized %K, OBV is exact
+    integers."""
+    from tits_spark.operators.bars import bars_from_tier, stochastic
+    from tits_spark.operators.rollup import rollup_from_raw
+
+    ev = _events(spark, sf_dir)
+    bars = bars_from_tier(rollup_from_raw(ev, "key", "ts", "value", "1h"))
+    out = stochastic(bars, n=14, d=3)
+    return out.select(
+        "key", "bucket_ts", "close", "pct_k", "pct_d", "pct_r", "obv", "n_win"
+    )
+
+
+_HAAR_LEVELS = 5
+
+
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar detail energies (levels 1..5) + final approximation energy
+    per key over each key's first 32 samples: integer cents make every
+    coefficient a small dyadic rational, so all arithmetic is exact in
+    double and the unrolled SQL pairing cascade matches bit-for-bit."""
+    from tits_spark.operators.wavelet import haar_energy
+
+    return haar_energy(_events(spark, sf_dir), levels=_HAAR_LEVELS)
+
+
+def _moments_oracle() -> str:
+    return """
+WITH c AS (
+  SELECT user_id AS key, CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+p AS (SELECT key, c, CAST(c AS HUGEINT) * c AS c2 FROM c),
+a AS (
+  SELECT key, count(*) AS n,
+         sum(c) AS s1, sum(c2) AS s2, sum(c2 * c) AS s3, sum(c2 * c2) AS s4
+  FROM p GROUP BY 1
+),
+r AS (
+  SELECT key, n, CAST(n AS DOUBLE) AS nn,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM a WHERE n >= 8
+),
+m AS (
+  SELECT key, n, nn, r1,
+         r2 - r1 * r1 AS m2,
+         r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1 AS m3,
+         r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2
+            - 3.0 * r1 * r1 * r1 * r1 AS m4
+  FROM r
+),
+f AS (
+  SELECT key, n, nn, r1, m2,
+         m3 / (m2 * sqrt(m2)) AS skewness,
+         m4 / (m2 * m2) - 3.0 AS kurtosis
+  FROM m WHERE m2 > 0
+)
+SELECT key, n, r1 / 100.0 AS mean, sqrt(m2) / 100.0 AS std,
+       skewness, kurtosis,
+       nn / 6.0 * (skewness * skewness + kurtosis * kurtosis / 4.0) AS jb
+FROM f
+"""
+
+
+def _cube_oracle() -> str:
+    return """
+SELECT coalesce(CAST(event_type AS VARCHAR), '<all>') AS event_type,
+       coalesce(CAST(hr AS VARCHAR), '<all>') AS hr,
+       count(*) AS n,
+       CAST(sum(c) AS BIGINT) AS cents
+FROM (
+  SELECT event_type, CAST(hour(ts) AS VARCHAR) AS hr,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+)
+GROUP BY CUBE (event_type, hr)
+"""
+
+
+def _record_highs_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT user_id AS key, ts, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM events WHERE value IS NOT NULL
+),
+r AS (SELECT key, ts, value FROM t WHERE pm IS NULL OR value > pm)
+SELECT key, ts, value,
+       CAST(row_number() OVER w AS INT) AS record_idx,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev
+FROM r WINDOW w AS (PARTITION BY key ORDER BY ts, value)
+"""
+
+
+def _vwap_oracle() -> str:
+    return """
+WITH rows_ AS (
+  SELECT l_suppkey AS grp,
+         date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS bucket_ts,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round(l_quantity, 0) AS BIGINT) AS cq,
+         CAST(round(l_quantity, 0) AS BIGINT) AS q
+  FROM lineitem
+),
+a AS (
+  SELECT grp, bucket_ts, count(*) AS n,
+         CAST(sum(cq) AS BIGINT) AS scq, CAST(sum(q) AS BIGINT) AS qty_sum
+  FROM rows_ GROUP BY 1, 2
+)
+SELECT grp, bucket_ts, n, qty_sum,
+       CAST(scq AS DOUBLE) / (100.0 * CAST(qty_sum AS DOUBLE)) AS vwap,
+       CAST(sum(scq) OVER c AS DOUBLE)
+         / (100.0 * CAST(sum(qty_sum) OVER c AS DOUBLE)) AS cum_vwap
+FROM a WINDOW c AS (PARTITION BY grp ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _stochastic_oracle() -> str:
+    return """
+WITH bars AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts,
+         max(value) AS high, min(value) AS low,
+         arg_max(value, ts) AS close, count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT key, bucket_ts, close,
+         max(high) OVER f AS hh, min(low) OVER f AS ll,
+         close - lag(close) OVER w AS d,
+         count(close) OVER f AS n_win, n_obs
+  FROM bars
+  WINDOW w AS (PARTITION BY key ORDER BY bucket_ts),
+         f AS (PARTITION BY key ORDER BY bucket_ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT key, bucket_ts, close, n_win,
+         CASE WHEN hh - ll > 0
+              THEN 100.0 * (close - ll) / (hh - ll) END AS k_raw,
+         CASE WHEN hh - ll > 0
+              THEN round(-100.0 * (hh - close) / (hh - ll), 6) END AS pct_r,
+         sum(CASE WHEN d > 0 THEN n_obs
+                  WHEN d < 0 THEN -n_obs ELSE 0 END)
+           OVER (PARTITION BY key ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+  FROM t
+)
+SELECT key, bucket_ts, close, round(k_raw, 6) AS pct_k,
+       round(avg(k_raw) OVER (PARTITION BY key ORDER BY bucket_ts
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS pct_d,
+       pct_r, CAST(obv AS BIGINT) AS obv, n_win
+FROM k
+"""
+
+
+def _haar_oracle() -> str:
+    """Unrolled Haar pairing cascade: level l halves level l-1 by
+    (even - odd)/2 detail and (even + odd)/2 approximation — dyadic
+    exact arithmetic, so no rounding anywhere."""
+    win = 1 << _HAAR_LEVELS
+    lvls = []
+    prev = "x0"
+    for lv in range(1, _HAAR_LEVELS + 1):
+        lvls.append(f"""
+x{lv} AS (
+  SELECT key, i // 2 AS i,
+         (sum(CASE WHEN i % 2 = 0 THEN a END)
+          - sum(CASE WHEN i % 2 = 1 THEN a END)) / 2.0 AS d,
+         (sum(CASE WHEN i % 2 = 0 THEN a END)
+          + sum(CASE WHEN i % 2 = 1 THEN a END)) / 2.0 AS a
+  FROM {prev} GROUP BY 1, 2
+)""")
+        prev = f"x{lv}"
+    detail = "\nUNION ALL ".join(
+        f"SELECT key, {lv} AS level, count(*) AS n_coef, sum(d * d) AS energy "
+        f"FROM x{lv} GROUP BY 1"
+        for lv in range(1, _HAAR_LEVELS + 1)
+    )
+    return f"""
+WITH src AS (
+  SELECT user_id AS key, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS i,
+         count(*) OVER (PARTITION BY user_id) AS nk
+  FROM events WHERE value IS NOT NULL
+),
+x0 AS (
+  SELECT key, i, CAST(round(value * 100, 0) AS DOUBLE) AS a
+  FROM src WHERE nk >= {win} AND i < {win}
+),
+{",".join(lvls)}
+SELECT CAST(level AS INT) AS level, key, n_coef, energy FROM (
+{detail}
+UNION ALL SELECT key, 0, 1, a * a FROM x{_HAAR_LEVELS}
+)
 """

@@ -476,3 +476,39 @@ def test_cogroup_and_grouped_udf_numbered_repartition(spark, ev):
         key="k", ts="ts", value="value", segments=8,
     )
     assert dt.rdd.getNumPartitions() == par
+
+
+def test_round4_operator_plan_shapes(spark, ev):
+    """Plan audits for the round-4 families: partial+final aggregation,
+    no cartesians, no row-wise Python, bounded repartitions."""
+    from tits_spark.operators.moments import moment_stats
+    from tits_spark.operators.olap import cube_profile, record_highs, vwap
+    from tits_spark.operators.wavelet import haar_energy
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+
+    p = plan_of(moment_stats(df))
+    # one partial+final hash aggregate pair around exactly one exchange
+    assert p.count("Exchange (") == 1 and p.count("HashAggregate") >= 2
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+    p = plan_of(cube_profile(ev.select(
+        "event_type", F.hour("ts").alias("hr"), "value")))
+    # cube = one expand feeding one partial+final aggregate
+    assert "Expand" in p and p.count("Exchange (") == 1
+    assert "CartesianProduct" not in p
+
+    p = plan_of(record_highs(df))
+    # pure window algebra: one hash-partition exchange, no joins
+    assert p.count("Exchange (") == 1 and "Join" not in p
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = plan_of(vwap(li.withColumn("_sd", F.col("l_shipdate").cast("timestamp")),
+                     group="l_suppkey", ts="_sd",
+                     price="l_extendedprice", qty="l_quantity"))
+    # bucket aggregate + cumulative window reuse the same (grp) keys:
+    # agg exchange + window exchange, nothing else
+    assert p.count("Exchange (") == 2 and "CartesianProduct" not in p
+
+    q = haar_energy(df, levels=5)
+    assert q.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

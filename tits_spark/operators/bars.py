@@ -95,3 +95,67 @@ def atr_rsi(
         .otherwise(F.lit(50.0))
     )
     return enriched.withColumn("rsi", rsi).drop("_gain", "_loss", "_ag", "_al")
+
+
+def stochastic(
+    bars: DataFrame,
+    n: int = 14,
+    d: int = 3,
+    key: str = "key",
+    ord_col: str = "bucket_ts",
+    quantize: int = 6,
+) -> DataFrame:
+    """Stochastic oscillator %K/%D, Williams %R, and OBV per bar.
+
+    %K = 100*(close - LL_n)/(HH_n - LL_n) over the trailing n-bar
+    frame; %D = the d-bar average of the RAW %K, rounded once at
+    emission (windowed extrema are exact copies, so raw %K is one
+    deterministic division and the short ordered sum is engine-
+    identical; averaging quantized values would land on exact decimal
+    midpoints where cross-engine rounding modes disagree); %R =
+    -100*(HH_n - close)/(HH_n - LL_n). A flat frame (HH == LL) yields
+    NULL %K/%D/%R on both engines (explicit guard — double
+    division-by-zero semantics differ across engines). OBV accumulates
+    n_obs as the volume proxy signed by the close-to-close direction —
+    exact integers end to end.
+    """
+    w = Window.partitionBy(key).orderBy(ord_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    dframe = w.rowsBetween(-(d - 1), 0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    hh = F.max("high").over(frame)
+    ll = F.min("low").over(frame)
+    pc = F.lag("close").over(w)
+    delta = F.col("close") - pc
+    signed_vol = (
+        F.when(delta > 0, F.col("n_obs"))
+        .when(delta < 0, -F.col("n_obs"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    rng = hh - ll
+    k_raw = F.when(
+        rng > 0, F.lit(100.0) * (F.col("close") - ll) / rng
+    ).otherwise(F.lit(None).cast("double"))
+    r = F.when(
+        rng > 0,
+        F.round(F.lit(-100.0) * (hh - F.col("close")) / rng, quantize),
+    ).otherwise(F.lit(None).cast("double"))
+    enriched = (
+        bars.withColumn("_k_raw", k_raw)
+        .withColumn("pct_r", r)
+        .withColumn("obv", F.sum(signed_vol).over(cum))
+        .withColumn("n_win", F.count("close").over(frame))
+    )
+    # %D averages the RAW %K (a <=d-element ordered sum of full-
+    # precision doubles, identical either engine) and rounds ONCE at
+    # emission: averaging already-quantized values would put the mean
+    # on an exact decimal midpoint lattice where Spark HALF_UP and
+    # DuckDB rint disagree (the time_to_conv lesson)
+    return (
+        enriched.withColumn(
+            "pct_d", F.round(F.avg("_k_raw").over(dframe), quantize)
+        )
+        .withColumn("pct_k", F.round("_k_raw", quantize))
+        .drop("_k_raw")
+    )
