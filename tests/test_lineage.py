@@ -156,3 +156,47 @@ def test_calendar_tier_log_driven_recompute(spark, raw, tmp_path):
 
     bad = verify_lineage(spark, tiers, metrics).filter(~F.col("match")).count()
     assert bad == 0
+
+
+def test_snapshots_and_time_travel(spark, raw, tmp_path):
+    """Commit-log time travel: reading as-of run1's completion (by
+    job_id or timestamp) shows exactly run1's partitions; snapshots()
+    lists both runs in commit order."""
+    from tits_spark.lineage import read_tier_as_of, snapshots
+
+    tiers, metrics = str(tmp_path / "tt"), str(tmp_path / "tm")
+    mid = raw.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)").alias("m")).first().m
+    first = raw.filter(F.col("ts").cast("double") <= mid)
+    incremental_rollup(spark, first, tiers, metrics, job_id="tt1")
+    incremental_rollup(spark, raw, tiers, metrics, job_id="tt2")
+
+    snaps = snapshots(spark, metrics).toPandas()
+    assert set(snaps["job_id"]) == {"tt1", "tt2"}
+    assert (snaps[snaps["stage"] == "tier_1d"]["n_partitions"] > 0).all()
+
+    # by job_id: only the day partitions run1 committed are visible
+    got = read_tier_as_of(spark, tiers, metrics, "1d", job_id="tt1")
+    want_parts = {
+        r["part"]
+        for r in MetricsLog(spark, metrics).read()
+        .filter((F.col("job_id") == "tt1") & (F.col("stage") == "tier_1d"))
+        .select("part").distinct().collect()
+    }
+    got_parts = {
+        str(r["bucket_date"])
+        for r in got.select("bucket_date").distinct().collect()
+    }
+    assert got_parts == want_parts
+    full = spark.read.parquet(f"{tiers}/tier=1d")
+    assert got.count() < full.count()
+
+    # by timestamp after run2: everything is visible
+    upto = MetricsLog(spark, metrics).read().agg(
+        F.max("committed_at").alias("t")).first().t
+    got_all = read_tier_as_of(spark, tiers, metrics, "1d", as_of=upto)
+    assert got_all.count() == full.count()
+
+    with pytest.raises(ValueError):
+        read_tier_as_of(spark, tiers, metrics, "1d")
+    with pytest.raises(ValueError):
+        read_tier_as_of(spark, tiers, metrics, "1d", job_id="nope")

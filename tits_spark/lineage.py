@@ -341,6 +341,77 @@ def verify_lineage(spark: SparkSession, tiers_path: str, metrics_path: str) -> D
     )
 
 
+def snapshots(spark: SparkSession, metrics_path: str, io=None) -> DataFrame:
+    """Commit history, one row per (job_id, stage): commit time span,
+    partitions and buckets committed. The lineage log IS the commit
+    protocol (a partition is visible iff its row exists), so this is
+    the engine's snapshot listing — the parquet-backend analog of
+    Iceberg's snapshots metadata table (on the Iceberg backend every
+    append is a real table snapshot and `.snapshots` is native)."""
+    log = MetricsLog(spark, metrics_path, io=io)
+    return (
+        log.read()
+        .groupBy("job_id", "stage")
+        .agg(
+            F.min("committed_at").alias("committed_from"),
+            F.max("committed_at").alias("committed_to"),
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("bucket_count").alias("n_buckets"),
+        )
+        .orderBy("committed_from")
+    )
+
+
+def read_tier_as_of(
+    spark: SparkSession,
+    tiers_path: str,
+    metrics_path: str,
+    tier: str,
+    as_of=None,
+    job_id: str | None = None,
+) -> DataFrame:
+    """Commit-log time travel over a tier: rows of the day partitions
+    whose FIRST lineage commit is at or before ``as_of`` (a timestamp
+    or ISO string), or that were committed by jobs up to and including
+    ``job_id``'s completion.
+
+    Parquet-backend caveat (documented, inherent to the layout):
+    dynamic partition overwrite replaces files in place, so a
+    partition RE-written by a later backfill shows its CURRENT
+    content — this is visibility travel (which partitions existed),
+    not full snapshot isolation. On the Iceberg backend use
+    ``IcebergTableIO.read_tier_as_of``, which delegates to native
+    snapshot time travel and has no such caveat.
+
+    The committed-parts frame is tiny (one row per day) and broadcast,
+    so Spark's dynamic partition pruning keeps the scan to exactly the
+    visible ``bucket_date=`` directories.
+    """
+    io = resolve_table_io(spark, tiers_path, metrics_path)
+    log = MetricsLog(spark, metrics_path, io=io)
+    m = log.read().filter(F.col("stage") == f"tier_{tier}")
+    if job_id is not None:
+        upto = (
+            m.filter(F.col("job_id") == job_id)
+            .agg(F.max("committed_at").alias("t"))
+            .first()
+            .t
+        )
+        if upto is None:
+            raise ValueError(f"read_tier_as_of: job_id {job_id!r} has no commits")
+        as_of = upto
+    if as_of is None:
+        raise ValueError("read_tier_as_of: pass as_of or job_id")
+    parts = (
+        m.groupBy("part")
+        .agg(F.min("committed_at").alias("first_commit"))
+        .filter(F.col("first_commit") <= F.lit(as_of).cast("timestamp"))
+        .select(F.col("part").alias("bucket_date"))
+    )
+    t = io.read_tier(tier)
+    return t.join(F.broadcast(parts), "bucket_date", "left_semi")
+
+
 # ---------------------------------------------------- sketch tiers
 
 #: checksum expressions per sketch stage (order-independent xor, same

@@ -135,6 +135,15 @@ class IcebergTableIO:
             self.spark.table(f"{self._tier_table(tier)}.partitions").count()
         )
 
+    def read_tier_as_of(self, tier: str, as_of) -> DataFrame:
+        """Native Iceberg snapshot time travel (true snapshot
+        isolation — old file versions are retained by the table)."""
+        return (
+            self.spark.read.format("iceberg")
+            .option("as-of-timestamp", str(int(as_of.timestamp() * 1000)))
+            .load(self._tier_table(tier))
+        )
+
     def read_metrics(self) -> DataFrame:
         if not self.spark.catalog.tableExists(self.metrics_table):
             return self.spark.createDataFrame([], METRICS_SCHEMA)
