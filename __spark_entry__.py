@@ -2290,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap": q_vwap,
         "stochastic": q_stochastic,
         "haar_energy": q_haar_energy,
+        "bloom": q_bloom,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4718,6 +4719,7 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         "vwap": _vwap_oracle(),
         "stochastic": _stochastic_oracle(),
         "haar_energy": _haar_oracle(),
+        "bloom": _bloom_oracle_sql(),
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5559,4 +5561,74 @@ SELECT CAST(level AS INT) AS level, key, n_coef, energy FROM (
 {detail}
 UNION ALL SELECT key, 0, 1, a * a FROM x{_HAAR_LEVELS}
 )
+"""
+
+
+def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter membership per event_type over user ids (m=4096,
+    k=4, the shared md5 hash family): registers re-derived bit-for-bit
+    by the oracle; probes cover every real user plus 20 absent ghosts,
+    with might_contain (never under-reports) next to the exact truth."""
+    from tits_spark.operators.sketches import bloom_probe, bloom_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    items = ev.where(F.col("user_id").isNotNull()).select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").cast("string").alias("it"),
+    )
+    regs = bloom_registers(items, "grp", "it", m=4096, k=4)
+    users = items.select("it").distinct().unionByName(
+        spark.range(20).select(F.concat(F.lit("ghost_"), F.col("id")).alias("it"))
+    )
+    grps = items.select("grp").distinct()
+    cand = grps.join(F.broadcast(users))
+    probed = bloom_probe(regs, cand, m=4096, k=4)
+    truth = items.distinct().withColumn("actual", F.lit(True))
+    return probed.join(truth, ["grp", "it"], "left").select(
+        "grp", "it", "might_contain", F.coalesce("actual", F.lit(False)).alias("actual")
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    m, k = 4096, 4
+    return f"""
+WITH items AS (
+  SELECT DISTINCT event_type AS grp, CAST(user_id AS VARCHAR) AS it
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT grp, bit >> 5 AS word, bit_or(1::BIGINT << CAST(bit & 31 AS INT)) AS bits
+  FROM (
+    SELECT grp,
+           ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || it), 1, 15))::BIGINT
+             & {m - 1} AS bit
+    FROM items, range({k}) t(j)
+  ) GROUP BY 1, 2
+),
+users AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS it
+  FROM events WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 'ghost_' || CAST(g AS VARCHAR) FROM range(20) t(g)
+),
+grps AS (SELECT DISTINCT event_type AS grp FROM events WHERE user_id IS NOT NULL),
+probe AS (
+  SELECT grp, it, bit >> 5 AS word, 1::BIGINT << CAST(bit & 31 AS INT) AS need
+  FROM (
+    SELECT grp, it,
+           ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || it), 1, 15))::BIGINT
+             & {m - 1} AS bit
+    FROM grps, users, range({k}) t(j)
+  )
+),
+mc AS (
+  SELECT p.grp, p.it,
+         min(CASE WHEN (coalesce(r.bits, 0) & p.need) = p.need
+                  THEN 1 ELSE 0 END) = 1 AS might_contain
+  FROM probe p LEFT JOIN regs r ON r.grp = p.grp AND r.word = p.word
+  GROUP BY 1, 2
+)
+SELECT mc.grp, mc.it, mc.might_contain,
+       (i.it IS NOT NULL) AS actual
+FROM mc LEFT JOIN items i ON i.grp = mc.grp AND i.it = mc.it
 """

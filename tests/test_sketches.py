@@ -127,3 +127,33 @@ def test_w_power_of_two_enforced(ids):
         cms_counts(ids, "it", d=4, w=60)
     with pytest.raises(ValueError):
         hll_distinct(ids, "g", "it", p=5)
+
+
+def test_bloom_no_false_negatives_and_merge(spark, events):
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.sketches import bloom_probe, bloom_registers
+
+    items = events.where(F.col("user_id").isNotNull()).select(
+        F.col("event_type").alias("grp"), F.col("user_id").cast("string").alias("it")
+    )
+    regs = bloom_registers(items, "grp", "it", m=1024, k=4)
+    probed = bloom_probe(regs, items.distinct(), m=1024, k=4).toPandas()
+    # Bloom guarantee: every present item MUST report might_contain
+    assert probed["might_contain"].all()
+    # ghosts mostly rejected (m=1024 over ~hundreds of users -> fpr < 1)
+    ghosts = spark.range(50).select(
+        F.lit("view").alias("grp"), F.concat(F.lit("gh_"), "id").alias("it")
+    )
+    g = bloom_probe(regs, ghosts, m=1024, k=4).toPandas()
+    assert (~g["might_contain"]).sum() > 0
+    # mergeability: registers from two halves OR-combine to the full table
+    h1 = items.where(F.col("it").cast("long") % 2 == 0)
+    h2 = items.where(F.col("it").cast("long") % 2 == 1)
+    merged = (
+        bloom_registers(h1, "grp", "it", m=1024, k=4)
+        .unionByName(bloom_registers(h2, "grp", "it", m=1024, k=4))
+        .groupBy("grp", "word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    assert merged.exceptAll(regs).count() == 0 and regs.exceptAll(merged).count() == 0

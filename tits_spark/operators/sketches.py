@@ -213,3 +213,84 @@ def kmv_distinct(
         F.col("n_min") < k, F.col("n_min").cast("double")
     ).otherwise(F.lit(num) / F.col("rk").cast("double"))
     return agg.select("grp", "n_min", "rk", est.alias("kmv_est"))
+
+
+# ------------------------------------------------------------- bloom
+
+def bloom_registers(
+    df: DataFrame, group: str, item: Column | str, m: int = 4096, k: int = 4
+) -> DataFrame:
+    """Per-(group, word) Bloom filter registers over an item stream.
+
+    ``m`` bits (power of two) stored as ``m/32`` words per
+    group; hash j of an item is the shared 60-bit md5 family over
+    ``'j|item'`` masked to ``m`` (derivable bit-for-bit in any SQL
+    engine). ONE hash-aggregate shuffle with map-side combine bounds
+    the exchange at ``groups x m/32`` rows at any input size, and two
+    register tables merge by ``bit_or`` — the same continuous-
+    aggregate/streaming story as the HLL registers above. Membership
+    is never under-reported (no false negatives); false-positive rate
+    ~ (1 - e^(-k*n/m))^k.
+    """
+    if m & (m - 1) or m < 64:
+        raise ValueError("m must be a power of two >= 64")
+    it = F.col(item) if isinstance(item, str) else item
+    rows = (
+        df.where(it.isNotNull())
+        .select(F.col(group).alias("grp"), it.alias("it"))
+        .select(
+            "grp", "it",
+            F.explode(F.array([F.lit(j) for j in range(k)])).alias("j"),
+        )
+    )
+    bit = h60(F.concat_ws("|", F.col("j").cast("string"), F.col("it"))).bitwiseAND(
+        m - 1
+    )
+    return (
+        rows.select("grp", bit.alias("_bit"))
+        .select(
+            "grp",
+            F.expr("shiftright(_bit, 5)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit & 31 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("grp", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    registers: DataFrame,
+    candidates: DataFrame,
+    group: str = "grp",
+    item: str = "it",
+    m: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Probe (group, item) candidates against a register table:
+    might_contain is true iff ALL k bits are set. The register table is
+    bounded (groups x m/32 rows), so it broadcasts and the probe is
+    shuffle-free on the register side.
+
+    Columns: grp, it, might_contain.
+    """
+    cand = candidates.select(
+        F.col(group).alias("grp"), F.col(item).alias("it")
+    ).distinct()
+    cand = cand.select(
+        "grp", "it", F.explode(F.array([F.lit(j) for j in range(k)])).alias("j")
+    )
+    bit = h60(F.concat_ws("|", F.col("j").cast("string"), F.col("it"))).bitwiseAND(
+        m - 1
+    )
+    cand = cand.select("grp", "it", bit.alias("_bit")).select(
+        "grp", "it",
+        F.expr("shiftright(_bit, 5)").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit & 31 AS INT))").alias("need"),
+    )
+    j = cand.join(F.broadcast(registers), ["grp", "word"], "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("need")) == F.col("need")
+    )
+    return j.groupBy("grp", "it").agg(F.min(hit.cast("int")).cast("boolean").alias("might_contain"))
