@@ -2291,6 +2291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stochastic": q_stochastic,
         "haar_energy": q_haar_energy,
         "bloom": q_bloom,
+        "ols_trend": q_ols_trend,
+        "ecdf": q_ecdf,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4720,6 +4722,8 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         "stochastic": _stochastic_oracle(),
         "haar_energy": _haar_oracle(),
         "bloom": _bloom_oracle_sql(),
+        "ols_trend": _ols_oracle_sql(),
+        "ecdf": _ECDF_ORACLE,
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5631,4 +5635,76 @@ mc AS (
 SELECT mc.grp, mc.it, mc.might_contain,
        (i.it IS NOT NULL) AS actual
 FROM mc LEFT JOIN items i ON i.grp = mc.grp AND i.it = mc.it
+"""
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical OLS slope/intercept/R^2 per key: time rebased to
+    integer seconds from the key's first sample, values to integer
+    cents, so all five moment sums are exact integers and the fit is a
+    fixed double expression over them — bit-exact oracle."""
+    from tits_spark.operators.linreg import ols_trend
+
+    return ols_trend(_events(spark, sf_dir))
+
+
+def q_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key percent_rank and empirical CDF for every value — exact
+    integer ratios, bit-exact across engines."""
+    from tits_spark.operators.cross_section import ecdf_ranks
+
+    return ecdf_ranks(_events(spark, sf_dir))
+
+
+def _ols_oracle_sql() -> str:
+    return """
+WITH p AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT key,
+         CAST(floor((us - min(us) OVER (PARTITION BY key)) / 1000000.0)
+              AS BIGINT) AS t,
+         c
+  FROM p
+),
+a AS (
+  SELECT key, count(*) AS n, sum(t) AS st, sum(c) AS sv,
+         sum(t * t) AS stt, sum(c * c) AS svv, sum(t * c) AS stv
+  FROM b GROUP BY 1
+),
+r AS (
+  SELECT key, n, CAST(n AS DOUBLE) AS nn,
+         CAST(st AS DOUBLE) AS st, CAST(sv AS DOUBLE) AS sv,
+         CAST(stt AS DOUBLE) AS stt, CAST(svv AS DOUBLE) AS svv,
+         CAST(stv AS DOUBLE) AS stv
+  FROM a WHERE n >= 3
+),
+m AS (
+  SELECT key, n, nn, st, sv,
+         nn * stv - st * sv AS num,
+         nn * stt - st * st AS dent,
+         nn * svv - sv * sv AS denv
+  FROM r
+),
+f AS (
+  SELECT key, n, nn, st, sv, num, dent, denv, num / dent AS slope
+  FROM m WHERE dent > 0 AND denv > 0
+)
+SELECT key, n,
+       (slope) / 100.0 AS slope_per_sec,
+       ((sv - slope * st) / nn) / 100.0 AS intercept,
+       (num * num) / (dent * denv) AS r2
+FROM f
+"""
+
+
+_ECDF_ORACLE = """
+SELECT user_id AS key, value,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS ecdf
+FROM events WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY value)
 """

@@ -7,6 +7,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tits_spark.operators.trend import _median_pinned, mk_numpy, trend_stats
 
@@ -74,3 +75,50 @@ def test_spark_path(spark):
     assert out["down"]["trend"] == "dec" and out["down"]["sen_slope"] < 0
     assert out["flat"]["trend"] == "none"
     assert out["up"]["n"] == 50
+
+
+def test_ols_trend_matches_numpy(spark, events):
+    """Exact-integer-moment OLS vs numpy.polyfit on the same rebased
+    integer (seconds, cents) data."""
+    import numpy as np
+
+    from tits_spark.operators.linreg import ols_trend
+
+    got = (
+        ols_trend(
+            events.select(F.col("user_id").alias("key"), "ts", "value")
+        )
+        .toPandas()
+        .set_index("key")
+    )
+    assert len(got) > 0
+    pdf = events.select("user_id", "ts", "value").toPandas().dropna(subset=["value"])
+    for key, grp in list(pdf.groupby("user_id"))[:12]:
+        us = grp["ts"].astype("datetime64[us]").astype(np.int64)
+        t = np.floor((us - us.min()) / 1e6).astype(np.int64)
+        c = np.rint(grp["value"].to_numpy() * 100.0)
+        if len(grp) < 3 or t.var() == 0 or c.var() == 0:
+            assert key not in got.index
+            continue
+        slope, icept = np.polyfit(t, c, 1)
+        row = got.loc[key]
+        np.testing.assert_allclose(row["slope_per_sec"], slope / 100.0, rtol=1e-8)
+        np.testing.assert_allclose(row["intercept"], icept / 100.0, rtol=1e-6)
+        r = np.corrcoef(t, c)[0, 1]
+        np.testing.assert_allclose(row["r2"], r * r, rtol=1e-8)
+        assert 0.0 <= row["r2"] <= 1.0 + 1e-12
+
+
+def test_ecdf_ranks_bounds_and_ties(spark):
+    import pandas as pd
+
+    from tits_spark.operators.cross_section import ecdf_ranks
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": ["a"] * 5, "value": [1.0, 2.0, 2.0, 3.0, None]}),
+        "key string, value double",
+    )
+    out = ecdf_ranks(df).orderBy("value").toPandas()
+    assert len(out) == 4  # null dropped
+    assert list(out["pct_rank"]) == [0.0, 1 / 3, 1 / 3, 1.0]
+    assert list(out["ecdf"]) == [0.25, 0.75, 0.75, 1.0]

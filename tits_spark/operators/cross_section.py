@@ -57,3 +57,20 @@ def cross_rank(
         .otherwise(F.lit(0.0))
         .alias("pct_rank"),
     )
+
+
+def ecdf_ranks(
+    df: DataFrame, key: str = "key", value: str = "value"
+) -> DataFrame:
+    """Per-key empirical CDF columns for every row: percent_rank
+    (min-rank scaled to [0,1]) and ecdf = P(X <= x) (cume_dist). Both
+    are exact integer ratios — (rank-1)/(n-1) and count<=x / n — so the
+    oracle matches bit-for-bit with no quantization. One hash-partition
+    window per key; ties share ranks deterministically."""
+    w = Window.partitionBy(key).orderBy(value)
+    return df.where(F.col(value).isNotNull()).select(
+        F.col(key).alias("key"),
+        F.col(value).alias("value"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("ecdf"),
+    )
