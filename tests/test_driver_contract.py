@@ -13,6 +13,11 @@ DRIVER_TABLES = {
     "lineitem", "events", "documents", "embeddings",
 }
 
+# DuckDB built-in TABLE FUNCTIONS (not relations) an oracle may invoke
+# in FROM position — e.g. `FROM range(4) t(j)` for a constant hash-seed
+# spine (the bloom oracle)
+TABLE_FUNCTIONS = {"range", "unnest", "generate_series"}
+
 
 def test_every_query_has_an_oracle():
     qs, os_ = E.queries(), E.oracle_sql()
@@ -38,5 +43,8 @@ def test_oracles_reference_only_registered_tables():
             t.lower()
             for t in re.findall(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w]*)\b", sql)
         )
-        unknown = targets - DRIVER_TABLES - {c.lower() for c in ctes}
+        unknown = (
+            targets - DRIVER_TABLES - TABLE_FUNCTIONS
+            - {c.lower() for c in ctes}
+        )
         assert not unknown, f"{name}: unknown relations {unknown}"

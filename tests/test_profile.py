@@ -72,3 +72,28 @@ def test_profile_approx_no_expand_on_sketched(spark, docs):
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_profile_job_cli(spark, docs, tmp_path, capsys):
+    """The packaged CLI job (jobs/profile_job.py): default auto mode
+    sketches string columns; --exact forces the expand plan."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import profile_job
+
+    src = str(tmp_path / "corpus")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "prof")
+    profile_job.main(["--input", src, "--output", out, "--cores", "inherit"])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["columns_profiled"] == len(docs.columns)
+    rows = {r["col_name"]: r for r in payload["profile"]}
+    assert rows["doc_id"]["n_distinct"] is not None       # exact for keys
+    assert rows["text"]["n_distinct_est"] is not None     # sketched
+    # explicit exact mode keeps the original 6-column schema
+    out2 = str(tmp_path / "prof2")
+    profile_job.main(["--input", src, "--output", out2, "--exact"])
+    p2 = spark.read.parquet(out2)
+    assert "n_distinct_est" not in p2.columns
