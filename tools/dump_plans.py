@@ -239,6 +239,58 @@ def main() -> None:
         E.q_realized_vol(spark, SF),
     )
     add(
+        "data_profile_approx (sketch-mode profile)",
+        "String columns skip the exact-distinct expand entirely: a "
+        "column-pruned second scan stacks (col, value) map-side, the "
+        "HLL register aggregate bounds the exchange at n_cols x 4096 "
+        "rows, and the estimates broadcast-join back. No full-value "
+        "shuffle at any input size.",
+        E.q_data_profile_approx(spark, SF),
+    )
+    add(
+        "moments (4th-order integer-moment aggregate)",
+        "ONE partial+final hash aggregate: five decimal(38,0) power "
+        "sums per key; skew/kurt/JB are scalar expressions over the "
+        "aggregate output — no second pass, no window.",
+        E.q_moments(spark, SF),
+    )
+    add(
+        "cube_rollup (grouping sets)",
+        "Spark cube(): one Expand (4 grouping sets) into one "
+        "partial+final aggregate — a single exchange for all subtotal "
+        "levels.",
+        E.q_cube_rollup(spark, SF),
+    )
+    add(
+        "vwap (bucket aggregate + cumulative window)",
+        "The bucket aggregate and the running-VWAP window cluster on "
+        "the same group key: agg exchange + window exchange, the "
+        "window running over the bucket table (bounded by buckets, "
+        "not rows).",
+        E.q_vwap(spark, SF),
+    )
+    add(
+        "bloom (register build + broadcast probe)",
+        "Register build: one map-side-combined bit_or exchange bounded "
+        "at groups x m/32 rows; the probe broadcasts the register "
+        "table — shuffle-free on the sketch side.",
+        E.q_bloom(spark, SF),
+    )
+    add(
+        "ols_trend (integer-moment least squares)",
+        "Tiny min-timestamp aggregate broadcast back for the per-key "
+        "time rebase, then ONE partial+final moment aggregate; the fit "
+        "is scalar arithmetic on the aggregate row.",
+        E.q_ols_trend(spark, SF),
+    )
+    add(
+        "stochastic (bar-window indicator stack)",
+        "Hourly tier aggregate + per-key ordered windows (extrema "
+        "copies, short %D average, cumulative OBV) — tier exchange + "
+        "one window exchange, everything else is column algebra.",
+        E.q_stochastic(spark, SF),
+    )
+    add(
         "atr_rsi (bar indicators off the OHLC tier)",
         "Tier agg exchange + one per-key window exchange; indicators "
         "never read raw (open/high/low/close are tier columns).",
