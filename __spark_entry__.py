@@ -2293,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom": q_bloom,
         "ols_trend": q_ols_trend,
         "ecdf": q_ecdf,
+        "window_join": q_window_join,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4724,6 +4725,7 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         "bloom": _bloom_oracle_sql(),
         "ols_trend": _ols_oracle_sql(),
         "ecdf": _ECDF_ORACLE,
+        "window_join": _WINDOW_JOIN_ORACLE,
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5707,4 +5709,48 @@ SELECT user_id AS key, value,
        cume_dist() OVER w AS ecdf
 FROM events WHERE value IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
+def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kdb-style window join: for each purchase, aggregate the same
+    user's view events in the preceding hour (inclusive bounds, exact
+    integer-µs compares): count, integer-cent value sum, newest view
+    timestamp. Bucketized equi-join — no range/cross join; empty
+    windows kept with zero counts."""
+    from tits_spark.operators.intervals import window_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("key"), "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("key"), "ts", "value"
+    )
+    out = window_join(
+        left, right, id_col="event_id", key="key",
+        before_sec=3600.0, after_sec=0.0,
+    )
+    return out.select(
+        "event_id", "key", "ts", "n_w", "cents_w", "last_right_us"
+    )
+
+
+_WINDOW_JOIN_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id AS key, ts, epoch_us(ts) AS lus
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id AS key, epoch_us(ts) AS rus,
+         CAST(round(value * 100, 0) AS BIGINT) AS rc
+  FROM events WHERE event_type = 'view'
+)
+SELECT l.event_id, l.key, l.ts,
+       count(r.rus) AS n_w,
+       coalesce(CAST(sum(rc) AS BIGINT), 0) AS cents_w,
+       max(r.rus) AS last_right_us
+FROM l LEFT JOIN r
+  ON r.key = l.key AND r.rus >= l.lus - 3600000000 AND r.rus <= l.lus
+GROUP BY 1, 2, 3
 """

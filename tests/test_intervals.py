@@ -176,3 +176,48 @@ def test_overlap_keyed_restricts_pairs(spark):
     )
     same_key = unkeyed[(unkeyed["iv_id"] % 2) == (unkeyed["r_id"] % 2)]
     assert len(got) == len(same_key)
+
+
+def test_window_join_matches_pandas(spark, events):
+    """kdb-style window join vs a direct pandas recomputation, incl.
+    empty windows and inclusive bounds."""
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.operators.intervals import window_join
+
+    left = events.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("key"), "ts", "value"
+    )
+    right = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("key"), "ts", "value"
+    )
+    got = window_join(
+        left, right, id_col="event_id", before_sec=3600.0, after_sec=0.0
+    ).toPandas().set_index("event_id")
+    lp = left.toPandas()
+    rp = right.toPandas()
+    rp["us"] = rp["ts"].astype("datetime64[us]").astype(np.int64)
+    rp["rc"] = np.rint(rp["value"].to_numpy() * 100).astype(np.int64)
+    assert len(got) == len(lp)
+    for _, row in lp.sample(min(40, len(lp)), random_state=7).iterrows():
+        lus = pd.Timestamp(row["ts"]).value // 1000
+        m = rp[(rp["key"] == row["key"]) & (rp["us"] >= lus - 3600_000_000)
+               & (rp["us"] <= lus)]
+        mine = got.loc[row["event_id"]]
+        assert mine["n_w"] == len(m)
+        assert mine["cents_w"] == (m["rc"].sum() if len(m) else 0)
+        if len(m):
+            assert mine["last_right_us"] == m["us"].max()
+        else:
+            assert pd.isna(mine["last_right_us"])
+
+
+def test_window_join_plan_no_cartesian(spark, events):
+    from tits_spark.operators.intervals import window_join
+
+    left = events.select("event_id", F.col("user_id").alias("key"), "ts", "value")
+    p = window_join(
+        left, left.drop("event_id"), id_col="event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p

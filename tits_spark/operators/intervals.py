@@ -158,3 +158,68 @@ def interval_overlap_join(
         )
     )
     return joined.drop("_b")
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    key: str = "key",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before_sec: float = 3600.0,
+    after_sec: float = 0.0,
+    value: str = "value",
+    bucket_seconds: int = 3600,
+    max_buckets: int = 4096,
+) -> DataFrame:
+    """kdb-style window join: for every left row, aggregate the right
+    rows of the same ``key`` whose timestamp falls in
+    ``[left_ts - before_sec, left_ts + after_sec]`` (both ends
+    inclusive, exact integer-microsecond compares).
+
+    Returns every left row (empty windows included) with
+    ``n_w`` (matching right rows), ``cents_w`` (exact integer-cent sum
+    of ``value``), and ``last_right_us`` (epoch µs of the newest
+    matching right row, NULL when none) — all exact integers/copies,
+    so the relational oracle matches bit-for-bit.
+
+    Scale shape: the left row's window explodes to its covered time
+    buckets (bounded by ``(before+after)/bucket_seconds + 2``, guarded
+    by ``max_buckets``), the right side buckets once, and the match is
+    a hash EQUI-join on (key, bucket) — never a range/cross join —
+    followed by one aggregate on the left id and a broadcast-free left
+    join back onto the left spine (co-partitioned on the id).
+    """
+    b_us = int(bucket_seconds) * 1_000_000
+    lo = epoch_us(F.col(left_ts)) - F.lit(int(before_sec * 1_000_000))
+    hi = epoch_us(F.col(left_ts)) + F.lit(int(after_sec * 1_000_000))
+    l_exp = left.select(
+        F.col(id_col).alias("_id"),
+        F.col(key).alias("_k"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        F.explode(_explode_buckets(lo, hi, b_us, max_buckets)).alias("_b"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        epoch_us(F.col(right_ts)).alias("_rus"),
+        F.round(F.col(value) * 100, 0).cast("long").alias("_rc"),
+        _bucket(F.col(right_ts), b_us).alias("_b"),
+    )
+    matched = (
+        l_exp.join(r, ["_k", "_b"])
+        .where((F.col("_rus") >= F.col("_lo")) & (F.col("_rus") <= F.col("_hi")))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_w"),
+            F.sum("_rc").alias("cents_w"),
+            F.max("_rus").alias("last_right_us"),
+        )
+    )
+    return (
+        left.join(matched, left[id_col] == matched["_id"], "left")
+        .drop("_id")
+        .withColumn("n_w", F.coalesce("n_w", F.lit(0)))
+        .withColumn("cents_w", F.coalesce("cents_w", F.lit(0)))
+    )
