@@ -426,6 +426,22 @@ def main() -> None:
 
     repeat("q19_decompose_profile", _body_q19_decompose_profile)
 
+    # q20: round-4 analytics wave — 4th-order integer-moment profile
+    # (skew/kurt/JB) + exact-integer OLS fits + ECDF ranks over the
+    # events series, CUBE grouping sets, supplier VWAP, bloom
+    # register build + probe, and the one-hour window join
+    import __spark_entry__ as E
+
+    inputs["q20_rows"] = inputs["q3_rows"]
+    def _body_q20_r4_families():
+        for fn in (
+            E.q_moments, E.q_ols_trend, E.q_ecdf, E.q_cube_rollup,
+            E.q_vwap, E.q_bloom, E.q_window_join,
+        ):
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    repeat("q20_r4_families", _body_q20_r4_families)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
