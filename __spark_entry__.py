@@ -2294,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "ecdf": q_ecdf,
         "window_join": q_window_join,
+        "topk_per_group": q_topk_per_group,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4726,6 +4727,7 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         "ols_trend": _ols_oracle_sql(),
         "ecdf": _ECDF_ORACLE,
         "window_join": _WINDOW_JOIN_ORACLE,
+        "topk_per_group": _TOPK_GROUP_ORACLE,
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5753,4 +5755,33 @@ SELECT l.event_id, l.key, l.ts,
 FROM l LEFT JOIN r
   ON r.key = l.key AND r.rus >= l.lus - 3600000000 AND r.rus <= l.lus
 GROUP BY 1, 2, 3
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type top-5 users by event count: aggregate-then-rank
+    (window over the bounded aggregate, not raw rows); exact integers,
+    total tie order -> bit-exact oracle."""
+    from tits_spark.operators.cross_section import topk_per_group
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("uid"), "value"
+    )
+    return topk_per_group(ev, group="event_type", key="uid", k=5)
+
+
+_TOPK_GROUP_ORACLE = """
+WITH a AS (
+  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS k,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT grp, k, n, cents,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY n DESC, k ASC)
+              AS INT) AS rank
+  FROM a
+)
+SELECT grp, k, n, cents, rank FROM r WHERE rank <= 5
 """

@@ -74,3 +74,31 @@ def ecdf_ranks(
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("ecdf"),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: str,
+    key: str,
+    value: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` keys per group by event count (heavy hitters within
+    each group): aggregate first (partial+final, exact integer counts
+    and cents), then ONE rank window per group over the aggregate —
+    bounded by distinct (group, key), never raw rows. The order
+    (n desc, key asc) is total, so ranks are deterministic and the
+    oracle matches bit-for-bit."""
+    agg = (
+        df.groupBy(F.col(group).alias("grp"), F.col(key).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col(value) * 100, 0).cast("long")).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("k"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("grp", "k", "n", "cents", "rank")
+    )
