@@ -2295,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecdf": q_ecdf,
         "window_join": q_window_join,
         "topk_per_group": q_topk_per_group,
+        "holt_winters": q_holt_winters,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4728,6 +4729,7 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         "ecdf": _ECDF_ORACLE,
         "window_join": _WINDOW_JOIN_ORACLE,
         "topk_per_group": _TOPK_GROUP_ORACLE,
+        "holt_winters": _holt_winters_oracle(),
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5784,4 +5786,75 @@ r AS (
   FROM a
 )
 SELECT grp, k, n, cents, rank FROM r WHERE rank <= 5
+"""
+
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_P = 0.5, 0.3, 0.4, 4
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level+trend+seasonal) per key, textbook
+    two-period initialization; every recursion step is the identical
+    operation tree the DuckDB recursive CTE evaluates (the holt device
+    extended with a seasonal LIST state), so the floor-u6 projections
+    match bit-for-bit."""
+    from tits_spark.operators.smoothing import holt_winters
+
+    out = holt_winters(
+        _events(spark, sf_dir),
+        alpha=_HW_ALPHA, beta=_HW_BETA, gamma=_HW_GAMMA, period=_HW_P,
+    )
+    u6 = lambda c: F.floor(F.col(c) * 1e6).cast("long").alias(f"{c}_u6")  # noqa: E731
+    return out.select(
+        "key", "idx", "value",
+        u6("fitted"), u6("level"), u6("trend"), u6("seasonal"),
+    )
+
+
+def _holt_winters_oracle() -> str:
+    a, b, g, p = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_P
+    xs = ", ".join(
+        f"max(CASE WHEN rn = {j} THEN value END) AS x{j}"
+        for j in range(1, 2 * p + 1)
+    )
+    def chain(lo: int, hi: int) -> str:
+        expr = f"x{lo}"
+        for j in range(lo + 1, hi + 1):
+            expr = f"({expr} + x{j})"
+        return expr
+    l0 = f"{chain(1, p)} / {float(p)!r}"
+    b0 = f"({chain(p + 1, 2 * p)} / {float(p)!r} - l0) / {float(p)!r}"
+    s0 = "[" + ", ".join(f"x{j} - l0" for j in range(1, p + 1)) + "]"
+    l_new = f"{a!r} * (e.value - rec.s[1]) + (1 - {a!r}) * (rec.l + rec.b)"
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT user_id AS key, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS nk
+  FROM events WHERE value IS NOT NULL
+),
+piv AS (
+  SELECT key, {xs}
+  FROM e WHERE nk >= {2 * p} GROUP BY key
+),
+i1 AS (SELECT key, *, {l0} AS l0 FROM piv),
+rec AS (
+  SELECT key, CAST({p} AS BIGINT) AS rn, CAST(NULL AS DOUBLE) AS xv,
+         CAST(NULL AS DOUBLE) AS fitted,
+         l0 AS l, {b0} AS b, {s0} AS s
+  FROM i1
+  UNION ALL
+  SELECT e.key, e.rn, e.value,
+         (rec.l + rec.b) + rec.s[1] AS fitted,
+         {l_new} AS l,
+         {b!r} * (({l_new}) - rec.l) + (1 - {b!r}) * rec.b AS b,
+         rec.s[2:{p}] || [{g!r} * (e.value - ({l_new})) + (1 - {g!r}) * rec.s[1]] AS s
+  FROM rec JOIN e ON e.key = rec.key AND e.rn = rec.rn + 1
+)
+SELECT key, rn AS idx, xv AS value,
+       CAST(floor(fitted * 1e6) AS BIGINT) AS fitted_u6,
+       CAST(floor(l * 1e6) AS BIGINT) AS level_u6,
+       CAST(floor(b * 1e6) AS BIGINT) AS trend_u6,
+       CAST(floor(s[{p}] * 1e6) AS BIGINT) AS seasonal_u6
+FROM rec WHERE rn > {p}
 """

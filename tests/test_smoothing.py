@@ -90,3 +90,46 @@ def test_macd_matches_pandas_ewm_on_regular_grid(spark):
     np.testing.assert_allclose(got["macd"], macd, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(got["signal"], signal, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(got["hist"], macd - signal, rtol=1e-9, atol=1e-9)
+
+
+def test_holt_winters_recovers_planted_seasonality(spark):
+    """HW on a clean level+trend+period-4 seasonal signal: one-step
+    fitted values converge to the truth; the seasonal state locks on."""
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.operators.smoothing import holt_winters
+
+    n, p = 80, 4
+    t = np.arange(n)
+    season = np.array([3.0, -1.0, -2.5, 0.5])
+    x = 50.0 + 0.8 * t + season[t % p]
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(t, unit="h")
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": "k", "ts": ts, "value": x}),
+        "key string, ts timestamp, value double",
+    )
+    out = (
+        holt_winters(df, alpha=0.5, beta=0.3, gamma=0.4, period=p)
+        .orderBy("idx")
+        .toPandas()
+    )
+    assert len(out) == n - p
+    tail = out.tail(20)
+    np.testing.assert_allclose(
+        tail["fitted"].to_numpy(), tail["value"].to_numpy(), atol=0.05
+    )
+    np.testing.assert_allclose(tail["trend"].to_numpy(), 0.8, atol=0.02)
+
+
+def test_holt_winters_short_keys_dropped(spark, events):
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.smoothing import holt_winters
+
+    df = events.select(F.col("user_id").alias("key"), "ts", "value")
+    out = holt_winters(df, period=4)
+    counts = df.where(F.col("value").isNotNull()).groupBy("key").count().toPandas()
+    short = set(counts[counts["count"] < 8]["key"])
+    got_keys = {r["key"] for r in out.select("key").distinct().collect()}
+    assert not (got_keys & short)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _SCHEMA = "key string, ts timestamp, level double, trend double"
 
@@ -162,4 +163,86 @@ def macd_irregular(
     return sig.select(
         key, ts, value, "macd", "signal",
         (F.col("macd") - F.col("signal")).alias("hist"),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    period: int = 4,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per key.
+
+    Classic textbook initialization (Hyndman & Athanasopoulos, OTexts
+    §7.3 additive form): at t = period,
+        l = mean(x_1..x_p)                (left-chained sum)
+        b = (mean(x_{p+1}..x_{2p}) - l) / p
+        s_j = x_j - l                     (j = 1..p)
+    then for t = p+1..n (index order = (ts, value)):
+        fitted_t = (l + b) + s_{t-p}
+        l'       = alpha*(x_t - s_{t-p}) + (1-alpha)*(l + b)
+        b'       = beta*(l' - l) + (1-beta)*b
+        s_t      = gamma*(x_t - l') + (1-gamma)*s_{t-p}
+    Keys with fewer than ``2*period`` samples are dropped (the trend
+    init needs the second period).
+
+    Returns (key, idx, value, fitted, level, trend, seasonal) for
+    t > period. Every arithmetic step is written as the IDENTICAL
+    operation tree the DuckDB recursive-CTE oracle evaluates (the
+    holt/_HOLT_REC_CTE device extended with a seasonal LIST state), so
+    the outputs are bit-identical across engines. Runs as a grouped
+    Arrow kernel behind the numbered-repartition AQE guard
+    (BENCH/PLANS.md).
+    """
+    a, b_, g, p = float(alpha), float(beta), float(gamma), int(period)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["key", "idx", "value", "fitted", "level", "trend", "seasonal"]
+        if len(pdf) < 2 * p:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values([ts, value], kind="stable")
+        x = pdf[value].to_numpy(np.float64)
+        acc1 = 0.0
+        for j in range(p):
+            acc1 = acc1 + x[j]
+        l = acc1 / p
+        acc2 = 0.0
+        for j in range(p, 2 * p):
+            acc2 = acc2 + x[j]
+        b = (acc2 / p - l) / p
+        s = [x[j] - l for j in range(p)]
+        rows = []
+        for t in range(p, x.size):
+            sh = s[0]
+            fitted = (l + b) + sh
+            l_new = a * (x[t] - sh) + (1 - a) * (l + b)
+            b_new = b_ * (l_new - l) + (1 - b_) * b
+            s_new = g * (x[t] - l_new) + (1 - g) * sh
+            rows.append((t + 1, x[t], fitted, l_new, b_new, s_new))
+            l, b = l_new, b_new
+            s = s[1:] + [s_new]
+        out = pd.DataFrame(rows, columns=cols[1:])
+        out.insert(0, "key", pdf[key].iloc[0])
+        return out
+
+    kt = df.schema[key].dataType.simpleString()
+    prep = df.where(F.col(value).isNotNull()).select(
+        F.col(key).alias("key"), F.col(ts).alias(ts), F.col(value).alias(value)
+    )
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        prep.repartition(nparts, "key")
+        .groupBy("key")
+        .applyInPandas(
+            fn,
+            schema=(
+                f"key {kt}, idx long, value double, fitted double, "
+                "level double, trend double, seasonal double"
+            ),
+        )
     )
