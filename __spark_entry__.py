@@ -2296,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_join": q_window_join,
         "topk_per_group": q_topk_per_group,
         "holt_winters": q_holt_winters,
+        "hw_forecast": q_hw_forecast,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4730,6 +4731,7 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         "window_join": _WINDOW_JOIN_ORACLE,
         "topk_per_group": _TOPK_GROUP_ORACLE,
         "holt_winters": _holt_winters_oracle(),
+        "hw_forecast": _hw_forecast_oracle(),
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5857,4 +5859,43 @@ SELECT key, rn AS idx, xv AS value,
        CAST(floor(b * 1e6) AS BIGINT) AS trend_u6,
        CAST(floor(s[{p}] * 1e6) AS BIGINT) AS seasonal_u6
 FROM rec WHERE rn > {p}
+"""
+
+
+def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-period-ahead Holt-Winters forecasts from each key's final
+    state; same bit-exact recursive-CTE device as holt_winters."""
+    from tits_spark.operators.smoothing import holt_winters_forecast
+
+    out = holt_winters_forecast(
+        _events(spark, sf_dir),
+        alpha=_HW_ALPHA, beta=_HW_BETA, gamma=_HW_GAMMA, period=_HW_P,
+    )
+    return out.select(
+        "key", "h",
+        F.floor(F.col("forecast") * 1e6).cast("long").alias("forecast_u6"),
+    )
+
+
+def _hw_forecast_oracle() -> str:
+    p = _HW_P
+    body = _holt_winters_oracle()
+    # reuse the full recursive CTE, then project forecasts off the
+    # FINAL state row per key
+    body = body[: body.index("SELECT key, rn AS idx")]
+    fores = "\nUNION ALL ".join(
+        f"SELECT key, {h} AS h, CAST(floor(((l + ({float(h)!r} * b)) + s[{h}]) "
+        f"* 1e6) AS BIGINT) AS forecast_u6 FROM fin"
+        for h in range(1, p + 1)
+    )
+    return body + f""", last AS (
+  SELECT key, max(rn) AS mr FROM rec GROUP BY 1
+),
+fin AS (
+  SELECT rec.key, rec.l, rec.b, rec.s
+  FROM rec JOIN last ON rec.key = last.key AND rec.rn = last.mr
+)
+SELECT CAST(h AS INT) AS h, key, forecast_u6 FROM (
+{fores}
+)
 """

@@ -246,3 +246,65 @@ def holt_winters(
             ),
         )
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    period: int = 4,
+    horizon: int | None = None,
+) -> DataFrame:
+    """h-step-ahead additive Holt-Winters forecasts from each key's
+    final state: f_{n+h} = (l_n + h*b_n) + s_{n+h-p}, h = 1..horizon
+    (default one full period; horizon <= period keeps the seasonal
+    index inside the retained state window). Same recursion and
+    operation trees as :func:`holt_winters`."""
+    a, b_, g, p = float(alpha), float(beta), float(gamma), int(period)
+    h_max = p if horizon is None else int(horizon)
+    if not 1 <= h_max <= p:
+        raise ValueError("holt_winters_forecast: horizon must be in [1, period]")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["key", "h", "forecast"]
+        if len(pdf) < 2 * p:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values([ts, value], kind="stable")
+        x = pdf[value].to_numpy(np.float64)
+        acc1 = 0.0
+        for j in range(p):
+            acc1 = acc1 + x[j]
+        l = acc1 / p
+        acc2 = 0.0
+        for j in range(p, 2 * p):
+            acc2 = acc2 + x[j]
+        b = (acc2 / p - l) / p
+        s = [x[j] - l for j in range(p)]
+        for t in range(p, x.size):
+            sh = s[0]
+            l_new = a * (x[t] - sh) + (1 - a) * (l + b)
+            b_new = b_ * (l_new - l) + (1 - b_) * b
+            s_new = g * (x[t] - l_new) + (1 - g) * sh
+            l, b = l_new, b_new
+            s = s[1:] + [s_new]
+        rows = [
+            (h, (l + (float(h) * b)) + s[h - 1]) for h in range(1, h_max + 1)
+        ]
+        out = pd.DataFrame(rows, columns=cols[1:])
+        out.insert(0, "key", pdf[key].iloc[0])
+        return out
+
+    kt = df.schema[key].dataType.simpleString()
+    prep = df.where(F.col(value).isNotNull()).select(
+        F.col(key).alias("key"), F.col(ts).alias(ts), F.col(value).alias(value)
+    )
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        prep.repartition(nparts, "key")
+        .groupBy("key")
+        .applyInPandas(fn, schema=f"key {kt}, h int, forecast double")
+    )
