@@ -2297,6 +2297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "holt_winters": q_holt_winters,
         "hw_forecast": q_hw_forecast,
+        "source_overlap": q_source_overlap,
+        "dispersion": q_dispersion,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4732,6 +4734,8 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         "topk_per_group": _TOPK_GROUP_ORACLE,
         "holt_winters": _holt_winters_oracle(),
         "hw_forecast": _hw_forecast_oracle(),
+        "source_overlap": _SOURCE_OVERLAP_ORACLE,
+        "dispersion": _DISPERSION_ORACLE,
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5898,4 +5902,76 @@ fin AS (
 SELECT CAST(h AS INT) AS h, key, forecast_u6 FROM (
 {fores}
 )
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 8-gram overlap between document sources: exact
+    shingle-set intersections, Jaccard, and directed containments —
+    the contamination diagnostic at source granularity."""
+    from tits_spark.operators.dedup import source_ngram_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = source_ngram_overlap(docs, group_col="source", text_col="text", n=8)
+    return out
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH raw_sh AS (
+  SELECT source, text,
+         unnest(generate_series(1, greatest(length(text) - 7, 1))) AS off
+  FROM documents
+),
+s0 AS (
+  SELECT DISTINCT source AS grp, substr(text, CAST(off AS INT), 8) AS shingle
+  FROM raw_sh
+  WHERE length(substr(text, CAST(off AS INT), 8)) = 8
+),
+sizes AS (SELECT grp, count(*) AS n_sh FROM s0 GROUP BY 1),
+common AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS n_common
+  FROM s0 a JOIN s0 b ON a.shingle = b.shingle AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT c.src_a, c.src_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       c.n_common / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard,
+       c.n_common / sa.n_sh AS containment_a,
+       c.n_common / sb.n_sh AS containment_b
+FROM common c
+JOIN sizes sa ON sa.grp = c.src_a
+JOIN sizes sb ON sb.grp = c.src_b
+"""
+
+
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of hourly event counts per
+    key: exact integer moment sums, one identical double expression —
+    bit-exact oracle."""
+    from tits_spark.operators.events_analytics import dispersion_index
+
+    return dispersion_index(_events(spark, sf_dir), bucket_secs=3600)
+
+
+_DISPERSION_ORACLE = """
+WITH c AS (
+  SELECT user_id AS key, epoch_us(ts) // 3600000000 AS b,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+a AS (
+  SELECT key, count(*) AS n_buckets, sum(cnt) AS sc,
+         sum(cnt * cnt) AS scc
+  FROM c GROUP BY 1
+),
+r AS (
+  SELECT key, n_buckets, CAST(sc AS BIGINT) AS sc,
+         CAST(n_buckets AS DOUBLE) AS nn,
+         CAST(sc AS DOUBLE) AS scd, CAST(scc AS DOUBLE) AS sccd
+  FROM a WHERE n_buckets >= 8
+)
+SELECT key, n_buckets, sc,
+       scd / nn AS mean_cnt,
+       ((nn * sccd - scd * scd) / (nn * (nn - 1.0))) / (scd / nn)
+         AS dispersion
+FROM r
 """

@@ -178,3 +178,45 @@ def test_latency_summary_counts(spark, events):
         return
     s = latency_summary(lat).collect()
     assert all(r["n_conv"] >= 1 and r["p50_us"] <= r["p90_us"] for r in s)
+
+
+def test_dispersion_index_poisson_near_one(spark):
+    """Poisson arrivals -> D ~ 1; fixed-interval arrivals -> D = 0 on
+    the non-empty-bucket counts."""
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.operators.events_analytics import dispersion_index
+
+    rng = np.random.default_rng(5)
+    # poisson: exponential gaps, ~4/hour over 600 hours
+    gaps = rng.exponential(900.0, 2400)
+    ts_p = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        np.cumsum(gaps), unit="s")
+    # metronome: exactly 4/hour
+    ts_m = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        np.arange(2400) * 900.0, unit="s")
+    df = spark.createDataFrame(
+        pd.concat([
+            pd.DataFrame({"key": "poisson", "ts": ts_p}),
+            pd.DataFrame({"key": "metronome", "ts": ts_m}),
+        ]),
+        "key string, ts timestamp",
+    )
+    out = {r["key"]: r for r in dispersion_index(df, bucket_secs=3600).collect()}
+    assert abs(out["poisson"]["dispersion"] - 1.0) < 0.35
+    assert out["metronome"]["dispersion"] == 0.0
+    assert out["metronome"]["mean_cnt"] == 4.0
+
+
+def test_source_overlap_identity(spark, docs):
+    """Pair counts are symmetric-consistent: containments derive from
+    the same n_common, jaccard <= min(containments)."""
+    from tits_spark.operators.dedup import source_ngram_overlap
+
+    out = source_ngram_overlap(docs).toPandas()
+    assert len(out) > 0
+    assert (out["n_common"] <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert (out["jaccard"] <= out["containment_a"] + 1e-15).all()
+    assert (out["jaccard"] <= out["containment_b"] + 1e-15).all()
+    assert ((out["jaccard"] > 0) == (out["n_common"] > 0)).all()

@@ -588,3 +588,50 @@ def minhash_lsh_pairs_incremental(
         .unionByName(vs_new.select("id_a", "id_b"))
         .distinct()
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus-level n-gram overlap between GROUPS (sources/domains/
+    snapshots): for every group pair, the exact shingle-set
+    intersection, Jaccard, and directed containments — the standard
+    "how much of source B is recycled from source A" contamination
+    diagnostic at corpus granularity.
+
+    Scale shape: one distinct over (group, shingle) — bounded by the
+    corpus's distinct shingle space, not documents — then a shingle
+    equi-join whose output is bounded by |pairs sharing a shingle|,
+    aggregated to the tiny groups x groups frame. No doc-frequency cap
+    here (the pair space is groups^2, not docs^2, so boilerplate can't
+    blow it up). All outputs exact integers + identical single
+    divisions — hash-exact oracle.
+    """
+    sh = char_shingles(df, id_col=group_col, text_col=text_col, n=n).select(
+        F.col(group_col).alias("grp"), "shingle"
+    ).distinct()
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("grp").alias("src_a"), "shingle")
+    b = sh.select(F.col("grp").alias("src_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_common", "n_a", "n_b",
+            (F.col("n_common")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+            (F.col("n_common") / F.col("n_a")).alias("containment_a"),
+            (F.col("n_common") / F.col("n_b")).alias("containment_b"),
+        )
+    )

@@ -249,3 +249,48 @@ def transition_counts(
             F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
         )
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    bucket_secs: int = 3600,
+    min_buckets: int = 8,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of per-bucket event counts per
+    key: D = s^2 / mean over the key's non-empty buckets — D >> 1 flags
+    bursty/clustered arrivals, D << 1 over-regular ones (Cox & Lewis;
+    the count-process twin of the inter-arrival burstiness diagnostic).
+
+    Exactness: bucket counts are integers, so n, sum(c), sum(c^2) are
+    exact and mean / sample variance / D are one fixed double
+    expression over them — bit-exact oracle, no quantization. Two
+    partial+final aggregates (bucket counts, then moment sums), both
+    clustered on the key.
+    """
+    from tits_spark.functions.exprs import epoch_us, floordiv
+
+    b = floordiv(epoch_us(F.col(ts)), int(bucket_secs) * 1_000_000)
+    counts = (
+        df.groupBy(F.col(key).alias("key"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = counts.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("_c").alias("sc"),
+        F.sum(F.col("_c") * F.col("_c")).alias("scc"),
+    )
+    nn = F.col("n_buckets").cast("double")
+    sc = F.col("sc").cast("double")
+    scc = F.col("scc").cast("double")
+    mean = sc / nn
+    var = (nn * scc - sc * sc) / (nn * (nn - F.lit(1.0)))
+    return (
+        agg.where(F.col("n_buckets") >= min_buckets)
+        .select(
+            "key", "n_buckets", "sc",
+            mean.alias("mean_cnt"),
+            (var / mean).alias("dispersion"),
+        )
+    )
