@@ -102,14 +102,16 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from tits_spark.operators.bars import atr_rsi, bars_from_tier
+    from tits_spark.operators.bars import atr_rsi, bars_from_tier, stochastic
     from tits_spark.operators.rollup import rollup_from_raw
-    from tits_spark.operators.smoothing import holt_by_key
+    from tits_spark.operators.smoothing import holt_by_key, holt_winters
     from tits_spark.operators.windows import gap_intervals
     from tits_spark.session import get_spark
     from tits_spark.streaming.bars_stream import stream_bars_atr_rsi
     from tits_spark.streaming.gap_stream import stream_gaps
     from tits_spark.streaming.holt_stream import stream_holt
+    from tits_spark.streaming.hw_stream import stream_holt_winters
+    from tits_spark.streaming.stoch_stream import stream_stochastic
 
     spark = get_spark("stream-soak", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -184,6 +186,45 @@ def main() -> None:
     results.append(("gap_stream (gap alerts)", nb, nr, sec,
                     *_bitwise_equal(got, want)))
 
+    # ---- stochastic bars (extrema + raw-%K rings + OBV accumulator)
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_stochastic(
+            spark, s, SCHEMA, o, c, bucket_secs=3600, max_files_per_trigger=1
+        ),
+        "stoch",
+    )
+    tier2 = rollup_from_raw(ev, "key", "ts", "value", "1h")
+    st_all = stochastic(bars_from_tier(tier2), n=14, d=3)
+    want = (
+        st_all.join(last, "key")
+        .filter(F.expr("CAST(bucket_ts AS LONG) DIV 3600") < F.col("last_b"))
+        .select("key", "bucket_ts", "close", "pct_k", "pct_d", "pct_r",
+                "obv", "n_win")
+    )
+    got = spark.read.parquet(out).select(
+        "key", "bucket_ts", "close", "pct_k", "pct_d", "pct_r", "obv", "n_win")
+    results.append(("stoch_stream (%K/%D/%R + OBV)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- Holt-Winters (init buffer + seasonal ring across restarts)
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_holt_winters(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1
+        ),
+        "hw",
+    )
+    u6 = lambda col: F.floor(F.col(col) * 1e6).cast("long").alias(col)  # noqa: E731
+    want = holt_winters(ev).select(
+        "key", "idx", "value", u6("fitted"), u6("level"), u6("trend"),
+        u6("seasonal"))
+    got = spark.read.parquet(out).select(
+        "key", "idx", "value", u6("fitted"), u6("level"), u6("trend"),
+        u6("seasonal"))
+    results.append(("hw_stream (Holt-Winters)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
@@ -210,11 +251,13 @@ as the unit tests, 50 micro-batches and 2 mid-stream restarts deep.
 |---|---|---|---|---|---|
 {rows}
 
-The three streams were chosen for maximal state stress (verdict ask
-#7): bars_stream carries OHLC partials + two (n-1)-deep ring buffers
-per key; holt_stream emits EVERY input row (the heaviest sink
-traffic); gap_stream's single-scalar state must survive every
-restart to avoid phantom gaps at phase boundaries.
+The streams were chosen for maximal state stress: bars_stream and
+stoch_stream carry OHLC partials + (n-1)-deep ring buffers per key
+(stoch adds the raw-%K ring and the OBV accumulator); holt_stream and
+hw_stream emit EVERY input row (hw additionally buffers each key's
+two-period INIT across restarts and rotates a seasonal ring);
+gap_stream's single-scalar state must survive every restart to avoid
+phantom gaps at phase boundaries.
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
