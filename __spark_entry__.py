@@ -2299,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_forecast": q_hw_forecast,
         "source_overlap": q_source_overlap,
         "dispersion": q_dispersion,
+        "hourly_profile": q_hourly_profile,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
         "asof_nearest": q_asof_nearest,
@@ -4736,6 +4737,7 @@ WHERE (prev_value < 100.0 AND value >= 100.0)
         "hw_forecast": _hw_forecast_oracle(),
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
         "dispersion": _DISPERSION_ORACLE,
+        "hourly_profile": _HOURLY_PROFILE_ORACLE,
         # nested prefix-factored time-decay EWMAs: fast/slow on value,
         # then the signal EWMA over the derived macd column (same
         # unsegmented factoring as the "ewma" oracle; keys 1-3 keep the
@@ -5974,4 +5976,33 @@ SELECT key, n_buckets, sc,
        ((nn * sccd - scd * scd) / (nn * (nn - 1.0))) / (scd / nn)
          AS dispersion
 FROM r
+"""
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal envelope per event type: exact p10/p50/p90
+    value quantiles + counts for each (event_type, hour) cell — the
+    seasonality heatmap a monitoring dashboard draws. Same
+    percentile == quantile_cont device as q_percentiles."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.round(F.percentile("value", F.lit(p)), 6).alias(
+                    f"p{int(p * 100)}"
+                )
+                for p in (0.1, 0.5, 0.9)
+            ],
+        )
+    )
+
+
+_HOURLY_PROFILE_ORACLE = """
+SELECT event_type, hour(ts) AS hr, count(*) AS n,
+       round(quantile_cont(value, 0.1), 6) AS p10,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY 1, 2
 """
