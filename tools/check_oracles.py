@@ -50,9 +50,11 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = 0
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
@@ -91,7 +93,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok   {name}: {len(g)} rows exact")
-    print(f"\n{failures} failures")
+    print(f"\n{n_run - failures}/{n_run} exact, {failures} failures")
     return 1 if failures else 0
 
 
