@@ -2250,6 +2250,68 @@ def q_weekpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between the click and view value
+    distributions per key — integer-exact D on the |cumA*nB - cumB*nA|
+    lattice over the merged value grid."""
+    from tits_spark.operators.stat_tests import ks_two_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    out = ks_two_sample(
+        ev.select(
+            F.col("user_id").alias("key"),
+            "value",
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+    )
+    return out.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test around the per-key median — exact
+    integer run/side counts; the median is interpolation-pinned and
+    every datum is >= half a lattice step from an even-count midpoint,
+    so the above/below split is ulp-safe across engines."""
+    from tits_spark.operators.stat_tests import runs_test
+
+    return runs_test(_events(spark, sf_dir))
+
+
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay VR(4) random-walk screen per key — both variances
+    from exact BIGINT moment sums on the centi-unit lattice."""
+    from tits_spark.operators.stat_tests import variance_ratio
+
+    return variance_ratio(_events(spark, sf_dir), q=4)
+
+
+def q_spearman_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between click and view hourly
+    activity per key (hours where both types fired) — average ranks
+    kept integer as 2*rank, Pearson-on-ranks from exact BIGINT sums."""
+    from tits_spark.operators.stat_tests import spearman_xcorr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("click", "view")
+    )
+    h = ev.groupBy(
+        F.col("user_id").alias("key"),
+        F.date_trunc("hour", "ts").alias("hb"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    paired = (
+        h.groupBy("key", "hb")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("cnt"))).alias("a"),
+            F.max(F.when(F.col("event_type") == "view", F.col("cnt"))).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    return spearman_xcorr(paired)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the round driver's correctness gate runs the
     # FIRST 50 entries, so the head is a rotating cross-section — the
@@ -2299,6 +2361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_forecast": q_hw_forecast,
         "source_overlap": q_source_overlap,
         "dispersion": q_dispersion,
+        "ks_two_sample": q_ks_two_sample,
+        "runs_test": q_runs_test,
+        "variance_ratio": q_variance_ratio,
+        "spearman_xcorr": q_spearman_xcorr,
         "hourly_profile": q_hourly_profile,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
@@ -4912,6 +4978,157 @@ SELECT user_id AS key,
        max(value) AS v_max
 FROM events
 GROUP BY 1, 2
+""",
+        # two-sample KS on the exact |cumA*nB - cumB*nA| integer
+        # lattice; ties folded by grouping on (key, value) first
+        "ks_two_sample": """
+WITH e AS (
+  SELECT user_id AS key, value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+g AS (
+  SELECT key, value, sum(a) AS ca, sum(1 - a) AS cb FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT key,
+         sum(ca) OVER (PARTITION BY key ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (PARTITION BY key ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         sum(ca) OVER (PARTITION BY key) AS n_a,
+         sum(cb) OVER (PARTITION BY key) AS n_b
+  FROM g
+)
+SELECT key, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / CAST(max(n_a) * max(n_b) AS DOUBLE), 6) AS ks_d
+FROM c GROUP BY 1
+HAVING max(n_a) > 0 AND max(n_b) > 0
+""",
+        # Wald–Wolfowitz runs test: median pinned to the quantile_cont
+        # interpolation formula (== Spark percentile); run/side counts
+        # exact integers, z the shared closed form
+        "runs_test": """
+WITH m AS (
+  SELECT user_id AS key, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT e.user_id AS key, e.ts,
+         CASE WHEN e.value > m.med THEN 1 ELSE 0 END AS s
+  FROM events e JOIN m ON e.user_id = m.key
+  WHERE e.value <> m.med
+),
+c AS (
+  SELECT key, s,
+         CASE WHEN lag(s) OVER w IS NULL OR s <> lag(s) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM s
+  WINDOW w AS (PARTITION BY key ORDER BY ts)
+),
+r AS (
+  SELECT key, sum(s) AS n_above, sum(1 - s) AS n_below, sum(chg) AS n_runs
+  FROM c GROUP BY 1
+)
+SELECT key, CAST(n_above AS BIGINT) AS n_above,
+       CAST(n_below AS BIGINT) AS n_below,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 2
+            THEN round((CAST(n_runs AS DOUBLE)
+                        - (1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                               / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))))
+                       / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                              * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                                 - (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))
+                              / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                                 * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                                 * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0))),
+                       6)
+       END AS z
+FROM r
+""",
+        # Lo–MacKinlay VR(4): both variances from exact BIGINT moment
+        # sums of centi-unit 1- and 4-step differences
+        "variance_ratio": """
+WITH c AS (
+  SELECT user_id AS key, ts, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+d AS (
+  SELECT key,
+         c - lag(c, 1) OVER w AS d,
+         c - lag(c, 4) OVER w AS s
+  FROM c
+  WINDOW w AS (PARTITION BY key ORDER BY ts)
+),
+a AS (
+  SELECT key, count(d) AS n_1, sum(d) AS sum_d, sum(d * d) AS sum_d2,
+         count(s) AS n_q, sum(s) AS sum_s, sum(s * s) AS sum_q2
+  FROM d GROUP BY 1
+)
+SELECT key, CAST(n_1 AS BIGINT) AS n_1, CAST(n_q AS BIGINT) AS n_q,
+       CAST(sum_d2 AS BIGINT) AS sum_d2, CAST(sum_q2 AS BIGINT) AS sum_q2,
+       CASE WHEN n_1 > 1 AND n_q > 1
+                 AND (CAST(sum_d2 AS DOUBLE)
+                      - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)
+                        / CAST(n_1 AS DOUBLE)) / (CAST(n_1 AS DOUBLE) - 1.0) > 0
+            THEN round(((CAST(sum_q2 AS DOUBLE)
+                         - CAST(sum_s AS DOUBLE) * CAST(sum_s AS DOUBLE)
+                           / CAST(n_q AS DOUBLE)) / (CAST(n_q AS DOUBLE) - 1.0))
+                       / (4.0 * ((CAST(sum_d2 AS DOUBLE)
+                                  - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)
+                                    / CAST(n_1 AS DOUBLE))
+                                 / (CAST(n_1 AS DOUBLE) - 1.0))),
+                       6)
+       END AS vr
+FROM a
+""",
+        # Spearman rank correlation of click-vs-view hourly activity:
+        # average ranks materialized integer as 2*rank() + ties - 1,
+        # Pearson-on-ranks from exact BIGINT sums
+        "spearman_xcorr": """
+WITH h AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS hb, event_type,
+         count(*) AS cnt
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT key, hb,
+         max(CASE WHEN event_type = 'click' THEN cnt END) AS a,
+         max(CASE WHEN event_type = 'view' THEN cnt END) AS b
+  FROM h GROUP BY 1, 2
+),
+f AS (SELECT key, a, b FROM p WHERE a IS NOT NULL AND b IS NOT NULL),
+r AS (
+  SELECT key,
+         2 * rank() OVER (PARTITION BY key ORDER BY a)
+           + count(*) OVER (PARTITION BY key, a) - 1 AS ra,
+         2 * rank() OVER (PARTITION BY key ORDER BY b)
+           + count(*) OVER (PARTITION BY key, b) - 1 AS rb
+  FROM f
+),
+m AS (
+  SELECT key, count(*) AS n, sum(ra) AS sx, sum(rb) AS sy,
+         sum(ra * ra) AS sxx, sum(rb * rb) AS syy, sum(ra * rb) AS sxy
+  FROM r GROUP BY 1
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6)
+       END AS rho
+FROM m
 """,
         # gap quantiles as exact centi-µs integers (interpolation
         # lattice device, scaled for p99's hundredth-step fracs)
