@@ -2312,6 +2312,40 @@ def q_spearman_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_xcorr(paired)
 
 
+def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth per corpus decile — exact-integer
+    curve via the first-occurrence trick (a type is new in the bucket
+    of its min doc_id), no per-prefix distinct scans."""
+    from tits_spark.operators.corpus_growth import heaps_growth
+
+    return heaps_growth(_docs(spark, sf_dir))
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent: log-log OLS over the top-200 rank-frequency
+    curve (exact integer counts/ranks; fit on the bounded frame)."""
+    from tits_spark.operators.corpus_growth import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), k=200)
+
+
+def q_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty vs all earlier documents — the
+    incremental-contamination screen, exact integers per doc."""
+    from tits_spark.operators.corpus_growth import novelty_ngrams
+
+    return novelty_ngrams(_docs(spark, sf_dir), n=3)
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document co-occurrence PMI over the top-300 vocabulary,
+    all pairs with >= 10 co-occurrences — exact document frequencies,
+    PMI from exact BIGINT products."""
+    from tits_spark.operators.corpus_growth import pmi_pairs
+
+    return pmi_pairs(_docs(spark, sf_dir), vocab_k=300, min_pairs=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the round driver's correctness gate runs the
     # FIRST 50 entries, so the head is a rotating cross-section — the
@@ -2365,6 +2399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "variance_ratio": q_variance_ratio,
         "spearman_xcorr": q_spearman_xcorr,
+        "heaps_growth": q_heaps_growth,
+        "zipf_slope": q_zipf_slope,
+        "novelty_ngrams": q_novelty_ngrams,
+        "pmi_pairs": q_pmi_pairs,
         "hourly_profile": q_hourly_profile,
         "rollup_1mo": q_rollup_1mo,
         "atr_rsi": q_atr_rsi,
@@ -5129,6 +5167,113 @@ SELECT key, CAST(n AS BIGINT) AS n,
                        6)
        END AS rho
 FROM m
+""",
+        # Heaps' growth curve: exact integers via first-occurrence
+        # bucketing (bucket = floor(id * 10 / (max_id+1)), / is float
+        # division in both engines)
+        "heaps_growth": _TOK_CTE + """
+, hi AS (SELECT max(doc_id) + 1 AS hi FROM documents),
+t AS (SELECT doc_id, u.t AS token FROM tok, unnest(w) AS u(t)),
+docs AS (
+  SELECT CAST(floor(d.doc_id * 10 / h.hi) AS BIGINT) AS bucket,
+         count(*) AS n_docs
+  FROM documents d, hi h GROUP BY 1
+),
+tokc AS (
+  SELECT CAST(floor(t.doc_id * 10 / h.hi) AS BIGINT) AS bucket,
+         count(*) AS n_tokens
+  FROM t, hi h GROUP BY 1
+),
+first AS (SELECT token, min(doc_id) AS f FROM t GROUP BY 1),
+newt AS (
+  SELECT CAST(floor(f.f * 10 / h.hi) AS BIGINT) AS bucket,
+         count(*) AS n_new_types
+  FROM first f, hi h GROUP BY 1
+)
+SELECT d.bucket, d.n_docs,
+       coalesce(tk.n_tokens, 0) AS n_tokens,
+       coalesce(nt.n_new_types, 0) AS n_new_types,
+       CAST(sum(coalesce(nt.n_new_types, 0))
+            OVER (ORDER BY d.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_types
+FROM docs d
+LEFT JOIN tokc tk USING (bucket)
+LEFT JOIN newt nt USING (bucket)
+""",
+        # Zipf log-log OLS over the top-200 frame (exact counts/ranks;
+        # the closed-form fit mirrors the Spark expression order)
+        "zipf_slope": _TOK_CTE + """
+, cnts AS (
+  SELECT t AS token, count(*) AS cnt FROM tok, unnest(w) AS u(t) GROUP BY 1
+),
+top AS (
+  SELECT cnt, rank FROM (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+    FROM cnts
+  ) WHERE rank <= 200
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(ln(CAST(rank AS DOUBLE))) AS sx,
+         sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+         sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx,
+         sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM m
+""",
+        # per-document 3-gram novelty vs earlier docs: novel iff the
+        # corpus-wide min(doc_id) of the gram is this doc
+        "novelty_ngrams": _TOK_CTE + """
+, grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i+2], ' ') AS ngram
+  FROM tok, unnest(range(1, len(w) - 1)) AS t(i)
+),
+first AS (SELECT ngram, min(doc_id) AS f FROM grams GROUP BY 1),
+agg AS (
+  SELECT g.doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN fi.f = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first fi USING (ngram) GROUP BY 1
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS novelty
+FROM agg
+""",
+        # within-doc co-occurrence PMI over the top-300 vocab; counts
+        # exact, PMI from exact BIGINT products
+        "pmi_pairs": _TOK_CTE + """
+, x AS (SELECT doc_id, u.t AS token FROM tok, unnest(w) AS u(t)),
+cnts AS (SELECT token, count(*) AS cnt FROM x GROUP BY 1),
+top AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+    FROM cnts
+  ) WHERE r <= 300
+),
+dt AS (SELECT DISTINCT x.doc_id, x.token FROM x JOIN top USING (token)),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT token, count(*) AS dfc FROM dt GROUP BY 1),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2 HAVING count(*) >= 10
+)
+SELECT p.tok_a, p.tok_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(fa.dfc AS BIGINT) AS n_a, CAST(fb.dfc AS BIGINT) AS n_b,
+       CAST(nd.n_docs AS BIGINT) AS n_docs,
+       round(ln(CAST(p.n_ab * nd.n_docs AS DOUBLE)
+                / CAST(fa.dfc * fb.dfc AS DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN dfreq fa ON p.tok_a = fa.token
+JOIN dfreq fb ON p.tok_b = fb.token, nd
 """,
         # gap quantiles as exact centi-µs integers (interpolation
         # lattice device, scaled for p99's hundredth-step fracs)
