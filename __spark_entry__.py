@@ -2312,6 +2312,60 @@ def q_spearman_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_xcorr(paired)
 
 
+def _clickview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared two-sample frame: click-vs-view values per user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    return ev.select(
+        F.col("user_id").alias("key"),
+        "value",
+        (F.col("event_type") == "click").alias("is_a"),
+    )
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U location test, click vs view values per user —
+    midranks on the doubled-integer lattice, tie-corrected z; u2 is
+    the exact BIGINT doubled U statistic."""
+    from tits_spark.operators.rank_tests import mann_whitney
+
+    return mann_whitney(_clickview(spark, sf_dir))
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank ANOVA of value across the five event types
+    per user — doubled midrank sums exact, tie-corrected H."""
+    from tits_spark.operators.rank_tests import kruskal_wallis
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    return kruskal_wallis(
+        ev.select(
+            F.col("user_id").alias("key"), "value", F.col("event_type").alias("grp")
+        )
+    )
+
+
+def q_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises two-sample distance, click vs view per user —
+    the whole-ECDF-gap sibling of KS; numerator exact in
+    DECIMAL(38,0) over the merged tie grid."""
+    from tits_spark.operators.rank_tests import cvm_two_sample
+
+    return cvm_two_sample(_clickview(spark, sf_dir))
+
+
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-adjusted two-sample Anderson–Darling A² (Scholz–Stephens
+    A²_akN, k=2), click vs view per user — doubled-lattice midpoint
+    cumulatives keep every term a ratio of exact integers."""
+    from tits_spark.operators.rank_tests import anderson_darling
+
+    return anderson_darling(_clickview(spark, sf_dir))
+
+
 def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth per corpus decile — exact-integer
     curve via the first-occurrence trick (a type is new in the bucket
@@ -2399,6 +2453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "variance_ratio": q_variance_ratio,
         "spearman_xcorr": q_spearman_xcorr,
+        "mann_whitney": q_mann_whitney,
+        "kruskal_wallis": q_kruskal_wallis,
+        "cvm_two_sample": q_cvm_two_sample,
+        "anderson_darling": q_anderson_darling,
         "heaps_growth": q_heaps_growth,
         "zipf_slope": q_zipf_slope,
         "novelty_ngrams": q_novelty_ngrams,
@@ -5167,6 +5225,190 @@ SELECT key, CAST(n AS BIGINT) AS n,
                        6)
        END AS rho
 FROM m
+""",
+        # Mann–Whitney U: doubled midranks (rr = 2*prev + t + 1) keep
+        # every rank sum and tie term an exact integer; z is the shared
+        # closed form on doubles, rounded 6dp
+        "mann_whitney": """
+WITH e AS (
+  SELECT user_id AS key, value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+g AS (
+  SELECT key, value, sum(a) AS ca, sum(1 - a) AS cb FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT key, ca, cb, ca + cb AS t,
+         2 * (sum(ca + cb) OVER (PARTITION BY key ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - (ca + cb)) + (ca + cb) + 1 AS rr
+  FROM g
+),
+m AS (
+  SELECT key, sum(ca) AS n_a, sum(cb) AS n_b,
+         sum(ca * rr) AS r2a, sum(t * t * t - t) AS tie3
+  FROM c GROUP BY 1
+)
+SELECT key, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2,
+       CASE WHEN n_a > 0 AND n_b > 0
+                 AND (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                     * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                        - CAST(tie3 AS DOUBLE)
+                          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                             * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1))) > 0
+            THEN round(CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+                       / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                                     * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                                        - CAST(tie3 AS DOUBLE)
+                                          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                             * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1))))),
+                       6)
+       END AS z
+FROM m
+WHERE n_a > 0 AND n_b > 0
+""",
+        # Kruskal–Wallis: group-blind doubled-midrank grid, per-group
+        # rank sums exact; H from the closed form (sr2 carries the
+        # /4 of the doubled ranks), tie-corrected, rounded 6dp
+        "kruskal_wallis": """
+WITH e AS (
+  SELECT user_id AS key, event_type AS grp, value
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT key, grp, value, count(*) AS c FROM e GROUP BY 1, 2, 3
+),
+g AS (SELECT key, value, sum(c) AS t FROM per GROUP BY 1, 2),
+grid AS (
+  SELECT key, value, t,
+         2 * (sum(t) OVER (PARTITION BY key ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+           + t + 1 AS rr
+  FROM g
+),
+rk AS (
+  SELECT p.key, p.grp, p.c, gr.rr
+  FROM per p JOIN grid gr ON p.key = gr.key AND p.value = gr.value
+),
+bg AS (
+  SELECT key, grp, sum(c) AS n_j, sum(c * rr) AS r2j FROM rk GROUP BY 1, 2
+),
+ag AS (
+  SELECT key, sum(n_j) AS n_obs, count(*) AS n_groups,
+         sum(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / CAST(n_j AS DOUBLE)) AS sr2
+  FROM bg GROUP BY 1
+),
+tie AS (SELECT key, sum(t * t * t - t) AS tie3 FROM grid GROUP BY 1)
+SELECT a.key, CAST(a.n_obs AS BIGINT) AS n_obs,
+       CAST(a.n_groups AS BIGINT) AS n_groups,
+       CASE WHEN a.n_groups > 1
+                 AND 1.0 - CAST(tie.tie3 AS DOUBLE)
+                     / (CAST(a.n_obs AS DOUBLE) * CAST(a.n_obs AS DOUBLE)
+                        * CAST(a.n_obs AS DOUBLE) - CAST(a.n_obs AS DOUBLE)) > 0
+            THEN round((12.0 / (CAST(a.n_obs AS DOUBLE) * (CAST(a.n_obs AS DOUBLE) + 1))
+                        * (a.sr2 / 4.0) - 3.0 * (CAST(a.n_obs AS DOUBLE) + 1))
+                       / (1.0 - CAST(tie.tie3 AS DOUBLE)
+                          / (CAST(a.n_obs AS DOUBLE) * CAST(a.n_obs AS DOUBLE)
+                             * CAST(a.n_obs AS DOUBLE) - CAST(a.n_obs AS DOUBLE))),
+                       6)
+       END AS h
+FROM ag a JOIN tie ON a.key = tie.key
+""",
+        # Cramér–von Mises two-sample: tie-weighted sum of squared
+        # ECDF-difference numerators, exact in HUGEINT/DECIMAL(38,0);
+        # T = num / (N^2 * n_a * n_b), rounded 6dp
+        "cvm_two_sample": """
+WITH e AS (
+  SELECT user_id AS key, value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+g AS (
+  SELECT key, value, sum(a) AS ca, sum(1 - a) AS cb FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT key, ca + cb AS t,
+         sum(ca) OVER (PARTITION BY key ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (PARTITION BY key ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         sum(ca) OVER (PARTITION BY key) AS n_a,
+         sum(cb) OVER (PARTITION BY key) AS n_b
+  FROM g
+),
+m AS (
+  SELECT key, max(n_a) AS n_a, max(n_b) AS n_b,
+         sum(CAST(t AS HUGEINT)
+             * CAST(cum_a * n_b - cum_b * n_a AS HUGEINT)
+             * CAST(cum_a * n_b - cum_b * n_a AS HUGEINT)) AS num
+  FROM c GROUP BY 1
+)
+SELECT key, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(CAST(num AS DOUBLE)
+                       / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                          * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+       END AS cvm_t
+FROM m
+WHERE n_a > 0 AND n_b > 0
+""",
+        # Anderson–Darling A²_akN (k=2, tie-adjusted midrank form):
+        # doubled midpoint cumulatives d=2C-t, da=2Ca-ca, db=2Cb-cb keep
+        # numerator diffs in BIGINT and squares in HUGEINT; per-group
+        # terms divide once to DOUBLE; A² = (N-1)/N * sum, rounded 6dp
+        "anderson_darling": """
+WITH e AS (
+  SELECT user_id AS key, value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+g AS (
+  SELECT key, value, sum(a) AS ca, sum(1 - a) AS cb FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT key, ca + cb AS t,
+         2 * sum(ca + cb) OVER (PARTITION BY key ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (ca + cb) AS d,
+         2 * sum(ca) OVER (PARTITION BY key ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ca AS da,
+         2 * sum(cb) OVER (PARTITION BY key ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cb AS db,
+         sum(ca) OVER (PARTITION BY key) AS n_a,
+         sum(cb) OVER (PARTITION BY key) AS n_b
+  FROM g
+),
+m AS (
+  SELECT key, max(n_a) AS n_a, max(n_b) AS n_b,
+         sum(CASE WHEN d * (2 * (n_a + n_b) - d) - (n_a + n_b) * t > 0
+                  THEN CAST(t AS DOUBLE)
+                       * (CAST(CAST((n_a + n_b) * da - n_a * d AS HUGEINT)
+                               * CAST((n_a + n_b) * da - n_a * d AS HUGEINT) AS DOUBLE)
+                          / CAST(n_a AS DOUBLE)
+                          + CAST(CAST((n_a + n_b) * db - n_b * d AS HUGEINT)
+                                 * CAST((n_a + n_b) * db - n_b * d AS HUGEINT) AS DOUBLE)
+                            / CAST(n_b AS DOUBLE))
+                       / (CAST(n_a + n_b AS DOUBLE)
+                          * CAST(d * (2 * (n_a + n_b) - d) - (n_a + n_b) * t AS DOUBLE))
+             END) AS s,
+         sum(CASE WHEN d * (2 * (n_a + n_b) - d) - (n_a + n_b) * t <= 0
+                  THEN 1 ELSE 0 END) AS degen
+  FROM c GROUP BY 1
+)
+SELECT key, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND degen = 0
+            THEN round((CAST(n_a + n_b AS DOUBLE) - 1) / CAST(n_a + n_b AS DOUBLE) * s, 6)
+       END AS a2
+FROM m
+WHERE n_a > 0 AND n_b > 0
 """,
         # Heaps' growth curve: exact integers via first-occurrence
         # bucketing (bucket = floor(id * 10 / (max_id+1)), / is float
