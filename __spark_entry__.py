@@ -918,6 +918,17 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: top-5 neighbors for every 50th document —
+    same inverted-index plan as tfidf, Lucene-style non-negative idf,
+    full-length dl / avgdl normalization, rank on the rounded score."""
+    from tits_spark.operators.lexical import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qs = docs.filter(F.col("doc_id") % 50 == 0)
+    return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
+
+
 def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt level+trend smoothing per key (alpha=0.5, beta=0.3).
     Oracle: the recursion unrolled as a DuckDB recursive CTE with the
@@ -2513,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "copresence": q_copresence,
         "tfidf": q_tfidf,
+        "bm25": q_bm25,
         "holt": q_holt,
         "bollinger": q_bollinger,
         "rolling_robust": q_rolling_robust,
@@ -3983,6 +3995,44 @@ sc AS (
   FROM dot
   JOIN nrm nq ON nq.doc_id = dot.q_doc
   JOIN nrm nc ON nc.doc_id = dot.c_doc
+),
+rk AS (
+  SELECT q_doc, c_doc, score,
+         row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, c_doc ASC) AS rank
+  FROM sc
+)
+SELECT q_doc, CAST(rank AS INT) AS rank, c_doc, score FROM rk WHERE rank <= 5
+""",
+        # Okapi BM25: Lucene-style non-negative idf, full-length dl /
+        # avgdl normalization; every arithmetic step parenthesized to
+        # mirror the Spark op tree so doubles agree before round-6
+        "bm25": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+keep AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) <= 0.8 * (SELECT n FROM n)
+),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + ((CAST((SELECT n FROM n) AS DOUBLE) - keep.df) + 0.5) / (keep.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM ad))) AS w
+  FROM tf JOIN keep USING (term) JOIN dl USING (doc_id)
+),
+q AS (SELECT doc_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+sc AS (
+  SELECT q.doc_id AS q_doc, c.doc_id AS c_doc, round(sum(q.tf * c.w), 6) AS score
+  FROM q JOIN w c ON q.term = c.term AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
 ),
 rk AS (
   SELECT q_doc, c_doc, score,

@@ -101,3 +101,85 @@ def test_tfidf_broadcasts_query_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- BM25
+
+
+def _naive_bm25(corpus, queries, k=3, k1=1.2, b=0.75, max_df_frac=1.0):
+    from tits_spark.operators.lexical import bm25_topk  # noqa: F401 (parity)
+
+    n = len(corpus)
+    tfs = {i: Counter(_tok(t)) for i, t in corpus}
+    df = Counter(t for c in tfs.values() for t in c)
+    keep = {t for t, d in df.items() if d <= max_df_frac * n}
+    dl = {i: sum(c.values()) for i, c in tfs.items()}
+    avgdl = sum(dl.values()) / n
+    idf = {t: math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in keep}
+    out = []
+    for qi, qt in queries:
+        qc = Counter(_tok(qt))
+        scored = []
+        for ci, cv in tfs.items():
+            if ci == qi:
+                continue
+            s = 0.0
+            for t, qtf in qc.items():
+                if t not in keep or t not in cv:
+                    continue
+                tf = cv[t]
+                s += qtf * idf[t] * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * dl[ci] / avgdl)
+                )
+            if s > 0.0:
+                scored.append((round(s, 6), ci))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        out += [(qi, r + 1, ci, sc) for r, (sc, ci) in enumerate(scored[:k])]
+    return pd.DataFrame(out, columns=["q_doc", "rank", "c_doc", "score"])
+
+
+def test_bm25_topk_matches_naive(spark):
+    from tits_spark.operators.lexical import bm25_topk
+
+    corpus = _df(spark, DOCS)
+    queries = corpus.filter(F.col("doc_id").isin(0, 2))
+    got = (
+        bm25_topk(corpus, queries, k=3, max_df_frac=1.0)
+        .toPandas()
+        .sort_values(["q_doc", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _naive_bm25(DOCS, [(0, DOCS[0][1]), (2, DOCS[2][1])], k=3)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bm25_length_normalization_prefers_shorter(spark):
+    # same tf for the query term, shorter doc must score higher
+    rows = [
+        (0, "needle"),
+        (1, "needle haystack haystack haystack haystack haystack"),
+        (2, "needle haystack"),
+    ]
+    corpus = _df(spark, rows)
+    queries = _df(spark, [(99, "needle")])
+    got = bm25_import_topk(corpus, queries)
+    assert list(got.sort_values("rank")["c_doc"]) == [0, 2, 1]
+
+
+def bm25_import_topk(corpus, queries):
+    from tits_spark.operators.lexical import bm25_topk
+
+    return bm25_topk(corpus, queries, k=3, max_df_frac=1.0).toPandas()
+
+
+def test_bm25_broadcasts_query_side(spark):
+    from tits_spark.operators.lexical import bm25_topk
+
+    corpus = _df(spark, DOCS)
+    queries = corpus.filter(F.col("doc_id") == 0)
+    plan = (
+        bm25_topk(corpus, queries)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1,4 +1,4 @@
-"""Sparse lexical similarity: tf-idf vectors and inverted-index top-k.
+"""Sparse lexical similarity: tf-idf / BM25 vectors, inverted-index top-k.
 
 The scale path for "find me similar documents" when embeddings are too
 expensive or a lexical signal is wanted (near-dup triage, template
@@ -126,6 +126,92 @@ def tfidf_topk(
     )
     score = F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 6)
     ranked = dots.withColumn("score", score).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_doc").orderBy(F.desc("score"), F.asc("c_doc"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("q_doc", "rank", "c_doc", "score")
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 0.5,
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` corpus documents by Okapi BM25 for each query doc.
+
+    The probabilistic-retrieval sibling of :func:`tfidf_topk` — same
+    inverted-index plan shape (term-keyed equi-join, never doc x doc,
+    df cap as simultaneous quality filter and skew guard), different
+    weighting (Robertson & Spärck Jones; the Lucene-style non-negative
+    idf so every component is pinned for the oracle):
+
+        idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+        w_d(t)     = idf(t) * tf * (k1 + 1)
+                     / (tf + k1 * (1 - b + b * dl_d / avgdl))
+        score(q,d) = sum_t qtf_t * w_d(t)
+
+    ``dl_d`` is the FULL token length of document d (counted before the
+    df cap, so head-term removal doesn't change length normalization)
+    and ``avgdl = total_tokens / N`` — both exact integers divided once
+    to double. Scores are ranked ROUNDED (6 dp) with doc-id tie-break,
+    a total order stable across summation orders.
+
+    Plan: tf groupBy, per-doc length groupBy, df table, term-keyed
+    join with the (small) query side broadcast, one window for the
+    top-k; the only scalars on the driver are N and total_tokens (two
+    metadata-sized aggregates). Returns (q_doc, rank, c_doc, score).
+    """
+    n = int(n_docs) if n_docs is not None else corpus.count()
+    ctf = _term_counts(corpus, id_col, text_col)
+    # full doc length (pre-cap) + corpus-total token count for avgdl
+    dl = ctf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    total_tokens = dl.agg(F.sum("dl")).collect()[0][0] or 0
+    avgdl = float(total_tokens) / n if n else 1.0
+    dfreq = (
+        ctf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df_frac * n)
+    )
+    idf = F.log(
+        1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    cw = (
+        ctf.join(dfreq, "term")
+        .join(dl, "doc")
+        .withColumn(
+            "w",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .select(F.col("doc").alias("c_doc"), "term", "w")
+    )
+    qtf = _term_counts(queries, id_col, text_col).select(
+        F.col("doc").alias("q_doc"), "term", F.col("tf").alias("qtf")
+    )
+    if broadcast_queries:
+        qtf = F.broadcast(qtf)
+    pairs = qtf.join(cw, "term")
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_doc") != F.col("c_doc"))
+    scores = pairs.groupBy("q_doc", "c_doc").agg(
+        F.round(F.sum(F.col("qtf") * F.col("w")), 6).alias("score")
+    )
+    ranked = scores.withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy("q_doc").orderBy(F.desc("score"), F.asc("c_doc"))
