@@ -1623,6 +1623,22 @@ def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov entropy rate of each user's event-type stream
+    (conditional entropy of next state given current), plus the
+    marginal next-state entropy and the 1 - h_rate/h_marg
+    predictability score — the categorical-dynamics member of the
+    entropy family (type_entropy = marginal mix, perm_entropy = order
+    patterns)."""
+    from tits_spark.operators.complexity import entropy_rate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return entropy_rate(
+        ev.select(F.col("user_id").alias("key"), "ts", "event_type", "event_id"),
+        key="key", ts="ts", state="event_type", order_tiebreak="event_id",
+    )
+
+
 def q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition (trend = centered 2x24-point
     MA, daily seasonal indices, residual) of the LOCF-gapfilled hourly
@@ -2571,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_runs": q_value_runs,
         "transitions": q_transitions,
         "type_entropy": q_type_entropy,
+        "entropy_rate": q_entropy_rate,
         "forecast_eval": q_forecast_eval,
         "resid_outliers": q_resid_outliers,
         "winsorized": q_winsorized,
@@ -4874,6 +4891,38 @@ SELECT key, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_cats AS BIGINT) AS n_cats,
        round(CASE WHEN n_cats > 1 THEN h / ln(CAST(n_cats AS DOUBLE))
                   ELSE 0.0 END, 6) AS type_entropy
 FROM e
+""",
+        # Markov entropy rate: transition counts via the same
+        # (ts, event_id)-ordered lag; h_rate = -sum (c/T) ln(c/c_from),
+        # h_marg from to-totals; exact integer ratios, one ln per edge
+        "entropy_rate": """
+WITH p AS (
+  SELECT user_id AS key,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f,
+         event_type AS t
+  FROM events WHERE event_type IS NOT NULL
+),
+c AS (
+  SELECT key, f, t, count(*) AS c FROM p WHERE f IS NOT NULL GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT key, c,
+         sum(c) OVER (PARTITION BY key, f) AS cf,
+         sum(c) OVER (PARTITION BY key, t) AS ct,
+         sum(c) OVER (PARTITION BY key) AS tt
+  FROM c
+),
+a AS (
+  SELECT key, max(tt) AS n_trans,
+         -sum((c / tt) * ln(c / cf)) AS hr,
+         -sum((c / tt) * ln(ct / tt)) AS hm
+  FROM w GROUP BY 1
+)
+SELECT key, CAST(n_trans AS BIGINT) AS n_trans,
+       round(hr, 6) AS h_rate, round(hm, 6) AS h_marg,
+       CASE WHEN round(hm, 6) > 0 THEN round(1.0 - hr / hm, 6) END
+         AS predictability
+FROM a
 """,
         # classical additive decomposition of the LOCF-filled hourly
         # series: trend = centered 2x24 MA (full windows only, rounded

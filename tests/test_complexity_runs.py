@@ -97,3 +97,63 @@ def test_kl_vs_global_matches_scipy_style(spark, events):
         np.testing.assert_allclose(got[k], round(want, 6), atol=2e-6)
     # KL is non-negative
     assert all(v >= 0 for v in got.values())
+
+
+def test_entropy_rate_deterministic_chain_zero(spark):
+    """A strictly periodic a->b->a->b stream: next state is a
+    deterministic function of the current one, so h_rate = 0 while
+    h_marg = ln 2; predictability = 1."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("u1", t0 + dt.timedelta(seconds=i), i, "ab"[i % 2]) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, event_id long, event_type string"
+    )
+    from tits_spark.operators.complexity import entropy_rate
+
+    row = entropy_rate(df, order_tiebreak="event_id").collect()[0]
+    assert row["n_trans"] == 19
+    assert row["h_rate"] == 0.0
+    assert row["h_marg"] > 0.6  # ~ln 2 up to the 9/10 split
+    assert row["predictability"] == 1.0
+
+
+def test_entropy_rate_matches_numpy(spark, events):
+    """Conditional and marginal entropies recomputed directly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.complexity import entropy_rate
+
+    ev = events.select(
+        F.col("user_id").alias("key"), "ts", "event_type", "event_id"
+    )
+    got = {
+        r["key"]: r
+        for r in entropy_rate(ev, order_tiebreak="event_id").collect()
+    }
+    pdf = ev.toPandas().sort_values(["key", "ts", "event_id"])
+    for k, grp in pdf.groupby("key"):
+        s = grp["event_type"].tolist()
+        trans = list(zip(s[:-1], s[1:]))
+        if not trans:
+            assert k not in got
+            continue
+        from collections import Counter
+
+        c = Counter(trans)
+        t = len(trans)
+        cf = Counter(x for x, _ in trans)
+        ct = Counter(y for _, y in trans)
+        hr = -sum(n / t * np.log(n / cf[i]) for (i, j), n in c.items())
+        hm = -sum(n / t * np.log(ct[j] / t) for (i, j), n in c.items())
+        assert got[k]["n_trans"] == t
+        np.testing.assert_allclose(got[k]["h_rate"], round(hr, 6), atol=2e-6)
+        np.testing.assert_allclose(got[k]["h_marg"], round(hm, 6), atol=2e-6)
+        if round(hm, 6) > 0:
+            np.testing.assert_allclose(
+                got[k]["predictability"], round(1 - hr / hm, 6), atol=2e-6
+            )

@@ -147,3 +147,79 @@ def kl_vs_global(
             F.round(F.sum(p * F.log(p / q)), decimals).alias("kl"),
         )
     )
+
+
+def entropy_rate(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    state: str = "event_type",
+    order_tiebreak: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov entropy rate per key: the conditional entropy
+    of the next state given the current one,
+
+        H(Y|X) = - sum_{i,j} (c_ij / T) * ln(c_ij / c_i.)
+
+    over the key's observed transition counts (``T`` transitions,
+    ``c_i.`` the from-state row total). This is the sequence-
+    PREDICTABILITY diagnostic completing the entropy family:
+    :func:`distribution_entropy` scores the marginal mix,
+    :func:`permutation_entropy` the numeric order patterns, and the
+    entropy rate the categorical dynamics — 0 means the next state is
+    a deterministic function of the current one (a scripted bot), high
+    means memoryless switching.
+
+    Also emits ``h_marg`` (the marginal next-state entropy over the
+    same T transitions) so ``h_marg - h_rate`` reads directly as the
+    one-step mutual information, and the normalized
+    ``predictability = 1 - h_rate/h_marg`` (NULL when h_marg = 0).
+
+    Exactness: counts are exact integers; each (i, j) row contributes
+    one ratio pair and one ln; rounded to ``decimals``. Plan: one lag
+    window keyed by the entity, one hash agg to (key, from, to)
+    counts, co-partitioned windows for the (key, from) and (key)
+    totals, one final hash agg — no joins, no Python.
+    """
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    pairs = (
+        df.where(F.col(state).isNotNull())
+        .withColumn("_prev", F.lag(state).over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(key, F.col("_prev").alias("_from"), F.col(state).alias("_to"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c_from = F.sum("c").over(Window.partitionBy(key, "_from"))
+    c_to = F.sum("c").over(Window.partitionBy(key, "_to"))
+    t_tot = F.sum("c").over(Window.partitionBy(key))
+    cur = pairs.select(
+        key,
+        "c",
+        c_from.alias("cf"),
+        c_to.alias("ct"),
+        t_tot.alias("t"),
+    )
+    agg = cur.groupBy(key).agg(
+        F.max("t").alias("n_trans"),
+        (-F.sum(
+            (F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("cf"))
+        )).alias("_hr"),
+        # marginal next-state entropy: row weights c_ij sum over i to
+        # the to-total, so sum_rows (c/T)*ln(ct/T) = sum_j (ct/T)ln(ct/T).
+        (-F.sum(
+            (F.col("c") / F.col("t")) * F.log(F.col("ct") / F.col("t"))
+        )).alias("_hm"),
+    )
+    pred = F.when(
+        F.round(F.col("_hm"), decimals) > 0,
+        F.round(F.lit(1.0) - F.col("_hr") / F.col("_hm"), decimals),
+    )
+    return agg.select(
+        key,
+        "n_trans",
+        F.round(F.col("_hr"), decimals).alias("h_rate"),
+        F.round(F.col("_hm"), decimals).alias("h_marg"),
+        pred.alias("predictability"),
+    )
