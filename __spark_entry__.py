@@ -1623,6 +1623,18 @@ def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit curve of time from first view to
+    first subsequent purchase per entry-month cohort, right-censored at
+    each user's last event — the censoring-correct completion of the
+    funnel / time_to_conv family (exact µs duration grid; only the
+    product-limit itself is floating, exp(cumsum(ln)) rounded 6dp)."""
+    from tits_spark.operators.survival import kaplan_meier
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kaplan_meier(ev)
+
+
 def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov entropy rate of each user's event-type stream
     (conditional entropy of next state given current), plus the
@@ -2476,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_forecast": q_hw_forecast,
         "source_overlap": q_source_overlap,
         "dispersion": q_dispersion,
+        "survival_km": q_survival_km,
         "ks_two_sample": q_ks_two_sample,
         "runs_test": q_runs_test,
         "variance_ratio": q_variance_ratio,
@@ -4891,6 +4904,60 @@ SELECT key, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_cats AS BIGINT) AS n_cats,
        round(CASE WHEN n_cats > 1 THEN h / ln(CAST(n_cats AS DOUBLE))
                   ELSE 0.0 END, 6) AS type_entropy
 FROM e
+""",
+        # Kaplan–Meier: exact integer µs duration grid, integer at-risk /
+        # event counts; survival = exp(cumsum(ln(1 - d/n))) — the same op
+        # tree Spark runs — rounded 6dp; d = n_risk pins S(t) to 0
+        "survival_km": """
+WITH e AS (
+  SELECT user_id AS _k, epoch_us(ts) AS _u, event_type AS _et FROM events
+),
+fv AS (
+  SELECT _k, min(CASE WHEN _et = 'view' THEN _u END) AS _fv
+  FROM e GROUP BY 1
+),
+subj0 AS (
+  SELECT e._k, fv._fv,
+         min(CASE WHEN e._et = 'purchase' AND e._u >= fv._fv
+                  THEN e._u END) AS _lp,
+         max(e._u) AS _le
+  FROM e JOIN fv USING (_k)
+  WHERE fv._fv IS NOT NULL
+  GROUP BY 1, 2
+),
+subj AS (
+  SELECT strftime(make_timestamp(_fv), '%Y-%m') AS cohort,
+         CASE WHEN _lp IS NOT NULL THEN _lp - _fv ELSE _le - _fv END AS dur_us,
+         CASE WHEN _lp IS NOT NULL THEN 1 ELSE 0 END AS _evt
+  FROM subj0
+),
+grid AS (
+  SELECT cohort, dur_us, sum(_evt) AS d, sum(1 - _evt) AS censored
+  FROM subj GROUP BY 1, 2
+),
+cur AS (
+  SELECT cohort, dur_us, d, censored,
+         sum(d + censored) OVER (PARTITION BY cohort)
+           - sum(d + censored) OVER
+               (PARTITION BY cohort ORDER BY dur_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + (d + censored) AS n_risk
+  FROM grid
+)
+SELECT cohort, CAST(dur_us AS BIGINT) AS dur_us,
+       CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CAST(censored AS BIGINT) AS censored,
+       CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY cohort ORDER BY dur_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE round(exp(sum(CASE WHEN d < n_risk
+                                    THEN ln(1 - d / CAST(n_risk AS DOUBLE))
+                                    ELSE 0.0 END) OVER
+                 (PARTITION BY cohort ORDER BY dur_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       END AS survival
+FROM cur
 """,
         # Markov entropy rate: transition counts via the same
         # (ts, event_id)-ordered lag; h_rate = -sum (c/T) ln(c/c_from),

@@ -1,0 +1,118 @@
+"""Kaplan–Meier survival estimation over event streams, declarative.
+
+The time-to-event question a funnel pipeline can't answer with plain
+conversion counts: "of the users who started (first ``start_event``),
+what FRACTION is still unconverted after time t, given that users we
+stopped observing are censored, not failed?"  Kaplan & Meier (1958)
+product-limit estimator; right-censoring at each subject's last
+observed event.  This extends the conversion family
+(events_analytics.funnel, time_to_conv) with the censoring-correct
+curve — time_to_conv's quantiles silently condition on conversion,
+which overstates speed whenever observation windows differ.
+
+Per subject: entry = first ``start_event`` timestamp, failure = first
+``end_event`` AT OR AFTER entry, censor = last observed event.
+Durations are exact integer MICROSECONDS (epoch_us), so the grid,
+at-risk counts and event counts are all exact integers; the only
+floating step is the product-limit itself, computed as
+``exp(cumsum(ln(1 - d/n)))`` — the identical op tree on both engines —
+and rounded to 6dp.  A tie group where everyone at risk fails
+(``d = n_risk``, only possible at a cohort's last time) pins the curve
+to exactly 0 instead of feeding ln(0).
+
+Scale shape: one key-partitioned window over the raw events (entry
+time), one hash agg to subjects, one hash agg to the per-cohort
+distinct-duration grid, and cohort-partitioned cumulative windows over
+that grid — the windows run on the grid (distinct durations), never
+the raw stream.  No joins, no Python, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tits_spark.functions.exprs import epoch_us
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    event_col: str = "event_type",
+    start_event: str = "view",
+    end_event: str = "purchase",
+    cohort_fmt: str = "yyyy-MM",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-cohort Kaplan–Meier curve of time from first ``start_event``
+    to first subsequent ``end_event``, right-censored at each subject's
+    last observed event.
+
+    Cohort = ``date_format(entry, cohort_fmt)`` (calendar month by
+    default).  Returns one row per (cohort, distinct duration):
+    ``(cohort, dur_us, n_risk, d, censored, survival)`` where ``d`` is
+    failures at that duration, ``censored`` the subjects censored
+    there, ``n_risk`` the at-risk count just before it, and
+    ``survival`` the product-limit S(t) rounded to ``decimals``.
+    """
+    wk = Window.partitionBy("_k")
+    e = df.select(
+        F.col(key).alias("_k"),
+        epoch_us(ts).alias("_u"),
+        F.col(event_col).alias("_et"),
+    )
+    e = e.withColumn(
+        "_fv", F.min(F.when(F.col("_et") == start_event, F.col("_u"))).over(wk)
+    ).where(F.col("_fv").isNotNull())
+    subj = e.groupBy("_k", "_fv").agg(
+        F.min(
+            F.when(
+                (F.col("_et") == end_event) & (F.col("_u") >= F.col("_fv")),
+                F.col("_u"),
+            )
+        ).alias("_lp"),
+        F.max("_u").alias("_le"),
+    )
+    subj = subj.select(
+        F.date_format(F.timestamp_micros(F.col("_fv")), cohort_fmt).alias("cohort"),
+        F.when(F.col("_lp").isNotNull(), F.col("_lp") - F.col("_fv"))
+        .otherwise(F.col("_le") - F.col("_fv"))
+        .alias("dur_us"),
+        F.when(F.col("_lp").isNotNull(), 1).otherwise(0).alias("_evt"),
+    )
+    grid = subj.groupBy("cohort", "dur_us").agg(
+        F.sum("_evt").alias("d"),
+        F.sum(F.lit(1) - F.col("_evt")).alias("censored"),
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("dur_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("cohort")
+    cur = grid.select(
+        "cohort",
+        "dur_us",
+        "d",
+        "censored",
+        (
+            F.sum(F.col("d") + F.col("censored")).over(wtot)
+            - F.sum(F.col("d") + F.col("censored")).over(wcum)
+            + (F.col("d") + F.col("censored"))
+        ).alias("n_risk"),
+    )
+    # product-limit as exp of the cumulative log — identical op tree in
+    # the oracle; d = n_risk (everyone at risk fails, only possible at
+    # the cohort's last time point) pins S to exactly 0
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(wcum)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(term).over(wcum)), decimals)
+    )
+    return cur.select(
+        "cohort", "dur_us", "n_risk", "d", "censored", surv.alias("survival")
+    )
