@@ -1635,6 +1635,58 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(ev)
 
 
+def q_survival_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard + Breslow survival over the same
+    exact-integer risk grid as survival_km — the hazard-side estimator
+    (d/n_risk partial sums instead of the product limit)."""
+    from tits_spark.operators.survival import nelson_aalen
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return nelson_aalen(ev)
+
+
+def q_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact concurrency timeline of per-(user, day) session intervals
+    via interval line-sweep; the global running sum is the two-phase
+    distributed prefix sum (never a single-task global window).  All
+    integers — boundaries in epoch µs, deltas ±1."""
+    from tits_spark.operators.occupancy import concurrency_timeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return concurrency_timeline(ev)
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with exact nearest-rank quintile thresholds
+    (no global ntile window, deterministic under ties); metrics are
+    exact integers — recency µs, counts, monetary cents."""
+    from tits_spark.operators.rfm import rfm_scores
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rfm_scores(ev)
+
+
+def q_loghist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-binned quantile histogram (HDR/DDSketch family)
+    per user over value centi-units: integer-exact buckets via
+    length(bin(v)), nearest-rank p50/p95/p99 bucket + lower bound."""
+    from tits_spark.operators.loghist import loghist_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return loghist_quantiles(ev)
+
+
+def q_lev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: rare-shingle blocking (>=3 shared
+    16-grams, doc-freq-capped), length-band prefilter, then banded
+    Levenshtein <= 40 on ASCII-clean texts (where Spark codepoint and
+    DuckDB byte distances coincide)."""
+    from tits_spark.operators.editdist import levenshtein_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return levenshtein_pairs(docs)
+
+
 def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov entropy rate of each user's event-type stream
     (conditional entropy of next state given current), plus the
@@ -2489,6 +2541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "dispersion": q_dispersion,
         "survival_km": q_survival_km,
+        "survival_na": q_survival_na,
+        "occupancy": q_occupancy,
+        "rfm": q_rfm,
+        "loghist": q_loghist,
+        "lev_pairs": q_lev_pairs,
         "ks_two_sample": q_ks_two_sample,
         "runs_test": q_runs_test,
         "variance_ratio": q_variance_ratio,
@@ -4958,6 +5015,211 @@ SELECT cohort, CAST(dur_us AS BIGINT) AS dur_us,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
        END AS survival
 FROM cur
+""",
+        # Nelson–Aalen: same exact-integer risk grid as survival_km;
+        # cum_hazard = cumsum(d/n_risk), breslow = exp(-H), both 6dp
+        "survival_na": """
+WITH e AS (
+  SELECT user_id AS _k, epoch_us(ts) AS _u, event_type AS _et FROM events
+),
+fv AS (
+  SELECT _k, min(CASE WHEN _et = 'view' THEN _u END) AS _fv
+  FROM e GROUP BY 1
+),
+subj0 AS (
+  SELECT e._k, fv._fv,
+         min(CASE WHEN e._et = 'purchase' AND e._u >= fv._fv
+                  THEN e._u END) AS _lp,
+         max(e._u) AS _le
+  FROM e JOIN fv USING (_k)
+  WHERE fv._fv IS NOT NULL
+  GROUP BY 1, 2
+),
+subj AS (
+  SELECT strftime(make_timestamp(_fv), '%Y-%m') AS cohort,
+         CASE WHEN _lp IS NOT NULL THEN _lp - _fv ELSE _le - _fv END AS dur_us,
+         CASE WHEN _lp IS NOT NULL THEN 1 ELSE 0 END AS _evt
+  FROM subj0
+),
+grid AS (
+  SELECT cohort, dur_us, sum(_evt) AS d, sum(1 - _evt) AS censored
+  FROM subj GROUP BY 1, 2
+),
+cur AS (
+  SELECT cohort, dur_us, d,
+         sum(d + censored) OVER (PARTITION BY cohort)
+           - sum(d + censored) OVER
+               (PARTITION BY cohort ORDER BY dur_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + (d + censored) AS n_risk
+  FROM grid
+),
+hz AS (
+  SELECT cohort, dur_us, d, n_risk,
+         sum(d / CAST(n_risk AS DOUBLE)) OVER
+           (PARTITION BY cohort ORDER BY dur_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+  FROM cur
+)
+SELECT cohort, CAST(dur_us AS BIGINT) AS dur_us,
+       CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       round(h, 6) AS cum_hazard, round(exp(-h), 6) AS breslow_surv
+FROM hz
+""",
+        # interval line-sweep: per-(user, day) half-open session
+        # intervals, +1/-1 boundary deltas, exact integer running sum
+        "occupancy": """
+WITH e AS (SELECT user_id AS _k, epoch_us(ts) AS _u FROM events),
+iv AS (
+  SELECT _k, _u // 86400000000 AS _d, min(_u) AS _s, max(_u) + 1 AS _e
+  FROM e GROUP BY 1, 2
+),
+b AS (
+  SELECT _s AS t_us, 1 AS _dl FROM iv
+  UNION ALL SELECT _e, -1 FROM iv
+),
+d AS (SELECT t_us, sum(_dl) AS delta FROM b GROUP BY 1)
+SELECT CAST(t_us AS BIGINT) AS t_us, CAST(delta AS BIGINT) AS delta,
+       CAST(sum(delta) OVER
+         (ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS concurrency
+FROM d
+""",
+        # RFM: exact integer metrics; scores via nearest-rank quintile
+        # thresholds t_k = min value with cumcount >= (k*n+4)//5, so
+        # ties share a score deterministically (no ntile ordering)
+        "rfm": """
+WITH e AS (SELECT user_id AS key, epoch_us(ts) AS _u, value FROM events),
+mx AS (SELECT max(_u) AS _now FROM e),
+base AS (
+  SELECT key, (SELECT _now FROM mx) - max(_u) AS recency_us,
+         count(*) AS frequency,
+         CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT)
+           AS monetary_cents
+  FROM e GROUP BY 1
+),
+nn AS (SELECT count(*) AS n FROM base),
+rcc AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+    SELECT recency_us AS v, count(*) AS c FROM base GROUP BY 1)
+),
+rth AS (
+  SELECT min(CASE WHEN cum >= (1 * n + 4) // 5 THEN v END) AS t1,
+         min(CASE WHEN cum >= (2 * n + 4) // 5 THEN v END) AS t2,
+         min(CASE WHEN cum >= (3 * n + 4) // 5 THEN v END) AS t3,
+         min(CASE WHEN cum >= (4 * n + 4) // 5 THEN v END) AS t4
+  FROM rcc, nn
+),
+fcc AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+    SELECT frequency AS v, count(*) AS c FROM base GROUP BY 1)
+),
+fth AS (
+  SELECT min(CASE WHEN cum >= (1 * n + 4) // 5 THEN v END) AS t1,
+         min(CASE WHEN cum >= (2 * n + 4) // 5 THEN v END) AS t2,
+         min(CASE WHEN cum >= (3 * n + 4) // 5 THEN v END) AS t3,
+         min(CASE WHEN cum >= (4 * n + 4) // 5 THEN v END) AS t4
+  FROM fcc, nn
+),
+mcc AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM (
+    SELECT monetary_cents AS v, count(*) AS c FROM base GROUP BY 1)
+),
+mth AS (
+  SELECT min(CASE WHEN cum >= (1 * n + 4) // 5 THEN v END) AS t1,
+         min(CASE WHEN cum >= (2 * n + 4) // 5 THEN v END) AS t2,
+         min(CASE WHEN cum >= (3 * n + 4) // 5 THEN v END) AS t3,
+         min(CASE WHEN cum >= (4 * n + 4) // 5 THEN v END) AS t4
+  FROM mcc, nn
+),
+scored AS (
+  SELECT b.key, b.recency_us, CAST(b.frequency AS BIGINT) AS frequency,
+         b.monetary_cents,
+         CAST(1 + (b.recency_us > r.t1)::INT + (b.recency_us > r.t2)::INT
+                + (b.recency_us > r.t3)::INT + (b.recency_us > r.t4)::INT
+              AS INT) AS r_score,
+         CAST(1 + (b.frequency > f.t1)::INT + (b.frequency > f.t2)::INT
+                + (b.frequency > f.t3)::INT + (b.frequency > f.t4)::INT
+              AS INT) AS f_score,
+         CAST(1 + (b.monetary_cents > m.t1)::INT + (b.monetary_cents > m.t2)::INT
+                + (b.monetary_cents > m.t3)::INT + (b.monetary_cents > m.t4)::INT
+              AS INT) AS m_score
+  FROM base b, rth r, fth f, mth m
+)
+SELECT key, recency_us, frequency, monetary_cents, r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+FROM scored
+""",
+        # log2 histogram quantile sketch: bucket = length(bin(v)) on
+        # centi-units (exact integer floor(log2)+1 on both engines),
+        # nearest-rank bucket per quantile, lower bound via bit shift
+        "loghist": """
+WITH v AS (
+  SELECT user_id AS key, CAST(round(value * 100) AS BIGINT) AS _v
+  FROM events WHERE round(value * 100) >= 1
+),
+h AS (
+  SELECT key, CAST(length(bin(_v)) AS INT) AS _b, count(*) AS _c
+  FROM v GROUP BY 1, 2
+),
+cur AS (
+  SELECT key, _b,
+         sum(_c) OVER (PARTITION BY key ORDER BY _b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(_c) OVER (PARTITION BY key) AS n_obs,
+         count(*) OVER (PARTITION BY key) AS n_buckets
+  FROM h
+)
+SELECT key, CAST(max(n_obs) AS BIGINT) AS n_obs,
+       CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+       CAST(min(CASE WHEN _cum >= (5 * n_obs + 9) // 10 THEN _b END) AS INT)
+         AS p50_bucket,
+       CAST(1 AS BIGINT)
+         << (min(CASE WHEN _cum >= (5 * n_obs + 9) // 10 THEN _b END) - 1)
+         AS p50_lo,
+       CAST(min(CASE WHEN _cum >= (95 * n_obs + 99) // 100 THEN _b END) AS INT)
+         AS p95_bucket,
+       CAST(1 AS BIGINT)
+         << (min(CASE WHEN _cum >= (95 * n_obs + 99) // 100 THEN _b END) - 1)
+         AS p95_lo,
+       CAST(min(CASE WHEN _cum >= (99 * n_obs + 99) // 100 THEN _b END) AS INT)
+         AS p99_bucket,
+       CAST(1 AS BIGINT)
+         << (min(CASE WHEN _cum >= (99 * n_obs + 99) // 100 THEN _b END) - 1)
+         AS p99_lo
+FROM cur GROUP BY key
+""",
+        # Levenshtein near-dups: >=3 shared rare 16-gram shingles
+        # (doc-freq <= 20), length-band prefilter, exact DP <= 40;
+        # ASCII gate makes DuckDB byte == Spark codepoint distance
+        "lev_pairs": """
+WITH docs0 AS (
+  SELECT doc_id, text, length(text) AS len FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+),
+raw_sh AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 15, 1))) AS off
+  FROM docs0
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(off AS INT), 16) AS shingle
+  FROM raw_sh
+  WHERE length(substr(text, CAST(off AS INT), 16)) = 16
+),
+freq AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 20),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT c.id_a, c.id_b, da.len AS len_a, db.len AS len_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+FROM cand c
+JOIN docs0 da ON da.doc_id = c.id_a
+JOIN docs0 db ON db.doc_id = c.id_b
+WHERE abs(da.len - db.len) <= 40 AND levenshtein(da.text, db.text) <= 40
 """,
         # Markov entropy rate: transition counts via the same
         # (ts, event_id)-ordered lag; h_rate = -sum (c/T) ln(c/c_from),

@@ -35,27 +35,18 @@ from pyspark.sql import functions as F
 from tits_spark.functions.exprs import epoch_us
 
 
-def kaplan_meier(
+def _risk_grid(
     df: DataFrame,
-    key: str = "user_id",
-    ts: str = "ts",
-    event_col: str = "event_type",
-    start_event: str = "view",
-    end_event: str = "purchase",
-    cohort_fmt: str = "yyyy-MM",
-    decimals: int = 6,
+    key: str,
+    ts: str,
+    event_col: str,
+    start_event: str,
+    end_event: str,
+    cohort_fmt: str,
 ) -> DataFrame:
-    """Per-cohort Kaplan–Meier curve of time from first ``start_event``
-    to first subsequent ``end_event``, right-censored at each subject's
-    last observed event.
-
-    Cohort = ``date_format(entry, cohort_fmt)`` (calendar month by
-    default).  Returns one row per (cohort, distinct duration):
-    ``(cohort, dur_us, n_risk, d, censored, survival)`` where ``d`` is
-    failures at that duration, ``censored`` the subjects censored
-    there, ``n_risk`` the at-risk count just before it, and
-    ``survival`` the product-limit S(t) rounded to ``decimals``.
-    """
+    """Shared risk-set grid for the survival estimators: one row per
+    (cohort, distinct duration) with exact integer ``d``, ``censored``
+    and ``n_risk`` (see `kaplan_meier` for the subject definitions)."""
     wk = Window.partitionBy("_k")
     e = df.select(
         F.col(key).alias("_k"),
@@ -91,7 +82,7 @@ def kaplan_meier(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wtot = Window.partitionBy("cohort")
-    cur = grid.select(
+    return grid.select(
         "cohort",
         "dur_us",
         "d",
@@ -101,6 +92,35 @@ def kaplan_meier(
             - F.sum(F.col("d") + F.col("censored")).over(wcum)
             + (F.col("d") + F.col("censored"))
         ).alias("n_risk"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    event_col: str = "event_type",
+    start_event: str = "view",
+    end_event: str = "purchase",
+    cohort_fmt: str = "yyyy-MM",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-cohort Kaplan–Meier curve of time from first ``start_event``
+    to first subsequent ``end_event``, right-censored at each subject's
+    last observed event.
+
+    Cohort = ``date_format(entry, cohort_fmt)`` (calendar month by
+    default).  Returns one row per (cohort, distinct duration):
+    ``(cohort, dur_us, n_risk, d, censored, survival)`` where ``d`` is
+    failures at that duration, ``censored`` the subjects censored
+    there, ``n_risk`` the at-risk count just before it, and
+    ``survival`` the product-limit S(t) rounded to ``decimals``.
+    """
+    cur = _risk_grid(df, key, ts, event_col, start_event, end_event, cohort_fmt)
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("dur_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # product-limit as exp of the cumulative log — identical op tree in
     # the oracle; d = n_risk (everyone at risk fails, only possible at
@@ -115,4 +135,40 @@ def kaplan_meier(
     )
     return cur.select(
         "cohort", "dur_us", "n_risk", "d", "censored", surv.alias("survival")
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    event_col: str = "event_type",
+    start_event: str = "view",
+    end_event: str = "purchase",
+    cohort_fmt: str = "yyyy-MM",
+    decimals: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over the same risk grid as
+    `kaplan_meier`: ``H(t) = sum_{t_i <= t} d_i / n_i`` (Aalen 1978),
+    plus the Breslow survival estimate ``exp(-H)`` — the hazard-side
+    twin of the product-limit curve, preferred when the HAZARD (how
+    conversion intensity evolves with time-in-funnel) is the object of
+    study rather than the survival fraction.  Same exact-integer grid;
+    the only floats are the d/n ratio sum and its exp, rounded
+    ``decimals`` — the identical op tree on both engines.
+    """
+    cur = _risk_grid(df, key, ts, event_col, start_event, end_event, cohort_fmt)
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("dur_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hz = F.sum(F.col("d") / F.col("n_risk")).over(wcum)
+    return cur.select(
+        "cohort",
+        "dur_us",
+        "n_risk",
+        "d",
+        F.round(hz, decimals).alias("cum_hazard"),
+        F.round(F.exp(-hz), decimals).alias("breslow_surv"),
     )
