@@ -1687,6 +1687,87 @@ def q_lev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levenshtein_pairs(docs)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaled-integer PageRank (5 supersteps) over the hot-bucket-capped
+    co-activity graph; bit-exact vs the oracle's unrolled iteration
+    chain because every op is BIGINT (no float partial-sum drift)."""
+    from tits_spark.operators.pagerank import coactivity_edges, pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pagerank(coactivity_edges(ev))
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per user over daily aggregates: pairwise
+    slopes carried as exact integer ratios (cents-sum, count), one
+    float division per pair, exact interpolating median."""
+    from tits_spark.operators.theilsen import theil_sen
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return theil_sen(ev)
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority revenue: BUILDING segment,
+    orders placed before / lines shipped after the cut date. Customer
+    dim broadcast, one shuffle for the group-by; revenue filter applied
+    post-aggregation (threshold instead of top-k keeps the operator
+    shuffle-final and deterministic under ties)."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, c = read("lineitem"), read("orders"), read("customer")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cut)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cut)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            # exact integer revenue in 10^-4 units: price and discount
+            # are 2-decimal quantities, so cents * (100 - disc_cents)
+            # is a BIGINT — immune to float partial-sum order, unlike
+            # round(sum(price*(1-disc)), 2) which flipped at the .005
+            # rounding boundary on 4 of 654 groups at sf0.01
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("_e4") > 100000 * 10000)
+        .withColumn("revenue", F.col("_e4") / F.lit(10000.0))
+        .drop("_e4")
+        .select(
+            "l_orderkey", "o_orderdate", "o_orderpriority", "revenue", "n_items"
+        )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue-change: pure scan-filter-aggregate —
+    the predicate-pushdown showcase (shipdate/discount/quantity all
+    reach the parquet scan; zero shuffles, one partial+final agg)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        # same exact e-4 integerization as q_tpch_q3
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round(F.col("l_discount") * 100).cast("long")
+            )
+            / F.lit(10000.0)
+        ).alias("revenue"),
+    )
+
+
 def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov entropy rate of each user's event-type stream
     (conditional entropy of next state given current), plus the
@@ -2546,6 +2627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm": q_rfm,
         "loghist": q_loghist,
         "lev_pairs": q_lev_pairs,
+        "pagerank": q_pagerank,
+        "theil_sen": q_theil_sen,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
         "ks_two_sample": q_ks_two_sample,
         "runs_test": q_runs_test,
         "variance_ratio": q_variance_ratio,
@@ -3124,6 +3209,41 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank F
   FROM scored
 ) WHERE rank <= {k}
 """.format(dim=64, K=16, k_m1=15, nprobe=6, k=5)
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled superstep chain mirroring operators/pagerank.py: same
+    co-activity edges (hot buckets > 10 users dropped), same BIGINT
+    update r' = 0.15*SCALE + sum((85*r) // (100*outdeg))."""
+    base = round(0.15 * 1_000_000_000_000)
+    sql = """
+WITH cells AS (
+  SELECT DISTINCT user_id AS _k, event_type AS _et,
+         epoch_us(ts) // 3600000000 AS _b
+  FROM events
+),
+small AS (SELECT _et, _b FROM cells GROUP BY 1, 2 HAVING count(*) <= 10),
+cells2 AS (SELECT c._k, c._et, c._b FROM cells c JOIN small USING (_et, _b)),
+half AS (
+  SELECT DISTINCT a._k AS src, b._k AS dst
+  FROM cells2 a JOIN cells2 b USING (_et, _b) WHERE a._k < b._k
+),
+edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+g AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+r0 AS (SELECT src AS key, CAST(1000000000000 AS BIGINT) AS rank FROM deg)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+r{i} AS (
+  SELECT g.dst AS key,
+         CAST({base} + sum((85 * r.rank) // (100 * g.outdeg)) AS BIGINT) AS rank
+  FROM g JOIN r{i - 1} r ON g.src = r.key GROUP BY 1
+)"""
+    sql += f"""
+SELECT r.key, CAST(d.outdeg AS BIGINT) AS outdeg, r.rank
+FROM r{n_iter} r JOIN deg d ON d.src = r.key
+"""
+    return sql
 
 
 def _lttb_oracle_sql() -> str:
@@ -5220,6 +5340,62 @@ FROM cand c
 JOIN docs0 da ON da.doc_id = c.id_a
 JOIN docs0 db ON db.doc_id = c.id_b
 WHERE abs(da.len - db.len) <= 40 AND levenshtein(da.text, db.text) <= 40
+""",
+        # scaled-integer PageRank: unrolled superstep chain, BIGINT
+        # floor-division per edge — bit-exact by construction
+        "pagerank": _pagerank_oracle_sql(),
+        # Theil-Sen: exact integer-ratio pairwise slopes over daily
+        # (cents, count) aggregates; interpolating median, 6dp
+        "theil_sen": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.key,
+         (b.c * a.n - a.c * b.n)
+           / CAST(a.n * b.n * (b.d - a.d) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.key = b.key AND a.d < b.d
+),
+agg AS (
+  SELECT key, count(*) AS n_pairs,
+         round(quantile_cont(slope, 0.5), 6) AS ts_slope
+  FROM pairs GROUP BY 1
+),
+nd AS (SELECT key, count(*) AS n_days FROM daily GROUP BY 1)
+SELECT a.key, CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(a.n_pairs AS BIGINT) AS n_pairs, a.ts_slope
+FROM agg a JOIN nd USING (key)
+""",
+        # exact e-4 integer revenue (cents * (100 - disc_cents)) — see
+        # q_tpch_q3: float-sum rounding flipped boundary groups
+        "tpch_q3": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) > 1000000000
+""",
+        "tpch_q6": """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """,
         # Markov entropy rate: transition counts via the same
         # (ts, event_id)-ordered lag; h_rate = -sum (c/T) ln(c/c_from),
