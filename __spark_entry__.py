@@ -1768,6 +1768,28 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel: per-user share of views converting to purchase
+    within 1h / 1d — keeps non-converters in the denominator (the
+    number time_to_conv silently drops). One forward window, exact
+    integer counts, one rounded ratio per horizon."""
+    from tits_spark.operators.events_analytics import conversion_within
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return conversion_within(ev)
+
+
+def q_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence motif counts: each user's stream flattened to an
+    initials string in (ts, event_id) order, literal motifs counted
+    non-overlapping (identical Spark regexp_count / DuckDB
+    regexp_extract_all semantics)."""
+    from tits_spark.operators.events_analytics import sequence_motifs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sequence_motifs(ev)
+
+
 def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov entropy rate of each user's event-type stream
     (conditional entropy of next state given current), plus the
@@ -2631,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
+        "conv_within": q_conv_within,
+        "motifs": q_motifs,
         "ks_two_sample": q_ks_two_sample,
         "runs_test": q_runs_test,
         "variance_ratio": q_variance_ratio,
@@ -5340,6 +5364,46 @@ FROM cand c
 JOIN docs0 da ON da.doc_id = c.id_a
 JOIN docs0 db ON db.doc_id = c.id_b
 WHERE abs(da.len - db.len) <= 40 AND levenshtein(da.text, db.text) <= 40
+""",
+        # windowed funnel: forward conditional-min per view, exact
+        # integer horizon counts (never-converters stay at 0), one
+        # integer/integer division per rate, 6dp
+        "conv_within": """
+WITH nx AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM events
+),
+src AS (SELECT user_id AS key, nxt - us AS lat FROM nx WHERE event_type = 'view')
+SELECT key, CAST(count(*) AS BIGINT) AS n_src,
+       CAST(count(lat) AS BIGINT) AS n_conv,
+       CAST(sum(CASE WHEN lat <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_w3600,
+       CAST(sum(CASE WHEN lat <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_w86400,
+       round(sum(CASE WHEN lat <= 3600000000 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS rate_w3600,
+       round(sum(CASE WHEN lat <= 86400000000 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS rate_w86400
+FROM src GROUP BY 1
+""",
+        # motif counts over the per-key initials string, ordered by
+        # (ts, event_id); regexp_extract_all is non-overlapping
+        # left-to-right, same as Spark regexp_count
+        "motifs": """
+WITH seq AS (
+  SELECT user_id AS key,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY 1
+)
+SELECT key, CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(length(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_vcp,
+       CAST(length(regexp_extract_all(s, 'vp')) AS BIGINT) AS n_vp,
+       CAST(length(regexp_extract_all(s, 'ee')) AS BIGINT) AS n_ee,
+       CAST(length(regexp_extract_all(s, 'sv')) AS BIGINT) AS n_sv
+FROM seq
 """,
         # scaled-integer PageRank: unrolled superstep chain, BIGINT
         # floor-division per edge — bit-exact by construction

@@ -294,3 +294,108 @@ def dispersion_index(
             (var / mean).alias("dispersion"),
         )
     )
+
+
+def conversion_within(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    horizons_sec: tuple[int, ...] = (3600, 86400),
+    order_tiebreak: str | None = "event_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Windowed funnel: per key, the share of ``from_type`` events that
+    convert to ``to_type`` within each horizon.
+
+    `time_to_event` answers "how fast do conversions happen" but
+    silently conditions on conversion; this keeps the NON-converting
+    sources in the denominator — the number a funnel report actually
+    wants. Same single forward-window pass (conditional min over the
+    following frame, no self-join); counts are exact integers and each
+    rate is one integer/integer division rounded ``decimals``.
+
+    Columns: key, n_src, n_conv, n_w<h> + rate_w<h> per horizon.
+    """
+    from tits_spark.functions.exprs import epoch_us
+
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(F.when(F.col(type_col) == to_type, epoch_us(ts_col))).over(w)
+    src = (
+        df.withColumn("_nxt", nxt)
+        .where(F.col(type_col) == from_type)
+        .select(
+            F.col(key_col).alias("key"),
+            (F.col("_nxt") - epoch_us(ts_col)).alias("_lat"),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_src"),
+        F.count("_lat").alias("n_conv"),
+    ]
+    for h in horizons_sec:
+        # when/otherwise (not a bare cast) so never-converting keys sum
+        # to an exact 0 rather than an all-NULL aggregate
+        aggs.append(
+            F.sum(
+                F.when(F.col("_lat") <= h * 1_000_000, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"n_w{h}")
+        )
+    out = src.groupBy("key").agg(*aggs)
+    for h in horizons_sec:
+        out = out.withColumn(
+            f"rate_w{h}", F.round(F.col(f"n_w{h}") / F.col("n_src"), decimals)
+        )
+    return out
+
+
+def sequence_motifs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    motifs: tuple[str, ...] = ("vcp", "vp", "ee", "sv"),
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Count non-overlapping event-type motifs in each key's ordered
+    event stream.
+
+    The stream is flattened to one character per event (the type's
+    initial — distinct across this schema's vocabulary) in strict
+    (ts, tiebreak) order, then each motif is a literal substring
+    counted left-to-right non-overlapping — identical semantics for
+    Spark ``regexp_count`` and DuckDB ``regexp_extract_all``. One
+    groupBy building the per-key string (state bounded by the key's
+    event count, the same per-key-series bound as the ACF/DTW
+    kernels), then pure string expressions.
+
+    Columns: key, seq_len, n_<motif> per motif.
+    """
+    from tits_spark.functions.exprs import epoch_us
+
+    e = df.select(
+        F.col(key_col).alias("key"),
+        epoch_us(ts_col).alias("_u"),
+        (F.col(order_tiebreak) if order_tiebreak else F.lit(0)).alias("_tb"),
+        F.substring(F.col(type_col), 1, 1).alias("_i"),
+    )
+    seq = e.groupBy("key").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_u", "_tb", "_i"))),
+                lambda s: s["_i"],
+            ),
+            "",
+        ).alias("_seq")
+    )
+    cols = [F.col("key"), F.length("_seq").cast("long").alias("seq_len")]
+    for m in motifs:
+        cols.append(F.regexp_count("_seq", F.lit(m)).cast("long").alias(f"n_{m}"))
+    return seq.select(*cols)
