@@ -948,6 +948,26 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware local-level Kalman filter per key (q=1/s, r=100):
+    process noise scales with the actual time gap, so the gain rises
+    after long silences and falls in bursts — the probabilistic analog
+    of the reference's LOCF alignment. Oracle: the recursion replayed
+    as a DuckDB recursive CTE with the identical operation tree
+    (int64-us gap, one double division), bit-exact before the
+    micro-unit floor."""
+    from tits_spark.operators.kalman import kalman_local_level
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    out = kalman_local_level(ev, "key", "ts", "value", q=1.0, r=100.0)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "ts",
+        F.floor(F.col("level") * 1e6).cast("long").alias("level_u6"),
+        F.floor(F.col("gain") * 1e6).cast("long").alias("gain_u6"),
+        F.floor(F.col("p_var") * 1e6).cast("long").alias("pvar_u6"),
+    )
+
+
 def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-20 Bollinger bands + breach flag per key (one framed
     window, single shuffle)."""
@@ -2643,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_forecast": q_hw_forecast,
         "source_overlap": q_source_overlap,
         "dispersion": q_dispersion,
+        "kalman": q_kalman,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4294,6 +4315,37 @@ SELECT key, count(*) AS n_eval,
        round(avg(value - yhat), 6) AS bias,
        round(sqrt(avg((value - yhat) * (value - yhat))), 6) AS rmse
 FROM p WHERE rn >= 3 GROUP BY 1
+""",
+        # gap-aware local-level Kalman recursion replayed step-by-step;
+        # the repeated Pp/K subexpressions are the identical operation
+        # trees operators/kalman.py evaluates (q=1.0 multiplication and
+        # 1-K subtraction spelled out), so doubles agree bit-for-bit
+        "kalman": """
+WITH RECURSIVE e AS (
+  SELECT user_id AS key, ts, value, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
+  FROM events
+),
+rec AS (
+  SELECT key, ts, us, CAST(rn AS BIGINT) AS rn,
+         value AS a, CAST(1.0 AS DOUBLE) AS k, CAST(100.0 AS DOUBLE) AS p
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.key, e.ts, e.us, CAST(e.rn AS BIGINT) AS rn,
+         rec.a + ((rec.p + 1.0 * ((e.us - rec.us) / 1000000.0))
+                  / ((rec.p + 1.0 * ((e.us - rec.us) / 1000000.0)) + 100.0))
+               * (e.value - rec.a) AS a,
+         (rec.p + 1.0 * ((e.us - rec.us) / 1000000.0))
+           / ((rec.p + 1.0 * ((e.us - rec.us) / 1000000.0)) + 100.0) AS k,
+         (1 - (rec.p + 1.0 * ((e.us - rec.us) / 1000000.0))
+            / ((rec.p + 1.0 * ((e.us - rec.us) / 1000000.0)) + 100.0))
+           * (rec.p + 1.0 * ((e.us - rec.us) / 1000000.0)) AS p
+  FROM rec JOIN e ON e.key = rec.key AND e.rn = rec.rn + 1
+)
+SELECT key, ts, CAST(floor(a * 1e6) AS BIGINT) AS level_u6,
+       CAST(floor(k * 1e6) AS BIGINT) AS gain_u6,
+       CAST(floor(p * 1e6) AS BIGINT) AS pvar_u6
+FROM rec
 """,
         "bollinger": """
 WITH b AS (
