@@ -968,6 +968,18 @@ def q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_allan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance per key over dyadic taus (1d, 2d, 4d): one scan
+    builds the base bins, each octave is the exact integer merge of
+    the previous (the rollup-cascade shape); pair differences are
+    quantized to an integer lattice so the sum of squares commutes
+    exactly in decimal(38,0) on both engines."""
+    from tits_spark.operators.allan import allan_variance
+
+    ev = _events(spark, sf_dir)
+    return allan_variance(ev, "key", "ts", "value", base_tau_s=86400, n_octaves=3)
+
+
 def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-20 Bollinger bands + breach flag per key (one framed
     window, single shuffle)."""
@@ -2664,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "dispersion": q_dispersion,
         "kalman": q_kalman,
+        "allan": q_allan,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4346,6 +4359,45 @@ SELECT key, ts, CAST(floor(a * 1e6) AS BIGINT) AS level_u6,
        CAST(floor(k * 1e6) AS BIGINT) AS gain_u6,
        CAST(floor(p * 1e6) AS BIGINT) AS pvar_u6
 FROM rec
+""",
+        # Allan variance: direct per-tau bins are the exact integer
+        # merge of the Spark cascade (floor-halving == direct floor
+        # division on positive epochs); quantized-diff squares sum in
+        # HUGEINT so partial-agg order cannot diverge
+        "allan": """
+WITH raw AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+"""
+        + ",\n".join(
+            f"""
+b_{t} AS (
+  SELECT key, us // {t * 1000000} AS b,
+         CAST(sum(c) AS BIGINT) AS c, count(*) AS n
+  FROM raw GROUP BY 1, 2
+),
+p_{t} AS (
+  SELECT key,
+         CAST(floor(((lead(c) OVER w / lead(n) OVER w) - (c / n))
+                    * 10000.0) AS BIGINT) AS q,
+         lead(b) OVER w - b AS gap
+  FROM b_{t} WINDOW w AS (PARTITION BY key ORDER BY b)
+),
+a_{t} AS (
+  SELECT key, CAST({t} AS BIGINT) AS tau_s,
+         count(*) AS n_pairs, sum(CAST(q AS HUGEINT) * q) AS s
+  FROM p_{t} WHERE gap = 1 GROUP BY 1
+)"""
+            for t in (86400, 172800, 345600)
+        )
+        + """
+SELECT key, tau_s, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(floor(CAST(s AS DOUBLE) / (2.0 * n_pairs)) AS BIGINT)
+         AS avar_q
+FROM (SELECT * FROM a_86400 UNION ALL SELECT * FROM a_172800
+      UNION ALL SELECT * FROM a_345600)
 """,
         "bollinger": """
 WITH b AS (
