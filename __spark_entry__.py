@@ -968,6 +968,30 @@ def q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension intervals from the event stream: per-user runs
+    of equal event_type collapsed to [valid_from, valid_to) versions
+    that tile the timeline; one exchange reused by both windows and
+    the run agg."""
+    from tits_spark.operators.scd2 import scd2_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "ts", F.col("event_type").alias("attr")
+    )
+    return scd2_intervals(ev, "key", "ts", "attr")
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of dimension snapshot on the SCD2 frame (one version per key
+    at the cut timestamp) — a filter, not a join."""
+    from tits_spark.operators.scd2 import scd2_asof, scd2_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "ts", F.col("event_type").alias("attr")
+    )
+    return scd2_asof(scd2_intervals(ev, "key", "ts", "attr"), "2024-01-15 00:00:00")
+
+
 def q_allan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allan variance per key over dyadic taus (1d, 2d, 4d): one scan
     builds the base bins, each octave is the exact integer merge of
@@ -1887,6 +1911,36 @@ rec AS (
 )
 """
 
+#: SCD2 run-collapse over (user_id, event_type) — shared by the "scd2"
+#: and "scd2_asof" oracles; the op tree mirrors operators/scd2.py
+_SCD2_CTE = """
+WITH e AS (
+  SELECT user_id AS key, ts, event_type AS attr,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+),
+v AS (
+  SELECT key, ts, attr,
+         sum(chg) OVER (PARTITION BY key ORDER BY ts, attr
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM e
+),
+runs AS (
+  SELECT key, CAST(version AS BIGINT) AS version, attr,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM v GROUP BY 1, 2, 3
+),
+iv AS (
+  SELECT key, version, attr, valid_from,
+         lead(valid_from) OVER (PARTITION BY key ORDER BY version)
+           AS valid_to,
+         CAST(n_events AS BIGINT) AS n_events
+  FROM runs
+)
+"""
+
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
@@ -2677,6 +2731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion": q_dispersion,
         "kalman": q_kalman,
         "allan": q_allan,
+        "scd2": q_scd2,
+        "scd2_asof": q_scd2_asof,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4398,6 +4454,19 @@ SELECT key, tau_s, CAST(n_pairs AS BIGINT) AS n_pairs,
          AS avar_q
 FROM (SELECT * FROM a_86400 UNION ALL SELECT * FROM a_172800
       UNION ALL SELECT * FROM a_345600)
+""",
+        # SCD2 run-collapse: change-flag running sum -> min(ts) per
+        # version -> lead() for valid_to; timestamps and counts exact
+        "scd2": _SCD2_CTE + """
+SELECT key, version, attr, valid_from, valid_to, n_events,
+       valid_to IS NULL AS is_current
+FROM iv
+""",
+        "scd2_asof": _SCD2_CTE + """
+SELECT key, version, attr, valid_from, valid_to
+FROM iv
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
 """,
         "bollinger": """
 WITH b AS (
