@@ -929,6 +929,27 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval RRF: the BM25 top-5 and embedding-cosine top-5
+    for every 50th document fused by reciprocal-rank (k=60) — a
+    full-outer equi-join + a constant-order two-term score, so the
+    doubles agree bit-for-bit before the floor lattice."""
+    from tits_spark.operators.fusion import rrf_fuse
+    from tits_spark.operators.lexical import bm25_topk
+    from tits_spark.operators.similarity import cosine_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    qs = docs.filter(F.col("doc_id") % 50 == 0)
+    lex = bm25_topk(docs, qs, k=5, max_df_frac=0.8).select(
+        F.col("q_doc").alias("query_id"), F.col("c_doc").alias("cand_id"), "rank"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5).select(
+        "query_id", F.col("vec_id").alias("cand_id"), "rank"
+    )
+    return rrf_fuse(lex, dense, k_const=60, topk=5)
+
+
 def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt level+trend smoothing per key (alpha=0.5, beta=0.3).
     Oracle: the recursion unrolled as a DuckDB recursive CTE with the
@@ -1911,6 +1932,44 @@ rec AS (
 )
 """
 
+#: Okapi BM25 rank list (top-anything; callers filter rk.rank) —
+#: shared by the "bm25" and "rrf_fusion" oracles; mirrors
+#: operators/lexical.bm25_topk's inverted-index op tree exactly
+_BM25_RK_CTE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+keep AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) <= 0.8 * (SELECT n FROM n)
+),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + ((CAST((SELECT n FROM n) AS DOUBLE) - keep.df) + 0.5) / (keep.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM ad))) AS w
+  FROM tf JOIN keep USING (term) JOIN dl USING (doc_id)
+),
+q AS (SELECT doc_id, term, tf FROM tf WHERE doc_id % 50 = 0),
+sc AS (
+  SELECT q.doc_id AS q_doc, c.doc_id AS c_doc, round(sum(q.tf * c.w), 6) AS score
+  FROM q JOIN w c ON q.term = c.term AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT q_doc, c_doc, score,
+         row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, c_doc ASC) AS rank
+  FROM sc
+)
+"""
+
 #: SCD2 run-collapse over (user_id, event_type) — shared by the "scd2"
 #: and "scd2_asof" oracles; the op tree mirrors operators/scd2.py
 _SCD2_CTE = """
@@ -2733,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allan": q_allan,
         "scd2": q_scd2,
         "scd2_asof": q_scd2_asof,
+        "rrf_fusion": q_rrf_fusion,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4327,40 +4387,44 @@ SELECT q_doc, CAST(rank AS INT) AS rank, c_doc, score FROM rk WHERE rank <= 5
         # Okapi BM25: Lucene-style non-negative idf, full-length dl /
         # avgdl normalization; every arithmetic step parenthesized to
         # mirror the Spark op tree so doubles agree before round-6
-        "bm25": """
-WITH tok AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
-                t -> t <> '')) AS term
-  FROM documents
-),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-n AS (SELECT count(*) AS n FROM documents),
-dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
-keep AS (
-  SELECT term, count(*) AS df FROM tf GROUP BY 1
-  HAVING count(*) <= 0.8 * (SELECT n FROM n)
-),
-w AS (
-  SELECT tf.doc_id, tf.term,
-         ln(1.0 + ((CAST((SELECT n FROM n) AS DOUBLE) - keep.df) + 0.5) / (keep.df + 0.5))
-           * (tf.tf * 2.2)
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM ad))) AS w
-  FROM tf JOIN keep USING (term) JOIN dl USING (doc_id)
-),
-q AS (SELECT doc_id, term, tf FROM tf WHERE doc_id % 50 = 0),
-sc AS (
-  SELECT q.doc_id AS q_doc, c.doc_id AS c_doc, round(sum(q.tf * c.w), 6) AS score
-  FROM q JOIN w c ON q.term = c.term AND c.doc_id <> q.doc_id
-  GROUP BY 1, 2
-),
-rk AS (
-  SELECT q_doc, c_doc, score,
-         row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, c_doc ASC) AS rank
-  FROM sc
-)
+        "bm25": _BM25_RK_CTE + """
 SELECT q_doc, CAST(rank AS INT) AS rank, c_doc, score FROM rk WHERE rank <= 5
+""",
+        # RRF hybrid fusion: both system rank lists re-derived from
+        # scratch (bm25 CTE + cosine block), fused by the constant-order
+        # two-term reciprocal-rank sum — identical double tree
+        "rrf_fusion": _BM25_RK_CTE + """
+, lex AS (
+  SELECT q_doc AS query_id, c_doc AS cand_id, rank FROM rk WHERE rank <= 5
+),
+eq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id % 50 = 0),
+ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+esc AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cosine
+  FROM ec CROSS JOIN eq WHERE vec_id <> query_id
+),
+dense AS (
+  SELECT query_id, vec_id AS cand_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM esc
+  ) WHERE rank <= 5
+),
+fused AS (
+  SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+         coalesce(lex.cand_id, dense.cand_id) AS cand_id,
+         coalesce(1.0 / (60.0 + lex.rank), 0.0)
+           + coalesce(1.0 / (60.0 + dense.rank), 0.0) AS score
+  FROM lex FULL OUTER JOIN dense USING (query_id, cand_id)
+)
+SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+       CAST(floor(score * 1e6) AS BIGINT) AS rrf_u6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 5
 """,
         # Holt recursion replayed step-by-step; the arithmetic mirrors
         # smoothing.holt_by_key's op tree exactly (note 1 - 0.5 / 1 - 0.3
