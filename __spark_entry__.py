@@ -1774,6 +1774,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(coactivity_edges(ev))
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangles + local clustering coefficients on the
+    bounded-degree chain co-activity graph (each cell membership
+    contributes <= 6 edges at ANY cell size — sparsification by
+    construction, so the graph stays non-trivial at every scale), via
+    degree orientation (each triangle found once at its
+    (degree,id)-min apex; the wedge join is bounded by out-degrees,
+    so hub skew cannot blow it up)."""
+    from tits_spark.operators.triangles import chain_edges, triangle_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return triangle_counts(chain_edges(ev))
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust slope per user over daily aggregates: pairwise
     slopes carried as exact integer ratios (cents-sum, count), one
@@ -2793,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "scd2_asof": q_scd2_asof,
         "rrf_fusion": q_rrf_fusion,
+        "triangles": q_triangles,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -5645,6 +5660,58 @@ FROM seq
         # scaled-integer PageRank: unrolled superstep chain, BIGINT
         # floor-division per edge — bit-exact by construction
         "pagerank": _pagerank_oracle_sql(),
+        # degree-oriented exact triangle count over the bounded-degree
+        # chain co-activity graph; apex-unique enumeration, tuple-wise
+        # (degree, id) order compared inline like operators/triangles
+        "triangles": """
+WITH cells AS (
+  SELECT user_id AS _k, event_type AS _et,
+         epoch_us(ts) // 3600000000 AS _b, min(epoch_us(ts)) AS _first
+  FROM events GROUP BY 1, 2, 3
+),
+links AS (
+  SELECT _k, lead(_k, 1) OVER w AS n1, lead(_k, 2) OVER w AS n2,
+         lead(_k, 3) OVER w AS n3
+  FROM cells WINDOW w AS (PARTITION BY _et, _b ORDER BY _first, _k)
+),
+half AS (
+  SELECT DISTINCT least(_k, n) AS src, greatest(_k, n) AS dst
+  FROM (
+    SELECT _k, n1 AS n FROM links WHERE n1 IS NOT NULL
+    UNION ALL SELECT _k, n2 FROM links WHERE n2 IS NOT NULL
+    UNION ALL SELECT _k, n3 FROM links WHERE n3 IS NOT NULL
+  ) WHERE _k <> n
+),
+edges AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+h AS (
+  SELECT half.src, half.dst, a.d AS da, b.d AS db
+  FROM half JOIN deg a ON a.node = half.src JOIN deg b ON b.node = half.dst
+),
+o AS (
+  SELECT CASE WHEN da < db OR (da = db AND src < dst) THEN src ELSE dst END AS u,
+         CASE WHEN da < db OR (da = db AND src < dst) THEN dst ELSE src END AS v,
+         CASE WHEN da < db OR (da = db AND src < dst) THEN db ELSE da END AS dv
+  FROM h
+),
+w AS (
+  SELECT e1.u, e1.v AS x, e2.v AS y
+  FROM o e1 JOIN o e2 USING (u)
+  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+),
+t AS (SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+corners AS (
+  SELECT u AS node FROM t UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t
+),
+pn AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1)
+SELECT deg.node AS key, CAST(d AS BIGINT) AS degree,
+       CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN d >= 2
+            THEN CAST(floor((2.0 * coalesce(n_tri, 0)) / (d * (d - 1)) * 1e6)
+                      AS BIGINT)
+            ELSE 0 END AS clustering_u6
+FROM deg LEFT JOIN pn USING (node)
+""",
         # Theil-Sen: exact integer-ratio pairwise slopes over daily
         # (cents, count) aggregates; interpolating median, 6dp
         "theil_sen": """
