@@ -929,6 +929,18 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean conditional bigram log-likelihood under the
+    corpus MLE model — unigram_logprob one order up: same single-pass
+    explode-once shape, plus the prefix-marginal join."""
+    from tits_spark.operators.vocab import bigram_logprob
+
+    out = bigram_logprob(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_bigrams", F.round("logprob", 6).alias("logprob")
+    )
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval RRF: the BM25 top-5 and embedding-cosine top-5
     for every 50th document fused by reciprocal-rank (k=60) — a
@@ -2808,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof": q_scd2_asof,
         "rrf_fusion": q_rrf_fusion,
         "triangles": q_triangles,
+        "bigram_logprob": q_bigram_logprob,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4949,6 +4962,26 @@ sc AS (
   GROUP BY 1
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
+FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # bigram MLE: ln(cnt(w1 w2) / cnt(w1 *)) averaged over
+        # occurrences; bigrams built 1-based (range is end-exclusive)
+        "bigram_logprob": _TOK_CTE + """
+, bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM tok, unnest(range(1, len(w))) AS r(i)
+  WHERE len(w) >= 2
+),
+cnts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+pref AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS pcnt FROM cnts GROUP BY 1),
+sc AS (
+  SELECT b.doc_id, count(*) AS n_bigrams, avg(ln(cnt / pcnt)) AS lp
+  FROM bg b JOIN cnts USING (bg)
+  JOIN pref ON split_part(b.bg, ' ', 1) = pref.w1
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
 """,
         # mirrors operators/matrix_profile.py::matrix_profile_decl

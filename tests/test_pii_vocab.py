@@ -108,3 +108,44 @@ def test_unigram_logprob_on_real_docs(spark):
     stats = out.agg(F.max("logprob").alias("mx"), F.min("logprob").alias("mn")).first()
     # log-probs are negative and finite on non-degenerate corpora
     assert stats.mx < 0.0 and math.isfinite(stats.mn)
+
+
+def test_bigram_logprob_basic(spark):
+    from tits_spark.operators.vocab import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b"),       # bigrams: "a b" x2, "b a" x1
+            (1, "a b"),           # one bigram
+            (2, "solo"),          # no bigram
+            (3, ""),              # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert out[0].n_bigrams == 3 and out[1].n_bigrams == 1
+    assert out[2].n_bigrams == 0 and out[2].logprob is None
+    assert out[3].n_bigrams == 0
+    # corpus: "a b" cnt=3, "b a" cnt=1; prefixes: a*=3, b*=1
+    # doc1: ln(3/3) = 0
+    assert out[1].logprob == 0.0
+    # doc0: (2*ln(3/3) + 1*ln(1/1)) / 3 = 0 — every bigram is modal here
+    assert out[0].logprob == 0.0
+
+
+def test_bigram_logprob_penalizes_minority_continuations(spark):
+    # corpus: "the cat" dominates the continuations of "the";
+    # doc 1 always continues "the" with the minority "dog" -> its
+    # conditional likelihood must be strictly lower than doc 0's
+    docs = spark.createDataFrame(
+        [(i, "the cat") for i in range(9)] + [(9, "the dog")],
+        "doc_id long, text string",
+    )
+    from tits_spark.operators.vocab import bigram_logprob
+
+    out = {r.doc_id: r.logprob for r in bigram_logprob(docs).collect()}
+    import math
+
+    assert out[0] == pytest.approx(math.log(9 / 10), abs=1e-9)
+    assert out[9] == pytest.approx(math.log(1 / 10), abs=1e-9)
+    assert out[0] > out[9]

@@ -123,3 +123,71 @@ def unigram_logprob(
             "logprob",
         )
     )
+
+
+def word_bigrams_col(text_col):
+    """Ordered word bigrams ("w1 w2") of the shared tokenizer's output;
+    docs with < 2 tokens yield an empty array."""
+    w = _tokens(text_col)
+    bgs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),  # element_at is 1-based
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return F.when(F.size(w) >= 2, bgs).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus MLE
+    bigram model: avg over bigram occurrences of
+    ln(cnt(w1 w2) / cnt(w1 *)) — the conditional next-token likelihood,
+    one order up from :func:`unigram_logprob`. As there, the model IS
+    the corpus, so every document bigram has nonzero count and no
+    smoothing is needed; repetitive boilerplate scores high, token
+    salad scores low.
+
+    Same single-pass shape: explode ONCE into per-doc bigram counts
+    (map-side combine collapses repeats), derive the corpus bigram
+    table and the prefix (w1) marginals from that smaller frame, join
+    both back on their natural high-cardinality keys.
+
+    Returns (id_col, n_bigrams, logprob) — docs with < 2 tokens keep
+    n_bigrams = 0 and NULL logprob.
+    """
+    from tits_spark.operators.skew import ensure_min_parallelism
+
+    per_doc = (
+        ensure_min_parallelism(df)
+        .select(id_col, F.explode(word_bigrams_col(F.col(text_col))).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bg_counts = per_doc.groupBy("bg").agg(F.sum("k").alias("cnt"))
+    prefix = bg_counts.select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "cnt"
+    ).groupBy("w1").agg(F.sum("cnt").alias("pcnt"))
+    scored = (
+        per_doc.join(bg_counts, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(prefix, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            (
+                F.sum(F.col("k") * F.log(F.col("cnt") / F.col("pcnt")))
+                / F.sum("k")
+            ).alias("logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "logprob",
+        )
+    )
