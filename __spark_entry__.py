@@ -929,6 +929,19 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (weight = n_chars, k = 50), the uniform drawn from the Knuth hash:
+    deterministic at any parallelism, ranked on the floor-1e6 integer
+    lattice so a last-ulp ln() difference can never flip the order.
+    Plans TakeOrderedAndProject (heaps + one merge), not a global
+    sort."""
+    from tits_spark.operators.sampling import weighted_sample_exact
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample_exact(docs, k=50, weight_col="n_chars")
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean conditional bigram log-likelihood under the
     corpus MLE model — unigram_logprob one order up: same single-pass
@@ -2821,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "triangles": q_triangles,
         "bigram_logprob": q_bigram_logprob,
+        "weighted_sample": q_weighted_sample,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4963,6 +4977,23 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # Efraimidis-Spirakis key ln(u)/w on the floor-1e6 lattice,
+        # u = (knuth_hash + 1) / 2^32; ordering on exact integers
+        "weighted_sample": """
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         CAST(floor(ln((((doc_id % 2147483648) * 2654435761) % 4294967296
+                        + 1.0) / 4294967296.0)
+                    / n_chars * 1e6) AS BIGINT) AS es_u6
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY es_u6 DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT doc_id, source, n_chars, es_u6, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 50
 """,
         # bigram MLE: ln(cnt(w1 w2) / cnt(w1 *)) averaged over
         # occurrences; bigrams built 1-based (range is end-exclusive)

@@ -163,3 +163,37 @@ def test_chunk_stream_empty_input(spark):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_tokens", "cum_before", "chunk_id", "offset", "n_chunks",
     ]
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    from tits_spark.operators.sampling import weighted_sample_exact
+
+    # two weight classes, 10x apart; heavy rows must dominate the
+    # sample roughly in proportion (ES property), and the selection
+    # must be identical across partitioning layouts
+    rows = [(i, 1000 if i % 2 == 0 else 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample_exact(df, k=200, weight_col="w")
+    picked = [r.doc_id for r in out.collect()]
+    heavy = sum(1 for d in picked if d % 2 == 0)
+    assert heavy > 140  # ~10:1 odds per draw -> >>70% heavy
+    # determinism across layouts
+    out2 = weighted_sample_exact(df.repartition(13), k=200, weight_col="w")
+    assert sorted(picked) == sorted(r.doc_id for r in out2.collect())
+    ranks = sorted(r.rank for r in out.collect())
+    assert ranks == list(range(1, 201))
+
+
+def test_weighted_sample_strata_and_zero_weights(spark):
+    from tits_spark.operators.sampling import weighted_sample_exact
+
+    rows = [(i, "a" if i < 50 else "b", (i % 7) - 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = weighted_sample_exact(
+        df, k=5, weight_col="w", strata_cols=["source"]
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r)
+        assert r.w > 0  # zero/negative weights never sampled
+    assert len(per["a"]) == 5 and len(per["b"]) == 5

@@ -134,3 +134,51 @@ def domain_mix_exact(
         .filter(F.col("_rk") <= F.col("_k"))
         .drop("_rk", "_k")
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically: the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006, public algorithm) with
+    the per-row uniform drawn from the Knuth hash instead of an RNG.
+    Each row gets the key u^(1/w) — equivalently ln(u)/w, monotone in
+    it — and the k largest keys win; inclusion probability is then
+    proportional to weight, and the selection is a pure function of
+    the data (same rows at any parallelism, restartable, SQL-matchable
+    — the same audit argument as the module's other samplers).
+
+    The key is floored to the integer 1e6 lattice before ranking so
+    both engines order identical integers (a last-ulp libm difference
+    in ln() can never flip an order). Ties break by id. Rows with
+    weight <= 0 are excluded (they have probability 0).
+
+    Global mode (``strata_cols=None``) plans orderBy().limit(k) —
+    TakeOrderedAndProject, per-partition heaps + one merge, no global
+    sort — then ranks the k-row frame. Strata mode is the usual
+    per-group window top-k.
+
+    Returns the input columns + (es_u6, rank).
+    """
+    u = (sample_hash(id_col, seed) + F.lit(1.0)) / F.lit(float(M32))
+    es = F.floor(F.log(u) / F.col(weight_col) * 1e6).cast("long")
+    scored = df.filter(F.col(weight_col) > 0).withColumn("es_u6", es)
+    if strata_cols:
+        w = Window.partitionBy(*strata_cols).orderBy(
+            F.desc("es_u6"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= int(k))
+        )
+    top = scored.orderBy(F.desc("es_u6"), F.asc(id_col)).limit(int(k))
+    # bounded-global-window: ranks the limit(k) frame above (<= k rows
+    # on one task by construction) — NEVER lift this window onto the
+    # unbounded scored frame
+    w = Window.orderBy(F.desc("es_u6"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
