@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, TimestampNTZType, TimestampType
 
 from tits_spark.operators.sketches import hll_estimate, hll_registers
 
@@ -49,8 +49,8 @@ def data_profile(
 ) -> DataFrame:
     """Per-column profile; see module docstring for the two modes.
 
-    ``approx``: "auto" (default) sketches every *string* column and
-    keeps keys/enums/numerics exact; ``False``/``[]`` forces exact
+    ``approx``: "auto" (default) sketches every *string and timestamp*
+    column and keeps keys/enums/numerics exact; ``False``/``[]`` forces exact
     count_distinct everywhere (the original single-aggregate plan);
     a list names the columns to sketch explicitly. ``p`` is the HLL
     precision (m = 2^p registers; p=12 ≈ 1.6 % relative error).
@@ -62,8 +62,15 @@ def data_profile(
     """
     cols = columns or df.columns
     if approx == "auto":
-        strings = {f.name for f in df.schema.fields if isinstance(f.dataType, StringType)}
-        approx_cols = [c for c in cols if c in strings]
+        # strings AND timestamps: both are unbounded-cardinality (an
+        # event-time column has ~one distinct value per row, so its
+        # exact count_distinct shuffles the whole table too)
+        unbounded = {
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (StringType, TimestampType, TimestampNTZType))
+        }
+        approx_cols = [c for c in cols if c in unbounded]
     elif not approx:
         approx_cols = []
     else:
