@@ -929,6 +929,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index per user over the top-50 order statistics:
+    per-group top-k window prunes to (k+1) x n_keys rows before the
+    aggregate — the heavy-tail gate for capacity math."""
+    from tits_spark.operators.tail import hill_tail
+
+    return hill_tail(_events(spark, sf_dir), k=50)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (weight = n_chars, k = 50), the uniform drawn from the Knuth hash:
@@ -2835,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "bigram_logprob": q_bigram_logprob,
         "weighted_sample": q_weighted_sample,
+        "hill_tail": q_hill_tail,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4977,6 +4987,30 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # Hill estimator over the top-k order statistics; ties at the
+        # boundary are ln-equal so the 6dp statistic is tie-stable
+        "hill_tail": """
+WITH pos AS (
+  SELECT user_id AS key, ts, value FROM events WHERE value > 0
+),
+rk AS (
+  SELECT key, value,
+         row_number() OVER (PARTITION BY key ORDER BY value DESC, ts ASC) AS r
+  FROM pos
+),
+np AS (SELECT key, count(*) AS n_pos FROM pos GROUP BY 1),
+agg AS (
+  SELECT key, count(*) AS m,
+         sum(CASE WHEN r <= 50 THEN ln(value) END) AS s,
+         max(CASE WHEN r = 51 THEN value END) AS xk1
+  FROM rk WHERE r <= 51 GROUP BY 1
+)
+SELECT a.key, CAST(np.n_pos AS BIGINT) AS n_pos,
+       round(a.s / 50 - ln(a.xk1), 6) AS hill,
+       round(CASE WHEN a.s / 50 - ln(a.xk1) > 0
+                  THEN 1.0 / (a.s / 50 - ln(a.xk1)) END, 6) AS alpha
+FROM agg a JOIN np USING (key) WHERE a.m = 51
 """,
         # Efraimidis-Spirakis key ln(u)/w on the floor-1e6 lattice,
         # u = (knuth_hash + 1) / 2^32; ordering on exact integers
