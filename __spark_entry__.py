@@ -929,6 +929,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_iact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrated autocorrelation time + ESS per user (lags 1..20):
+    the shared-denominator trick folds all 20 lag correlations into
+    ONE exact integer numerator, so the whole statistic is a single
+    double division — no float aggregation anywhere."""
+    from tits_spark.operators.iact import iact_by_key
+
+    return iact_by_key(_events(spark, sf_dir), max_lag=20)
+
+
 def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index per user over the top-50 order statistics:
     per-group top-k window prunes to (k+1) x n_keys rows before the
@@ -2845,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "weighted_sample": q_weighted_sample,
         "hill_tail": q_hill_tail,
+        "iact": q_iact,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4987,6 +4998,41 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # IACT: shared-denominator fold -> one HUGEINT numerator over
+        # all 20 lags, one double division; d_i = n*c_i - S exact
+        "iact": """
+WITH base AS (
+  SELECT user_id AS key,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, CAST(round(value * 100) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id) AS s
+  FROM events
+),
+d AS (SELECT key, rn, n, n * c - s AS d FROM base),
+den AS (
+  SELECT key, max(n) AS n, sum(CAST(d AS HUGEINT) * d) AS dd
+  FROM d GROUP BY 1
+),
+num AS (
+  SELECT l.key, sum(CAST(l.d AS HUGEINT) * r.d) AS nn
+  FROM d l JOIN d r ON l.key = r.key AND r.rn BETWEEN l.rn + 1 AND l.rn + 20
+  GROUP BY 1
+)
+SELECT den.key, CAST(den.n AS BIGINT) AS n,
+       CAST(floor((1.0 + 2.0 * (CAST(coalesce(nn, 0) AS DOUBLE)
+                                / CAST(dd AS DOUBLE))) * 1e6) AS BIGINT)
+         AS tau_u6,
+       CASE WHEN 1.0 + 2.0 * (CAST(coalesce(nn, 0) AS DOUBLE)
+                              / CAST(dd AS DOUBLE)) > 0
+            THEN CAST(floor(den.n / (1.0 + 2.0 * (CAST(coalesce(nn, 0) AS DOUBLE)
+                                                  / CAST(dd AS DOUBLE))) * 1e6)
+                      AS BIGINT)
+       END AS ess_u6
+FROM den LEFT JOIN num USING (key) WHERE dd > 0
 """,
         # Hill estimator over the top-k order statistics; ties at the
         # boundary are ln-equal so the 6dp statistic is tie-stable
