@@ -929,6 +929,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs over the df<=50 vocabulary: the
+    weighted sibling of ngram_jaccard — the absolute df cap bounds the
+    term-join fan-out at max_df^2/2 per term (never doc x doc) and
+    drops boilerplate terms by construction."""
+    from tits_spark.operators.lexical import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.25, max_df=50)
+
+
 def q_iact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integrated autocorrelation time + ESS per user (lags 1..20):
     the shared-denominator trick folds all 20 lag correlations into
@@ -2856,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "hill_tail": q_hill_tail,
         "iact": q_iact,
+        "tfidf_pairs": q_tfidf_pairs,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -4998,6 +5009,31 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # tf-idf cosine pairs over the df<=50 vocabulary (absolute df
+        # cap == join fan-out bound), same idf and norm as "tfidf"
+        "tfidf_pairs": _TOK_CTE + """
+, ex AS (SELECT doc_id, t AS term FROM tok, unnest(w) AS u(t)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+keep AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 50
+),
+wts AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln(((SELECT n FROM n) + 1.0) / (keep.df + 1.0)) + 1.0) AS w
+  FROM tf JOIN keep USING (term)
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wts GROUP BY 1),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dot JOIN nrm na ON na.doc_id = dot.id_a
+JOIN nrm nb ON nb.doc_id = dot.id_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.25
 """,
         # IACT: shared-denominator fold -> one HUGEINT numerator over
         # all 20 lags, one double division; d_i = n*c_i - S exact

@@ -183,3 +183,37 @@ def test_bm25_broadcasts_query_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_cosine_pairs_finds_near_dups_and_caps_df(spark):
+    from tits_spark.operators.lexical import tfidf_cosine_pairs
+
+    base = "quantum flux capacitor resonance harmonics drift alignment"
+    docs = spark.createDataFrame(
+        [
+            (0, base + " alpha"),
+            (1, base + " beta"),              # near-dup of 0
+            (2, "completely different words about cooking pasta sauce"),
+            # boilerplate term shared by everyone must not pair 2 with 0/1
+        ]
+        + [(10 + i, f"boilerplate filler number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_pairs(docs, threshold=0.3, max_df=10).collect()
+    pairs = {(r.id_a, r.id_b): r.cosine for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.8
+    assert all(not (a == 2 or b == 2) for a, b in pairs)
+    # canonical ordering
+    assert all(a < b for a, b in pairs)
+
+
+def test_tfidf_cosine_pairs_df_cap_drops_hot_terms(spark):
+    from tits_spark.operators.lexical import tfidf_cosine_pairs
+
+    # every doc shares "common"; with max_df=2 the hot term is dropped,
+    # so docs overlapping ONLY on it produce no pair at all
+    docs = spark.createDataFrame(
+        [(i, f"common unique{i} token{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert tfidf_cosine_pairs(docs, threshold=0.0, max_df=2).collect() == []

@@ -218,3 +218,67 @@ def bm25_topk(
         ),
     )
     return ranked.filter(F.col("rank") <= k).select("q_doc", "rank", "c_doc", "score")
+
+
+def tfidf_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_df: int = 50,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """All near-duplicate pairs by tf-idf cosine over the df-capped
+    vocabulary — the WEIGHTED sibling of dedup.ngram_jaccard_pairs:
+    where Jaccard treats every shingle equally, tf-idf cosine lets two
+    documents match on their distinctive vocabulary and ignores
+    boilerplate by construction (high-df terms are dropped, low-df
+    terms carry the weight).
+
+    The ABSOLUTE df cap (``max_df``) is simultaneously the quality
+    filter and the scale control: a term shared by d documents feeds
+    d*(d-1)/2 candidate pairs into the term-keyed equi-join, so the
+    join fan-out is bounded by max_df^2/2 per term — never doc x doc.
+    (Same argument as the n-gram Jaccard freq cap; at web scale this is
+    the difference between a linear pass and a quadratic blowup.)
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to
+    6 dp, pairs below ``threshold`` dropped.
+    """
+    n = int(n_docs) if n_docs is not None else corpus.count()
+    tf = _term_counts(corpus, id_col, text_col)
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= int(max_df))
+    )
+    w = tf.join(dfreq, "term").withColumn(
+        "w", F.col("tf") * (F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    )
+    w = w.withColumn(
+        "norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc")))
+    ).select("doc", "term", "w", "norm")
+    a = w.select(
+        F.col("doc").alias("id_a"), "term",
+        F.col("w").alias("wa"), F.col("norm").alias("na"),
+    )
+    b = w.select(
+        F.col("doc").alias("id_b"), "term",
+        F.col("w").alias("wb"), F.col("norm").alias("nb"),
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    cosine = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= float(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
