@@ -930,13 +930,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF cosine near-dup pairs over the df<=50 vocabulary: the
-    weighted sibling of ngram_jaccard — the absolute df cap bounds the
-    term-join fan-out at max_df^2/2 per term (never doc x doc) and
-    drops boilerplate terms by construction."""
+    """TF-IDF cosine near-dup pairs over df<=50 word TRIGRAMS: the
+    weighted sibling of ngram_jaccard — rarity-weighted shared
+    sequences (hot-vocab unigrams carry no dedup signal), with the
+    absolute df cap bounding the term-join fan-out at max_df^2/2 per
+    term (never doc x doc)."""
     from tits_spark.operators.lexical import tfidf_cosine_pairs
 
-    return tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.25, max_df=50)
+    return tfidf_cosine_pairs(
+        _docs(spark, sf_dir), threshold=0.25, max_df=50, ngram_n=3
+    )
 
 
 def q_iact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5010,10 +5013,13 @@ sc AS (
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
 """,
-        # tf-idf cosine pairs over the df<=50 vocabulary (absolute df
-        # cap == join fan-out bound), same idf and norm as "tfidf"
+        # tf-idf cosine pairs over df<=50 word trigrams (absolute df
+        # cap == join fan-out bound), same idf and norm form as "tfidf"
         "tfidf_pairs": _TOK_CTE + """
-, ex AS (SELECT doc_id, t AS term FROM tok, unnest(w) AS u(t)),
+, ex AS (
+  SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS term
+  FROM tok, unnest(range(1, len(w) - 1)) AS t(i)
+),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
 n AS (SELECT count(*) AS n FROM documents),
 keep AS (

@@ -201,7 +201,7 @@ def test_tfidf_cosine_pairs_finds_near_dups_and_caps_df(spark):
     )
     out = tfidf_cosine_pairs(docs, threshold=0.3, max_df=10).collect()
     pairs = {(r.id_a, r.id_b): r.cosine for r in out}
-    assert (0, 1) in pairs and pairs[(0, 1)] > 0.8
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.7
     assert all(not (a == 2 or b == 2) for a, b in pairs)
     # canonical ordering
     assert all(a < b for a, b in pairs)

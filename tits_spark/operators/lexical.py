@@ -226,14 +226,17 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.3,
     max_df: int = 50,
+    ngram_n: int = 3,
     n_docs: int | None = None,
 ) -> DataFrame:
-    """All near-duplicate pairs by tf-idf cosine over the df-capped
-    vocabulary — the WEIGHTED sibling of dedup.ngram_jaccard_pairs:
-    where Jaccard treats every shingle equally, tf-idf cosine lets two
-    documents match on their distinctive vocabulary and ignores
-    boilerplate by construction (high-df terms are dropped, low-df
-    terms carry the weight).
+    """All near-duplicate pairs by tf-idf cosine over df-capped word
+    n-gram terms — the WEIGHTED sibling of dedup.ngram_jaccard_pairs:
+    where Jaccard treats every shingle equally, tf-idf cosine weights
+    shared sequences by their rarity, so boilerplate n-grams are
+    dropped (df cap) or down-weighted (idf) by construction. Word
+    n-grams (default 3), not unigrams, are the term unit: duplicated
+    TEXT shares rare sequences even when its vocabulary is common —
+    single words on a hot vocabulary produce no usable signal.
 
     The ABSOLUTE df cap (``max_df``) is simultaneously the quality
     filter and the scale control: a term shared by d documents feeds
@@ -245,8 +248,22 @@ def tfidf_cosine_pairs(
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to
     6 dp, pairs below ``threshold`` dropped.
     """
+    from tits_spark.operators.text import word_ngrams_col
+
     n = int(n_docs) if n_docs is not None else corpus.count()
-    tf = _term_counts(corpus, id_col, text_col)
+    if int(ngram_n) > 1:
+        tf = (
+            corpus.select(
+                F.col(id_col).alias("doc"),
+                F.explode(word_ngrams_col(F.col(text_col), int(ngram_n))).alias(
+                    "term"
+                ),
+            )
+            .groupBy("doc", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    else:
+        tf = _term_counts(corpus, id_col, text_col)
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
