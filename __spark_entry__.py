@@ -929,6 +929,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence vs seasonal-naive MAE per user over hourly bin
+    means (the MASE denominator contest): one bin shuffle + two
+    self-equi-joins; error sums exact on the 1e-6 lattice."""
+    from tits_spark.operators.naive_backtest import naive_backtest
+
+    return naive_backtest(_events(spark, sf_dir), bucket_s=3600, season=24)
+
+
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine near-dup pairs over df<=50 word TRIGRAMS: the
     weighted sibling of ngram_jaccard — rarity-weighted shared
@@ -2870,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": q_hill_tail,
         "iact": q_iact,
         "tfidf_pairs": q_tfidf_pairs,
+        "naive_backtest": q_naive_backtest,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
@@ -5012,6 +5022,40 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # persistence vs seasonal-naive MAE over hourly bin means;
+        # per-error floor(|d|*1e4) lattice -> exact BIGINT sums
+        "naive_backtest": """
+WITH bins AS (
+  SELECT user_id AS key, epoch_us(ts) // 3600000000 AS b,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+pers AS (
+  SELECT cur.key, count(*) AS n_pers,
+         sum(CAST(floor(abs((cur.c / cur.n) - (prv.c / prv.n)) * 10000.0)
+                  AS BIGINT)) AS sae_pers
+  FROM bins cur JOIN bins prv ON cur.key = prv.key AND cur.b = prv.b + 1
+  GROUP BY 1
+),
+seas AS (
+  SELECT cur.key, count(*) AS n_seas,
+         sum(CAST(floor(abs((cur.c / cur.n) - (prv.c / prv.n)) * 10000.0)
+                  AS BIGINT)) AS sae_seas
+  FROM bins cur JOIN bins prv ON cur.key = prv.key AND cur.b = prv.b + 24
+  GROUP BY 1
+)
+SELECT key, CAST(n_pers AS BIGINT) AS n_pers,
+       CAST(sae_pers AS BIGINT) AS sae_pers,
+       CAST(n_seas AS BIGINT) AS n_seas,
+       CAST(sae_seas AS BIGINT) AS sae_seas,
+       CASE WHEN sae_pers > 0
+            THEN CAST(floor((CAST(sae_seas AS DOUBLE) / n_seas)
+                            / (CAST(sae_pers AS DOUBLE) / n_pers) * 1e6)
+                      AS BIGINT)
+       END AS mase_u6
+FROM pers JOIN seas USING (key)
 """,
         # tf-idf cosine pairs over df<=50 word trigrams (absolute df
         # cap == join fan-out bound), same idf and norm form as "tfidf"
