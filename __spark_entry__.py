@@ -2855,19 +2855,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile_approx": q_data_profile_approx,
         "moments": q_moments,
         "cube_rollup": q_cube_rollup,
-        "record_highs": q_record_highs,
         "vwap": q_vwap,
         "stochastic": q_stochastic,
         "haar_energy": q_haar_energy,
         "bloom": q_bloom,
         "ols_trend": q_ols_trend,
-        "ecdf": q_ecdf,
         "window_join": q_window_join,
-        "topk_per_group": q_topk_per_group,
         "holt_winters": q_holt_winters,
         "hw_forecast": q_hw_forecast,
         "source_overlap": q_source_overlap,
-        "dispersion": q_dispersion,
         "kalman": q_kalman,
         "allan": q_allan,
         "scd2": q_scd2,
@@ -2880,6 +2876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iact": q_iact,
         "tfidf_pairs": q_tfidf_pairs,
         "naive_backtest": q_naive_backtest,
+        "record_highs": q_record_highs,
+        "ecdf": q_ecdf,
+        "topk_per_group": q_topk_per_group,
+        "dispersion": q_dispersion,
         "survival_km": q_survival_km,
         "survival_na": q_survival_na,
         "occupancy": q_occupancy,
