@@ -929,6 +929,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst intervals per user: hot hourly buckets (integer rate test,
+    no float boundary) merged by gaps-and-islands into maximal runs."""
+    from tits_spark.operators.bursts import burst_intervals
+
+    return burst_intervals(
+        _events(spark, sf_dir), bucket_s=3600, mult=2, min_count=3
+    )
+
+
 def q_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistence vs seasonal-naive MAE per user over hourly bin
     means (the MASE denominator contest): one bin shuffle + two
@@ -2863,7 +2873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_join": q_window_join,
         "holt_winters": q_holt_winters,
         "hw_forecast": q_hw_forecast,
-        "source_overlap": q_source_overlap,
         "kalman": q_kalman,
         "allan": q_allan,
         "scd2": q_scd2,
@@ -2876,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iact": q_iact,
         "tfidf_pairs": q_tfidf_pairs,
         "naive_backtest": q_naive_backtest,
+        "bursts": q_bursts,
+        "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
         "topk_per_group": q_topk_per_group,
@@ -5022,6 +5033,34 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # hot-bucket islands: integer rate test (n * n_bins > 2 * total)
+        # and b - row_number() grouping, all exact
+        "bursts": """
+WITH bins AS (
+  SELECT user_id AS key, epoch_us(ts) // 3600000000 AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+hot AS (
+  SELECT key, b, n FROM (
+    SELECT key, b, n,
+           sum(n) OVER (PARTITION BY key) AS total,
+           count(*) OVER (PARTITION BY key) AS n_bins
+    FROM bins
+  ) WHERE n >= 3 AND n * n_bins > 2 * total
+),
+runs AS (
+  SELECT key, b, n,
+         b - row_number() OVER (PARTITION BY key ORDER BY b) AS grp
+  FROM hot
+)
+SELECT key,
+       make_timestamp(min(b) * 3600000000) AS burst_start,
+       make_timestamp(max(b) * 3600000000) AS burst_end,
+       count(*) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS peak
+FROM runs GROUP BY key, grp
 """,
         # persistence vs seasonal-naive MAE over hourly bin means;
         # per-error floor(|d|*1e4) lattice -> exact BIGINT sums

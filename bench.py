@@ -442,6 +442,20 @@ def main() -> None:
 
     repeat("q20_r4_families", _body_q20_r4_families)
 
+    # q21: round-4 continuation wave — gap-aware Kalman, Allan cascade,
+    # chain-graph triangles, IACT/ESS integer fold, naive backtest,
+    # SCD2 run-collapse, Hill tail index over the events series, and
+    # trigram tf-idf near-dup pairs over the documents corpus
+    inputs["q21_rows"] = inputs["q3_rows"]
+    def _body_q21_r4b_families():
+        for fn in (
+            E.q_kalman, E.q_allan, E.q_triangles, E.q_iact,
+            E.q_naive_backtest, E.q_scd2, E.q_hill_tail, E.q_tfidf_pairs,
+        ):
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    repeat("q21_r4b_families", _body_q21_r4b_families)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
