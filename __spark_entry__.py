@@ -929,6 +929,19 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superposed-epoch composite around 'purchase' hours (offsets
+    ±6h): anchors explode their bounded offset lattice and equi-join
+    the hourly bins — never a range join; sums exact, one division
+    per offset."""
+    from tits_spark.operators.event_study import event_study
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "ts", "value", "event_type"
+    )
+    return event_study(ev, trigger="purchase", bucket_s=3600, k=6)
+
+
 def q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst intervals per user: hot hourly buckets (integer rate test,
     no float boundary) merged by gaps-and-islands into maximal runs."""
@@ -2886,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "naive_backtest": q_naive_backtest,
         "bursts": q_bursts,
+        "event_study": q_event_study,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5033,6 +5047,32 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # superposed-epoch composite: bounded offset explode +
+        # equi-join on hourly bins; exact cent sums, one division
+        "event_study": """
+WITH obs AS (
+  SELECT user_id AS key, epoch_us(ts) // 3600000000 AS b,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+anchors AS (
+  SELECT DISTINCT user_id AS key, epoch_us(ts) // 3600000000 AS ba
+  FROM events WHERE event_type = 'purchase'
+),
+probes AS (
+  SELECT key, ba + o AS b, o AS rel
+  FROM anchors, unnest(range(-6, 7)) AS t(o)
+),
+j AS (SELECT p.rel, o.c, o.n FROM probes p JOIN obs o USING (key, b))
+SELECT CAST(rel AS INT) AS rel,
+       count(*) AS n_anchors,
+       CAST(sum(n) AS BIGINT) AS n_obs,
+       CAST(sum(c) AS BIGINT) AS v_sum_cents,
+       CAST(floor(CAST(sum(c) AS BIGINT) / (CAST(sum(n) AS BIGINT) * 100.0)
+                  * 1e6) AS BIGINT) AS mean_u6
+FROM j GROUP BY 1
 """,
         # hot-bucket islands: integer rate test (n * n_bins > 2 * total)
         # and b - row_number() grouping, all exact
