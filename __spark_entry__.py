@@ -929,6 +929,84 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_segreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single structural break per user: two-piece least squares
+    via exact prefix/total integer moments — O(n) per key, one window
+    pass, no candidate self-join; argmin deterministic because every
+    candidate SSE is the identical double on both engines."""
+    from tits_spark.operators.segreg import segmented_fit
+
+    return segmented_fit(_events(spark, sf_dir), min_seg=3)
+
+
+def _segreg_oracle_sql(min_seg: int = 3) -> str:
+    """Mirror of operators/segreg.segmented_fit: HUGEINT moments,
+    the same n*SSE identity and double-cast points."""
+
+    def sse(n, sx, sxx, sy, syy, sxy):
+        vxx = f"CAST(({n}) * ({sxx}) - ({sx}) * ({sx}) AS DOUBLE)"
+        vxy = f"CAST(({n}) * ({sxy}) - ({sx}) * ({sy}) AS DOUBLE)"
+        vyy = f"CAST(({n}) * ({syy}) - ({sy}) * ({sy}) AS DOUBLE)"
+        return f"(({vyy} - {vxy} * {vxy} / {vxx}) / CAST({n} AS DOUBLE))"
+
+    hl, hr = "CAST(i AS HUGEINT)", "CAST(n - i AS HUGEINT)"
+    sse_l = sse(hl, "sx", "sxx", "sy", "syy", "sxy")
+    sse_r = sse(hr, "tx - sx", "txx - sxx", "ty - sy", "tyy - syy", "txy - sxy")
+    sse_1 = sse("CAST(n AS HUGEINT)", "tx", "txx", "ty", "tyy", "txy")
+    sl = (
+        f"(CAST({hl} * sxy - sx * sy AS DOUBLE)"
+        f" / CAST({hl} * sxx - sx * sx AS DOUBLE))"
+    )
+    sr = (
+        f"(CAST({hr} * (txy - sxy) - (tx - sx) * (ty - sy) AS DOUBLE)"
+        f" / CAST({hr} * (txx - sxx) - (tx - sx) * (tx - sx) AS DOUBLE))"
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id AS key,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, CAST(round(value * 100) AS BIGINT)) AS i,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+t AS (
+  SELECT key, i, y,
+         CAST(i AS HUGEINT) AS x_, CAST(i AS HUGEINT) * i AS xx_,
+         CAST(y AS HUGEINT) AS y_, CAST(y AS HUGEINT) * y AS yy_,
+         CAST(i AS HUGEINT) * y AS xy_
+  FROM base
+),
+m AS (
+  SELECT key, i,
+         sum(x_) OVER w AS sx, sum(xx_) OVER w AS sxx,
+         sum(y_) OVER w AS sy, sum(yy_) OVER w AS syy,
+         sum(xy_) OVER w AS sxy,
+         max(i) OVER wp AS n,
+         sum(x_) OVER wp AS tx, sum(xx_) OVER wp AS txx,
+         sum(y_) OVER wp AS ty, sum(yy_) OVER wp AS tyy,
+         sum(xy_) OVER wp AS txy
+  FROM t
+  WINDOW w AS (PARTITION BY key ORDER BY i ROWS UNBOUNDED PRECEDING),
+         wp AS (PARTITION BY key)
+),
+cand AS (
+  SELECT key, i, n, {sse_l} + {sse_r} AS sse2, {sl} AS sl, {sr} AS sr,
+         {sse_1} AS sse1
+  FROM m WHERE i >= {min_seg} AND i <= n - {min_seg}
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY sse2 ASC, i ASC) AS rk
+  FROM cand
+)
+SELECT key, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS brk,
+       CAST(floor(sl * 1e6) AS BIGINT) AS slope_l_u6,
+       CAST(floor(sr * 1e6) AS BIGINT) AS slope_r_u6,
+       CASE WHEN sse1 > 0
+            THEN CAST(floor(sse2 / sse1 * 1e6) AS BIGINT) END AS sse_ratio_u6
+FROM best WHERE rk = 1
+"""
+
+
 def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Superposed-epoch composite around 'purchase' hours (offsets
     ±6h): anchors explode their bounded offset lattice and equi-join
@@ -2900,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_backtest": q_naive_backtest,
         "bursts": q_bursts,
         "event_study": q_event_study,
+        "segreg": q_segreg,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5048,6 +5127,9 @@ sc AS (
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
 """,
+        # two-piece structural break: prefix/total HUGEINT moments,
+        # same n*SSE identity and double-cast points as the operator
+        "segreg": _segreg_oracle_sql(),
         # superposed-epoch composite: bounded offset explode +
         # equi-join on hourly bins; exact cent sums, one division
         "event_study": """
