@@ -929,6 +929,23 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay (capacity 2, 1 token/hour):
+    pure BIGINT recursion (micro-tokens, floor-div refill) — the
+    recursive-CTE oracle matches bit-for-bit by construction."""
+    from tits_spark.operators.rate_limit import rate_limit_replay
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").alias("eid"),
+        "ts",
+    )
+    out = rate_limit_replay(ev, capacity=2, rate_per_hour=1)
+    return out.select(
+        F.col("key").cast("long").alias("key"), "eid", "ts", "admitted", "tokens_ut"
+    )
+
+
 def q_segreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best single structural break per user: two-piece least squares
     via exact prefix/total integer moments — O(n) per key, one window
@@ -2979,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bursts": q_bursts,
         "event_study": q_event_study,
         "segreg": q_segreg,
+        "rate_limit": q_rate_limit,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5126,6 +5144,33 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # token-bucket replay: BIGINT micro-token recursion with
+        # floor-div refill — bit-exact by construction
+        "rate_limit": """
+WITH RECURSIVE e AS (
+  SELECT user_id AS key, event_id AS eid, ts, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT key, eid, ts, us, CAST(rn AS BIGINT) AS rn,
+         CAST(2000000 AS BIGINT) >= 1000000 AS admitted,
+         CAST(2000000 - 1000000 AS BIGINT) AS b
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.key, e.eid, e.ts, e.us, CAST(e.rn AS BIGINT) AS rn,
+         least(2000000, rec.b + (1 * (e.us - rec.us)) // 3600) >= 1000000
+           AS admitted,
+         CASE WHEN least(2000000, rec.b + (1 * (e.us - rec.us)) // 3600)
+                   >= 1000000
+              THEN least(2000000, rec.b + (1 * (e.us - rec.us)) // 3600)
+                   - 1000000
+              ELSE least(2000000, rec.b + (1 * (e.us - rec.us)) // 3600)
+         END AS b
+  FROM rec JOIN e ON e.key = rec.key AND e.rn = rec.rn + 1
+)
+SELECT key, eid, ts, admitted, b AS tokens_ut FROM rec
 """,
         # two-piece structural break: prefix/total HUGEINT moments,
         # same n*SSE identity and double-cast points as the operator
