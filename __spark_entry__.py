@@ -929,6 +929,18 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MI(event_type ; hour-of-day): integer count ratios
+    inside ln(), per-cell floor-1e9 quantization BEFORE the sum, so
+    the aggregation is pure BIGINT on both engines."""
+    from tits_spark.operators.mutual_info import mutual_info_type_hour
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "ts", "event_type"
+    )
+    return mutual_info_type_hour(ev)
+
+
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bucket rate-limiter replay (capacity 2, 1 token/hour):
     pure BIGINT recursion (micro-tokens, floor-div refill) — the
@@ -2997,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_study": q_event_study,
         "segreg": q_segreg,
         "rate_limit": q_rate_limit,
+        "mutual_info": q_mutual_info,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5144,6 +5157,30 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # MI(type; hour): quantize-then-sum (floor-1e9 per cell) so
+        # the per-key aggregation is pure BIGINT
+        "mutual_info": """
+WITH joint AS (
+  SELECT user_id AS key, event_type AS u, hour(ts) AS v, count(*) AS nuv
+  FROM events GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT key, nuv,
+         sum(nuv) OVER (PARTITION BY key) AS n,
+         sum(nuv) OVER (PARTITION BY key, u) AS nu,
+         sum(nuv) OVER (PARTITION BY key, v) AS nv
+  FROM joint
+),
+q AS (
+  SELECT key, n,
+         CAST(floor(nuv * ln(CAST(nuv * n AS DOUBLE)
+                             / CAST(nu * nv AS DOUBLE)) * 1e9) AS BIGINT) AS q
+  FROM cells
+)
+SELECT key, CAST(max(n) AS BIGINT) AS n, count(*) AS n_cells,
+       CAST(floor(sum(q) / (max(n) * 1000.0)) AS BIGINT) AS mi_u6
+FROM q GROUP BY 1
 """,
         # token-bucket replay: BIGINT micro-token recursion with
         # floor-div refill — bit-exact by construction
