@@ -1380,6 +1380,40 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item revenue per customer, top 20 by
+    exact e-4 integer revenue (the float-sum rounding trap tpch_q3
+    documented): dims broadcast, one shuffle for the group-by, then
+    TakeOrderedAndProject — never a global sort."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, c, n = read("lineitem"), read("orders"), read("customer"), read("nation")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    out = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).alias("rev_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (F.col("rev_e4") / 10000.0).alias("revenue"),
+            F.col("n_items").cast("long").alias("n_items"),
+        )
+    )
+    return (
+        out.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats over the irregular events stream (new session
     after a >30 min gap): one window shuffle + one aggregate."""
@@ -3010,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segreg": q_segreg,
         "rate_limit": q_rate_limit,
         "mutual_info": q_mutual_info,
+        "tpch_q10": q_tpch_q10,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5157,6 +5192,25 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # Q10 returned-item revenue: e-4 integer device as tpch_q3
+        "tpch_q10": """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_e4,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, rev_e4 / 10000.0 AS revenue,
+       CAST(n_items AS BIGINT) AS n_items
+FROM agg ORDER BY revenue DESC, c_custkey ASC LIMIT 20
 """,
         # MI(type; hour): quantize-then-sum (floor-1e9 per cell) so
         # the per-key aggregation is pure BIGINT
