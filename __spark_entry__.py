@@ -929,6 +929,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user freshness SLA report (12h threshold): exact int64-µs
+    gap excess sums, violation share in floor-ppm — the LOCF
+    consumer's time-served-stale, one lag window + one agg."""
+    from tits_spark.operators.staleness import staleness_report
+
+    return staleness_report(_events(spark, sf_dir), sla_s=43200)
+
+
 def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user MI(event_type ; hour-of-day): integer count ratios
     inside ln(), per-cell floor-1e9 quantization BEFORE the sum, so
@@ -3045,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit": q_rate_limit,
         "mutual_info": q_mutual_info,
         "tpch_q10": q_tpch_q10,
+        "staleness": q_staleness,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5192,6 +5202,25 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # staleness SLA: exact µs gap-excess sums, floor-ppm share
+        "staleness": """
+WITH g AS (
+  SELECT user_id AS key,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS g
+  FROM events
+)
+SELECT key, CAST(count(*) + 1 AS BIGINT) AS n_obs,
+       CAST(sum(g) AS BIGINT) AS span_us,
+       CAST(sum(CASE WHEN g > 43200000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(sum(CASE WHEN g > 43200000000 THEN g - 43200000000 ELSE 0 END)
+            AS BIGINT) AS stale_us,
+       CAST(floor(CAST(sum(CASE WHEN g > 43200000000
+                                THEN g - 43200000000 ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(g) AS BIGINT) * 1e6) AS BIGINT) AS stale_ppm
+FROM g WHERE g IS NOT NULL GROUP BY 1
 """,
         # Q10 returned-item revenue: e-4 integer device as tpch_q3
         "tpch_q10": """
