@@ -5,9 +5,12 @@ non-overlapping tau-length bins — the classic oscillator-stability
 statistic (Allan 1966, public formula), and a natural tits-style
 cascade: the tau bins double octave by octave, and a 2tau bin is the
 exact merge of its two tau children (sums and counts are additive), so
-the whole octave ladder costs ONE scan + log2(octaves) tiny
-re-aggregations — the same raw->1m->1h->1d continuous-aggregate shape
-as operators/rollup.py (ref: /root/reference/src/tits.c rollup tiers).
+the whole octave ladder costs ONE raw scan: the base bins explode
+their (tiny) octave lattice and re-merge — the same
+continuous-aggregate economics as operators/rollup.py's tier cascade
+(ref: /root/reference/src/tits.c rollup tiers). A chain of derived
+per-octave frames would instead re-trigger the raw scan once per tier
+(measured: 3x the wall at bench scale).
 
 Exactness device (the repo's integer-moment discipline): bin sums are
 exact BIGINT cents, each bin mean is ONE double division c/n, the pair
@@ -47,8 +50,10 @@ def allan_variance(
     """
     tau_us = int(base_tau_s) * 1_000_000
     cents = F.round(F.col(value) * 100).cast("long")
-    # base-octave bins: ONE shuffle on (key, bin); every later octave
-    # re-aggregates this (small) frame with b -> b div 2
+    # base-octave bins: ONE shuffle on (key, bin) — and ONE raw scan
+    # total: the octave ladder is an EXPLODE over this small frame
+    # (floor-halving o times == direct floor division by 2^o), not a
+    # chain of derived frames that would re-trigger the scan per tier
     bins = (
         df.select(
             F.col(key).alias("key"),
@@ -58,41 +63,46 @@ def allan_variance(
         .groupBy("key", "b")
         .agg(F.sum("c").alias("c"), F.count(F.lit(1)).alias("n"))
     )
-
-    out = None
-    tau = int(base_tau_s)
-    for _ in range(int(n_octaves)):
-        w = Window.partitionBy("key").orderBy("b")
-        pairs = (
-            bins.withColumn("b2", F.lead("b").over(w))
-            .withColumn("c2", F.lead("c").over(w))
-            .withColumn("n2", F.lead("n").over(w))
-            .filter(F.col("b2") == F.col("b") + 1)
+    octaves = (
+        bins.select(
+            "key", "c", "n",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_octaves) - 1))).alias("o"),
+            F.col("b").alias("b0"),
         )
-        d = (F.col("c2") / F.col("n2")) - (F.col("c") / F.col("n"))
-        q = F.floor(d * 10000.0).cast("decimal(19,0)")
-        tier = (
-            pairs.select("key", (q * q).alias("q2"))
-            .groupBy("key")
-            .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("q2").alias("s"))
-            .select(
-                "key",
-                F.lit(tau).cast("long").alias("tau_s"),
-                F.col("n_pairs").cast("long").alias("n_pairs"),
-                # floor, not round: tie-free where round() half-modes
-                # diverge at the .5 lattice (holt precedent); the q
-                # lattice is 1e-6 value units, so one avar unit is
-                # 1e-12 value^2 — no useful precision below it
-                F.floor(
-                    F.col("s").cast("double") / (2.0 * F.col("n_pairs"))
-                ).cast("long").alias("avar_q"),
-            )
+        .select(
+            "key", "o", "c", "n",
+            # 2^o exact in double for any sane octave count
+            floordiv(
+                F.col("b0"), F.pow(F.lit(2.0), F.col("o")).cast("long")
+            ).alias("b"),
         )
-        out = tier if out is None else out.unionByName(tier)
-        # dyadic merge: floor-halving the bin index IS the 2*tau bin
-        bins = (
-            bins.groupBy("key", floordiv(F.col("b"), 2).alias("b"))
-            .agg(F.sum("c").alias("c"), F.sum("n").alias("n"))
+        .groupBy("key", "o", "b")
+        .agg(F.sum("c").alias("c"), F.sum("n").alias("n"))
+    )
+    w = Window.partitionBy("key", "o").orderBy("b")
+    pairs = (
+        octaves.withColumn("b2", F.lead("b").over(w))
+        .withColumn("c2", F.lead("c").over(w))
+        .withColumn("n2", F.lead("n").over(w))
+        .filter(F.col("b2") == F.col("b") + 1)
+    )
+    d = (F.col("c2") / F.col("n2")) - (F.col("c") / F.col("n"))
+    q = F.floor(d * 10000.0).cast("decimal(19,0)")
+    return (
+        pairs.select("key", "o", (q * q).alias("q2"))
+        .groupBy("key", "o")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("q2").alias("s"))
+        .select(
+            "key",
+            (F.lit(float(base_tau_s)) * F.pow(F.lit(2.0), F.col("o")))
+            .cast("long").alias("tau_s"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            # floor, not round: tie-free where round() half-modes
+            # diverge at the .5 lattice (holt precedent); the q
+            # lattice is 1e-6 value units, so one avar unit is
+            # 1e-12 value^2 — no useful precision below it
+            F.floor(
+                F.col("s").cast("double") / (2.0 * F.col("n_pairs"))
+            ).cast("long").alias("avar_q"),
         )
-        tau *= 2
-    return out
+    )

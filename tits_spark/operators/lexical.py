@@ -275,6 +275,12 @@ def tfidf_cosine_pairs(
     w = w.withColumn(
         "norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc")))
     ).select("doc", "term", "w", "norm")
+    # both join sides derive from this frame: persist it (dtw/rfm
+    # precedent) or the tokenize+explode+cap subtree runs once per
+    # reference — measured ~3x the wall at bench scale. At cluster
+    # scale this is the materialized weights table a production
+    # pipeline would write between stages.
+    w = w.persist()
     a = w.select(
         F.col("doc").alias("id_a"), "term",
         F.col("w").alias("wa"), F.col("norm").alias("na"),

@@ -22,15 +22,30 @@ def _tokens(text_col: Column) -> Column:
 def word_ngrams_col(text_col: Column, n: int) -> Column:
     """Array of space-joined word ``n``-grams of ``text_col``.
 
+    The tokens array is BOUND ONCE per row via a one-element outer
+    ``transform`` (the lambda parameter is a materialized value, a
+    plain subexpression is not): referencing ``_tokens(text)`` inside
+    the per-position lambda would re-run the regex tokenization for
+    EVERY gram position — O(len^2) per document, measured 8x the wall
+    on the trigram corpus pass.
+
     Guarded so documents shorter than ``n`` words yield an empty array
     (``F.sequence(1, 0)`` would otherwise produce a *descending* range).
     """
-    toks = _tokens(text_col)
-    m = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    empty = F.array().cast("array<string>")
+    return F.element_at(
+        F.transform(
+            F.array(_tokens(text_col)),
+            lambda toks: F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            ).otherwise(empty),
+        ),
+        1,
     )
-    return F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 # tiny English stopword list for the n-gram/stopword heuristics
 STOPWORDS = [

@@ -58,19 +58,31 @@ def chain_edges(
         .groupBy("_k", "_et", "_b")
         .agg(F.min("_u").alias("_first"))
     )
+    # all `links` leads in ONE window pass over one scan (a per-lead
+    # derived frame would re-run the cells aggregation per link), then
+    # one explode
     w = Window.partitionBy("_et", "_b").orderBy("_first", "_k")
-    half = None
-    for i in range(1, int(links) + 1):
-        e = (
-            cells.withColumn("_nxt", F.lead("_k", i).over(w))
-            .filter(F.col("_nxt").isNotNull())
-            .select(
-                F.least("_k", "_nxt").alias("src"),
-                F.greatest("_k", "_nxt").alias("dst"),
-            )
+    lead_cols = [
+        F.lead("_k", i).over(w).alias(f"_n{i}") for i in range(1, int(links) + 1)
+    ]
+    leads = (
+        cells.select("_k", *lead_cols)
+        .select(
+            "_k",
+            F.explode(
+                F.array(*[F.col(f"_n{i}") for i in range(1, int(links) + 1)])
+            ).alias("_nxt"),
         )
-        half = e if half is None else half.unionAll(e)
-    half = half.filter(F.col("src") != F.col("dst")).distinct()
+        .filter(F.col("_nxt").isNotNull())
+    )
+    half = (
+        leads.select(
+            F.least("_k", "_nxt").alias("src"),
+            F.greatest("_k", "_nxt").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     return half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -106,11 +118,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
-    # each triangle credits all three corners
-    corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("x").alias("node")))
-        .unionAll(tris.select(F.col("y").alias("node")))
+    # each triangle credits all three corners — ONE explode, not three
+    # unions (each union branch would re-execute the wedge join)
+    corners = tris.select(
+        F.explode(F.array(F.col("u"), F.col("x"), F.col("y"))).alias("node")
     )
     per_node = corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")

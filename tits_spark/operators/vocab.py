@@ -127,13 +127,12 @@ def unigram_logprob(
 
 def word_bigrams_col(text_col):
     """Ordered word bigrams ("w1 w2") of the shared tokenizer's output;
-    docs with < 2 tokens yield an empty array."""
-    w = _tokens(text_col)
-    bgs = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),  # element_at is 1-based
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    return F.when(F.size(w) >= 2, bgs).otherwise(F.array().cast("array<string>"))
+    docs with < 2 tokens yield an empty array. Delegates to the
+    bind-once n-gram device (operators/text.word_ngrams_col) — a naive
+    per-position lambda re-tokenizes the text O(len^2)."""
+    from tits_spark.operators.text import word_ngrams_col
+
+    return word_ngrams_col(text_col, 2)
 
 
 def bigram_logprob(

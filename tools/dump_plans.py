@@ -336,6 +336,52 @@ def main() -> None:
         "no new shuffle shape.",
         E.q_ljung_box(spark, SF),
     )
+    add(
+        "kalman (gap-aware local-level filter)",
+        "Sequential per-series scan: numbered repartition on key + one "
+        "grouped Arrow UDF (the holt shape); no second exchange.",
+        E.q_kalman(spark, SF),
+    )
+    add(
+        "allan (dyadic Allan variance cascade)",
+        "ONE raw scan builds the base bins; every octave re-aggregates "
+        "the previous (rollup-cascade shape); decimal(38,0) sums of "
+        "quantized squares.",
+        E.q_allan(spark, SF),
+    )
+    add(
+        "iact (integrated autocorrelation time)",
+        "Lag pairing is an EXPLODE of k=1..20 + one hash equi-join on "
+        "(key, rn) — never a range join; decimal numerator/denominator "
+        "sums, one double division per key.",
+        E.q_iact(spark, SF),
+    )
+    add(
+        "triangles (degree-oriented triangle count)",
+        "Chain-graph edges (bounded degree by construction), wedge "
+        "equi-join bounded by out-degrees, closing-edge probe — no "
+        "cartesian product anywhere.",
+        E.q_triangles(spark, SF),
+    )
+    add(
+        "segreg (two-piece structural break)",
+        "O(n)-per-key candidate evaluation: prefix + total integer "
+        "moments in ONE ordered window pass, then a per-key argmin — "
+        "no candidate self-join.",
+        E.q_segreg(spark, SF),
+    )
+    add(
+        "weighted_sample (Efraimidis-Spirakis top-k)",
+        "Global mode plans TakeOrderedAndProject (per-partition heaps "
+        "+ single merge), then ranks only the k-row frame.",
+        E.q_weighted_sample(spark, SF),
+    )
+    add(
+        "event_study (superposed-epoch composite)",
+        "Anchors explode a bounded ±k offset lattice and equi-join the "
+        "hourly bins; exact cent sums, one division per offset.",
+        E.q_event_study(spark, SF),
+    )
 
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
