@@ -512,3 +512,57 @@ def test_round4_operator_plan_shapes(spark, ev):
 
     q = haar_energy(df, levels=5)
     assert q.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_continuation_wave_plan_shapes(spark, ev):
+    """Plan audits for the round-4 continuation families: no cartesian
+    anywhere, single-scan ladders, explode-not-union fan-outs, grouped
+    UDFs on numbered repartitions."""
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+
+    from tits_spark.operators.allan import allan_variance
+
+    p = plan_of(allan_variance(df))
+    # single-scan octave ladder: ONE parquet scan feeds every tau
+    # (formatted explain lists each node twice: tree + details)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    from tits_spark.operators.iact import iact_by_key
+
+    p = plan_of(iact_by_key(df))
+    # lag pairing is explode + hash equi-join, never a nested loop
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # the k=1..20 explode
+
+    from tits_spark.operators.triangles import chain_edges, triangle_counts
+
+    p = plan_of(triangle_counts(chain_edges(ev)))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    from tits_spark.operators.event_study import event_study
+
+    p = plan_of(event_study(
+        ev.select(F.col("user_id").alias("key"), "ts", "value", "event_type"),
+        trigger="purchase",
+    ))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # bounded ±k offset explode
+
+    from tits_spark.operators.kalman import kalman_local_level
+
+    k = kalman_local_level(df.withColumn("key", F.col("key").cast("string")))
+    p = plan_of(k)
+    # numbered repartition feeds the grouped Arrow UDF: no second
+    # exchange between the repartition and FlatMapGroupsInPandas
+    assert "REPARTITION_BY_NUM" in p and p.count("Exchange (") == 1
+
+    from tits_spark.operators.sampling import weighted_sample_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(weighted_sample_exact(docs, k=50, weight_col="n_chars"))
+    # global top-k plans TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [es_u6" not in p.split("TakeOrderedAndProject")[0]
