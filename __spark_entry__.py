@@ -929,6 +929,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user earth-mover (W1) distance to the corpus value
+    distribution on the dollar-bin lattice: the scaled-CDF difference
+    |cumA*nG - cumG*nA| stays pure BIGINT until one final division —
+    exact, and finite on disjoint supports where KL blows up."""
+    from tits_spark.operators.drift import w1_vs_global
+
+    return w1_vs_global(_events(spark, sf_dir), bin_cents=100)
+
+
 def q_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user freshness SLA report (12h threshold): exact int64-µs
     gap excess sums, violation share in floor-ppm — the LOCF
@@ -3055,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "tpch_q10": q_tpch_q10,
         "staleness": q_staleness,
+        "w1_drift": q_w1_drift,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5202,6 +5213,39 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
+        # one final division; grid = keys x global bin lattice
+        "w1_drift": """
+WITH binned AS (
+  SELECT user_id AS key,
+         CAST(floor(CAST(round(value * 100) AS BIGINT) / 100) AS BIGINT) AS b
+  FROM events
+),
+g AS (SELECT b, count(*) AS cg FROM binned GROUP BY 1),
+gc AS (
+  SELECT b, cg,
+         sum(cg) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cumg,
+         coalesce(lead(b) OVER (ORDER BY b) - b, 0) AS dv
+  FROM g
+),
+tot AS (SELECT count(*) AS ng FROM binned),
+keys AS (SELECT key, count(*) AS na FROM binned GROUP BY 1),
+a AS (SELECT key, b, count(*) AS ca FROM binned GROUP BY 1, 2),
+grid AS (SELECT k.key, k.na, gc.b, gc.cumg, gc.dv FROM keys k CROSS JOIN gc),
+j AS (
+  SELECT grid.key, grid.na, grid.cumg, grid.dv,
+         sum(coalesce(a.ca, 0)) OVER (PARTITION BY grid.key ORDER BY grid.b
+                                      ROWS UNBOUNDED PRECEDING) AS cuma
+  FROM grid LEFT JOIN a ON a.key = grid.key AND a.b = grid.b
+)
+SELECT key, CAST(max(na) AS BIGINT) AS n,
+       CAST(floor(CAST(sum(abs(CAST(cuma AS HUGEINT) * (SELECT ng FROM tot)
+                                - CAST(cumg AS HUGEINT) * na) * dv) AS DOUBLE)
+                  / (CAST(max(na) AS DOUBLE)
+                     * CAST((SELECT ng FROM tot) AS DOUBLE)) * 1e6)
+            AS BIGINT) AS w1_u6
+FROM j GROUP BY 1
 """,
         # staleness SLA: exact µs gap-excess sums, floor-ppm share
         "staleness": """

@@ -225,6 +225,55 @@ def main() -> None:
     results.append(("hw_stream (Holt-Winters)", nb, nr, sec,
                     *_bitwise_equal(got, want)))
 
+    # ---- Kalman (gap-aware local-level; per-event emission)
+    from tits_spark.operators.kalman import kalman_local_level
+    from tits_spark.streaming.kalman_stream import stream_kalman
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_kalman(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1
+        ),
+        "kalman",
+    )
+    want = kalman_local_level(ev).select(
+        "key", "ts", u6("level"), u6("gain"), u6("p_var"))
+    got = spark.read.parquet(out).select(
+        "key", "ts", u6("level"), u6("gain"), u6("p_var"))
+    results.append(("kalman_stream (gap-aware filter)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- SCD2 (run-collapse; closed-interval append contract)
+    from tits_spark.operators.scd2 import scd2_intervals
+    from tits_spark.streaming.scd2_stream import stream_scd2
+
+    att = (
+        spark.read.parquet(f"{args.sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type").alias("attr"),
+        )
+    )
+    att_chunks = _chunks(att, N_CHUNKS)
+    out, nb, nr, sec = _run_phases(
+        spark, att_chunks, work,
+        lambda s, o, c: stream_scd2(
+            spark, s, "key string, ts timestamp, attr string", o, c,
+            max_files_per_trigger=1,
+        ),
+        "scd2",
+    )
+    want = (
+        scd2_intervals(att, "key", "ts", "attr")
+        .filter(~F.col("is_current"))
+        .select("key", "version", "attr", "valid_from", "valid_to", "n_events")
+    )
+    got = spark.read.parquet(out).select(
+        "key", "version", "attr", "valid_from", "valid_to", "n_events")
+    results.append(("scd2_stream (closed intervals)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
@@ -257,7 +306,12 @@ stoch_stream carry OHLC partials + (n-1)-deep ring buffers per key
 hw_stream emit EVERY input row (hw additionally buffers each key's
 two-period INIT across restarts and rotates a seasonal ring);
 gap_stream's single-scalar state must survive every restart to avoid
-phantom gaps at phase boundaries.
+phantom gaps at phase boundaries; kalman_stream's carried
+(prev_us, level, variance) triple must replay the identical IEEE
+operation tree across restarts; scd2_stream (a key/ts/attr stream)
+must keep each key's OPEN version in state across restarts and emit
+only closed intervals — batch equality is against the batch operator
+minus its per-key is_current row.
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
