@@ -1433,6 +1433,29 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: the group-then-semi-join
+    showcase — the heavy lineitem aggregate runs FIRST and its tiny
+    HAVING survivor set drives broadcast joins back onto orders and
+    customer; quantities are exact integers."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, c = read("lineitem"), read("orders"), read("customer")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats over the irregular events stream (new session
     after a >30 min gap): one window shuffle + one aggregate."""
@@ -3066,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "staleness": q_staleness,
         "w1_drift": q_w1_drift,
+        "tpch_q18": q_tpch_q18,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5213,6 +5237,18 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # Q18 large-volume orders: aggregate-first, HAVING survivors
+        # drive the joins; exact integer quantities
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
 """,
         # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
         # one final division; grid = keys x global bin lattice
