@@ -929,6 +929,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qs, k=5, max_df_frac=0.8)
 
 
+def q_lmoments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user L-moments (L-scale, L-skewness): rank-weighted exact
+    decimal sums, denominators cleared so t3 is one double division —
+    the outlier-resistant shape screen (Hosking 1990)."""
+    from tits_spark.operators.lmoments import lmoments_by_key
+
+    return lmoments_by_key(_events(spark, sf_dir))
+
+
 def q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user earth-mover (W1) distance to the corpus value
     distribution on the dollar-bin lattice: the scaled-CDF difference
@@ -3090,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staleness": q_staleness,
         "w1_drift": q_w1_drift,
         "tpch_q18": q_tpch_q18,
+        "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
         "ecdf": q_ecdf,
@@ -5237,6 +5247,38 @@ sc AS (
 )
 SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, round(s.lp, 6) AS logprob
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # L-moments: rank-weighted HUGEINT sums, denominators cleared,
+        # one double division per statistic
+        "lmoments": """
+WITH r AS (
+  SELECT user_id AS key,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(round(value * 100) AS BIGINT), ts)
+           AS i
+  FROM events
+),
+agg AS (
+  SELECT key, count(*) AS n,
+         sum(CAST(c AS HUGEINT)) AS b0,
+         sum(CAST(i - 1 AS HUGEINT) * c) AS b1,
+         sum(CAST(i - 1 AS HUGEINT) * (i - 2) * c) AS b2
+  FROM r GROUP BY 1 HAVING count(*) >= 3
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(b0 AS DOUBLE) / (n * 100.0) * 1e6) AS BIGINT) AS l1_u6,
+       CAST(floor(CAST(2 * b1 - (n - 1) * b0 AS DOUBLE)
+                  / (CAST(n * (n - 1) AS DOUBLE) * 100.0) * 1e6)
+            AS BIGINT) AS l2_u6,
+       CASE WHEN 2 * b1 - (n - 1) * b0 <> 0
+            THEN CAST(floor(CAST(6 * b2 - 6 * (n - 2) * b1
+                                 + (n - 1) * (n - 2) * b0 AS DOUBLE)
+                            / (CAST(2 * b1 - (n - 1) * b0 AS DOUBLE)
+                               * CAST(n - 2 AS DOUBLE)) * 1e6)
+                      AS BIGINT)
+       END AS t3_u6
+FROM agg
 """,
         # Q18 large-volume orders: aggregate-first, HAVING survivors
         # drive the joins; exact integer quantities
