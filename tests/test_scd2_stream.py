@@ -56,3 +56,25 @@ def test_stream_scd2_restart_splits_runs(spark, events, tmp_path):
     want = _closed_batch(_ev(events))
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_scd2_null_attr_matches_batch(spark, tmp_path):
+    # null-safe change semantics must agree batch vs stream: a NULL
+    # attr opens its own run (also as a key's FIRST run) and
+    # consecutive NULLs collapse
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", base + dt.timedelta(hours=h), a)
+        for h, a in enumerate(["a", None, None, "a", "b"])
+    ] + [("w", base + dt.timedelta(hours=h), a)
+         for h, a in enumerate([None, "b", None])]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    src, out, ckpt = (str(tmp_path / d) for d in ("nsrc", "nout", "nckpt"))
+    ev.write.mode("overwrite").parquet(src)
+    stream_scd2(spark, src, SCHEMA, out, ckpt).awaitTermination(300)
+    got = spark.read.parquet(out)
+    want = _closed_batch(ev)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -64,3 +64,12 @@ def test_segreg_noise_matches_numpy_argmin(spark):
     }
     want = min(cands, key=lambda i: (cands[i], i))
     assert r.brk == want
+
+
+def test_segmented_fit_rejects_min_seg_below_two(spark, events):
+    import pytest
+
+    from tits_spark.operators.segreg import segmented_fit
+
+    with pytest.raises(ValueError, match="min_seg"):
+        segmented_fit(events, min_seg=1)

@@ -55,7 +55,10 @@ def lmoments_by_key(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec(F.col("c"))).alias("b0"),
-            F.sum(dec((F.col("i") - 1) * F.col("c"))).alias("b1"),
+            # cast (i-1) to decimal BEFORE the product (b2's pattern):
+            # an int64 (i-1)*c can silently wrap on very long,
+            # high-magnitude series while the HUGEINT oracle stays exact
+            F.sum(dec((F.col("i") - 1).cast("decimal(19,0)") * F.col("c"))).alias("b1"),
             F.sum(
                 dec((F.col("i") - 1).cast("decimal(19,0)") * (F.col("i") - 2) * F.col("c"))
             ).alias("b2"),

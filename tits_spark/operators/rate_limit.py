@@ -36,8 +36,8 @@ def rate_limit_replay(
     capacity: int = 2,
     rate_per_hour: int = 1,
 ) -> DataFrame:
-    """Per-event admission decision under a (capacity, rate/s) token
-    bucket (rate in tokens/hour) that starts FULL. ``id_col`` breaks simultaneous-event ties
+    """Per-event admission decision under a (capacity, rate/hour)
+    token bucket that starts FULL. ``id_col`` breaks simultaneous-event ties
     (which one gets the last token is order-dependent, so the order
     must be total). Returns (key, eid, ts, admitted, tokens_ut) —
     tokens_ut is the post-decision balance in micro-tokens."""

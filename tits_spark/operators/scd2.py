@@ -32,12 +32,17 @@ def scd2_intervals(
     the attr tiebreak makes simultaneous rows deterministic) into SCD2
     rows (key, version, attr, valid_from, valid_to, n_events,
     is_current)."""
-    w = Window.partitionBy(key).orderBy(ts, attr)
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.asc_nulls_first(attr))
+    # null-safe change test: a NULL attr is a change from any non-NULL
+    # value, and a run of NULLs collapses into one version (plain `!=`
+    # would evaluate NULL and silently merge a NULL row into the prior
+    # version, splitting it later in the groupBy). The row_number guard
+    # keeps the first row a change even when its attr is NULL.
     flagged = df.select(key, ts, attr).withColumn(
         "_chg",
         F.when(
-            F.lag(attr).over(w).isNull()
-            | (F.lag(attr).over(w) != F.col(attr)),
+            (F.row_number().over(w) == 1)
+            | ~F.lag(attr).over(w).eqNullSafe(F.col(attr)),
             1,
         ).otherwise(0),
     )

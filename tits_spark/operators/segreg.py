@@ -56,6 +56,11 @@ def segmented_fit(
     regime change, near 1e6 means no break. Keys shorter than
     2*min_seg drop out."""
     ms = int(min_seg)
+    if ms < 2:
+        # a line fit needs two points per side: min_seg=1 makes vxx=0
+        # in _sse and the NaN/Inf doubles it produces sort into the
+        # argmin nondeterministically across engines
+        raise ValueError(f"segmented_fit: min_seg must be >= 2, got {ms}")
     cents = F.round(F.col(value) * 100).cast("long")
     wo = Window.partitionBy("key").orderBy("ts", "y")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731

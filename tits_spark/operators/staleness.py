@@ -9,10 +9,12 @@ the gap listing (operators/gapfill.py: ref gap semantics of
 /root/reference's alignment tools): not "where are the holes" but
 "how much of the timeline was served stale".
 
-Everything is exact int64 microseconds: per-gap excesses sum
-exactly, and the violation share is reported in ppm via one integer
-floor division — no float anywhere, so partitioning cannot move the
-result.
+Everything upstream is exact int64 microseconds: per-gap excesses sum
+exactly, so partitioning cannot move the inputs. The final ppm share
+is ONE double division over those exact int64 sums, then floor —
+double (not BIGINT) deliberately, because excess_us * 1_000_000 would
+overflow int64 at decade spans; identical on both engines while the
+operands stay below 2^53.
 
 Plan: one window shuffle per key (lag), one hash agg. At 100 TB this
 is the same single-exchange shape as first_diff.

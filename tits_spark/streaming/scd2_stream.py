@@ -43,7 +43,9 @@ def _scd2_fn(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        pdf = pdf.sort_values(["ts", "attr"], kind="stable")
+        # na_position="first" mirrors the batch window's NULLS FIRST
+        # attr tiebreak, so NULL-attr rows land in the same run order
+        pdf = pdf.sort_values(["ts", "attr"], kind="stable", na_position="first")
         t = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         a = pdf["attr"].to_numpy()
         out = []

@@ -79,7 +79,12 @@ def main() -> int:
         for c in g.columns:
             a, b = g[c].to_numpy(), w[c].to_numpy()
             if pd.api.types.is_float_dtype(g[c]):
-                bad = ~((a == b) | (np.isnan(a.astype(float)) & np.isnan(b.astype(float))))
+                af, bf = a.astype(float), b.astype(float)
+                bad = ~((a == b) | (np.isnan(af) & np.isnan(bf)))
+                # the driver compares BYTES: -0.0 vs +0.0 is value-equal but
+                # hash-unequal, so treat a signbit divergence on zeros as a fail
+                bad |= (af == 0.0) & (bf == 0.0) & (
+                    np.signbit(af) != np.signbit(bf))
             else:
                 bad = ~(pd.Series(a).fillna("<NA>").astype(str)
                         == pd.Series(b).fillna("<NA>").astype(str)).to_numpy()
