@@ -69,3 +69,27 @@ def test_generator_partition_invariant(spark):
     ra = {r["vec_id"]: r["embedding"] for r in a.collect()}
     rb = {r["vec_id"]: r["embedding"] for r in b.collect()}
     assert ra == rb
+
+
+def test_generator_skewed_clusters_deterministic(spark):
+    """cluster_skew plants a Zipf cluster-mass profile (top cluster
+    dominates), stays partition-invariant, and leaves the uniform
+    path (skew=0) untouched."""
+    sk = generate_embeddings(
+        spark, 2000, dim=8, n_clusters=10, sigma=0.05, seed=0,
+        cluster_skew=1.2,
+    )
+    counts = {
+        r["cluster"]: r["n"]
+        for r in sk.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    # Zipf(1.2) over 10 clusters: cluster 0 carries ~2x cluster 1 and
+    # >10x cluster 9 in expectation; assert the ordering loosely
+    assert counts[0] > 1.5 * counts[1] > 3 * counts.get(9, 1)
+    sk2 = generate_embeddings(
+        spark, 2000, dim=8, n_clusters=10, sigma=0.05, seed=0,
+        cluster_skew=1.2, partitions=7,
+    )
+    a = {r["vec_id"]: (r["cluster"], tuple(r["embedding"])) for r in sk.collect()}
+    b = {r["vec_id"]: (r["cluster"], tuple(r["embedding"])) for r in sk2.collect()}
+    assert a == b

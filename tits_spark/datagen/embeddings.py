@@ -64,19 +64,36 @@ def generate_embeddings(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     partitions: int | None = None,
+    cluster_skew: float = 0.0,
 ) -> DataFrame:
     """Distributed generation: spark.range drives the ids; each Arrow
     batch derives its vectors independently from the counter hash (no
-    state crosses batches, no collect, no driver-side corpus)."""
+    state crosses batches, no collect, no driver-side corpus).
+
+    ``cluster_skew`` > 0 draws cluster membership Zipf(s=cluster_skew)
+    instead of uniformly (cluster k gets mass ~ 1/(k+1)^s), still fully
+    counter-deterministic — the regime for stress-testing IVF list
+    balance, where a few semantic clusters dominate a real corpus."""
     centers = cluster_centers(dim, n_clusters, seed)
-    bc = spark.sparkContext.broadcast(centers)
+    if cluster_skew > 0:
+        w = 1.0 / np.arange(1, n_clusters + 1, dtype=np.float64) ** cluster_skew
+        cum = np.cumsum(w / w.sum())
+        cum[-1] = 1.0 + 1e-12  # searchsorted guard on u == max
+    else:
+        cum = None
+    bc = spark.sparkContext.broadcast((centers, cum))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Cs = bc.value
+        Cs, cumw = bc.value
         for pdf in batches:
             ids = pdf["id"].to_numpy(np.int64)
-            cl = (_splitmix64(ids.astype(np.uint64) ^ np.uint64(seed * 2654435761 + 1))
-                  % np.uint64(Cs.shape[0])).astype(np.int64)
+            h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed * 2654435761 + 1))
+            if cumw is not None:
+                u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+                cl = np.searchsorted(cumw, u, side="right").astype(np.int64)
+                np.clip(cl, 0, Cs.shape[0] - 1, out=cl)
+            else:
+                cl = (h % np.uint64(Cs.shape[0])).astype(np.int64)
             X = Cs[cl] + sigma * _counter_normals(seed, ids, Cs.shape[1])
             yield pd.DataFrame({
                 id_col: ids,

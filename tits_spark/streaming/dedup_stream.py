@@ -34,14 +34,17 @@ def stream_dedup_exact(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream a parquet directory, keep the first-arriving copy of each
     distinct text within the watermark, append survivors to
     ``out_path``. Dedup key is md5(text) — same key as the batch
     ``dedup_exact`` so stream + batch-backstop compose."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_path)
+        reader.parquet(source_path)
         .withColumn("_h", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_h"])

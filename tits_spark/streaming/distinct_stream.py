@@ -70,6 +70,7 @@ def stream_distinct_registers(
     ts: str = "ts",
     item: str = "item",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream (ts, item, ...) parquet into the per-bucket register
     table; read estimates at any time with
@@ -79,7 +80,10 @@ def stream_distinct_registers(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         merge_registers_batch(batch, table_path, tier, p, ts, item)
 
-    stream = spark.readStream.schema(schema).parquet(source_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(source_path)
     writer = stream.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint
     )

@@ -30,6 +30,7 @@ def stream_rollup_1m(
     value: str = "value",
     watermark: str = "1 hour",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream a parquet directory into the 1m tier.
 
@@ -40,8 +41,11 @@ def stream_rollup_1m(
     checkpoint path does not have.
     """
     v, t = F.col(value), F.col(ts)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema).parquet(source_path)
+        reader.parquet(source_path)
         .withWatermark(ts, watermark)
         .groupBy(F.col(key).alias("key"), F.window(ts, "1 minute").alias("w"))
         .agg(

@@ -35,14 +35,17 @@ def stream_session_stats(
     gap_seconds: float = 1800.0,
     watermark: str = "0 seconds",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream a parquet directory into per-session stats rows
     (key, n_events, start_ts, end_ts, duration_s, v_sum); append mode
     emits each session exactly once when it closes under the watermark."""
     t = ts_seconds(F.col(ts))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_path)
+        reader.parquet(source_path)
         .withWatermark(ts, watermark)
         .groupBy(key, F.session_window(ts, f"{int(gap_seconds)} seconds"))
         .agg(

@@ -274,6 +274,92 @@ def main() -> None:
     results.append(("scd2_stream (closed intervals)", nb, nr, sec,
                     *_bitwise_equal(got, want)))
 
+    # ---- 1m rollup (windowed agg; watermark finalizes buckets)
+    from tits_spark.streaming.rollup_stream import stream_rollup_1m
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_rollup_1m(
+            spark, s, SCHEMA, o, c, key="key", watermark="0 seconds",
+            max_files_per_trigger=1,
+        ),
+        "rollup",
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    got = spark.read.parquet(f"{out}/tier=1m").drop("bucket_date")
+    want = rollup_from_raw(ev, "key", "ts", "value", "1m").filter(
+        F.col("bucket_ts") + F.expr("INTERVAL 1 MINUTE") <= F.lit(max_ts)
+    )
+    results.append(("rollup_stream (watermarked 1m tier)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- sessionization (native session_window; open sessions in state)
+    from tits_spark.operators.sessionize import session_stats_native
+    from tits_spark.streaming.session_stream import stream_session_stats
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_session_stats(
+            spark, s, SCHEMA, o, c, gap_seconds=1800.0,
+            watermark="0 seconds", max_files_per_trigger=1,
+        ),
+        "sessions",
+    )
+    scols = ["key", "n_events", "start_ts", "end_ts"]
+    want = session_stats_native(ev, gap_seconds=1800.0).filter(
+        F.col("end_ts") + F.expr("INTERVAL 1800 SECONDS") <= F.lit(max_ts)
+    ).select(scols)
+    got = spark.read.parquet(out).select(scols)
+    results.append(("session_stream (closed sessions)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- exact dedup (dropDuplicatesWithinWatermark; survivor SET
+    # must equal the batch distinct set — which row of a duplicate
+    # group survives is arrival-order within a micro-batch, so the
+    # equality is on the deduped key set, not row identity)
+    from tits_spark.streaming.dedup_stream import stream_dedup_exact
+
+    docs = ev.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.concat_ws(" ", F.lit("u"), "key", F.round("value", 0).cast("string"))
+        .alias("text"),
+        "ts",
+    )
+    doc_chunks = _chunks(docs, N_CHUNKS)
+    out, nb, nr, sec = _run_phases(
+        spark, doc_chunks, work,
+        lambda s, o, c: stream_dedup_exact(
+            spark, s, "doc_id long, text string, ts timestamp", o, c,
+            watermark="3650 days", max_files_per_trigger=1,
+        ),
+        "dedup",
+    )
+    got = spark.read.parquet(out).select("text").distinct()
+    want = docs.select("text").distinct()
+    n_out = spark.read.parquet(out).count()
+    eq, n_got, n_want = _bitwise_equal(got, want)
+    results.append(("dedup_stream (survivor text set)", nb, nr, sec,
+                    eq and n_out == n_want, n_out, n_want))
+
+    # ---- distinct registers (foreachBatch monotone max-merge table)
+    from tits_spark.operators.rollup_sketch import distinct_registers
+    from tits_spark.streaming.distinct_stream import stream_distinct_registers
+
+    items = ev.select("ts", F.col("key").alias("item"))
+    item_chunks = _chunks(items, N_CHUNKS)
+    out, nb, nr, sec = _run_phases(
+        spark, item_chunks, work,
+        lambda s, o, c: stream_distinct_registers(
+            spark, s, "ts timestamp, item string", o, c,
+            max_files_per_trigger=1,
+        ),
+        "distinct",
+    )
+    got = spark.read.parquet(out).select("bucket_ts", "reg", "rho")
+    want = distinct_registers(items, "ts", "item", "1m")
+    results.append(("distinct_stream (KMV/HLL registers)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
@@ -312,6 +398,19 @@ operation tree across restarts; scd2_stream (a key/ts/attr stream)
 must keep each key's OPEN version in state across restarts and emit
 only closed intervals — batch equality is against the batch operator
 minus its per-key is_current row.
+
+Round-5 additions: rollup_stream's windowed 1m aggregation must
+finalize each bucket exactly once under the watermark with partials
+carried across restarts (compared against the batch tier restricted
+to closed buckets); session_stream keeps OPEN session_window state
+across restarts and merges events into the right session (closed
+sessions vs batch sessionize); dedup_stream's
+dropDuplicatesWithinWatermark seen-hash state must survive restarts
+so no duplicate slips through a phase boundary (equality is on the
+survivor TEXT SET plus survivor count — which row of a duplicate
+group wins is micro-batch arrival order by construction);
+distinct_stream's foreachBatch register table must stay monotone and
+replay-idempotent across restarts (bit-equal registers vs batch).
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
