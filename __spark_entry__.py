@@ -1465,6 +1465,123 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: THE partial-aggregation showcase —
+    one scan, map-side combine into 6 (returnflag, linestatus) groups,
+    zero joins. All money sums are exact integer lattices (cents /
+    e-4 / e-6, the q_tpch_q3 device; charge carries (100-d)*(100+t) so
+    it accumulates in decimal(38,0), immune to both float partial-sum
+    order AND int64 wrap at large SF); averages are one double
+    division over those exact sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    disc_e4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    charge_e6 = (
+        disc_e4.cast("decimal(38,0)")
+        * (F.lit(100) + cents("l_tax")).cast("decimal(38,0)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("_q"),
+            F.sum(cents("l_extendedprice")).alias("_p"),
+            F.sum(disc_e4).alias("_dp"),
+            F.sum(charge_e6).alias("_ch"),
+            F.sum(cents("l_discount")).alias("_d"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("_q") / 100.0).alias("sum_qty"),
+            (F.col("_p") / 100.0).alias("sum_base_price"),
+            (F.col("_dp") / 10000.0).alias("sum_disc_price"),
+            (F.col("_ch").cast("double") / 1000000.0).alias("sum_charge"),
+            (F.col("_q") / (F.col("count_order") * 100.0)).alias("avg_qty"),
+            (F.col("_p") / (F.col("count_order") * 100.0)).alias("avg_price"),
+            (F.col("_d") / (F.col("count_order") * 100.0)).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier revenue by nation (region ASIA, orders
+    1997): the broadcast-dimension chain showcase — region/nation/
+    customer/supplier all broadcast, lineitem shuffles once for the
+    orders equi-join, and the c_nationkey = s_nationkey locality
+    constraint is a join condition, never a post-filter over a wider
+    product. Exact e-4 integer revenue."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, c = read("lineitem"), read("orders"), read("customer")
+    s, n, r = read("supplier"), read("nation"), read("region")
+    asia_nations = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cust = c.join(F.broadcast(asia_nations),
+                  c.c_nationkey == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_nationkey").alias("c_nk"))
+    supp = s.join(F.broadcast(asia_nations),
+                  s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_nationkey").alias("s_nk"), "n_name")
+    o97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    rev_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(o97, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nk") == F.col("s_nk")),
+        )
+        .groupBy("n_name")
+        .agg(rev_e4.alias("_e4"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "n_name", (F.col("_e4") / 10000.0).alias("revenue"), "n_items"
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo-revenue share for one ship month: part dim
+    broadcast onto the date-pruned lineitem scan, conditional exact
+    e-4 sums, ONE double division for the percentage."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, p = read("lineitem"), read("part")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
+                F.lit(0))).alias("_promo"),
+            F.sum(rev_e4).alias("_total"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (100.0 * F.col("_promo") / F.col("_total")).alias("promo_pct"),
+            (F.col("_promo") / 10000.0).alias("promo_revenue"),
+            (F.col("_total") / 10000.0).alias("total_revenue"),
+            "n_items",
+        )
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats over the irregular events stream (new session
     after a >30 min gap): one window shuffle + one aggregate."""
@@ -3121,6 +3238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staleness": q_staleness,
         "w1_drift": q_w1_drift,
         "tpch_q18": q_tpch_q18,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q14": q_tpch_q14,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -5316,6 +5436,77 @@ WITH big AS (
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
 FROM big JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
+""",
+        # Q1 pricing summary: every money sum on the exact cents/e-4/
+        # e-6 lattice (HUGEINT), averages one double division each
+        "tpch_q1": """
+WITH l AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+         CAST(round(l_tax * 100) AS BIGINT) AS tc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+),
+a AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qc) AS q, sum(pc) AS p,
+         sum(pc * (100 - dc)) AS dp,
+         sum(CAST(pc * (100 - dc) AS HUGEINT) * (100 + tc)) AS ch,
+         sum(dc) AS d, count(*) AS count_order
+  FROM l GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       q / 100.0 AS sum_qty,
+       p / 100.0 AS sum_base_price,
+       dp / 10000.0 AS sum_disc_price,
+       CAST(ch AS DOUBLE) / 1000000.0 AS sum_charge,
+       q / (count_order * 100.0) AS avg_qty,
+       p / (count_order * 100.0) AS avg_price,
+       d / (count_order * 100.0) AS avg_disc,
+       count_order
+FROM a
+""",
+        # Q5 local-supplier revenue: ASIA nations, 1997 orders,
+        # c_nationkey = s_nationkey as a join predicate; exact e-4
+        "tpch_q5": """
+WITH an AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT an.n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN an ON c_nationkey = an.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+        # Q14 promo revenue share: conditional exact e-4 sums, one
+        # double division for the percentage
+        "tpch_q14": """
+WITH l AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS e4,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO' THEN e4 ELSE 0 END)
+         / sum(e4) AS promo_pct,
+       sum(CASE WHEN p_type = 'PROMO' THEN e4 ELSE 0 END) / 10000.0
+         AS promo_revenue,
+       sum(e4) / 10000.0 AS total_revenue,
+       count(*) AS n_items
+FROM l
 """,
         # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
         # one final division; grid = keys x global bin lattice

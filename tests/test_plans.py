@@ -566,3 +566,27 @@ def test_continuation_wave_plan_shapes(spark, ev):
     # global top-k plans TakeOrderedAndProject, never a global sort
     assert "TakeOrderedAndProject" in p
     assert "Sort [es_u6" not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_tpch_q1_q5_q14_plan_shapes(spark):
+    """Q1: one exchange (final agg), zero joins, pushed shipdate
+    filter. Q5: every dimension broadcast (no sort-merge anywhere);
+    Q14: part broadcast onto the date-pruned scan."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    p1 = plan_of(qs["tpch_q1"](spark, sf))
+    # exactly one exchange NODE in the plan tree (the detail section
+    # repeats the name, so count the tree-edge form)
+    assert p1.count("+- Exchange") == 1
+    assert "Join" not in p1
+    assert "PushedFilters" in p1
+    assert "l_shipdate" in p1.split("PushedFilters", 1)[1][:300]
+    p5 = plan_of(qs["tpch_q5"](spark, sf))
+    assert "SortMergeJoin" not in p5
+    assert p5.count("BroadcastHashJoin") >= 5
+    p14 = plan_of(qs["tpch_q14"](spark, sf))
+    assert "SortMergeJoin" not in p14
+    # formatted plans name each node twice (tree edge + detail section)
+    assert p14.count("BroadcastHashJoin") == 2
