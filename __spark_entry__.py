@@ -1303,10 +1303,10 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_stream(docs, budget=2048)
 
 
-def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-style promo revenue share per part type: fact-to-dim
-    broadcast join + conditional aggregation (covers the one driver
-    table no other query touches)."""
+def q_promo_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-style revenue split per part type (originally registered
+    as tpch_q14; renamed when the faithful single-month Q14 landed):
+    fact-to-dim broadcast join + conditional aggregation."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1376,36 +1376,6 @@ def q_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bid").cast("double"), 6).alias("bid"),
         F.round(F.col("ask").cast("double"), 6).alias("ask"),
     )
-
-
-def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style local-supplier-volume: the multi-table join
-    showcase. Catalyst broadcast-joins every dimension (region, nation,
-    supplier, customer fit far under the 10MB threshold — asserted in
-    tests/test_plans.py) so the only shuffle is the final group-by;
-    at 100 TB the fact-side scan prunes to the joined columns and the
-    dims stay broadcast. Customer and supplier must be in the same
-    nation (the Q5 'local supplier' condition)."""
-    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
-    li, o, c = read("lineitem"), read("orders"), read("customer")
-    s, n, r = read("supplier"), read("nation"), read("region")
-    out = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(n, F.col("s_nationkey") == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-    return out
 
 
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,6 +1549,195 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_total") / 10000.0).alias("total_revenue"),
             "n_items",
         )
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier), adapted: the testdata star
+    has no partsupp, so the part-supplier relation is derived from
+    lineitem and the correlated MIN is over s_acctbal instead of
+    ps_supplycost. Plan shape preserved: region/nation broadcast, the
+    per-part MIN computed once and equi-joined back (never a
+    correlated rescan)."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, s, n, r, p = (read("lineitem"), read("supplier"), read("nation"),
+                      read("region"), read("part"))
+    eur = (
+        s.join(F.broadcast(
+            n.join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+                   n.n_regionkey == r.r_regionkey)
+            .select("n_nationkey", "n_name")),
+            s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = p.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    # acctbal on the cents lattice so MIN equality is exact both engines
+    offers = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+        .distinct()
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("bal_c").alias("min_bal_c"))
+    return (
+        offers.join(F.broadcast(best),
+                    (F.col("p_partkey") == F.col("bp"))
+                    & (F.col("bal_c") == F.col("min_bal_c")))
+        .select(
+            (F.col("bal_c") / 100.0).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+        )
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority check, adapted: no l_commitdate /
+    l_receiptdate in the testdata, so "late" is l_shipdate more than
+    75 days after o_orderdate. Shape preserved: EXISTS == LEFT SEMI
+    join (never a distinct-then-inner), count per priority."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o = read("lineitem"), read("orders")
+    o97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    return (
+        o97.join(
+            li.select("l_orderkey", "l_shipdate"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 75 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between a nation pair (NATION_1,
+    NATION_2 — synthetic names), both directions, ship years
+    1996-1997: supplier+customer nation dims broadcast, the pair
+    constraint a join-level filter, exact e-4 revenue per
+    (supp_nation, cust_nation, year)."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, c, s, n = (read("lineitem"), read("orders"), read("customer"),
+                      read("supplier"), read("nation"))
+    pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = s.join(F.broadcast(pair), s.s_nationkey == pair.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = c.join(F.broadcast(pair), c.c_nationkey == pair.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation"))
+    rev_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(rev_e4.alias("_e4"), F.count(F.lit(1)).alias("n_items"))
+        .select("supp_nation", "cust_nation", "l_year",
+                (F.col("_e4") / 10000.0).alias("revenue"), "n_items")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: of ECONOMY-type parts sold to
+    ASIA customers, NATION_5 suppliers' revenue share per order year.
+    Both the numerator and denominator stay exact e-4 integers until
+    ONE double division per year; the nation flag rides the supplier
+    dim broadcast (no second pass)."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, c, s, n, r, p = (read("lineitem"), read("orders"),
+                            read("customer"), read("supplier"),
+                            read("nation"), read("region"), read("part"))
+    asia_c = (
+        c.join(F.broadcast(
+            n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                   n.n_regionkey == r.r_regionkey).select("n_nationkey")),
+            c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = s.join(F.broadcast(n.select("n_nationkey", "n_name")),
+                  s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", (F.col("n_name") == "NATION_5").alias("is_target"))
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")
+                            .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_c), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("is_target"), e4).otherwise(F.lit(0)))
+            .alias("_tgt"),
+            F.sum(e4).alias("_all"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "o_year",
+            (F.col("_tgt") / F.col("_all")).alias("mkt_share"),
+            (F.col("_all") / 10000.0).alias("total_revenue"),
+            "n_items",
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, adapted: no ps_supplycost in the
+    testdata, so cost is quantity * 60% of p_retailprice (documented
+    proxy; both factors on the cents lattice so profit stays an exact
+    e-4 integer — retail*60 keeps cents*percent integral). Parts
+    filtered by name token, grouped by supplier nation x order year."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, s, n, p = (read("lineitem"), read("orders"), read("supplier"),
+                      read("nation"), read("part"))
+    supp = s.join(F.broadcast(n.select("n_nationkey", "n_name")),
+                  s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("nation"))
+    widget = p.filter(F.col("p_name").contains("widget")).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("retail_c"))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    cost_e4 = (
+        F.round(F.col("l_quantity")).cast("long")
+        * F.col("retail_c") * F.lit(60)
+    )
+    return (
+        li.join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev_e4 - cost_e4).alias("_p"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select("nation", "o_year",
+                (F.col("_p") / 10000.0).alias("sum_profit"), "n_items")
     )
 
 
@@ -3241,6 +3400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q14": q_tpch_q14,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -3314,9 +3478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "tpch_pricing": q_tpch_pricing,
         "stratified_sample": q_stratified_sample,
-        "tpch_q14": q_tpch_q14,
+        "promo_by_type": q_promo_by_type,
         "rollup_multi": q_rollup_multi,
-        "tpch_q5": q_tpch_q5,
         "sessionize": q_sessionize,
         "seasonal": q_seasonal,
         "anomaly": q_anomaly,
@@ -4647,7 +4810,7 @@ SELECT doc_id, n_tokens, cum_before,
        ((cum_before + n_tokens + 2047) // 2048) - (cum_before // 2048) AS n_chunks
 FROM c
 """,
-        "tpch_q14": """
+        "promo_by_type": """
 SELECT p_type,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        round(sum(CASE WHEN p_size <= 10 THEN l_extendedprice * (1 - l_discount)
@@ -4674,19 +4837,6 @@ SELECT ts,
        round(CAST(printf('%.4f', CAST(round(value * 100) AS BIGINT) / 100.0) AS DOUBLE), 6) AS bid,
        round(CAST(printf('%.4f', (CAST(round(value * 100) AS BIGINT) + 50) / 100.0) AS DOUBLE), 6) AS ask
 FROM events
-""",
-        "tpch_q5": """
-SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       count(*) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
-GROUP BY 1
 """,
         "sessionize": """
 WITH e AS (
@@ -5507,6 +5657,107 @@ SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO' THEN e4 ELSE 0 END)
        sum(e4) / 10000.0 AS total_revenue,
        count(*) AS n_items
 FROM l
+""",
+        # Q2 shape adapted (no partsupp): per-part MIN s_acctbal among
+        # EUROPE suppliers that shipped it, cents lattice for the MIN
+        "tpch_q2": """
+WITH eur AS (
+  SELECT s_suppkey, s_name,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, n_name, bal_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN eur ON l_suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+)
+SELECT bal_c / 100.0 AS s_acctbal, s_name, n_name, p_partkey, p_name
+FROM offers
+WHERE bal_c = (SELECT min(o2.bal_c) FROM offers o2
+               WHERE o2.p_partkey = offers.p_partkey)
+""",
+        # Q4 adapted: "late" = shipped > orderdate + 75 days (no
+        # commit/receipt dates in the testdata); EXISTS semi-join
+        "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 75 DAY)
+GROUP BY 1
+""",
+        # Q7 volume shipping between NATION_1/NATION_2, 1996-1997
+        "tpch_q7": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+        # Q8 market share: NATION_5 suppliers' share of ECONOMY-part
+        # revenue sold to ASIA customers, per order year; numerator
+        # and denominator exact e-4 integers, ONE division per year
+        "tpch_q8": """
+WITH l AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS e4,
+         (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey)
+           = 'NATION_5' AS is_target
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_type = 'ECONOMY'
+    AND EXISTS (
+      SELECT 1 FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN is_target THEN e4 ELSE 0 END) AS DOUBLE)
+         / sum(e4) AS mkt_share,
+       sum(e4) / 10000.0 AS total_revenue,
+       count(*) AS n_items
+FROM l GROUP BY 1
+""",
+        # Q9 adapted (no ps_supplycost): cost = qty * 60% retail, all
+        # on the cents lattice so profit is an exact e-4 integer
+        "tpch_q9": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(p_retailprice * 100) AS BIGINT) * 60) / 10000.0
+         AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
 """,
         # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
         # one final division; grid = keys x global bin lattice

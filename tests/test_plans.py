@@ -590,3 +590,27 @@ def test_tpch_q1_q5_q14_plan_shapes(spark):
     assert "SortMergeJoin" not in p14
     # formatted plans name each node twice (tree edge + detail section)
     assert p14.count("BroadcastHashJoin") == 2
+
+
+def test_tpch_q2_q4_q7_q8_q9_plan_shapes(spark):
+    """Q2: the correlated MIN is one aggregate broadcast back (never a
+    per-row rescan). Q4/Q8: EXISTS compiles to LeftSemi, not
+    distinct-then-inner. Q7/Q9: dims broadcast, exactly one shuffle
+    (the final group-by). Nothing sort-merges or goes cartesian."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    for name in ("tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9"):
+        p = plan_of(qs[name](spark, sf))
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    p4 = plan_of(qs["tpch_q4"](spark, sf))
+    assert "BroadcastHashJoin LeftSemi" in p4
+    assert p4.count("+- Exchange") == 1
+    p8 = plan_of(qs["tpch_q8"](spark, sf))
+    assert "BroadcastHashJoin LeftSemi" in p8
+    for name in ("tpch_q7", "tpch_q9"):
+        p = plan_of(qs[name](spark, sf))
+        assert p.count("+- Exchange") == 1, name
