@@ -1741,6 +1741,142 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock), adapted: no partsupp, so
+    "stock value" is per-part revenue shipped by NATION_3 suppliers;
+    parts above 1/1000 of the total survive. The global scalar is ONE
+    aggregated row broadcast back (never a correlated rescan), and the
+    threshold compare stays integer (part_e4 * 1000 > total_e4) so no
+    float boundary can flip a survivor cross-engine."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, s, n = read("lineitem"), read("supplier"), read("nation")
+    supp = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_3")
+                    .select("n_nationkey")),
+        s.s_nationkey == F.col("n_nationkey")).select("s_suppkey")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    # persisted: both the survivors side and the global-total scalar
+    # derive from it — without this the fact scan + semi-join + agg
+    # run twice (the lexical.py tfidf-weights precedent)
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(e4).alias("part_e4"), F.count(F.lit(1)).alias("n_items"))
+        .persist()
+    )
+    total = per_part.agg(F.sum("part_e4").alias("total_e4"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_e4") * 1000 > F.col("total_e4"))
+        .select("l_partkey", (F.col("part_e4") / 10000.0).alias("value"),
+                "n_items")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode priority split), adapted: no
+    l_shipmode / commit / receipt dates, so the class is l_returnflag
+    and "late" is shipped more than 90 days after the order date.
+    Shape preserved: orders joined once, CASE-sum split of URGENT+HIGH
+    vs the rest, one shuffle for the final group-by."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o = read("lineitem"), read("orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    zero-order customers stay in the histogram (the bug the inner-join
+    rewrite silently ships), non-urgent orders only (proxy for the
+    comment anti-filter), then the agg-of-agg histogram."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    c, o = read("customer"), read("orders")
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, return
+    the max-revenue supplier(s). The max is ONE aggregated scalar
+    broadcast back and the equality is on the exact e-4 integer (the
+    float form can tie-break differently per engine); never a global
+    sort or a correlated rescan."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, s = read("lineitem"), read("supplier")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(e4).alias("rev_e4"))
+        # persisted: the survivors join and the max scalar both read it
+        .persist()
+    )
+    best = rev.agg(F.max("rev_e4").alias("max_e4"))
+    return (
+        rev.join(F.broadcast(best), F.col("rev_e4") == F.col("max_e4"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                (F.col("rev_e4") / 10000.0).alias("total_revenue"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier counting), adapted: the part-supplier
+    relation is derived from lineitem and the excluded-supplier set is
+    s_acctbal < 0 (proxy for the complaints comment filter). Shape
+    preserved: NOT IN compiles to a broadcast LEFT ANTI join, then
+    count(DISTINCT supplier) per (brand, type, size)."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, s, p = read("lineitem"), read("supplier"), read("part")
+    parts = p.filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats over the irregular events stream (new session
     after a >30 min gap): one window shuffle + one aggregate."""
@@ -3405,6 +3541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -5758,6 +5899,74 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE p_name LIKE '%widget%'
 GROUP BY 1, 2
+""",
+        # Q11 adapted (no partsupp): per-part NATION_3 revenue above
+        # 1/1000 of the total; integer-cleared threshold compare
+        "tpch_q11": """
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS part_e4,
+         count(*) AS n_items
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE s_suppkey = l_suppkey AND n_name = 'NATION_3')
+  GROUP BY 1
+)
+SELECT l_partkey, part_e4 / 10000.0 AS value, n_items
+FROM pp WHERE part_e4 * 1000 > (SELECT sum(part_e4) FROM pp)
+""",
+        # Q12 adapted: class = l_returnflag, late = shipped > 90 days
+        # after order date, 1997 ship year; URGENT+HIGH vs rest
+        "tpch_q12": """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+""",
+        # Q13: LEFT JOIN keeps zero-order customers in the histogram
+        "tpch_q13": """
+WITH pc AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1
+""",
+        # Q15 top supplier: max-revenue supplier(s) of 1997 Q1, the
+        # max compared on the exact e-4 integer
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+""",
+        # Q16 adapted: excluded suppliers = negative acctbal (NOT IN
+        # -> anti join), distinct suppliers per (brand, type, size)
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
 """,
         # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
         # one final division; grid = keys x global bin lattice

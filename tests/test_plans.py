@@ -614,3 +614,28 @@ def test_tpch_q2_q4_q7_q8_q9_plan_shapes(spark):
     for name in ("tpch_q7", "tpch_q9"):
         p = plan_of(qs[name](spark, sf))
         assert p.count("+- Exchange") == 1, name
+
+
+def test_tpch_q11_q12_q13_q15_q16_plan_shapes(spark):
+    """Q11/Q15: the global scalar is ONE aggregated row broadcast back
+    over a persisted base (InMemoryTableScan on both consumers, no
+    second fact scan). Q13: LEFT OUTER preserved (zero-order customers
+    stay). Q16: NOT IN compiles to LeftAnti. Nothing sort-merges."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    for name in ("tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16"):
+        p = plan_of(qs[name](spark, sf))
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    p11 = plan_of(qs["tpch_q11"](spark, sf))
+    # both consumers (survivor filter + global-total scalar) read the
+    # persisted per-part frame — the fact scan happens once
+    assert p11.count("InMemoryTableScan") >= 2
+    p13 = plan_of(qs["tpch_q13"](spark, sf))
+    assert "LeftOuter" in p13
+    p15 = plan_of(qs["tpch_q15"](spark, sf))
+    assert "InMemoryTableScan" in p15
+    p16 = plan_of(qs["tpch_q16"](spark, sf))
+    assert "LeftAnti" in p16
