@@ -1877,6 +1877,166 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity revenue: lines below 20% of their
+    part's average quantity. The per-part average is ONE aggregate
+    joined back (never a correlated rescan), and the comparison is
+    integer-cleared (5 * qty_c * n < sum_qty_c) so no float-average
+    boundary can flip a line cross-engine. Brand#5 small parts proxy
+    the brand+container filter."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, p = read("lineitem"), read("part")
+    parts = p.filter((F.col("p_brand") == "Brand#5") & (F.col("p_size") < 10)
+                     ).select("p_partkey")
+    lines = li.join(F.broadcast(parts),
+                    F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_c"),
+    ).persist()  # avg side and line side both read it
+    per_part = lines.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.sum("q_c").alias("sum_q_c"), F.count(F.lit(1)).alias("n_l"))
+    return (
+        lines.join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("q_c") * 5 * F.col("n_l") < F.col("sum_q_c"))
+        .agg(F.sum("p_c").alias("_pc"), F.count(F.lit(1)).alias("n_items"))
+        .select((F.col("_pc") / (100 * 7.0)).alias("avg_yearly"), "n_items")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 disjunctive-predicate revenue: three OR'd
+    (brand, size-range, quantity-range) branches over one broadcast
+    part join — the common bounds (size >= 1, quantity bands) stay
+    conjunctive so they still push to the scans; exact e-4 revenue."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, p = read("lineitem"), read("part")
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 15)
+           & q.between(20, 30))
+    )
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.filter(q.between(1, 30))
+        .join(F.broadcast(p.filter(sz.between(1, 15))
+                          .select("p_partkey", "p_brand", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg((F.sum(e4) / 10000.0).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (part promotion), adapted: no partsupp, so the
+    availability threshold is "shipped more than 50 units of red parts
+    in 1997". Aggregate-FIRST (per-supplier red quantity), threshold,
+    then the surviving supplier keys semi-join the NATION_7 supplier
+    dim — the reference shape's nested IN chain without a correlated
+    rescan; quantities on the cents lattice."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, s, n, p = (read("lineitem"), read("supplier"), read("nation"),
+                   read("part"))
+    red = p.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+             .alias("qty_c"))
+        .filter(F.col("qty_c") > 50 * 100)
+    )
+    return (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")
+                           .select("n_nationkey")),
+               s.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name",
+                (F.col("qty_c") / 100.0).alias("red_qty"))
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
+    "late" is shipped more than 60 days after the order date (no
+    commit/receipt dates). The EXISTS / NOT EXISTS pair is computed as
+    per-order counts in ONE aggregation (n_supp > 1 and exactly one
+    late supplier == "another supplier exists, no other late one") —
+    two shuffles total instead of two correlated self-joins."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, o, s, n = (read("lineitem"), read("orders"), read("supplier"),
+                   read("nation"))
+    lines = (
+        li.join(o.filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+            .cast("int").alias("late"),
+        )
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late"))
+    # per-order supplier/late counts as a PARTITIONED window over the
+    # already-reduced per-supplier frame — one orderkey shuffle, no
+    # order-grain join back (the naive EXISTS pair costs two)
+    wo = Window.partitionBy("l_orderkey")
+    nat7 = s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_2")
+                              .select("n_nationkey")),
+                  s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", "s_name")
+    return (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late", F.sum("supp_late").over(wo))
+        .filter((F.col("supp_late") == 1) & (F.col("n_supp") > 1)
+                & (F.col("n_late") == 1))
+        .join(F.broadcast(nat7), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: customer
+    nation replaces the phone country code. Rich idle customers =
+    acctbal above the positive-balance average (global scalar, ONE
+    broadcast row, integer-cleared compare bal_c * n > sum_c) with no
+    1999+ orders (LEFT ANTI join). Acctbal sums stay exact cents."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    c, o, n = read("customer"), read("orders"), read("nation")
+    cust = c.select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    pos = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("n_pos"))
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_c"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             (F.sum("bal_c") / 100.0).alias("totacctbal"))
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats over the irregular events stream (new session
     after a >30 min gap): one window shuffle + one aggregate."""
@@ -3546,6 +3706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -5967,6 +6132,103 @@ WHERE p_brand <> 'Brand#3'
   AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY 1, 2, 3
+""",
+        # Q17: lines below 20% of their part's avg quantity; the
+        # compare is integer-cleared (5*q*n < sum_q) on both engines
+        "tpch_q17": """
+WITH lines AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#5' AND p_size < 10
+),
+pp AS (
+  SELECT l_partkey AS ap, sum(q_c) AS sum_q_c, count(*) AS n_l
+  FROM lines GROUP BY 1
+)
+SELECT sum(p_c) / (100 * 7.0) AS avg_yearly, count(*) AS n_items
+FROM lines JOIN pp ON l_partkey = ap
+WHERE q_c * 5 * n_l < sum_q_c
+""",
+        # Q19: three OR'd (brand, size, quantity) branches, exact e-4
+        "tpch_q19": """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+        # Q20 adapted: suppliers in NATION_7 shipping > 50 units of
+        # red parts in 1997 (aggregate-first, then the dim join)
+        "tpch_q20": """
+WITH shipped AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1 HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 5000
+)
+SELECT s_suppkey, s_name, qty_c / 100.0 AS red_qty
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN shipped ON s_suppkey = l_suppkey
+WHERE n_name = 'NATION_7'
+""",
+        # Q21 adapted: per-order supplier/late counts replace the
+        # EXISTS / NOT EXISTS pair; late = shipped > orderdate + 60d
+        "tpch_q21": """
+WITH ps AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+po AS (
+  SELECT l_orderkey AS ok, count(*) AS n_supp,
+         CAST(sum(supp_late) AS BIGINT) AS n_late
+  FROM ps GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM ps
+JOIN po ON l_orderkey = ok AND n_supp > 1 AND n_late = 1
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE supp_late = 1 AND n_name = 'NATION_2'
+GROUP BY 1
+""",
+        # Q22 adapted: nation replaces the phone country code; rich =
+        # above the positive-balance average (integer-cleared), idle =
+        # no 1999+ orders (anti join); exact cents totals
+        "tpch_q22": """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+pos AS (
+  SELECT sum(bal_c) AS sum_c, count(*) AS n_pos
+  FROM cust WHERE bal_c > 0
+)
+SELECT n_name AS cntrycode, count(*) AS numcust,
+       sum(bal_c) / 100.0 AS totacctbal
+FROM cust, pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_c * n_pos > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
 """,
         # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
         # one final division; grid = keys x global bin lattice

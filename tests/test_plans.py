@@ -639,3 +639,30 @@ def test_tpch_q11_q12_q13_q15_q16_plan_shapes(spark):
     assert "InMemoryTableScan" in p15
     p16 = plan_of(qs["tpch_q16"](spark, sf))
     assert "LeftAnti" in p16
+
+
+def test_tpch_q17_q19_q20_q21_q22_plan_shapes(spark):
+    """Q17: per-part average joined back over a persisted line frame.
+    Q19: the conjunctive quantity band pushes to the lineitem scan
+    under the OR'd branches. Q20: aggregate-first. Q21: the EXISTS /
+    NOT EXISTS pair is ONE partitioned window, no order-grain join.
+    Q22: anti join + single-row scalar broadcast."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    for name in ("tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22"):
+        p = plan_of(qs[name](spark, sf))
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    p17 = plan_of(qs["tpch_q17"](spark, sf))
+    assert p17.count("InMemoryTableScan") >= 2
+    p19 = plan_of(qs["tpch_q19"](spark, sf))
+    assert "PushedFilters" in p19
+    # the common quantity band is conjunctive and reaches the scan
+    assert "l_quantity" in p19.split("PushedFilters", 1)[1][:400]
+    p21 = plan_of(qs["tpch_q21"](spark, sf))
+    assert "Window" in p21
+    assert "LeftSemi" not in p21 and "LeftAnti" not in p21
+    p22 = plan_of(qs["tpch_q22"](spark, sf))
+    assert "LeftAnti" in p22
