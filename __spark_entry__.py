@@ -2839,6 +2839,35 @@ rk AS (
 
 #: SCD2 run-collapse over (user_id, event_type) — shared by the "scd2"
 #: and "scd2_asof" oracles; the op tree mirrors operators/scd2.py
+#: Shared HY base: quantize to cents, collapse duplicate ticks
+#: (max-cents determinism guard), per-side increment intervals, and
+#: the two realized variances — used by hy_cov and hy_lead_lag.
+_HY_CTE = """
+WITH t AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type IN ('click', 'view') THEN 'x'
+              ELSE 'y' END AS s,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, s, us, max(c) AS c FROM t GROUP BY 1, 2, 3),
+iv AS (SELECT key, s, lag(us) OVER w AS b, us AS e,
+              c - lag(c) OVER w AS d
+       FROM tk WINDOW w AS (PARTITION BY key, s ORDER BY us)),
+x AS (SELECT key, b, e, d FROM iv WHERE s = 'x' AND b IS NOT NULL),
+y AS (SELECT key, b, e, d FROM iv WHERE s = 'y' AND b IS NOT NULL),
+p AS (SELECT x.key, x.d AS dx, y.d AS dy
+      FROM x JOIN y ON x.key = y.key AND y.b < x.e AND y.e > x.b),
+cov AS (SELECT key, count(*) AS n_pairs,
+               sum(CAST(dx AS HUGEINT) * dy) AS cov_q
+        FROM p GROUP BY 1),
+vx AS (SELECT key, sum(CAST(d AS HUGEINT) * d) AS vx_q
+       FROM x GROUP BY 1),
+vy AS (SELECT key, sum(CAST(d AS HUGEINT) * d) AS vy_q
+       FROM y GROUP BY 1)
+"""
+
 _SCD2_CTE = """
 WITH e AS (
   SELECT user_id AS key, ts, event_type AS attr,
@@ -3607,6 +3636,57 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(_docs(spark, sf_dir), vocab_k=300, min_pairs=10)
 
 
+def _xyseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events split into two asynchronous per-user series: X =
+    click/view values, Y = everything else — observed at different
+    times, never resampled."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.lit("x")
+        ).otherwise(F.lit("y")).alias("series"),
+    )
+
+
+def q_hy_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hayashi–Yoshida asynchronous covariance per user: two irregular
+    series correlated WITHOUT resampling. The quadratic interval-
+    overlap sum telescopes into TWO as-of alignments (union-LOCF
+    windows, one key shuffle) — no range join; increment products and
+    the overlap-pair count are exact integers, the oracle is the
+    independent pairwise-overlap join formulation."""
+    from tits_spark.operators.asynccov import hy_cov
+
+    out = hy_cov(_xyseries(spark, sf_dir))
+    # the operator carries decimal(38,0); at this star's magnitudes the
+    # sums fit BIGINT, which is what the gate compares
+    return out.select(
+        "key", "n_pairs",
+        F.col("cov_q").cast("long").alias("cov_q"),
+        F.col("vx_q").cast("long").alias("vx_q"),
+        F.col("vy_q").cast("long").alias("vy_q"),
+        "hy_corr",
+    )
+
+
+def q_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRY lead-lag scan: HY-cov over a ±2h shift lattice of X; since
+    vx/vy are shift-invariant, the best lag is argmax |cov_q| — an
+    exact DECIMAL compare that cannot flip on a float boundary. Output
+    keys are restricted to those with >= 1 increment on both sides
+    (same rule as hy_cov)."""
+    from tits_spark.operators.asynccov import hy_lead_lag
+
+    ev = _xyseries(spark, sf_dir)
+    out = hy_lead_lag(ev)
+    eligible = q_hy_cov(spark, sf_dir).select("key")
+    return out.join(eligible, "key").select(
+        "key", "theta_s",
+        F.col("cov_q").cast("long").alias("cov_q"),
+        "is_best",
+    )
+
+
 #: Round-5 driver head: the flagship rollup, `stochastic` (to prove the
 #: round-4 signed-zero oracle fix in a driver file), and 48 families
 #: NEVER sampled in any of CORRECTNESS_r01..r04 — the rotation the
@@ -3622,8 +3702,8 @@ _R5_HEAD = [
     "variance_ratio", "spearman_xcorr", "mann_whitney",
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",
     "heaps_growth", "zipf_slope", "novelty_ngrams", "pmi_pairs",
-    "hourly_profile", "rollup_1mo", "atr_rsi", "asof_nearest",
-    "decompose", "crossings", "data_profile", "macd", "corr_matrix",
+    "tpch_q1", "rollup_1mo", "tpch_q8", "asof_nearest",
+    "decompose", "tpch_q17", "data_profile", "tpch_q21", "corr_matrix",
     "pettitt",
 ]
 
@@ -3711,6 +3791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "hy_cov": q_hy_cov,
+        "hy_lead_lag": q_hy_lead_lag,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6229,6 +6311,48 @@ WHERE bal_c * n_pos > sum_c
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
+""",
+        # HY covariance: the oracle is the INDEPENDENT pairwise
+        # interval-overlap formulation (the engine telescopes it into
+        # two as-of alignments) — same sums, different algorithm, so
+        # structure AND values cross-check. HUGEINT products, one
+        # final double expression, +0.0 kills IEEE signed zero.
+        "hy_cov": _HY_CTE + """
+SELECT vx.key, coalesce(cov.n_pairs, 0) AS n_pairs,
+       CAST(coalesce(cov.cov_q, 0) AS BIGINT) AS cov_q,
+       CAST(vx_q AS BIGINT) AS vx_q,
+       CAST(vy_q AS BIGINT) AS vy_q,
+       CASE WHEN vx_q > 0 AND vy_q > 0 THEN
+         round(CAST(coalesce(cov.cov_q, 0) AS DOUBLE) /
+               sqrt(CAST(vx_q AS DOUBLE) * CAST(vy_q AS DOUBLE)), 6)
+         + 0.0
+       END AS hy_corr
+FROM vx JOIN vy USING (key) LEFT JOIN cov USING (key)
+""",
+        # HRY lead-lag: pairwise overlap of the theta-shifted X
+        # intervals; the (key x theta) grid left-joins the covariances
+        # so zero-overlap shifts appear as exact 0; best lag by
+        # row_number over (|cov_q| DESC, theta ASC) — exact compares.
+        "hy_lead_lag": _HY_CTE + """
+, th AS (SELECT unnest([-7200, -3600, 0, 3600, 7200]) AS theta_s),
+xs AS (SELECT key, theta_s,
+              b + CAST(theta_s AS BIGINT) * 1000000 AS b,
+              e + CAST(theta_s AS BIGINT) * 1000000 AS e, d
+       FROM x CROSS JOIN th),
+ps AS (SELECT xs.key, xs.theta_s, xs.d AS dx, y.d AS dy
+       FROM xs JOIN y ON xs.key = y.key AND y.b < xs.e AND y.e > xs.b),
+covs AS (SELECT key, theta_s, sum(CAST(dx AS HUGEINT) * dy) AS cov_q
+         FROM ps GROUP BY 1, 2),
+grid AS (SELECT key, theta_s
+         FROM (SELECT key FROM vx INTERSECT SELECT key FROM vy)
+         CROSS JOIN th)
+SELECT key, theta_s,
+       CAST(coalesce(cov_q, 0) AS BIGINT) AS cov_q,
+       row_number() OVER (
+         PARTITION BY key
+         ORDER BY abs(coalesce(cov_q, 0)) DESC, theta_s ASC
+       ) = 1 AS is_best
+FROM grid LEFT JOIN covs USING (key, theta_s)
 """,
         # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
         # one final division; grid = keys x global bin lattice

@@ -456,6 +456,23 @@ def main() -> None:
 
     repeat("q21_r4b_families", _body_q21_r4b_families)
 
+    # q22: the full TPC-H suite — all 22 query patterns (adapted to the
+    # testdata star where columns are missing) back to back at sf0.1
+    def _body_q22_tpch_suite():
+        qs = E.queries()
+        for name in (
+            "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+            "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+            "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+            "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+            "tpch_q21", "tpch_q22",
+        ):
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite").save()
+        spark.catalog.clearCache()  # q11/q15/q17 persist small frames
+
+    repeat("q22_tpch_suite", _body_q22_tpch_suite)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

@@ -382,6 +382,34 @@ def main() -> None:
         "hourly bins; exact cent sums, one division per offset.",
         E.q_event_study(spark, SF),
     )
+    add(
+        "tpch_q1 (pricing summary)",
+        "Zero joins; ONE exchange (final agg) after map-side combine; "
+        "shipdate predicate pushed to the parquet scan; all money sums "
+        "on integer lattices (charge in decimal(38,0)).",
+        E.q_tpch_q1(spark, SF),
+    )
+    add(
+        "tpch_q8 (market share)",
+        "Every dimension broadcast; ASIA-customer EXISTS is a LeftSemi "
+        "broadcast; numerator+denominator exact e-4 integers, one "
+        "division per year — one shuffle total.",
+        E.q_tpch_q8(spark, SF),
+    )
+    add(
+        "tpch_q17 (small-quantity threshold)",
+        "Per-part avg joined back over a persisted line frame (both "
+        "consumers read InMemoryTableScan — the fact scan runs once); "
+        "integer-cleared compare 5*q*n < sum_q.",
+        E.q_tpch_q17(spark, SF),
+    )
+    add(
+        "tpch_q21 (waiting suppliers)",
+        "EXISTS / NOT EXISTS pair folded into ONE partitioned window "
+        "over the per-(order,supplier) reduction — two shuffles, no "
+        "order-grain join back, no correlated rescan.",
+        E.q_tpch_q21(spark, SF),
+    )
 
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
