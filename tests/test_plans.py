@@ -666,3 +666,20 @@ def test_tpch_q17_q19_q20_q21_q22_plan_shapes(spark):
     assert "LeftSemi" not in p21 and "LeftAnti" not in p21
     p22 = plan_of(qs["tpch_q22"](spark, sf))
     assert "LeftAnti" in p22
+
+
+def test_hy_telescope_plan_shapes(spark):
+    """HY covariance must be the telescoped as-of form: NO range join
+    anywhere (a pairwise interval-overlap would plan as
+    CartesianProduct / BroadcastNestedLoopJoin per key), no row-wise
+    Python, windows partitioned by the key (lead-lag: key+theta)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    for name in ("hy_cov", "hy_lead_lag"):
+        p = plan_of(qs[name](spark, sf))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "EvalPython" not in p, name
+        assert "Window" in p, name
