@@ -3703,8 +3703,8 @@ _R5_HEAD = [
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",
     "heaps_growth", "zipf_slope", "novelty_ngrams", "pmi_pairs",
     "tpch_q1", "rollup_1mo", "tpch_q8", "asof_nearest",
-    "decompose", "tpch_q17", "data_profile", "tpch_q21", "corr_matrix",
-    "pettitt",
+    "decompose", "tpch_q17", "data_profile", "tpch_q21", "hy_cov",
+    "hy_lead_lag",
 ]
 
 

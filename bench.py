@@ -473,6 +473,18 @@ def main() -> None:
 
     repeat("q22_tpch_suite", _body_q22_tpch_suite)
 
+    # q23: Hayashi-Yoshida asynchronous covariance + HRY lead-lag scan
+    # over the sf events star — the telescoped as-of formulation (two
+    # union-LOCF windows per pass, no range join, bounded theta lattice)
+    def _body_q23_hy():
+        E.q_hy_cov(spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
+        E.q_hy_lead_lag(spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
+        spark.catalog.clearCache()  # asynccov persists the tick base
+
+    repeat("q23_hy_asynccov", _body_q23_hy)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

@@ -73,17 +73,23 @@ def _ticks(df: DataFrame, key: str, ts: str, value: str,
     )
 
 
-def _intervals(ticks: DataFrame, side: str) -> DataFrame:
-    """(b, e] increment intervals of one side, with the tick index of
-    the interval's END (rn = 2..m; rn-1 indexes the start tick)."""
-    w = Window.partitionBy("key").orderBy("us")
-    iv = ticks.filter(F.col("s") == side).select(
-        "key",
+def _base(ticks: DataFrame) -> DataFrame:
+    """ONE (key, s)-partitioned window pass derives everything both
+    sides need — the (b, e] increment intervals, the tick values, and
+    the per-side tick row-numbers (the pair-count telescope). The
+    frame is persisted because three branches consume it (X intervals,
+    Y ticks, Y realized variance): without the cache each branch
+    re-triggers the raw scan + collapse (the tfidf-weights /
+    tpch_q17 persist precedent; callers that care can clearCache)."""
+    w = Window.partitionBy("key", "s").orderBy("us")
+    return ticks.select(
+        "key", "s",
         F.lag("us").over(w).alias("b"),
         F.col("us").alias("e"),
+        "c",
         (F.col("c") - F.lag("c").over(w)).alias("d"),
-    )
-    return iv.filter(F.col("b").isNotNull())
+        F.row_number().over(w).alias("rn"),
+    ).persist()
 
 
 def hy_cov(
@@ -104,15 +110,16 @@ def hy_cov(
     (exact cents^2), and the HY correlation (one double expression).
     Keys need >= 1 increment on BOTH sides to appear.
     """
-    tk = _ticks(df, key, ts, value, series)
-    xiv = _intervals(tk, x_side)
-    yt = tk.filter(F.col("s") == y_side).select("key", "us", "c")
-
-    # Y tick row-numbers: the telescope over rn gives the exact
+    base = _base(_ticks(df, key, ts, value, series))
+    xiv = base.filter(
+        (F.col("s") == x_side) & F.col("b").isNotNull()
+    ).select("key", "b", "e", "d")
+    # Y ticks with row-numbers: the telescope over rn gives the exact
     # overlapping-pair count (count_i = rn_fwd(e_i) - rn_bwd(b_i),
     # clamped to [1, m] at the edges).
-    wy = Window.partitionBy("key").orderBy("us")
-    yt = yt.select("key", "us", "c", F.row_number().over(wy).alias("rn"))
+    yt = base.filter(F.col("s") == y_side).select(
+        "key", F.col("e").alias("us"), "c", "rn"
+    )
 
     # ---- pass A: backward as-of at the interval START b ------------
     # union-LOCF: Y ticks sort BEFORE X rows at equal anchor (<= b is
@@ -213,7 +220,7 @@ def hy_cov(
         F.sum((F.col("d") * F.col("d")).cast(DEC)).alias("vx_q"),
     )
     vy = (
-        _intervals(tk, y_side)
+        base.filter((F.col("s") == y_side) & F.col("b").isNotNull())
         .groupBy("key")
         .agg(F.sum((F.col("d") * F.col("d")).cast(DEC)).alias("vy_q"))
     )
@@ -247,14 +254,14 @@ def hy_lead_lag(
     shift-invariant so this IS argmax |corr|), ties to the smaller
     theta. theta_s > 0 best means X leads Y by theta.
     """
-    tk = _ticks(df, key, ts, value, series)
+    base = _base(_ticks(df, key, ts, value, series))
     lat = F.explode(
         F.array(*[F.lit(int(t)) for t in offsets_s])
     ).alias("theta_s")
     # shift is applied to the ALREADY-REDUCED interval frame (dx and
     # interval bounds are shift-equivariant) — the raw scan runs once.
     xiv = (
-        _intervals(tk, x_side)
+        base.filter((F.col("s") == x_side) & F.col("b").isNotNull())
         .select("key", "b", "e", "d", lat)
         .select(
             "key", "theta_s",
@@ -266,8 +273,8 @@ def hy_lead_lag(
         )
     )
     yt = (
-        tk.filter(F.col("s") == y_side)
-        .select("key", "us", "c", lat)
+        base.filter(F.col("s") == y_side)
+        .select("key", F.col("e").alias("us"), "c", lat)
         .select("key", "theta_s", "us", "c")
     )
 

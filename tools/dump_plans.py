@@ -410,6 +410,21 @@ def main() -> None:
         "order-grain join back, no correlated rescan.",
         E.q_tpch_q21(spark, SF),
     )
+    add(
+        "hy_cov (Hayashi-Yoshida asynchronous covariance)",
+        "The quadratic interval-overlap sum telescopes into two as-of "
+        "alignments (union-LOCF windows on the key) — NO range join, "
+        "no cartesian, exact decimal(38,0) increment products; the "
+        "overlap-pair count falls out of tick row-numbers.",
+        E.q_hy_cov(spark, SF),
+    )
+    add(
+        "hy_lead_lag (HRY shift-lattice scan)",
+        "Bounded theta lattice explodes the ALREADY-REDUCED interval "
+        "frame (raw scan runs once); windows partition by (key, theta); "
+        "best lag is argmax |cov_q| — an exact integer compare.",
+        E.q_hy_lead_lag(spark, SF),
+    )
 
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
