@@ -3687,6 +3687,17 @@ def q_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-lag Granger causality x -> y per user on the hourly LOCF grid
+    (the predictive complement of the HRY lead-lag scan): regression
+    moments exact in decimal(38,0) cents, each centered moment < 2^53
+    so the double conversion is exact, and the F statistic is one
+    identical double expression tree on both engines."""
+    from tits_spark.operators.granger import granger_1lag
+
+    return granger_1lag(_xyseries(spark, sf_dir))
+
+
 #: Round-5 driver head: the flagship rollup, `stochastic` (to prove the
 #: round-4 signed-zero oracle fix in a driver file), and 48 families
 #: NEVER sampled in any of CORRECTNESS_r01..r04 — the rotation the
@@ -3793,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "hy_cov": q_hy_cov,
         "hy_lead_lag": q_hy_lead_lag,
+        "granger": q_granger,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6353,6 +6365,72 @@ SELECT key, theta_s,
          ORDER BY abs(coalesce(cov_q, 0)) DESC, theta_s ASC
        ) = 1 AS is_best
 FROM grid LEFT JOIN covs USING (key, theta_s)
+""",
+        # 1-lag Granger F-test on the hourly LOCF grid: exact HUGEINT
+        # moments; the b/c/F doubles are the IDENTICAL expression tree
+        # the Spark operator evaluates (exact-double inputs < 2^53).
+        "granger": """
+WITH t AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type IN ('click', 'view') THEN 'x'
+              ELSE 'y' END AS s,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, s, us, max(c) AS c FROM t GROUP BY 1, 2, 3),
+hb AS (SELECT key, s, us // 3600000000 AS b, us, c FROM tk),
+lb AS (SELECT key, s, b, arg_max(c, us) AS c FROM hb GROUP BY 1, 2, 3),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(b) AS mn, max(b) AS mx FROM hb GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(xb.c IGNORE NULLS) OVER w AS xc,
+             last_value(yb.c IGNORE NULLS) OVER w AS yc
+      FROM sp
+      LEFT JOIN lb xb ON xb.key = sp.key AND xb.b = sp.b AND xb.s = 'x'
+      LEFT JOIN lb yb ON yb.key = sp.key AND yb.b = sp.b AND yb.s = 'y'
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+r AS (SELECT key, yc AS y, lag(yc) OVER v AS a, lag(xc) OVER v AS x
+      FROM g WINDOW v AS (PARTITION BY key ORDER BY b)),
+rr AS (SELECT * FROM r
+       WHERE y IS NOT NULL AND a IS NOT NULL AND x IS NOT NULL),
+su AS (SELECT key, count(*) AS n,
+              sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(a AS HUGEINT)) AS sa,
+              sum(CAST(x AS HUGEINT)) AS sx,
+              sum(CAST(y AS HUGEINT) * y) AS syy,
+              sum(CAST(a AS HUGEINT) * a) AS saa,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(a AS HUGEINT) * y) AS say,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(a AS HUGEINT) * x) AS sax
+       FROM rr GROUP BY 1 HAVING count(*) >= 4),
+mm AS (SELECT key, CAST(n AS BIGINT) AS n_obs,
+              CAST(n * saa - sa * sa AS DOUBLE) AS maa,
+              CAST(n * sxx - sx * sx AS DOUBLE) AS mxx,
+              CAST(n * sax - sa * sx AS DOUBLE) AS mab,
+              CAST(n * say - sa * sy AS DOUBLE) AS may,
+              CAST(n * sxy - sx * sy AS DOUBLE) AS mxy,
+              CAST(n * syy - sy * sy AS DOUBLE) AS myy
+       FROM su)
+SELECT key, n_obs,
+  CASE WHEN maa > 0 THEN round(may / maa, 6) + 0.0 END AS b_ar,
+  CASE WHEN maa * mxx - mab * mab > 0 THEN
+    round((maa * mxy - mab * may) / (maa * mxx - mab * mab), 6) + 0.0
+  END AS c_x,
+  CASE WHEN maa > 0 AND maa * mxx - mab * mab > 0 AND
+       (myy - (mxx * may * may - 2.0 * mab * may * mxy
+               + maa * mxy * mxy) / (maa * mxx - mab * mab)) > 0 THEN
+    round(((myy - may * may / maa)
+           - (myy - (mxx * may * may - 2.0 * mab * may * mxy
+                     + maa * mxy * mxy) / (maa * mxx - mab * mab)))
+          * (CAST(n_obs AS DOUBLE) - 3.0)
+          / (myy - (mxx * may * may - 2.0 * mab * may * mxy
+                    + maa * mxy * mxy) / (maa * mxx - mab * mab)),
+          6) + 0.0
+  END AS f_stat
+FROM mm
 """,
         # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
         # one final division; grid = keys x global bin lattice
