@@ -144,12 +144,15 @@ def stream_realized_vol(
     checkpoint: str,
     bucket_secs: int = 3600,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream a parquet directory of (key, ts, value) samples into
     finalized per-(key, bucket) realized-variance rows."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_path)
+        reader.parquet(source_path)
         .groupBy("key")
         .applyInPandasWithState(
             make_rv_fn(bucket_secs),

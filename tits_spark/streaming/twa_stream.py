@@ -154,12 +154,15 @@ def stream_twa(
     bucket_secs: int = 3600,
     max_gap_sec: float | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream a parquet directory of (key, ts, value) into finalized
     per-(key, bucket) time-weighted averages; O(1) state per key."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_path)
+        reader.parquet(source_path)
         .groupBy("key")
         .applyInPandasWithState(
             make_twa_fn(bucket_secs, max_gap_sec),

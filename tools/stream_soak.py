@@ -360,6 +360,111 @@ def main() -> None:
     results.append(("distinct_stream (KMV/HLL registers)", nb, nr, sec,
                     *_bitwise_equal(got, want)))
 
+    # ---- TWA (continuous time-weighted avg; carried segment state
+    # must split bucket occupancy exactly across restarts)
+    from tits_spark.operators.timeweight import time_weighted_avg
+    from tits_spark.streaming.twa_stream import stream_twa
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_twa(
+            spark, s, SCHEMA, o, c, bucket_secs=3600,
+            max_files_per_trigger=1,
+        ),
+        "twa",
+    )
+    twa_all = time_weighted_avg(ev, key_col="key", bucket_secs=3600)
+    last_twa = ev.groupBy("key").agg(F.max("ts").alias("mx")).select(
+        "key", F.expr("CAST(mx AS LONG) DIV 3600").alias("last_b"))
+    want = (
+        twa_all.join(last_twa, "key")
+        .filter(F.expr("CAST(bucket_ts AS LONG) DIV 3600") < F.col("last_b"))
+        .select("key", "bucket_ts", F.round("twa", 9).alias("twa"),
+                F.round("covered_sec", 6).alias("covered_sec"))
+    )
+    got = spark.read.parquet(out).select(
+        "key", "bucket_ts", F.round("twa", 9).alias("twa"),
+        F.round("covered_sec", 6).alias("covered_sec"))
+    results.append(("twa_stream (time-weighted avg buckets)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- realized vol (carried last-positive-print state; log-return
+    # partial sums per open bucket)
+    from tits_spark.operators.returns import log_returns, realized_vol
+    from tits_spark.streaming.rv_stream import stream_realized_vol
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_realized_vol(
+            spark, s, SCHEMA, o, c, bucket_secs=3600,
+            max_files_per_trigger=1,
+        ),
+        "rv",
+    )
+    rv_all = realized_vol(log_returns(ev, "key", "ts", "value"), "1h")
+    last_rv = (
+        ev.filter(F.col("value") > 0)
+        .groupBy("key").agg(F.max("ts").alias("mx"))
+        .select("key", F.expr("CAST(mx AS LONG) DIV 3600").alias("last_b"))
+    )
+    rv_cols = ["key", "bucket_ts", "n_ret",
+               F.round("rv", 9).alias("rv"),
+               F.round("r_sum", 9).alias("r_sum"),
+               F.round("r_min", 9).alias("r_min"),
+               F.round("r_max", 9).alias("r_max")]
+    want = (
+        rv_all.join(last_rv, "key")
+        .filter(F.expr("CAST(bucket_ts AS LONG) DIV 3600") < F.col("last_b"))
+        .select(*rv_cols)
+    )
+    got = spark.read.parquet(out).select(*rv_cols)
+    results.append(("rv_stream (realized vol buckets)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- rate limiter (pure-integer token bucket; a restart must not
+    # refill or drain anyone's bucket)
+    from tits_spark.operators.rate_limit import rate_limit_replay
+    from tits_spark.streaming.rate_limit_stream import stream_rate_limit
+
+    ev_rl = (
+        spark.read.parquet(f"{args.sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_id").alias("eid"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    rl_chunks = _chunks(ev_rl, N_CHUNKS)
+    out, nb, nr, sec = _run_phases(
+        spark, rl_chunks, work,
+        lambda s, o, c: stream_rate_limit(
+            spark, s, "key string, eid long, ts timestamp", o, c,
+            capacity=2, rate_per_hour=1, max_files_per_trigger=1,
+        ),
+        "ratelimit",
+    )
+    want = rate_limit_replay(ev_rl, capacity=2, rate_per_hour=1)
+    got = spark.read.parquet(out).select(*want.columns)
+    results.append(("rate_limit_stream (token-bucket decisions)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
+    # ---- record highs (running-max scalar + record index; emission
+    # only on new records, so most micro-batches emit nothing)
+    from tits_spark.operators.olap import record_highs
+    from tits_spark.streaming.records_stream import stream_record_highs
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_record_highs(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "records",
+    )
+    want = record_highs(ev)
+    got = spark.read.parquet(out).select(*want.columns)
+    results.append(("records_stream (per-key record highs)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
@@ -411,6 +516,17 @@ survivor TEXT SET plus survivor count — which row of a duplicate
 group wins is micro-batch arrival order by construction);
 distinct_stream's foreachBatch register table must stay monotone and
 replay-idempotent across restarts (bit-equal registers vs batch).
+
+Round-5 continuation additions: twa_stream's carried segment state
+must split bucket occupancy EXACTLY at phase boundaries (a dropped or
+double-counted covered second shows up as a twa/covered_sec diff);
+rv_stream carries the last positive print across restarts so the
+first post-restart log-return spans the boundary; rate_limit_stream's
+two-integer token bucket must neither refill nor drain on restart (a
+single phantom micro-token flips an admit/deny decision — pure
+integer state, compared bit for bit); records_stream emits ONLY on
+new per-key maxima, so most micro-batches emit nothing and the
+running max + record index must survive the quiet restarts.
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
