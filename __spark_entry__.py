@@ -3687,6 +3687,16 @@ def q_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary transfer entropy x <-> y per user on the shared hourly
+    LOCF grid (Schreiber plug-in over up-move bits): one 16-cell exact
+    integer lattice per key yields BOTH directions; each direction is
+    a fixed left-associated 8-term double tree, round(6)."""
+    from tits_spark.operators.transfer_entropy import transfer_entropy
+
+    return transfer_entropy(_xyseries(spark, sf_dir))
+
+
 def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-lag Granger causality x -> y per user on the hourly LOCF grid
     (the predictive complement of the HRY lead-lag scan): regression
@@ -3805,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hy_cov": q_hy_cov,
         "hy_lead_lag": q_hy_lead_lag,
         "granger": q_granger,
+        "transfer_entropy": q_transfer_entropy,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6431,6 +6442,128 @@ SELECT key, n_obs,
           6) + 0.0
   END AS f_stat
 FROM mm
+""",
+        # binary transfer entropy both directions from ONE 16-cell
+        # exact HUGEINT lattice; fixed 8-term ln chains per direction
+        # mirror the Spark expression tree verbatim.
+        "transfer_entropy": """
+WITH t AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type IN ('click', 'view') THEN 'x'
+              ELSE 'y' END AS s,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, s, us, max(c) AS c FROM t GROUP BY 1, 2, 3),
+hb AS (SELECT key, s, us // 3600000000 AS b, us, c FROM tk),
+lb AS (SELECT key, s, b, arg_max(c, us) AS c FROM hb GROUP BY 1, 2, 3),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(b) AS mn, max(b) AS mx FROM hb GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(xb.c IGNORE NULLS) OVER w AS xc,
+             last_value(yb.c IGNORE NULLS) OVER w AS yc
+      FROM sp
+      LEFT JOIN lb xb ON xb.key = sp.key AND xb.b = sp.b AND xb.s = 'x'
+      LEFT JOIN lb yb ON yb.key = sp.key AND yb.b = sp.b AND yb.s = 'y'
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+l AS (SELECT key, yc AS y0, lag(yc, 1) OVER v AS y1, lag(yc, 2) OVER v AS y2,
+             xc AS x0, lag(xc, 1) OVER v AS x1, lag(xc, 2) OVER v AS x2
+      FROM g WINDOW v AS (PARTITION BY key ORDER BY b)),
+s AS (SELECT key,
+             CAST(y0 > y1 AS INT) AS yb, CAST(y1 > y2 AS INT) AS ya,
+             CAST(x0 > x1 AS INT) AS xb, CAST(x1 > x2 AS INT) AS xa
+      FROM l WHERE y0 IS NOT NULL AND y2 IS NOT NULL
+              AND x0 IS NOT NULL AND x2 IS NOT NULL),
+c AS (SELECT key, count(*) AS n_obs,
+             sum(CASE WHEN yb = 0 AND ya = 0 AND xb = 0 AND xa = 0 THEN 1 ELSE 0 END) AS m0,
+             sum(CASE WHEN yb = 0 AND ya = 0 AND xb = 0 AND xa = 1 THEN 1 ELSE 0 END) AS m1,
+             sum(CASE WHEN yb = 0 AND ya = 0 AND xb = 1 AND xa = 0 THEN 1 ELSE 0 END) AS m2,
+             sum(CASE WHEN yb = 0 AND ya = 0 AND xb = 1 AND xa = 1 THEN 1 ELSE 0 END) AS m3,
+             sum(CASE WHEN yb = 0 AND ya = 1 AND xb = 0 AND xa = 0 THEN 1 ELSE 0 END) AS m4,
+             sum(CASE WHEN yb = 0 AND ya = 1 AND xb = 0 AND xa = 1 THEN 1 ELSE 0 END) AS m5,
+             sum(CASE WHEN yb = 0 AND ya = 1 AND xb = 1 AND xa = 0 THEN 1 ELSE 0 END) AS m6,
+             sum(CASE WHEN yb = 0 AND ya = 1 AND xb = 1 AND xa = 1 THEN 1 ELSE 0 END) AS m7,
+             sum(CASE WHEN yb = 1 AND ya = 0 AND xb = 0 AND xa = 0 THEN 1 ELSE 0 END) AS m8,
+             sum(CASE WHEN yb = 1 AND ya = 0 AND xb = 0 AND xa = 1 THEN 1 ELSE 0 END) AS m9,
+             sum(CASE WHEN yb = 1 AND ya = 0 AND xb = 1 AND xa = 0 THEN 1 ELSE 0 END) AS m10,
+             sum(CASE WHEN yb = 1 AND ya = 0 AND xb = 1 AND xa = 1 THEN 1 ELSE 0 END) AS m11,
+             sum(CASE WHEN yb = 1 AND ya = 1 AND xb = 0 AND xa = 0 THEN 1 ELSE 0 END) AS m12,
+             sum(CASE WHEN yb = 1 AND ya = 1 AND xb = 0 AND xa = 1 THEN 1 ELSE 0 END) AS m13,
+             sum(CASE WHEN yb = 1 AND ya = 1 AND xb = 1 AND xa = 0 THEN 1 ELSE 0 END) AS m14,
+             sum(CASE WHEN yb = 1 AND ya = 1 AND xb = 1 AND xa = 1 THEN 1 ELSE 0 END) AS m15
+      FROM s GROUP BY 1 HAVING count(*) >= 25)
+SELECT key, n_obs,
+  round((
+       CASE WHEN (m0 + m2) > 0 THEN CAST((m0 + m2) AS DOUBLE)
+         * ln((CAST((m0 + m2) AS DOUBLE) * CAST((m0 + m2 + m8 + m10 + m1 + m3 + m9 + m11) AS DOUBLE))
+              / (CAST((m0 + m2 + m8 + m10) AS DOUBLE) * CAST((m0 + m2 + m1 + m3) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m1 + m3) > 0 THEN CAST((m1 + m3) AS DOUBLE)
+         * ln((CAST((m1 + m3) AS DOUBLE) * CAST((m0 + m2 + m8 + m10 + m1 + m3 + m9 + m11) AS DOUBLE))
+              / (CAST((m1 + m3 + m9 + m11) AS DOUBLE) * CAST((m0 + m2 + m1 + m3) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m4 + m6) > 0 THEN CAST((m4 + m6) AS DOUBLE)
+         * ln((CAST((m4 + m6) AS DOUBLE) * CAST((m4 + m6 + m12 + m14 + m5 + m7 + m13 + m15) AS DOUBLE))
+              / (CAST((m4 + m6 + m12 + m14) AS DOUBLE) * CAST((m4 + m6 + m5 + m7) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m5 + m7) > 0 THEN CAST((m5 + m7) AS DOUBLE)
+         * ln((CAST((m5 + m7) AS DOUBLE) * CAST((m4 + m6 + m12 + m14 + m5 + m7 + m13 + m15) AS DOUBLE))
+              / (CAST((m5 + m7 + m13 + m15) AS DOUBLE) * CAST((m4 + m6 + m5 + m7) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m8 + m10) > 0 THEN CAST((m8 + m10) AS DOUBLE)
+         * ln((CAST((m8 + m10) AS DOUBLE) * CAST((m0 + m2 + m8 + m10 + m1 + m3 + m9 + m11) AS DOUBLE))
+              / (CAST((m0 + m2 + m8 + m10) AS DOUBLE) * CAST((m8 + m10 + m9 + m11) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m9 + m11) > 0 THEN CAST((m9 + m11) AS DOUBLE)
+         * ln((CAST((m9 + m11) AS DOUBLE) * CAST((m0 + m2 + m8 + m10 + m1 + m3 + m9 + m11) AS DOUBLE))
+              / (CAST((m1 + m3 + m9 + m11) AS DOUBLE) * CAST((m8 + m10 + m9 + m11) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m12 + m14) > 0 THEN CAST((m12 + m14) AS DOUBLE)
+         * ln((CAST((m12 + m14) AS DOUBLE) * CAST((m4 + m6 + m12 + m14 + m5 + m7 + m13 + m15) AS DOUBLE))
+              / (CAST((m4 + m6 + m12 + m14) AS DOUBLE) * CAST((m12 + m14 + m13 + m15) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m13 + m15) > 0 THEN CAST((m13 + m15) AS DOUBLE)
+         * ln((CAST((m13 + m15) AS DOUBLE) * CAST((m4 + m6 + m12 + m14 + m5 + m7 + m13 + m15) AS DOUBLE))
+              / (CAST((m5 + m7 + m13 + m15) AS DOUBLE) * CAST((m12 + m14 + m13 + m15) AS DOUBLE)))
+       ELSE 0.0 END
+    ) / CAST(n_obs AS DOUBLE), 6) + 0.0 AS te_xy,
+  round((
+       CASE WHEN (m0 + m8) > 0 THEN CAST((m0 + m8) AS DOUBLE)
+         * ln((CAST((m0 + m8) AS DOUBLE) * CAST((m0 + m8 + m2 + m10 + m4 + m12 + m6 + m14) AS DOUBLE))
+              / (CAST((m0 + m8 + m2 + m10) AS DOUBLE) * CAST((m0 + m8 + m4 + m12) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m4 + m12) > 0 THEN CAST((m4 + m12) AS DOUBLE)
+         * ln((CAST((m4 + m12) AS DOUBLE) * CAST((m0 + m8 + m2 + m10 + m4 + m12 + m6 + m14) AS DOUBLE))
+              / (CAST((m4 + m12 + m6 + m14) AS DOUBLE) * CAST((m0 + m8 + m4 + m12) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m1 + m9) > 0 THEN CAST((m1 + m9) AS DOUBLE)
+         * ln((CAST((m1 + m9) AS DOUBLE) * CAST((m1 + m9 + m3 + m11 + m5 + m13 + m7 + m15) AS DOUBLE))
+              / (CAST((m1 + m9 + m3 + m11) AS DOUBLE) * CAST((m1 + m9 + m5 + m13) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m5 + m13) > 0 THEN CAST((m5 + m13) AS DOUBLE)
+         * ln((CAST((m5 + m13) AS DOUBLE) * CAST((m1 + m9 + m3 + m11 + m5 + m13 + m7 + m15) AS DOUBLE))
+              / (CAST((m5 + m13 + m7 + m15) AS DOUBLE) * CAST((m1 + m9 + m5 + m13) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m2 + m10) > 0 THEN CAST((m2 + m10) AS DOUBLE)
+         * ln((CAST((m2 + m10) AS DOUBLE) * CAST((m0 + m8 + m2 + m10 + m4 + m12 + m6 + m14) AS DOUBLE))
+              / (CAST((m0 + m8 + m2 + m10) AS DOUBLE) * CAST((m2 + m10 + m6 + m14) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m6 + m14) > 0 THEN CAST((m6 + m14) AS DOUBLE)
+         * ln((CAST((m6 + m14) AS DOUBLE) * CAST((m0 + m8 + m2 + m10 + m4 + m12 + m6 + m14) AS DOUBLE))
+              / (CAST((m4 + m12 + m6 + m14) AS DOUBLE) * CAST((m2 + m10 + m6 + m14) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m3 + m11) > 0 THEN CAST((m3 + m11) AS DOUBLE)
+         * ln((CAST((m3 + m11) AS DOUBLE) * CAST((m1 + m9 + m3 + m11 + m5 + m13 + m7 + m15) AS DOUBLE))
+              / (CAST((m1 + m9 + m3 + m11) AS DOUBLE) * CAST((m3 + m11 + m7 + m15) AS DOUBLE)))
+       ELSE 0.0 END
+     + CASE WHEN (m7 + m15) > 0 THEN CAST((m7 + m15) AS DOUBLE)
+         * ln((CAST((m7 + m15) AS DOUBLE) * CAST((m1 + m9 + m3 + m11 + m5 + m13 + m7 + m15) AS DOUBLE))
+              / (CAST((m5 + m13 + m7 + m15) AS DOUBLE) * CAST((m3 + m11 + m7 + m15) AS DOUBLE)))
+       ELSE 0.0 END
+    ) / CAST(n_obs AS DOUBLE), 6) + 0.0 AS te_yx
+FROM c
 """,
         # binned W1 drift: scaled-CDF |cumA*nG - cumG*nA| in HUGEINT,
         # one final division; grid = keys x global bin lattice

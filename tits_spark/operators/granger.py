@@ -39,7 +39,7 @@ from tits_spark.operators.asynccov import _ticks
 DEC = "decimal(38,0)"
 
 
-def granger_1lag(
+def locf_bucket_grid(
     df: DataFrame,
     key: str = "key",
     ts: str = "ts",
@@ -49,13 +49,12 @@ def granger_1lag(
     y_side: str = "y",
     bucket_secs: int = 3600,
 ) -> DataFrame:
-    """Per-key 1-lag Granger F-test of x -> y on the LOCF bucket grid.
-
-    Returns (key, n_obs, b_ar, c_x, f_stat): the sample count, the
-    restricted AR(1) coefficient, the unrestricted cross coefficient,
-    and the F statistic (round 6, NULL when degenerate). Keys appear
-    when >= 4 grid rows have (y_t, y_{t-1}, x_{t-1}) all resolved.
-    """
+    """Shared tits-style two-sided alignment grid: (key, b, xc, yc)
+    with one row per bucket of each key's joint span, both sides
+    last-in-bucket then LOCF-filled (cents-quantized BIGINT values;
+    NULL before a side's first tick). The explode is bounded by
+    span / bucket_secs rows per key; downstream consumers (Granger,
+    transfer entropy) see the identical grid."""
     tk = _ticks(df, key, ts, value, series)
     bus = int(bucket_secs) * 1_000_000
     hb = tk.select(
@@ -82,7 +81,7 @@ def granger_1lag(
         "key", "b", F.col("c").alias("xc0"))
     y_b = last_in_b.filter(F.col("s") == y_side).select(
         "key", "b", F.col("c").alias("yc0"))
-    grid = (
+    return (
         spine.join(x_b, ["key", "b"], "left")
         .join(y_b, ["key", "b"], "left")
         .select(
@@ -90,6 +89,28 @@ def granger_1lag(
             F.last("xc0", ignorenulls=True).over(wl).alias("xc"),
             F.last("yc0", ignorenulls=True).over(wl).alias("yc"),
         )
+    )
+
+
+def granger_1lag(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    series: str = "series",
+    x_side: str = "x",
+    y_side: str = "y",
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Per-key 1-lag Granger F-test of x -> y on the LOCF bucket grid.
+
+    Returns (key, n_obs, b_ar, c_x, f_stat): the sample count, the
+    restricted AR(1) coefficient, the unrestricted cross coefficient,
+    and the F statistic (round 6, NULL when degenerate). Keys appear
+    when >= 4 grid rows have (y_t, y_{t-1}, x_{t-1}) all resolved.
+    """
+    grid = locf_bucket_grid(
+        df, key, ts, value, series, x_side, y_side, bucket_secs
     )
     wo = Window.partitionBy("key").orderBy("b")
     rows = grid.select(
