@@ -683,3 +683,25 @@ def test_hy_telescope_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "EvalPython" not in p, name
         assert "Window" in p, name
+
+
+def test_locf_grid_single_scan_no_join(spark):
+    """The shared Granger/TE alignment grid must stay the fused form:
+    ONE raw scan, no join (the spine+2-join formulation re-scanned the
+    raw table three times and broadcast data-sized frames), exactly
+    one pre-window exchange beyond the pivot aggregate, and a bounded
+    explode (Generate) for the gap fill."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    for name in ("granger", "transfer_entropy"):
+        p = plan_of(qs[name](spark, sf))
+        # tree lines only (details repeat node names)
+        tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+        t = "\n".join(tree)
+        assert t.count("Scan parquet") == 1, name
+        assert "Join" not in t, name
+        assert t.count("Exchange") == 2, name
+        assert "Generate" in t, name
+        assert "EvalPython" not in p, name

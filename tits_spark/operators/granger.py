@@ -14,9 +14,9 @@ Irregular series are aligned tits-style first: hourly buckets take
 each side's LAST tick (ref:/root/reference/src/tits.c rollup tiers
 keep last-in-bucket), gaps are LOCF-filled over the key's joint
 bucket span (the reference's gap-aware alignment), and the lags are
-grid lags. The spine explode is bounded (span/3600 buckets per key)
-and everything is equi-joins + one (key)-partitioned window — no
-range join, no UDF.
+grid lags. The grid is ONE raw scan + two exchanges + zero joins
+(see locf_bucket_grid) with a bounded gap-fill explode
+(span/3600 buckets per key) — no range join, no UDF.
 
 Exactness: cents-quantized values; ALL regression moments are exact
 (BIGINT cent sums, centered second moments M_uv = n*S_uv - S_u*S_v in
@@ -33,8 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tits_spark.functions.exprs import floordiv
-from tits_spark.operators.asynccov import _ticks
+from tits_spark.functions.exprs import epoch_us, floordiv
 
 DEC = "decimal(38,0)"
 
@@ -52,43 +51,63 @@ def locf_bucket_grid(
     """Shared tits-style two-sided alignment grid: (key, b, xc, yc)
     with one row per bucket of each key's joint span, both sides
     last-in-bucket then LOCF-filled (cents-quantized BIGINT values;
-    NULL before a side's first tick). The explode is bounded by
-    span / bucket_secs rows per key; downstream consumers (Granger,
-    transfer entropy) see the identical grid."""
-    tk = _ticks(df, key, ts, value, series)
-    bus = int(bucket_secs) * 1_000_000
-    hb = tk.select(
-        "key", "s", floordiv(F.col("us"), bus).alias("b"), "us", "c"
-    )
-    # last tick per (key, side, bucket) — us is unique after the
-    # collapse, so max_by is deterministic
-    last_in_b = hb.groupBy("key", "s", "b").agg(
-        F.max_by("c", "us").alias("c")
-    )
+    NULL before a side's first tick). Downstream consumers (Granger,
+    transfer entropy) see the identical grid.
 
-    # joint bucket spine per key (bounded: span / bucket_secs rows)
-    spine = (
-        hb.groupBy("key")
-        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
-        .select("key", F.explode(F.sequence("mn", "mx")).alias("b"))
+    Plan shape (the 100 TB argument): ONE raw scan, TWO exchanges,
+    ZERO joins. The duplicate-tick collapse and per-side last-in-bucket
+    fuse into a single (key, bucket) hash aggregate — ``max(struct(us,
+    c))`` is lexicographic, so it picks the latest tick and breaks
+    equal-timestamp ties on max cents, exactly the documented two-step
+    (max-c per us, then last us) determinism rule. Bucket gaps are then
+    filled by exploding ``sequence(b, next_b - 1)`` inside one
+    (key)-ordered window pass that also carries the LOCF values — no
+    spine frame, no side-frames, no join back (the old spine+2-join
+    formulation re-ran the raw scan three times and broadcast frames
+    that grow with the data). The explode stays bounded by
+    span / bucket_secs rows per key."""
+    bus = int(bucket_secs) * 1_000_000
+    ticks = df.select(
+        F.col(key).alias("key"),
+        F.col(series).alias("s"),
+        epoch_us(ts).alias("us"),
+        F.round(F.col(value) * 100).cast("long").alias("c"),
+    )
+    pv = (
+        ticks.withColumn("b", floordiv(F.col("us"), bus))
+        .groupBy("key", "b")
+        .agg(
+            F.max(
+                F.when(F.col("s") == x_side, F.struct("us", "c"))
+            )["c"].alias("xc0"),
+            F.max(
+                F.when(F.col("s") == y_side, F.struct("us", "c"))
+            )["c"].alias("yc0"),
+        )
     )
     wl = (
         Window.partitionBy("key")
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    x_b = last_in_b.filter(F.col("s") == x_side).select(
-        "key", "b", F.col("c").alias("xc0"))
-    y_b = last_in_b.filter(F.col("s") == y_side).select(
-        "key", "b", F.col("c").alias("yc0"))
-    return (
-        spine.join(x_b, ["key", "b"], "left")
-        .join(y_b, ["key", "b"], "left")
-        .select(
-            "key", "b",
-            F.last("xc0", ignorenulls=True).over(wl).alias("xc"),
-            F.last("yc0", ignorenulls=True).over(wl).alias("yc"),
-        )
+    wo = Window.partitionBy("key").orderBy("b")
+    filled = pv.select(
+        "key",
+        "b",
+        F.last("xc0", ignorenulls=True).over(wl).alias("xc"),
+        F.last("yc0", ignorenulls=True).over(wl).alias("yc"),
+        F.lead("b").over(wo).alias("nb"),
+    )
+    return filled.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("b"),
+                F.coalesce(F.col("nb") - 1, F.col("b")),
+            )
+        ).alias("b"),
+        "xc",
+        "yc",
     )
 
 

@@ -425,6 +425,22 @@ def main() -> None:
         "best lag is argmax |cov_q| — an exact integer compare.",
         E.q_hy_lead_lag(spark, SF),
     )
+    add(
+        "granger (1-lag Granger F-test)",
+        "Shared LOCF bucket grid (bounded spine explode + two "
+        "equi-joins + one (key) window pass); regression moments are "
+        "ONE partial+final hash agg in decimal(38,0) — the F statistic "
+        "is pure projection arithmetic after the single shuffle.",
+        E.q_granger(spark, SF),
+    )
+    add(
+        "transfer_entropy (binary TE both directions)",
+        "Same shared grid; BOTH directions come from ONE 16-cell "
+        "conditional-sum hash agg per key (partial+final) — no second "
+        "shuffle, no per-direction rescan; the ln chains are "
+        "projection-only.",
+        E.q_transfer_entropy(spark, SF),
+    )
 
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
