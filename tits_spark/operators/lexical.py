@@ -250,7 +250,11 @@ def tfidf_cosine_pairs(
     """
     from tits_spark.operators.text import word_ngrams_col
 
-    n = int(n_docs) if n_docs is not None else corpus.count()
+    # n_docs=None no longer triggers an eager driver-side count() at
+    # plan-build time (the round-4 review nit): the corpus size joins
+    # in lazily as a broadcast 1-row aggregate — same value, same idf
+    # doubles, but the count job runs WITH the query, cluster-side
+    n = int(n_docs) if n_docs is not None else None
     if int(ngram_n) > 1:
         tf = (
             corpus.select(
@@ -269,9 +273,17 @@ def tfidf_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= int(max_df))
     )
-    w = tf.join(dfreq, "term").withColumn(
-        "w", F.col("tf") * (F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-    )
+    w = tf.join(dfreq, "term")
+    if n is None:
+        w = w.crossJoin(
+            F.broadcast(corpus.agg(F.count(F.lit(1)).alias("_n")))
+        )
+        n_expr = F.col("_n")
+    else:
+        n_expr = F.lit(n)
+    w = w.withColumn(
+        "w", F.col("tf") * (F.log((n_expr + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    ).drop("_n")
     w = w.withColumn(
         "norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc")))
     ).select("doc", "term", "w", "norm")
