@@ -465,6 +465,53 @@ def main() -> None:
     results.append(("records_stream (per-key record highs)", nb, nr, sec,
                     *_bitwise_equal(got, want)))
 
+    # ---- transfer entropy (two-sided LOCF grid as 29 carried
+    # integers; the 16-cell lattice must be BIT-exact after restarts —
+    # a single miscounted gap bucket shows up as a cell diff)
+    from tits_spark.operators.transfer_entropy import transfer_entropy
+    from tits_spark.streaming.te_stream import stream_transfer_entropy
+
+    ev_te = (
+        spark.read.parquet(f"{args.sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("value").alias("value"),
+            F.when(
+                F.col("event_type").isin("click", "view"), F.lit("x")
+            ).otherwise(F.lit("y")).alias("series"),
+        )
+    )
+    sentinel = ev_te.groupBy("key").agg(F.max("ts").alias("mx")).select(
+        "key",
+        (F.col("mx") + F.expr("INTERVAL 3600 SECONDS")).alias("ts"),
+        F.lit(1.0).alias("value"),
+        F.lit("x").alias("series"),
+    )
+    te_chunks = _chunks(ev_te, N_CHUNKS)
+    te_chunks[-1] = te_chunks[-1].unionByName(sentinel)
+    te_schema = "key string, ts timestamp, value double, series string"
+    out, nb, nr, sec = _run_phases(
+        spark, te_chunks, work,
+        lambda s, o, c: stream_transfer_entropy(
+            spark, s, te_schema, o, c, bucket_secs=3600,
+            max_files_per_trigger=1,
+        ),
+        "te",
+    )
+    te_cols = ["key", "n_obs", *[f"m{i}" for i in range(16)]]
+    want = transfer_entropy(ev_te, min_points=1, include_cells=True).select(
+        *te_cols, F.col("te_xy"), F.col("te_yx"))
+    snaps = spark.read.parquet(out).filter(F.col("n_obs") >= 1)
+    last = snaps.groupBy("key").agg(F.max("n_closed").alias("n_closed"))
+    got = snaps.join(last, ["key", "n_closed"]).select(
+        *te_cols,
+        (F.round("te_xy", 6) + F.lit(0.0)).alias("te_xy"),
+        (F.round("te_yx", 6) + F.lit(0.0)).alias("te_yx"),
+    )
+    results.append(("te_stream (16-cell TE lattice + running TE)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
@@ -526,7 +573,13 @@ two-integer token bucket must neither refill nor drain on restart (a
 single phantom micro-token flips an admit/deny decision — pure
 integer state, compared bit for bit); records_stream emits ONLY on
 new per-key maxima, so most micro-batches emit nothing and the
-running max + record index must survive the quiet restarts.
+running max + record index must survive the quiet restarts;
+te_stream carries the two-sided LOCF bucket grid as 29 integers
+(open-bucket pivots, last two closed grid values, last move bits,
+16 lattice cells) — the cell counts are compared BIT-exact against
+the batch operator's include_cells surface after a sentinel tick
+closes the final bucket, so a single gap bucket miscounted across a
+restart fails the gate.
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
