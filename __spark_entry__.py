@@ -3718,7 +3718,7 @@ _R5_HEAD = [
     "tpch_q18", "staleness", "w1_drift", "lmoments", "source_overlap",
     "record_highs", "ecdf", "topk_per_group", "dispersion",
     "survival_km", "survival_na", "occupancy", "rfm", "loghist",
-    "lev_pairs", "pagerank", "theil_sen", "tpch_q3", "tpch_q6",
+    "lev_pairs", "pagerank", "theil_sen", "granger", "transfer_entropy",
     "conv_within", "motifs", "ks_two_sample", "runs_test",
     "variance_ratio", "spearman_xcorr", "mann_whitney",
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",

@@ -1,0 +1,84 @@
+"""spark-submit entry point for the directed-predictability pair:
+1-lag Granger F-test + bidirectional binary transfer entropy between
+two irregular series per key, on the shared one-scan LOCF bucket grid.
+
+The reference's guess_lag answers "WHICH shift best aligns x and y"
+(ref:guess_lag.c:336-357); this job answers the follow-up a
+production pipeline asks next: "does x actually PREDICT y" — the
+linear (Granger) and model-free (transfer entropy) tests over the
+same tits-style gap-aware alignment.
+
+    spark-submit --py-files tits_spark.zip jobs/causality_job.py \\
+        --input  /data/ticks            # parquet (key, ts, value, series)
+        --output /data/causality        # parquet out, one row per key
+        [--x-side x] [--y-side y]       # values of the series column
+        [--bucket-secs 3600]
+        [--min-points 25]               # TE lattice minimum
+
+Output columns: key, n_obs (Granger grid rows), b_ar, c_x, f_stat,
+te_n_obs, te_xy, te_yx. Prints ONE JSON line:
+{"keys": N, "rows": M, "sec": S}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--x-side", default="x")
+    ap.add_argument("--y-side", default="y")
+    ap.add_argument("--bucket-secs", type=int, default=3600)
+    ap.add_argument("--min-points", type=int, default=25)
+    ap.add_argument("--cores", default="inherit")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from tits_spark.operators.granger import granger_1lag
+    from tits_spark.operators.transfer_entropy import transfer_entropy
+    from tits_spark.session import get_spark
+
+    spark = get_spark(
+        "tits_spark-causality",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.perf_counter()
+    ticks = spark.read.parquet(args.input)
+    common = dict(
+        x_side=args.x_side,
+        y_side=args.y_side,
+        bucket_secs=args.bucket_secs,
+    )
+    gr = granger_1lag(ticks, **common)
+    te = transfer_entropy(
+        ticks, min_points=args.min_points, **common
+    ).select(
+        "key",
+        F.col("n_obs").alias("te_n_obs"),
+        "te_xy",
+        "te_yx",
+    )
+    out = gr.join(te, "key", "full")
+    out.write.mode("overwrite").parquet(args.output)
+
+    written = spark.read.parquet(args.output)
+    print(json.dumps({
+        "keys": written.select("key").distinct().count(),
+        "rows": written.count(),
+        "sec": round(time.perf_counter() - t0, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
