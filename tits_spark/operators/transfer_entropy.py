@@ -74,6 +74,7 @@ def transfer_entropy(
     y_side: str = "y",
     bucket_secs: int = 3600,
     min_points: int = 25,
+    include_cells: bool = False,
 ) -> DataFrame:
     """Per-key binary transfer entropy in both directions.
 
@@ -82,7 +83,9 @@ def transfer_entropy(
     enter the lattice when both sides have three consecutive resolved
     grid values (two moves each); keys below ``min_points`` samples
     are dropped (plug-in TE is meaningless on a near-empty 16-cell
-    table).
+    table). ``include_cells=True`` appends the 16 exact lattice counts
+    m0..m15 (index yb*8 + ya*4 + xb*2 + xa) — the streaming twin's
+    bit-exact comparison surface.
     """
     grid = locf_bucket_grid(
         df, key, ts, value, series, x_side, y_side, bucket_secs
@@ -163,4 +166,5 @@ def transfer_entropy(
         "key", "n_obs",
         (F.round(te_xy, 6) + F.lit(0.0)).alias("te_xy"),
         (F.round(te_yx, 6) + F.lit(0.0)).alias("te_yx"),
+        *([f"m{i}" for i in range(16)] if include_cells else []),
     )
