@@ -3697,6 +3697,17 @@ def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transfer_entropy(_xyseries(spark, sf_dir))
 
 
+def q_coint_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration x ~ y per user on the shared hourly
+    LOCF grid: static OLS + no-intercept Dickey-Fuller on residuals,
+    with every residual sum expanded onto the exact decimal(38,0)
+    cent-moment lattice so the whole two-step is one fixed double
+    tree over exact inputs — no float partial-sum order anywhere."""
+    from tits_spark.operators.cointegration import engle_granger
+
+    return engle_granger(_xyseries(spark, sf_dir))
+
+
 def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-lag Granger causality x -> y per user on the hourly LOCF grid
     (the predictive complement of the HRY lead-lag scan): regression
@@ -3719,7 +3730,7 @@ _R5_HEAD = [
     "record_highs", "ecdf", "topk_per_group", "dispersion",
     "survival_km", "survival_na", "occupancy", "rfm", "loghist",
     "lev_pairs", "pagerank", "theil_sen", "granger", "transfer_entropy",
-    "conv_within", "motifs", "ks_two_sample", "runs_test",
+    "coint_eg", "motifs", "ks_two_sample", "runs_test",
     "variance_ratio", "spearman_xcorr", "mann_whitney",
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",
     "heaps_growth", "zipf_slope", "novelty_ngrams", "pmi_pairs",
@@ -3815,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hy_cov": q_hy_cov,
         "hy_lead_lag": q_hy_lead_lag,
         "granger": q_granger,
+        "coint_eg": q_coint_eg,
         "transfer_entropy": q_transfer_entropy,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
@@ -6442,6 +6454,118 @@ SELECT key, n_obs,
           6) + 0.0
   END AS f_stat
 FROM mm
+""",
+        # Engle-Granger: residual sums expanded onto the HUGEINT pair
+        # lattice; alpha/beta/gamma/t are the Spark tree verbatim.
+        "coint_eg": """
+WITH t AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type IN ('click', 'view') THEN 'x'
+              ELSE 'y' END AS s,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, s, us, max(c) AS c FROM t GROUP BY 1, 2, 3),
+hb AS (SELECT key, s, us // 3600000000 AS b, us, c FROM tk),
+lb AS (SELECT key, s, b, arg_max(c, us) AS c FROM hb GROUP BY 1, 2, 3),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(b) AS mn, max(b) AS mx FROM hb GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(xb.c IGNORE NULLS) OVER w AS xc,
+             last_value(yb.c IGNORE NULLS) OVER w AS yc
+      FROM sp
+      LEFT JOIN lb xb ON xb.key = sp.key AND xb.b = sp.b AND xb.s = 'x'
+      LEFT JOIN lb yb ON yb.key = sp.key AND yb.b = sp.b AND yb.s = 'y'
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+l AS (SELECT key, xc AS x0, yc AS y0,
+             lag(xc) OVER v AS x1, lag(yc) OVER v AS y1
+      FROM g WINDOW v AS (PARTITION BY key ORDER BY b)),
+r AS (SELECT * FROM l WHERE x0 IS NOT NULL AND y0 IS NOT NULL),
+su AS (SELECT key,
+         count(*) AS n,
+         sum(CAST(x0 AS HUGEINT)) AS sx,
+         sum(CAST(y0 AS HUGEINT)) AS sy,
+         sum(CAST(x0 AS HUGEINT) * x0) AS sxx,
+         sum(CAST(x0 AS HUGEINT) * y0) AS sxy,
+         sum(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN 1 ELSE 0 END) AS np,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x0 ELSE 0 END AS HUGEINT)) AS px0,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x1 ELSE 0 END AS HUGEINT)) AS px1,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN y0 ELSE 0 END AS HUGEINT)) AS py0,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN y1 ELSE 0 END AS HUGEINT)) AS py1,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x0 * x0 ELSE 0 END AS HUGEINT)) AS px0x0,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x1 * x1 ELSE 0 END AS HUGEINT)) AS px1x1,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x0 * x1 ELSE 0 END AS HUGEINT)) AS px0x1,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN y0 * y0 ELSE 0 END AS HUGEINT)) AS py0y0,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN y1 * y1 ELSE 0 END AS HUGEINT)) AS py1y1,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN y0 * y1 ELSE 0 END AS HUGEINT)) AS py0y1,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x0 * y0 ELSE 0 END AS HUGEINT)) AS px0y0,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x1 * y1 ELSE 0 END AS HUGEINT)) AS px1y1,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x0 * y1 ELSE 0 END AS HUGEINT)) AS px0y1,
+         sum(CAST(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL
+                  THEN x1 * y0 ELSE 0 END AS HUGEINT)) AS px1y0
+       FROM r GROUP BY 1 HAVING sum(CASE WHEN x1 IS NOT NULL
+                  AND y1 IS NOT NULL THEN 1 ELSE 0 END) >= 8),
+mm AS (SELECT key, n, np,
+         CAST(n AS DOUBLE) AS nd, CAST(np AS DOUBLE) AS npd,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS mxx,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS mxy,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(px0 AS DOUBLE) AS px0, CAST(px1 AS DOUBLE) AS px1,
+         CAST(py0 AS DOUBLE) AS py0, CAST(py1 AS DOUBLE) AS py1,
+         CAST(px0x0 AS DOUBLE) AS px0x0, CAST(px1x1 AS DOUBLE) AS px1x1,
+         CAST(px0x1 AS DOUBLE) AS px0x1, CAST(py0y0 AS DOUBLE) AS py0y0,
+         CAST(py1y1 AS DOUBLE) AS py1y1, CAST(py0y1 AS DOUBLE) AS py0y1,
+         CAST(px0y0 AS DOUBLE) AS px0y0, CAST(px1y1 AS DOUBLE) AS px1y1,
+         CAST(px0y1 AS DOUBLE) AS px0y1, CAST(px1y0 AS DOUBLE) AS px1y0
+       FROM su),
+ab AS (SELECT *, mxy / mxx AS b,
+              (syd - mxy / mxx * sxd) / nd AS a
+       FROM mm),
+es AS (SELECT *,
+         py0y1 - a * (py0 + py1) - b * (px1y0 + px0y1)
+           + npd * (a * a) + (a * b) * (px0 + px1)
+           + (b * b) * px0x1 AS s_e0e1,
+         py1y1 - a * (py1 + py1) - b * (px1y1 + px1y1)
+           + npd * (a * a) + (a * b) * (px1 + px1)
+           + (b * b) * px1x1 AS s_e1e1,
+         py0y0 - a * (py0 + py0) - b * (px0y0 + px0y0)
+           + npd * (a * a) + (a * b) * (px0 + px0)
+           + (b * b) * px0x0 AS s_e0e0
+       FROM ab),
+fin AS (SELECT *,
+         (s_e0e1 - s_e1e1) / s_e1e1 AS gm,
+         (s_e0e0 - 2.0 * s_e0e1 + s_e1e1)
+           - ((s_e0e1 - s_e1e1) / s_e1e1)
+             * ((s_e0e1 - s_e1e1) / s_e1e1) * s_e1e1 AS sse
+        FROM es)
+SELECT key,
+  CAST(n AS BIGINT) AS n_obs,
+  CAST(np AS BIGINT) AS n_pairs,
+  CASE WHEN mxx > 0 THEN round(b, 6) + 0.0 END AS beta,
+  CASE WHEN mxx > 0 THEN round(a, 6) + 0.0 END AS alpha,
+  CASE WHEN mxx > 0 AND s_e1e1 > 0 THEN round(gm, 6) + 0.0 END AS gamma,
+  CASE WHEN mxx > 0 AND s_e1e1 > 0 AND sse > 0 AND npd > 1.0 THEN
+    round(gm / sqrt((sse / (npd - 1.0)) / s_e1e1), 6) + 0.0
+  END AS df_t
+FROM fin
 """,
         # binary transfer entropy both directions from ONE 16-cell
         # exact HUGEINT lattice; fixed 8-term ln chains per direction

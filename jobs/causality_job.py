@@ -1,6 +1,7 @@
-"""spark-submit entry point for the directed-predictability pair:
-1-lag Granger F-test + bidirectional binary transfer entropy between
-two irregular series per key, on the shared one-scan LOCF bucket grid.
+"""spark-submit entry point for the directed-predictability triple:
+1-lag Granger F-test + bidirectional binary transfer entropy +
+Engle-Granger cointegration between two irregular series per key, on
+the shared one-scan LOCF bucket grid.
 
 The reference's guess_lag answers "WHICH shift best aligns x and y"
 (ref:guess_lag.c:336-357); this job answers the follow-up a
@@ -16,8 +17,8 @@ same tits-style gap-aware alignment.
         [--min-points 25]               # TE lattice minimum
 
 Output columns: key, n_obs (Granger grid rows), b_ar, c_x, f_stat,
-te_n_obs, te_xy, te_yx. Prints ONE JSON line:
-{"keys": N, "rows": M, "sec": S}.
+te_n_obs, te_xy, te_yx, eg_n_pairs, beta, alpha, gamma, df_t.
+Prints ONE JSON line: {"keys": N, "rows": M, "sec": S}.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import functions as F
 
+    from tits_spark.operators.cointegration import engle_granger
     from tits_spark.operators.granger import granger_1lag
     from tits_spark.operators.transfer_entropy import transfer_entropy
     from tits_spark.session import get_spark
@@ -68,7 +70,12 @@ def main(argv: list[str] | None = None) -> None:
         "te_xy",
         "te_yx",
     )
-    out = gr.join(te, "key", "full")
+    eg = engle_granger(ticks, **common).select(
+        "key",
+        F.col("n_pairs").alias("eg_n_pairs"),
+        "beta", "alpha", "gamma", "df_t",
+    )
+    out = gr.join(te, "key", "full").join(eg, "key", "full")
     out.write.mode("overwrite").parquet(args.output)
 
     written = spark.read.parquet(args.output)

@@ -695,7 +695,7 @@ def test_locf_grid_single_scan_no_join(spark):
 
     sf = "/root/testdata/sf0.001"
     qs = E.queries()
-    for name in ("granger", "transfer_entropy"):
+    for name in ("granger", "transfer_entropy", "coint_eg"):
         p = plan_of(qs[name](spark, sf))
         # tree lines only (details repeat node names)
         tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]

@@ -441,6 +441,14 @@ def main() -> None:
         "projection-only.",
         E.q_transfer_entropy(spark, SF),
     )
+    add(
+        "coint_eg (Engle-Granger cointegration)",
+        "Same shared one-scan grid; static OLS and Dickey-Fuller pair "
+        "moments are conditional sums in ONE hash agg (residual sums "
+        "expanded onto the exact integer lattice) — the two-step never "
+        "re-scans; alpha/beta/gamma/t are projection arithmetic.",
+        E.q_coint_eg(spark, SF),
+    )
 
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
