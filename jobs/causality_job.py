@@ -61,22 +61,30 @@ def main(argv: list[str] | None = None) -> None:
         y_side=args.y_side,
         bucket_secs=args.bucket_secs,
     )
-    gr = granger_1lag(ticks, **common)
+    # all three tests consume the IDENTICAL alignment grid: build it
+    # once, persist, and pass it through — the raw scan + grid shuffle
+    # run a single time instead of three (at cluster scale this is the
+    # materialized alignment table a production pipeline would write)
+    from tits_spark.operators.granger import locf_bucket_grid
+
+    grid = locf_bucket_grid(ticks, **common).persist()
+    gr = granger_1lag(ticks, grid=grid, **common)
     te = transfer_entropy(
-        ticks, min_points=args.min_points, **common
+        ticks, min_points=args.min_points, grid=grid, **common
     ).select(
         "key",
         F.col("n_obs").alias("te_n_obs"),
         "te_xy",
         "te_yx",
     )
-    eg = engle_granger(ticks, **common).select(
+    eg = engle_granger(ticks, grid=grid, **common).select(
         "key",
         F.col("n_pairs").alias("eg_n_pairs"),
         "beta", "alpha", "gamma", "df_t",
     )
     out = gr.join(te, "key", "full").join(eg, "key", "full")
     out.write.mode("overwrite").parquet(args.output)
+    grid.unpersist()
 
     written = spark.read.parquet(args.output)
     print(json.dumps({

@@ -56,6 +56,7 @@ def engle_granger(
     y_side: str = "y",
     bucket_secs: int = 3600,
     min_pairs: int = 8,
+    grid: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key Engle-Granger two-step on the LOCF bucket grid.
 
@@ -66,9 +67,10 @@ def engle_granger(
     its t statistic (round 6; NULL when x is constant, the residual
     energy is zero, or fewer than ``min_pairs`` pairs resolve).
     """
-    grid = locf_bucket_grid(
-        df, key, ts, value, series, x_side, y_side, bucket_secs
-    )
+    if grid is None:
+        grid = locf_bucket_grid(
+            df, key, ts, value, series, x_side, y_side, bucket_secs
+        )
     wo = Window.partitionBy("key").orderBy("b")
     lag = grid.select(
         "key",

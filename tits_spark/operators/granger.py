@@ -120,6 +120,7 @@ def granger_1lag(
     x_side: str = "x",
     y_side: str = "y",
     bucket_secs: int = 3600,
+    grid: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key 1-lag Granger F-test of x -> y on the LOCF bucket grid.
 
@@ -128,9 +129,10 @@ def granger_1lag(
     and the F statistic (round 6, NULL when degenerate). Keys appear
     when >= 4 grid rows have (y_t, y_{t-1}, x_{t-1}) all resolved.
     """
-    grid = locf_bucket_grid(
-        df, key, ts, value, series, x_side, y_side, bucket_secs
-    )
+    if grid is None:
+        grid = locf_bucket_grid(
+            df, key, ts, value, series, x_side, y_side, bucket_secs
+        )
     wo = Window.partitionBy("key").orderBy("b")
     rows = grid.select(
         "key",

@@ -75,6 +75,7 @@ def transfer_entropy(
     bucket_secs: int = 3600,
     min_points: int = 25,
     include_cells: bool = False,
+    grid: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key binary transfer entropy in both directions.
 
@@ -87,9 +88,10 @@ def transfer_entropy(
     m0..m15 (index yb*8 + ya*4 + xb*2 + xa) — the streaming twin's
     bit-exact comparison surface.
     """
-    grid = locf_bucket_grid(
-        df, key, ts, value, series, x_side, y_side, bucket_secs
-    )
+    if grid is None:
+        grid = locf_bucket_grid(
+            df, key, ts, value, series, x_side, y_side, bucket_secs
+        )
     wo = Window.partitionBy("key").orderBy("b")
     lagged = grid.select(
         "key",
