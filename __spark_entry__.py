@@ -3719,6 +3719,19 @@ def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return granger_1lag(_xyseries(spark, sf_dir))
 
 
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the two sides of the 6h LOCF grid per
+    user — the RANK member of the dependence family. The comparison
+    surface is all-integer (n_obs + three tie-pair counts + the
+    strictly-discordant count from Knight's O(n log n) merge-sort
+    inside one grouped Arrow UDF); tau-b is one fixed double tree
+    over those exact integers. The oracle derives the same counts by
+    the O(n^2) per-key pair join this operator refuses to run."""
+    from tits_spark.operators.kendall import kendall_tau
+
+    return kendall_tau(_xyseries(spark, sf_dir), bucket_secs=21600)
+
+
 #: Round-5 driver head: the flagship rollup, `stochastic` (to prove the
 #: round-4 signed-zero oracle fix in a driver file), and 48 families
 #: NEVER sampled in any of CORRECTNESS_r01..r04 — the rotation the
@@ -3828,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger": q_granger,
         "coint_eg": q_coint_eg,
         "transfer_entropy": q_transfer_entropy,
+        "kendall_tau": q_kendall_tau,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6454,6 +6468,56 @@ SELECT key, n_obs,
           6) + 0.0
   END AS f_stat
 FROM mm
+""",
+        # Kendall tau-b: the oracle derives the SAME exact integer
+        # surface (tie-pair counts + strictly-discordant count) by the
+        # O(n^2) per-key pair join the Spark operator refuses to run
+        # (Knight merge-sort instead); tau is the identical double tree.
+        "kendall_tau": """
+WITH t AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type IN ('click', 'view') THEN 'x'
+              ELSE 'y' END AS s,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, s, us, max(c) AS c FROM t GROUP BY 1, 2, 3),
+hb AS (SELECT key, s, us // 21600000000 AS b, us, c FROM tk),
+lb AS (SELECT key, s, b, arg_max(c, us) AS c FROM hb GROUP BY 1, 2, 3),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(b) AS mn, max(b) AS mx FROM hb GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(xb.c IGNORE NULLS) OVER w AS xc,
+             last_value(yb.c IGNORE NULLS) OVER w AS yc
+      FROM sp
+      LEFT JOIN lb xb ON xb.key = sp.key AND xb.b = sp.b AND xb.s = 'x'
+      LEFT JOIN lb yb ON yb.key = sp.key AND yb.b = sp.b AND yb.s = 'y'
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+r AS (SELECT key, b, xc AS x, yc AS y FROM g
+      WHERE xc IS NOT NULL AND yc IS NOT NULL),
+su AS (SELECT key, count(*) AS n_obs FROM r GROUP BY 1
+       HAVING count(*) >= 4),
+pr AS (SELECT a.key,
+         CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+         CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+         CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tie_xy,
+         CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+       FROM r a JOIN r b ON a.key = b.key AND a.b < b.b
+       GROUP BY 1)
+SELECT su.key, su.n_obs, pr.tie_x, pr.tie_y, pr.tie_xy, pr.n_dis,
+  CASE WHEN n_obs * (n_obs - 1) // 2 > tie_x
+        AND n_obs * (n_obs - 1) // 2 > tie_y THEN
+    round(CAST(n_obs * (n_obs - 1) // 2 - tie_x - tie_y + tie_xy
+               - 2 * n_dis AS DOUBLE)
+          / sqrt(CAST(n_obs * (n_obs - 1) // 2 - tie_x AS DOUBLE)
+                 * CAST(n_obs * (n_obs - 1) // 2 - tie_y AS DOUBLE)),
+          6) + 0.0
+  END AS tau_b
+FROM su JOIN pr USING (key)
 """,
         # Engle-Granger: residual sums expanded onto the HUGEINT pair
         # lattice; alpha/beta/gamma/t are the Spark tree verbatim.

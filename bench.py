@@ -485,17 +485,20 @@ def main() -> None:
 
     repeat("q23_hy_asynccov", _body_q23_hy)
 
-    # q24: the directed-predictability triple over the shared one-scan
-    # LOCF grid — 1-lag Granger F-test (linear), binary transfer
-    # entropy both directions (model-free), and Engle-Granger
-    # cointegration (long-run equilibrium), each one hash agg past
-    # the grid
+    # q24: the dependence family over the shared one-scan LOCF grid —
+    # 1-lag Granger F-test (linear), binary transfer entropy both
+    # directions (model-free), Engle-Granger cointegration (long-run
+    # equilibrium), each one hash agg past the grid, plus Kendall
+    # tau-b (rank, Knight O(n log n) merge-sort in one grouped Arrow
+    # UDF over the grid)
     def _body_q24_causality():
         E.q_granger(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save()
         E.q_transfer_entropy(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save()
         E.q_coint_eg(spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
+        E.q_kendall_tau(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save()
 
     repeat("q24_causality", _body_q24_causality)

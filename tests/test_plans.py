@@ -705,3 +705,20 @@ def test_locf_grid_single_scan_no_join(spark):
         assert t.count("Exchange") == 2, name
         assert "Generate" in t, name
         assert "EvalPython" not in p, name
+
+
+def test_kendall_plan_single_scan_no_join_no_extra_exchange(spark):
+    """Kendall tau-b must ride the grid's own partitioning: ONE raw
+    scan, no join, TWO exchanges total (both the grid's — the grouped
+    Arrow UDF reuses the window's hashpartitioning(key), adding only a
+    Sort), and exactly one Python node (the Knight merge-sort UDF)."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["kendall_tau"](spark, "/root/testdata/sf0.001"))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert t.count("Exchange") == 2
+    assert t.count("FlatMapGroupsInPandas") == 1
+    assert "EvalPython" not in p
