@@ -39,6 +39,10 @@ def make_book_fn(max_ticks: int = MAX_TICKS, edg_ticks: int = EDG_TICKS):
             t, v = [], []
         fired = []
         for pdf in pdfs:
+            # within-batch ordering is not guaranteed by the state
+            # shuffle; sort like the other per-event twins (the
+            # cross-batch order is the stream's documented contract)
+            pdf = pdf.sort_values(["t", "v"], kind="stable")
             for tt, vv in zip(pdf["t"].to_numpy(), pdf["v"].to_numpy()):
                 if len(t) >= max_ticks:  # slide: keep newest half
                     t = t[-(max_ticks // 2) :]

@@ -103,11 +103,17 @@ def stream_counter_rate(
     checkpoint: str,
     bucket_secs: int = 3600,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream a parquet directory of (key, ts, value) counter samples
     into finalized per-(key, bucket) increase/rate rows."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files (soak harness device,
+        # tools/stream_soak.py: availableNow then drains as many batches)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
+        reader
         .parquet(source_path)
         .groupBy("key")
         .applyInPandasWithState(

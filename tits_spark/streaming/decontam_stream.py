@@ -37,6 +37,7 @@ def stream_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream a parquet directory of documents, drop every doc sharing
     any word ``n``-gram with the static ``benchmark`` frame, append
@@ -71,7 +72,12 @@ def stream_decontaminate(
             .parquet(out_path)
         )
 
-    stream = spark.readStream.schema(schema).parquet(source_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files (soak harness device,
+        # tools/stream_soak.py: availableNow then drains as many batches)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(source_path)
     writer = stream.writeStream.foreachBatch(gate).option(
         "checkpointLocation", checkpoint
     )

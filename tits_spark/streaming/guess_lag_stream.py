@@ -39,6 +39,7 @@ def stream_guess_lag(
     nlags: int = 64,
     tau: float = 0.01,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     if edg_ticks is None:
         edg_ticks = 3 * max_ticks // 4 + 1
@@ -63,7 +64,12 @@ def stream_guess_lag(
         ).withColumn("batch_id", F.lit(batch_id))
         fired.write.mode("append").parquet(results_path)
 
-    stream = spark.readStream.schema(QUOTES_SCHEMA).parquet(source_path)
+    reader = spark.readStream.schema(QUOTES_SCHEMA)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files (soak harness device,
+        # tools/stream_soak.py: availableNow then drains as many batches)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(source_path)
     writer = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)

@@ -76,6 +76,7 @@ def stream_histogram(
     value: str = "value",
     scale: int = 100,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream (ts, value, ...) parquet into per-bucket histogram
     deltas; read quantiles at any time with
@@ -84,7 +85,12 @@ def stream_histogram(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         write_hist_delta(batch, table_path, batch_id, tier_unit, ts, value, scale)
 
-    stream = spark.readStream.schema(schema).parquet(source_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files (soak harness device,
+        # tools/stream_soak.py: availableNow then drains as many batches)
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(source_path)
     writer = stream.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint
     )

@@ -68,14 +68,14 @@ def _num_batches(spark, ckpt) -> int:
     return len([f for f in p.iterdir() if f.name.isdigit()]) if p.exists() else 0
 
 
-def _run_phases(spark, chunks, work, stream_fn, name):
+def _run_phases(spark, chunks, work, stream_fn, name, phases=PHASES):
     src = str(work / f"{name}_src")
     out = str(work / f"{name}_out")
     ckpt = str(work / f"{name}_ckpt")
     written = 0
     t0 = time.perf_counter()
     restarts = 0
-    for upto in PHASES:
+    for upto in phases:
         for i in range(written, upto):
             chunks[i].coalesce(1).write.mode("append").parquet(src)
         written = upto
@@ -512,6 +512,220 @@ def main() -> None:
     results.append(("te_stream (16-cell TE lattice + running TE)", nb, nr,
                     sec, *_bitwise_equal(got, want)))
 
+    # ---- threshold crossings (ONE carried (ts, value) pair per key;
+    # a restart that loses or duplicates it emits a phantom/missing
+    # alert exactly at a phase boundary)
+    from tits_spark.operators.windows import threshold_crossings
+    from tits_spark.streaming.crossing_stream import stream_crossings
+
+    level = 100.0
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_crossings(
+            spark, s, SCHEMA, o, c, level=level, max_files_per_trigger=1
+        ),
+        "crossing",
+    )
+    want = threshold_crossings(ev, ["key"], "ts", "value", level).select(
+        "key", "ts", "value", "prev_value", "direction")
+    got = spark.read.parquet(out).select(
+        "key", "ts", "value", "prev_value", "direction")
+    results.append(("crossing_stream (threshold alerts)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
+    # ---- time-decayed EWMA (two decayed floats (s, c) anchored at the
+    # last event time; per-event emission — every input row crosses the
+    # sink, so any restart drift shows on the very next row)
+    from tits_spark.operators.sessionize import ewma_irregular
+    from tits_spark.streaming.ewma_stream import stream_ewma
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_ewma(
+            spark, s, SCHEMA, o, c, tau_seconds=86400.0,
+            max_files_per_trigger=1,
+        ),
+        "ewma",
+    )
+    # batch computes the SAME quantity as a ratio of prefix sums (a
+    # different but algebraically equal float tree): compare at the
+    # unit tests' 1e-9 quantum, like hw_stream's 1e-6 floors
+    r9 = lambda c_: (F.round(c_, 9) + F.lit(0.0)).alias("ewma")  # noqa: E731
+    want = ewma_irregular(ev, "key", "ts", "value", tau_seconds=86400.0).select(
+        "key", "ts", r9(F.col("ewma")))
+    got = spark.read.parquet(out).select("key", "ts", r9(F.col("ewma")))
+    results.append(("ewma_stream (time-decayed EWMA, 1e-9 quantum)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
+    # ---- counter rate (prev-sample 6-tuple + open-bucket partials;
+    # finalized buckets must be emitted exactly once across restarts)
+    from tits_spark.operators.timeweight import counter_rate
+    from tits_spark.streaming.counter_stream import stream_counter_rate
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_counter_rate(
+            spark, s, SCHEMA, o, c, bucket_secs=3600,
+            max_files_per_trigger=1,
+        ),
+        "counter",
+    )
+    cr = counter_rate(ev, key_col="key", bucket_secs=3600)
+    lastb = ev.groupBy("key").agg(F.max("ts").alias("mx")).select(
+        "key", F.expr("CAST(mx AS LONG) DIV 3600").alias("last_b"))
+    ccols = ["key", "bucket_ts",
+             F.round("increase", 9).alias("increase"),
+             F.round("rate_per_sec", 9).alias("rate_per_sec"),
+             "n_samples", "n_resets"]
+    want = (
+        cr.join(lastb, "key")
+        .filter(F.expr("CAST(bucket_ts AS LONG) DIV 3600") < F.col("last_b"))
+        .select(*ccols)
+    )
+    got = spark.read.parquet(out).select(*ccols)
+    results.append(("counter_stream (finalized counter buckets)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
+    # ---- histogram deltas (foreachBatch per-batch_id partition
+    # overwrite: additive merges are NOT replay-idempotent, so the
+    # restart protocol exercises the exactly-once construction itself)
+    from tits_spark.operators.quantiles import value_histogram
+    from tits_spark.streaming.hist_stream import read_histogram, stream_histogram
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_histogram(
+            spark, s, "ts timestamp, value double", o, c,
+            tier_unit="minute", max_files_per_trigger=1,
+        ),
+        "hist",
+    )
+    want = value_histogram(
+        ev.select(F.date_trunc("minute", "ts").alias("bucket_ts"), "value"),
+        ["bucket_ts"],
+    ).select("bucket_ts", "q", "cnt")
+    got = read_histogram(spark, out).select("bucket_ts", "q", "cnt")
+    results.append(("hist_stream (per-bucket histogram deltas)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
+    # ---- decontamination gate (stateless foreachBatch with the same
+    # per-batch_id overwrite; restarts must neither drop nor duplicate
+    # survivors)
+    from tits_spark.operators.decontam import decontaminate
+    from tits_spark.streaming.decontam_stream import stream_decontaminate
+
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == F.lit(0))
+    doc_chunks = [
+        docs.filter(F.col("doc_id") % N_CHUNKS == F.lit(i))
+        for i in range(N_CHUNKS)
+    ]
+    out, nb, nr, sec = _run_phases(
+        spark, doc_chunks, work,
+        lambda s, o, c: stream_decontaminate(
+            spark, s, "doc_id long, text string", bench, o, c, n=8,
+            max_files_per_trigger=1,
+        ),
+        "decontam",
+    )
+    want = decontaminate(docs, bench, n=8).select("doc_id", "text")
+    got = spark.read.parquet(out).select("doc_id", "text")
+    results.append(("decontam_stream (ingest decontamination gate)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
+    # ---- bounded tick books (W1/W4: the reference's slide-on-full +
+    # fire-at-EDG + crop-after-fire; state = the full (t, v) buffer per
+    # key, compared against an independent pure-pandas replay of the
+    # reference cadence over the full history)
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.streaming.book_state import OUTPUT_SCHEMA as BOOK_SCHEMA
+    from tits_spark.streaming.book_state import book_triggers
+
+    bmax, bedg = 64, 49  # 3/4 * 64 + 1 — fires ~4x per key at this sf
+    bt_chunks = [
+        c.select("key", F.col("ts").cast("double").alias("t"),
+                 F.col("value").alias("v"))
+        for c in chunks
+    ]
+
+    def _book_stream(s, o, c):
+        reader = (
+            spark.readStream.schema("key string, t double, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s)
+        )
+        return (
+            book_triggers(reader, max_ticks=bmax, edg_ticks=bedg)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", c)
+            .format("parquet").option("path", o)
+            .trigger(availableNow=True).start()
+        )
+
+    out, nb, nr, sec = _run_phases(spark, bt_chunks, work, _book_stream, "book")
+    pdf = (
+        ev.select("key", F.col("ts").cast("double").alias("t"),
+                  F.col("value").alias("v"))
+        .toPandas().sort_values(["key", "t", "v"], kind="stable")
+    )
+    fired_rows = []
+    for k, g in pdf.groupby("key", sort=False):
+        t: list = []
+        v: list = []
+        for tt, vv in zip(g["t"].to_numpy(), g["v"].to_numpy()):
+            if len(t) >= bmax:
+                t, v = t[-(bmax // 2):], v[-(bmax // 2):]
+            t.append(float(tt))
+            v.append(float(vv))
+            if len(t) == bedg:
+                arr = np.asarray(v)
+                fired_rows.append((k, float(tt), len(t), float(arr.mean()),
+                                   float(arr.min()), float(arr.max())))
+                t, v = t[-(bmax // 2):], v[-(bmax // 2):]
+    want = spark.createDataFrame(
+        pd.DataFrame(fired_rows, columns=[
+            "key", "fire_t", "n", "v_mean", "v_min", "v_max"]),
+        schema=BOOK_SCHEMA,
+    )
+    got = spark.read.parquet(out).select(
+        "key", "fire_t", "n", "v_mean", "v_min", "v_max")
+    results.append(("book_state (slide/fire/crop tick books vs pandas replay)",
+                    nb, nr, sec, *_bitwise_equal(got, want)))
+
+    # ---- streaming guess_lag (foreachBatch book table + per-batch
+    # kernel fire: restart-INVARIANCE — the phased run with 2 restarts
+    # must emit byte-identical results to one uninterrupted run over
+    # the same micro-batch boundaries)
+    from tits_spark.datagen import generate_quotes
+    from tits_spark.streaming.guess_lag_stream import stream_guess_lag
+
+    quotes = generate_quotes(spark, n_ticks=1500, seed=42)
+    gl_phases = (7, 14, 20)
+    gl_chunks = _chunks(quotes, gl_phases[-1])
+    gl_books = str(work / "gl_books")
+    out, nb, nr, sec = _run_phases(
+        spark, gl_chunks, work,
+        lambda s, o, c: stream_guess_lag(
+            spark, s, books_path=gl_books, results_path=o, checkpoint=c,
+            max_ticks=256, nlags=16, tau=0.01, max_files_per_trigger=1,
+        ),
+        "gl", phases=gl_phases,
+    )
+    gl2_out = str(work / "gl2_out")
+    q = stream_guess_lag(
+        spark, str(work / "gl_src"), books_path=str(work / "gl2_books"),
+        results_path=gl2_out, checkpoint=str(work / "gl2_ckpt"),
+        max_ticks=256, nlags=16, tau=0.01, max_files_per_trigger=1,
+    )
+    q.awaitTermination(1200)
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(gl2_out).select(*got.columns)
+    results.append(("guess_lag_stream (phased+restarted vs uninterrupted run)",
+                    nb, nr, sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
@@ -580,6 +794,25 @@ te_stream carries the two-sided LOCF bucket grid as 29 integers
 the batch operator's include_cells surface after a sentinel tick
 closes the final bucket, so a single gap bucket miscounted across a
 restart fails the gate.
+
+Round-5 final additions — every streaming module in the package is
+now in the soak: crossing_stream and counter_stream carry the
+prev-sample state whose loss at a phase boundary emits a phantom or
+missing alert/bucket; ewma_stream's two decayed floats are compared
+at the unit tests' 1e-9 quantum (the batch twin evaluates the same
+quantity as a ratio of prefix sums — an algebraically equal but
+differently associated float tree); hist_stream and decontam_stream
+exercise the per-batch_id partition-overwrite exactly-once
+construction itself (additive histogram merges are NOT
+replay-idempotent, so the restarts probe precisely the failure the
+design defends against); book_state (the reference's slide-on-full /
+fire-at-EDG / crop-after-fire tick books, W1/W4) is compared against
+an independent pure-pandas replay of the reference cadence over the
+full history; and guess_lag_stream — the foreachBatch "batch engine
+run incrementally" job with a persisted book table — is checked for
+restart-INVARIANCE: the phased run with 2 restarts must emit
+byte-identical results to one uninterrupted run over the same
+micro-batch boundaries (20 quote chunks, planted 30/70 ms lags).
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
