@@ -6507,17 +6507,29 @@ pr AS (SELECT a.key,
          CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
        FROM r a JOIN r b ON a.key = b.key AND a.b < b.b
-       GROUP BY 1)
-SELECT su.key, su.n_obs, pr.tie_x, pr.tie_y, pr.tie_xy, pr.n_dis,
-  CASE WHEN n_obs * (n_obs - 1) // 2 > tie_x
-        AND n_obs * (n_obs - 1) // 2 > tie_y THEN
-    round(CAST(n_obs * (n_obs - 1) // 2 - tie_x - tie_y + tie_xy
-               - 2 * n_dis AS DOUBLE)
-          / sqrt(CAST(n_obs * (n_obs - 1) // 2 - tie_x AS DOUBLE)
-                 * CAST(n_obs * (n_obs - 1) // 2 - tie_y AS DOUBLE)),
-          6) + 0.0
-  END AS tau_b
-FROM su JOIN pr USING (key)
+       GROUP BY 1),
+fin AS (SELECT su.key, su.n_obs, pr.tie_x, pr.tie_y, pr.tie_xy, pr.n_dis,
+               n_obs * (n_obs - 1) // 2 AS tot
+        FROM su JOIN pr USING (key))
+SELECT key, n_obs, tie_x, tie_y, tie_xy, n_dis,
+  CASE WHEN tot > tie_x AND tot > tie_y THEN
+    round(CAST(tot - tie_x - tie_y + tie_xy - 2 * n_dis AS DOUBLE)
+          / sqrt(CAST(tot - tie_x AS DOUBLE)
+                 * CAST(tot - tie_y AS DOUBLE)), 6) + 0.0
+  END AS tau_b,
+  CASE WHEN tot - tie_x - tie_y + tie_xy > 0 THEN
+    round(CAST(tot - tie_x - tie_y + tie_xy - 2 * n_dis AS DOUBLE)
+          / CAST(tot - tie_x - tie_y + tie_xy AS DOUBLE), 6) + 0.0
+  END AS gamma,
+  CASE WHEN tot > tie_x THEN
+    round(CAST(tot - tie_x - tie_y + tie_xy - 2 * n_dis AS DOUBLE)
+          / CAST(tot - tie_x AS DOUBLE), 6) + 0.0
+  END AS d_yx,
+  CASE WHEN tot > tie_y THEN
+    round(CAST(tot - tie_x - tie_y + tie_xy - 2 * n_dis AS DOUBLE)
+          / CAST(tot - tie_y AS DOUBLE), 6) + 0.0
+  END AS d_xy
+FROM fin
 """,
         # Engle-Granger: residual sums expanded onto the HUGEINT pair
         # lattice; alpha/beta/gamma/t are the Spark tree verbatim.

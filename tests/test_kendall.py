@@ -30,6 +30,12 @@ def _t(sec):
     return BASE + dt.timedelta(seconds=float(sec))
 
 
+def _r6(v):
+    """Half-away-from-zero round to 6 (Spark F.round / DuckDB round);
+    Python's built-in round is half-even and disagrees on exact .5s."""
+    return float(np.sign(v) * np.floor(abs(v) * 1e6 + 0.5) / 1e6) + 0.0
+
+
 def _brute_tau(x, y):
     """O(n^2) reference: exact pair counts + the operator's tau tree."""
     n = len(x)
@@ -48,15 +54,19 @@ def _brute_tau(x, y):
             if dx * dy < 0:
                 nd += 1
     tot = n * (n - 1) // 2
-    tau = None
+    num = float(tot - tx - ty + txy - 2 * nd)
+    tau = gamma = d_yx = d_xy = None
     if tot > tx and tot > ty:
-        tau = round(
-            float(tot - tx - ty + txy - 2 * nd)
-            / np.sqrt(float(tot - tx) * float(tot - ty)),
-            6,
-        ) + 0.0
+        tau = _r6(num / np.sqrt(float(tot - tx) * float(tot - ty)))
+    if tot - tx - ty + txy > 0:
+        gamma = _r6(num / float(tot - tx - ty + txy))
+    if tot > tx:
+        d_yx = _r6(num / float(tot - tx))
+    if tot > ty:
+        d_xy = _r6(num / float(tot - ty))
     return {"n_obs": n, "tie_x": tx, "tie_y": ty, "tie_xy": txy,
-            "n_dis": nd, "tau_b": tau}
+            "n_dis": nd, "tau_b": tau, "gamma": gamma,
+            "d_yx": d_yx, "d_xy": d_xy}
 
 
 def test_merge_count_matches_brute_force():
@@ -98,9 +108,9 @@ def test_kendall_matches_brute_force_counts(spark):
         # aligned rows are exactly the per-bucket (x*100, y*100) pairs
         want = _brute_tau([v * 100 for v in xs], [v * 100 for v in ys])
         got = out[k]
-        for col in ("n_obs", "tie_x", "tie_y", "tie_xy", "n_dis"):
+        for col in ("n_obs", "tie_x", "tie_y", "tie_xy", "n_dis",
+                    "tau_b", "gamma", "d_yx", "d_xy"):
             assert got[col] == want[col], (k, col, got[col], want[col])
-        assert got["tau_b"] == want["tau_b"]
 
 
 def test_planted_monotone_and_anti(spark):
@@ -114,6 +124,8 @@ def test_planted_monotone_and_anti(spark):
     assert out["up"]["tau_b"] == 1.0
     assert out["dn"]["tau_b"] == -1.0
     assert out["up"]["n_dis"] == 0
+    assert out["up"]["gamma"] == 1.0 and out["up"]["d_yx"] == 1.0
+    assert out["dn"]["gamma"] == -1.0 and out["dn"]["d_xy"] == -1.0
 
 
 def test_constant_side_is_null(spark):
@@ -124,7 +136,10 @@ def test_constant_side_is_null(spark):
     out = kendall_tau(_mk(spark, rows), bucket_secs=3600).collect()
     assert len(out) == 1
     assert out[0]["tau_b"] is None
-    # all pairs are x-ties
+    # all pairs are x-ties: d_yx undefined too, and every non-x-tie
+    # pair vanishes so gamma's nc+nd denominator is 0
+    assert out[0]["d_yx"] is None
+    assert out[0]["gamma"] is None
     n = out[0]["n_obs"]
     assert out[0]["tie_x"] == n * (n - 1) // 2
 

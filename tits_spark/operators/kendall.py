@@ -87,11 +87,13 @@ def kendall_tau(
 ) -> DataFrame:
     """Per-key Kendall tau-b between the two sides of the LOCF grid.
 
-    Returns (key, n_obs, tie_x, tie_y, tie_xy, n_dis, tau_b): the
-    aligned-row count, the three tie-pair counts, the strictly-
-    discordant pair count (all exact int64) and tau-b (round 6, NULL
-    when either side is constant). Keys appear when >= ``min_points``
-    grid rows have both sides resolved.
+    Returns (key, n_obs, tie_x, tie_y, tie_xy, n_dis, tau_b, gamma,
+    d_yx, d_xy): the aligned-row count, the three tie-pair counts and
+    the strictly-discordant pair count (all exact int64), then tau-b,
+    Goodman-Kruskal gamma and the two Somers' D asymmetries — each a
+    fixed double tree over the same integers (round 6, NULL when its
+    denominator degenerates). Keys appear when >= ``min_points`` grid
+    rows have both sides resolved.
     """
     if grid is None:
         grid = locf_bucket_grid(
@@ -143,19 +145,32 @@ def kendall_tau(
         counts, schema=out_schema
     )
     tot = F.expr("n_obs * (n_obs - 1) DIV 2")  # exact int64
+    # nc + nd and nc - nd, both exact int64 identities over the surface
+    npairs = tot - F.col("tie_x") - F.col("tie_y") + F.col("tie_xy")
+    num = (npairs - 2 * F.col("n_dis")).cast("double")
     fx = (tot - F.col("tie_x")).cast("double")
     fy = (tot - F.col("tie_y")).cast("double")
-    num = (
-        tot - F.col("tie_x") - F.col("tie_y") + F.col("tie_xy")
-        - 2 * F.col("n_dis")
-    ).cast("double")
-    # guarded division stays INSIDE the CASE (the ANSI eager-division
+    # guarded divisions stay INSIDE their CASE (the ANSI eager-division
     # trap: a shared subexpression can be evaluated outside its branch)
     tau = F.when(
         (tot > F.col("tie_x")) & (tot > F.col("tie_y")),
         F.round(num / F.sqrt(fx * fy), 6) + F.lit(0.0),
     )
+    # Goodman-Kruskal gamma and the two Somers' D asymmetries come free
+    # from the SAME integer surface (Goodman & Kruskal 1954; Somers
+    # 1962, public formulas): gamma ignores all ties; d_yx conditions
+    # on the x side (excludes x-tied pairs), d_xy on the y side
+    gamma = F.when(
+        npairs > 0, F.round(num / npairs.cast("double"), 6) + F.lit(0.0)
+    )
+    d_yx = F.when(
+        tot > F.col("tie_x"), F.round(num / fx, 6) + F.lit(0.0)
+    )
+    d_xy = F.when(
+        tot > F.col("tie_y"), F.round(num / fy, 6) + F.lit(0.0)
+    )
     return agg.select(
         "key", "n_obs", "tie_x", "tie_y", "tie_xy", "n_dis",
-        tau.alias("tau_b"),
+        tau.alias("tau_b"), gamma.alias("gamma"),
+        d_yx.alias("d_yx"), d_xy.alias("d_xy"),
     )
