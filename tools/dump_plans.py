@@ -450,6 +450,16 @@ def main() -> None:
         E.q_coint_eg(spark, SF),
     )
 
+    add(
+        "kendall_tau (tau-b / gamma / Somers' D on the grid)",
+        "Same shared one-scan grid: ONE raw scan, zero joins, two "
+        "exchanges total — the grouped Arrow UDF (Knight O(n log n) "
+        "merge-sort discordance count) reuses the grid window's "
+        "hashpartitioning(key) and adds only a Sort; tau/gamma/D are "
+        "projection arithmetic over the exact integer surface.",
+        E.q_kendall_tau(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
