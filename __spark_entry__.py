@@ -3719,6 +3719,17 @@ def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return granger_1lag(_xyseries(spark, sf_dir))
 
 
+def q_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per user (Hirsch-Slack 1984),
+    weekly seasons over daily last-in-bucket values: per-season S from
+    Knight's O(n log n) merge count (NOT the oracle's O(n^2) pair
+    sweep), summed with the 18x tie-corrected variance — S, var18 and
+    n_obs all exact int64, Z one fixed double tree."""
+    from tits_spark.operators.seasonal_mk import seasonal_mann_kendall
+
+    return seasonal_mann_kendall(_events(spark, sf_dir))
+
+
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-b between the two sides of the 6h LOCF grid per
     user — the RANK member of the dependence family. The comparison
@@ -3842,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coint_eg": q_coint_eg,
         "transfer_entropy": q_transfer_entropy,
         "kendall_tau": q_kendall_tau,
+        "seasonal_mk": q_seasonal_mk,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6468,6 +6480,49 @@ SELECT key, n_obs,
           6) + 0.0
   END AS f_stat
 FROM mm
+""",
+        # Seasonal Mann-Kendall: the oracle runs the O(n^2) per-season
+        # pair sweep the Spark operator replaces with Knight merge-sort;
+        # the Z tree is the Spark expression verbatim.
+        "seasonal_mk": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+dd AS (SELECT key, us // 86400000000 AS d, arg_max(c, us) AS c
+       FROM tk GROUP BY 1, 2),
+sd AS (SELECT key, d, c, d % 7 AS season FROM dd),
+p AS (SELECT a.key, a.season,
+        CAST(sum(CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_s
+      FROM sd a JOIN sd b
+        ON a.key = b.key AND a.season = b.season AND b.d > a.d
+      GROUP BY 1, 2),
+g AS (SELECT key, season, c, count(*) AS tcnt FROM sd GROUP BY 1, 2, 3),
+v AS (SELECT key, season,
+        CAST(sum(tcnt) AS BIGINT) AS n_s,
+        CAST(sum(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT) AS tie18
+      FROM g GROUP BY 1, 2),
+ks AS (SELECT v.key, v.season, v.n_s,
+         coalesce(p.s_s, 0) AS s_s,
+         v.n_s * (v.n_s - 1) * (2 * v.n_s + 5) - v.tie18 AS var18_s
+       FROM v LEFT JOIN p USING (key, season)),
+a AS (SELECT key,
+        CAST(sum(n_s) AS BIGINT) AS n_obs,
+        CAST(sum(s_s) AS BIGINT) AS s_stat,
+        CAST(sum(var18_s) AS BIGINT) AS var18
+      FROM ks GROUP BY 1 HAVING sum(n_s) >= 10)
+SELECT key, n_obs, s_stat, var18,
+  CASE WHEN var18 > 0 THEN
+    round(CASE WHEN s_stat > 0 THEN
+            (s_stat - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          WHEN s_stat < 0 THEN
+            (s_stat + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          ELSE 0.0 END, 6) + 0.0
+  END AS z
+FROM a
 """,
         # Kendall tau-b: the oracle derives the SAME exact integer
         # surface (tie-pair counts + strictly-discordant count) by the

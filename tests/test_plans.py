@@ -722,3 +722,21 @@ def test_kendall_plan_single_scan_no_join_no_extra_exchange(spark):
     assert t.count("Exchange") == 2
     assert t.count("FlatMapGroupsInPandas") == 1
     assert "EvalPython" not in p
+
+
+def test_seasonal_mk_plan_single_scan_no_join(spark):
+    """Seasonal MK: one raw scan, no join, three bounded exchanges —
+    daily-bucket partial aggregates, then per-(key, season) rows into
+    the merge-count UDF, then 7-rows-per-key partials. (Repartitioning
+    raw by key would collapse to one exchange but ship every raw row;
+    at 10^12 turns the daily partials are orders smaller.)"""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["seasonal_mk"](spark, "/root/testdata/sf0.001"))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert t.count("Exchange") == 3
+    assert t.count("FlatMapGroupsInPandas") == 1
+    assert "EvalPython" not in p

@@ -460,6 +460,15 @@ def main() -> None:
         E.q_kendall_tau(spark, SF),
     )
 
+    add(
+        "seasonal_mk (Hirsch-Slack seasonal Mann-Kendall)",
+        "One raw scan, zero joins, three bounded exchanges: daily "
+        "last-in-bucket partial aggregate, per-(key, season) rows into "
+        "the Knight merge-count Arrow UDF, then 7-rows-per-key partial "
+        "sums; Z is projection arithmetic over exact int64 S / var18.",
+        E.q_seasonal_mk(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
