@@ -3759,7 +3759,7 @@ _R5_HEAD = [
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",
     "heaps_growth", "zipf_slope", "novelty_ngrams", "pmi_pairs",
     "tpch_q1", "rollup_1mo", "tpch_q8", "asof_nearest",
-    "decompose", "tpch_q17", "data_profile", "tpch_q21", "hy_cov",
+    "decompose", "kendall_tau", "data_profile", "seasonal_mk", "hy_cov",
     "hy_lead_lag",
 ]
 
