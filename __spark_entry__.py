@@ -3719,6 +3719,17 @@ def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return granger_1lag(_xyseries(spark, sf_dir))
 
 
+def q_wilcoxon_sr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank of x vs y per user on the hourly LOCF grid
+    (the PAIRED rank test; mann_whitney is the unpaired one). Fully
+    declarative: midranks from two per-key windows, the whole
+    comparison surface exact int64 (2x rank sum, tie term, 48x
+    variance), z one fixed double tree."""
+    from tits_spark.operators.wilcoxon import wilcoxon_signed_rank
+
+    return wilcoxon_signed_rank(_xyseries(spark, sf_dir))
+
+
 def q_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal Mann-Kendall trend test per user (Hirsch-Slack 1984),
     weekly seasons over daily last-in-bucket values: per-season S from
@@ -3854,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transfer_entropy": q_transfer_entropy,
         "kendall_tau": q_kendall_tau,
         "seasonal_mk": q_seasonal_mk,
+        "wilcoxon_sr": q_wilcoxon_sr,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6480,6 +6492,53 @@ SELECT key, n_obs,
           6) + 0.0
   END AS f_stat
 FROM mm
+""",
+        # Wilcoxon signed-rank: identical midrank windows relationally;
+        # the z tree is the Spark expression verbatim.
+        "wilcoxon_sr": """
+WITH t AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type IN ('click', 'view') THEN 'x'
+              ELSE 'y' END AS s,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, s, us, max(c) AS c FROM t GROUP BY 1, 2, 3),
+hb AS (SELECT key, s, us // 3600000000 AS b, us, c FROM tk),
+lb AS (SELECT key, s, b, arg_max(c, us) AS c FROM hb GROUP BY 1, 2, 3),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(b) AS mn, max(b) AS mx FROM hb GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(xb.c IGNORE NULLS) OVER w AS xc,
+             last_value(yb.c IGNORE NULLS) OVER w AS yc
+      FROM sp
+      LEFT JOIN lb xb ON xb.key = sp.key AND xb.b = sp.b AND xb.s = 'x'
+      LEFT JOIN lb yb ON yb.key = sp.key AND yb.b = sp.b AND yb.s = 'y'
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+d AS (SELECT key, xc - yc AS d, abs(xc - yc) AS adiff
+      FROM g WHERE xc IS NOT NULL AND yc IS NOT NULL AND xc <> yc),
+rk AS (SELECT key, d,
+         2 * rank() OVER (PARTITION BY key ORDER BY adiff)
+           + count(*) OVER (PARTITION BY key, adiff) - 1 AS mr2,
+         count(*) OVER (PARTITION BY key, adiff)
+           * count(*) OVER (PARTITION BY key, adiff) - 1 AS t2m1
+       FROM d),
+a AS (SELECT key,
+        count(*) AS n_obs,
+        CAST(coalesce(sum(CASE WHEN d > 0 THEN mr2 END), 0) AS BIGINT)
+          AS w2_pos,
+        CAST(sum(t2m1) AS BIGINT) AS tie_sum
+      FROM rk GROUP BY 1 HAVING count(*) >= 10)
+SELECT key, n_obs, w2_pos, tie_sum,
+  2 * n_obs * (n_obs + 1) * (2 * n_obs + 1) - tie_sum AS var48,
+  CASE WHEN 2 * n_obs * (n_obs + 1) * (2 * n_obs + 1) - tie_sum > 0 THEN
+    round(CAST(w2_pos - n_obs * (n_obs + 1) // 2 AS DOUBLE)
+          / sqrt(CAST(2 * n_obs * (n_obs + 1) * (2 * n_obs + 1) - tie_sum
+                      AS DOUBLE) / 12.0), 6) + 0.0
+  END AS z
+FROM a
 """,
         # Seasonal Mann-Kendall: the oracle runs the O(n^2) per-season
         # pair sweep the Spark operator replaces with Knight merge-sort;

@@ -740,3 +740,20 @@ def test_seasonal_mk_plan_single_scan_no_join(spark):
     assert t.count("Exchange") == 3
     assert t.count("FlatMapGroupsInPandas") == 1
     assert "EvalPython" not in p
+
+
+def test_wilcoxon_plan_fully_declarative(spark):
+    """Wilcoxon signed-rank must stay UDF-free and exchange-free past
+    the grid: one raw scan, no join, TWO exchanges total (both the
+    grid's — the rank/tie-count windows and the final aggregate all
+    ride hashpartitioning(key)), zero Python nodes."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["wilcoxon_sr"](spark, "/root/testdata/sf0.001"))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert t.count("Exchange") == 2
+    assert "FlatMapGroupsInPandas" not in t
+    assert "EvalPython" not in p and "Python" not in p

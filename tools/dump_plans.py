@@ -469,6 +469,15 @@ def main() -> None:
         E.q_seasonal_mk(spark, SF),
     )
 
+    add(
+        "wilcoxon_sr (paired signed-rank test)",
+        "Fully declarative past the shared grid: one scan, zero joins, "
+        "TWO exchanges total — the midrank windows (rank + tie count) "
+        "and the final partial+final aggregate all ride the grid's "
+        "hashpartitioning(key); zero Python nodes anywhere.",
+        E.q_wilcoxon_sr(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
