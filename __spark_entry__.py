@@ -3754,6 +3754,38 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau(_xyseries(spark, sf_dir), bucket_secs=21600)
 
 
+def q_pair_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median + Rousseeuw-Croux Qn scale per
+    user — pairwise order statistics selected by value-space binary
+    search with a two-pointer count (O(n log n log V) per key inside
+    one grouped Arrow UDF), never materializing the O(n^2) pairs the
+    oracle's per-key pair join computes. The comparison surface
+    (hl_x4, qn_d) is exact int64 on the cents lattice."""
+    from tits_spark.operators.pairstats import robust_pair_stats
+
+    return robust_pair_stats(_events(spark, sf_dir))
+
+
+def q_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ferro-Segers extremal index per user over the top-30
+    exceedances: do p999 spikes arrive isolated or in clusters? The
+    threshold is an order statistic on the cents lattice, gap moments
+    are exact int64 whole seconds, theta one fixed double tree."""
+    from tits_spark.operators.extremal import extremal_index
+
+    return extremal_index(_events(spark, sf_dir), k=30)
+
+
+def q_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh time-of-day uniformity test per user: mean resultant
+    of the exact integer microsecond-of-day angles in ONE hash
+    aggregate — no binning, no window, no UDF; round-6 doubles per
+    the perio_declarative trig precedent."""
+    from tits_spark.operators.circular import rayleigh_uniformity
+
+    return rayleigh_uniformity(_events(spark, sf_dir))
+
+
 #: Round-5 driver head: the flagship rollup, `stochastic` (to prove the
 #: round-4 signed-zero oracle fix in a driver file), and 48 families
 #: NEVER sampled in any of CORRECTNESS_r01..r04 — the rotation the
@@ -3769,8 +3801,8 @@ _R5_HEAD = [
     "variance_ratio", "spearman_xcorr", "mann_whitney",
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",
     "heaps_growth", "zipf_slope", "novelty_ngrams", "pmi_pairs",
-    "tpch_q1", "rollup_1mo", "tpch_q8", "asof_nearest",
-    "decompose", "kendall_tau", "data_profile", "seasonal_mk", "hy_cov",
+    "tpch_q1", "rollup_1mo", "pair_robust", "extremal_index",
+    "rayleigh", "kendall_tau", "data_profile", "seasonal_mk", "hy_cov",
     "hy_lead_lag",
 ]
 
@@ -3866,6 +3898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall_tau,
         "seasonal_mk": q_seasonal_mk,
         "wilcoxon_sr": q_wilcoxon_sr,
+        "pair_robust": q_pair_robust,
+        "extremal_index": q_extremal_index,
+        "rayleigh": q_rayleigh,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6644,6 +6679,89 @@ SELECT key, n_obs, tie_x, tie_y, tie_xy, n_dis,
           / CAST(tot - tie_y AS DOUBLE), 6) + 0.0
   END AS d_xy
 FROM fin
+""",
+        # pairwise order statistics: the oracle RUNS the O(n^2) pair
+        # join the operator refuses; ranks pick the same exact ints.
+        "pair_robust": """
+WITH t AS (
+  SELECT user_id AS key,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(round(value * 100) AS BIGINT)) AS rn
+  FROM events
+),
+su AS (SELECT key, count(*) AS n_obs FROM t GROUP BY 1
+       HAVING count(*) >= 4),
+wr AS (SELECT a.key, a.c + b.c AS s,
+              row_number() OVER (PARTITION BY a.key ORDER BY a.c + b.c)
+                AS r,
+              count(*) OVER (PARTITION BY a.key) AS nw
+       FROM t a JOIN t b ON a.key = b.key AND a.rn <= b.rn),
+hl AS (SELECT key,
+              CAST(sum(CASE WHEN r = (nw + 1) // 2 THEN s ELSE 0 END)
+                   + sum(CASE WHEN r = nw // 2 + 1 THEN s ELSE 0 END)
+                   AS BIGINT) AS hl_x4
+       FROM wr GROUP BY 1),
+dr AS (SELECT a.key, b.c - a.c AS d,
+              row_number() OVER (PARTITION BY a.key ORDER BY b.c - a.c)
+                AS r
+       FROM t a JOIN t b ON a.key = b.key AND a.rn < b.rn),
+qn AS (SELECT dr.key, CAST(sum(d) AS BIGINT) AS qn_d
+       FROM dr JOIN su ON dr.key = su.key
+       WHERE dr.r = (n_obs // 2 + 1) * (n_obs // 2) // 2
+       GROUP BY 1)
+SELECT su.key, su.n_obs, hl.hl_x4, qn.qn_d,
+       round(CAST(hl_x4 AS DOUBLE) / 400.0, 6) + 0.0 AS hl,
+       round(2.2219 * CAST(qn_d AS DOUBLE) / 100.0, 6) AS qn
+FROM su JOIN hl ON su.key = hl.key JOIN qn ON su.key = qn.key
+""",
+        # Ferro-Segers over the top-30 exceedances: gap moments exact
+        # int64 whole seconds; theta is the Spark tree verbatim.
+        "extremal_index": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+r AS (SELECT key, us, c,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY c DESC, us ASC) AS rk
+      FROM t),
+g AS (SELECT key, c,
+             (us - lag(us) OVER (PARTITION BY key ORDER BY us))
+               // 1000000 AS tg
+      FROM r WHERE rk <= 30),
+a AS (SELECT key, count(*) AS n_exc, min(c) AS u_cents,
+             CAST(sum(tg) AS BIGINT) AS sum_t,
+             CAST(sum(tg * tg) AS BIGINT) AS sum_t2
+      FROM g GROUP BY 1 HAVING count(*) = 30)
+SELECT key, n_exc, u_cents, sum_t, sum_t2,
+  CASE WHEN sum_t2 > 0 THEN
+    round(least(1.0,
+                2.0 * CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE)
+                / (29 * CAST(sum_t2 AS DOUBLE))), 6)
+  END AS theta
+FROM a
+""",
+        # Rayleigh: exact integer us-of-day angles; trig sums round-6
+        # per the perio_decl precedent; +0.0 normalizes signed zero.
+        "rayleigh": """
+WITH t AS (
+  SELECT user_id AS key,
+         2 * pi() * CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+           / 86400000000.0 AS theta
+  FROM events
+),
+a AS (SELECT key, count(*) AS n_obs,
+             sum(cos(theta)) AS cs, sum(sin(theta)) AS ss
+      FROM t GROUP BY 1 HAVING count(*) >= 8)
+SELECT key, n_obs,
+       round(cs / CAST(n_obs AS DOUBLE), 6) + 0.0 AS c_bar,
+       round(ss / CAST(n_obs AS DOUBLE), 6) + 0.0 AS s_bar,
+       round(sqrt(cs * cs + ss * ss) / CAST(n_obs AS DOUBLE), 6) AS rbar,
+       round((cs * cs + ss * ss) / CAST(n_obs AS DOUBLE), 6) AS z
+FROM a
 """,
         # Engle-Granger: residual sums expanded onto the HUGEINT pair
         # lattice; alpha/beta/gamma/t are the Spark tree verbatim.

@@ -757,3 +757,56 @@ def test_wilcoxon_plan_fully_declarative(spark):
     assert t.count("Exchange") == 2
     assert "FlatMapGroupsInPandas" not in t
     assert "EvalPython" not in p and "Python" not in p
+
+
+def test_pair_robust_plan_one_scan_one_exchange(spark):
+    """HL/Qn pairwise order statistics: ONE raw scan, ONE exchange
+    (the key hash for the grouped Arrow UDF), no join, no window —
+    the O(n^2) pair join lives only in the oracle."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["pair_robust"](spark, "/root/testdata/sf0.001"))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert t.count("Exchange") == 1
+    assert t.count("FlatMapGroupsInPandas") == 1
+    assert "EvalPython" not in p
+
+
+def test_extremal_index_plan_topk_prune_before_exchange(spark):
+    """Ferro-Segers: the top-k rank prune must push a map-side
+    WindowGroupLimit BELOW the single key exchange (so only ~k rows
+    per key per input partition shuffle), the gap window and the
+    partial+final aggregate ride the same partitioning, no join."""
+    import __spark_entry__ as E
+
+    p = plan_of(
+        E.queries()["extremal_index"](spark, "/root/testdata/sf0.001")
+    )
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert t.count("Exchange") == 1
+    assert t.count("WindowGroupLimit") == 2  # partial (map-side) + final
+    ex = next(i for i, ln in enumerate(tree) if "Exchange" in ln)
+    wgl_below = [i for i, ln in enumerate(tree) if "WindowGroupLimit" in ln and i > ex]
+    assert wgl_below, "map-side WindowGroupLimit must sit below the Exchange"
+    assert "Python" not in p
+
+
+def test_rayleigh_plan_single_agg_no_window(spark):
+    """Rayleigh: one scan, one partial+final hash aggregate around a
+    single exchange — no window, no join, no Python anywhere."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["rayleigh"](spark, "/root/testdata/sf0.001"))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t and "Window" not in t
+    assert t.count("Exchange") == 1
+    assert t.count("HashAggregate") == 2
+    assert "Python" not in p

@@ -1,0 +1,143 @@
+"""Pairwise-order-statistic robust estimators — the Hodges–Lehmann
+pseudo-median and the Rousseeuw–Croux Qn scale — WITHOUT materializing
+the O(n^2) pairs.
+
+Both statistics are order statistics over a pairwise multiset of an
+irregular series' values (tits keeps raw ticks per key,
+ref:/root/reference/src/tits.c — these are the robust location/scale
+partners of winsorized_stats and lmoments):
+
+    HL  = median over { (c_i + c_j) / 2 : i <= j }   (Walsh averages;
+          Hodges & Lehmann 1963, public formula)
+    Qn  = d * { |c_i - c_j| : i < j }_(k),  k = C(h,2), h = n//2 + 1
+          (Rousseeuw & Croux, JASA 1993, public formula; d = 2.2219
+          is the asymptotic Gaussian-consistency constant — the
+          finite-sample correction factors are intentionally omitted
+          and documented, so the estimate is the pure order statistic)
+
+Exactness: values are cents-quantized BIGINT (the repo's standard
+device). A pairwise SUM or DIFFERENCE of two cent values is itself an
+exact int64, and the selected order statistic is one of those exact
+integers — so the whole comparison surface (n_obs, hl_x4 = the two
+middle Walsh SUMS added, qn_d = the k-th smallest pairwise distance)
+is integer, and the readable doubles are one fixed expression tree
+over it (round 6, the cross-engine device).
+
+Scale design (the 100 TB argument): the oracle's O(n^2) per-key pair
+join is exactly what this operator REFUSES to run. The k-th smallest
+pairwise sum/difference is found by BINARY SEARCH OVER VALUE SPACE
+with a vectorized two-pointer count per probe (Johnson & Mizoguchi
+1978 select-in-X+Y lineage): counting pairs with c_i + c_j <= t (or
+c_j - c_i <= t) over the SORTED array is one np.searchsorted sweep,
+O(n log n) per probe and O(log range) probes — O(n log n log V) per
+key total, inside ONE grouped Arrow UDF riding the key exchange. The
+count monotone-steps only at achievable pair values, so the search
+lands exactly on the order statistic: no float, no materialized
+pairs, no join. Counts stay < 2^63 for any key under ~3e9 rows
+(n(n+1)/2 pairs), three orders past a decade of 1-second ticks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kth_pair_sum(c: np.ndarray, k: int) -> int:
+    """k-th smallest (1-indexed) of the multiset {c[i] + c[j] : i <= j}
+    over SORTED int64 ``c``, by value-space binary search; O(n log n)
+    per probe, never materializing the pairs."""
+    lo = int(c[0]) * 2
+    hi = int(c[-1]) * 2
+    ar = np.arange(c.size, dtype=np.int64)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        # pairs (i <= j) with c_i + c_j <= mid: for each i, every
+        # j in [i, searchsorted_right(mid - c_i)) qualifies
+        idx = np.searchsorted(c, mid - c, side="right")
+        cnt = int(np.maximum(0, idx - ar).sum())
+        if cnt >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+def kth_pair_diff(c: np.ndarray, k: int) -> int:
+    """k-th smallest (1-indexed) of {c[j] - c[i] : i < j} over SORTED
+    int64 ``c`` — the multiset of pairwise distances."""
+    lo = 0
+    hi = int(c[-1]) - int(c[0])
+    ar = np.arange(c.size, dtype=np.int64)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        # pairs (i < j) with c_j - c_i <= mid: for each j, every
+        # i in [searchsorted_left(c_j - mid), j) qualifies
+        idx = np.searchsorted(c, c - mid, side="left")
+        cnt = int((ar - idx).sum())
+        if cnt >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+def robust_pair_stats(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    min_points: int = 4,
+) -> DataFrame:
+    """Per-key Hodges–Lehmann pseudo-median and Rousseeuw–Croux Qn.
+
+    Returns (key, n_obs, hl_x4, qn_d, hl, qn): the row count, the two
+    middle Walsh SUMS added (4x the pseudo-median in cents — exact
+    int64), the k-th smallest pairwise distance in cents (exact
+    int64), then the readable doubles hl = hl_x4/400 and
+    qn = 2.2219 * qn_d / 100, each one fixed round-6 tree. Keys with
+    fewer than ``min_points`` rows are dropped.
+    """
+    cents = F.round(F.col(value) * 100).cast("long").alias("c")
+    rows = df.select(F.col(key).alias("key"), cents)
+    key_t = dict(rows.dtypes)["key"]
+    out_schema = f"key {key_t}, n_obs long, hl_x4 long, qn_d long"
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(pdf["c"].to_numpy(np.int64), kind="mergesort")
+        n = c.size
+        if n < min_points:
+            return pd.DataFrame(
+                {
+                    "key": pdf["key"].iloc[:0],
+                    "n_obs": pd.Series([], dtype=np.int64),
+                    "hl_x4": pd.Series([], dtype=np.int64),
+                    "qn_d": pd.Series([], dtype=np.int64),
+                }
+            )
+        n_walsh = n * (n + 1) // 2
+        k1 = (n_walsh + 1) // 2
+        k2 = n_walsh // 2 + 1
+        s1 = kth_pair_sum(c, k1)
+        s2 = s1 if k1 == k2 else kth_pair_sum(c, k2)
+        h = n // 2 + 1
+        kq = h * (h - 1) // 2
+        qd = kth_pair_diff(c, kq)
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n_obs": [n],
+                "hl_x4": [s1 + s2],
+                "qn_d": [qd],
+            }
+        )
+
+    agg = rows.groupBy("key").applyInPandas(stats, schema=out_schema)
+    hl = F.round(F.col("hl_x4").cast("double") / F.lit(400.0), 6) + F.lit(0.0)
+    qn = F.round(
+        F.lit(2.2219) * F.col("qn_d").cast("double") / F.lit(100.0), 6
+    )
+    return agg.select(
+        "key", "n_obs", "hl_x4", "qn_d", hl.alias("hl"), qn.alias("qn")
+    )

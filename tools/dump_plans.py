@@ -478,6 +478,32 @@ def main() -> None:
         E.q_wilcoxon_sr(spark, SF),
     )
 
+    add(
+        "pair_robust (Hodges-Lehmann + Qn, pairwise order statistics)",
+        "ONE scan, ONE exchange, one grouped Arrow UDF: the k-th "
+        "pairwise sum/difference is selected by value-space binary "
+        "search with a two-pointer count (O(n log n log V) per key) — "
+        "the O(n^2) pair join exists only in the DuckDB oracle.",
+        E.q_pair_robust(spark, SF),
+    )
+
+    add(
+        "extremal_index (Ferro-Segers exceedance clustering)",
+        "Top-k rank prune pushes a map-side WindowGroupLimit BELOW the "
+        "single key exchange (only ~k rows per key per input partition "
+        "shuffle); the gap window and the partial+final aggregate ride "
+        "the same partitioning. No join, no Python.",
+        E.q_extremal_index(spark, SF),
+    )
+
+    add(
+        "rayleigh (circular time-of-day uniformity)",
+        "One scan, one partial+final hash aggregate around a single "
+        "exchange — no window, no join, no UDF: the cheapest plan "
+        "shape in the repo (map-side combine does nearly all work).",
+        E.q_rayleigh(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
