@@ -3776,6 +3776,26 @@ def q_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extremal_index(_events(spark, sf_dir), k=30)
 
 
+def q_energy_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szekely-Rizzo energy-distance two-sample test between the x and
+    y event-value samples per user: all three pairwise |diff| sums
+    reduce to exact integer order-statistic identities (within: the
+    (2i-n-1) rank form; cross: sorted-merge gaps times straddling-pair
+    counts) in ONE window chain riding one key exchange — the oracle
+    runs the O(n^2) pair joins this operator refuses. Sums fit BIGINT
+    at this star's magnitudes (decimal(38,0) in the operator)."""
+    from tits_spark.operators.energy import energy_distance
+
+    out = energy_distance(_xyseries(spark, sf_dir))
+    return out.select(
+        "key", "nx", "ny",
+        F.col("sum_xx").cast("long").alias("sum_xx"),
+        F.col("sum_yy").cast("long").alias("sum_yy"),
+        F.col("sum_xy").cast("long").alias("sum_xy"),
+        "e_stat", "t_stat",
+    )
+
+
 def q_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rayleigh time-of-day uniformity test per user: mean resultant
     of the exact integer microsecond-of-day angles in ONE hash
@@ -3801,7 +3821,7 @@ _R5_HEAD = [
     "variance_ratio", "spearman_xcorr", "mann_whitney",
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",
     "heaps_growth", "zipf_slope", "novelty_ngrams", "pmi_pairs",
-    "tpch_q1", "rollup_1mo", "pair_robust", "extremal_index",
+    "tpch_q1", "energy_dist", "pair_robust", "extremal_index",
     "rayleigh", "kendall_tau", "data_profile", "seasonal_mk", "hy_cov",
     "hy_lead_lag",
 ]
@@ -3901,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_robust": q_pair_robust,
         "extremal_index": q_extremal_index,
         "rayleigh": q_rayleigh,
+        "energy_dist": q_energy_dist,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6743,6 +6764,58 @@ SELECT key, n_exc, u_cents, sum_t, sum_t2,
                 / (29 * CAST(sum_t2 AS DOUBLE))), 6)
   END AS theta
 FROM a
+""",
+        # energy distance: the oracle RUNS the O(n^2) within/cross pair
+        # joins; the statistic trees mirror the operator verbatim.
+        "energy_dist": """
+WITH t AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type IN ('click', 'view') THEN 'x'
+              ELSE 'y' END AS s,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (
+           PARTITION BY user_id,
+             CASE WHEN event_type IN ('click', 'view') THEN 'x'
+                  ELSE 'y' END
+           ORDER BY CAST(round(value * 100) AS BIGINT), ts) AS rn
+  FROM events
+),
+su AS (SELECT key,
+              CAST(sum(CASE WHEN s = 'x' THEN 1 ELSE 0 END) AS BIGINT)
+                AS nx,
+              CAST(sum(CASE WHEN s = 'y' THEN 1 ELSE 0 END) AS BIGINT)
+                AS ny
+       FROM t GROUP BY 1
+       HAVING nx >= 2 AND ny >= 2),
+xx AS (SELECT a.key, CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sum_xx
+       FROM t a JOIN t b
+         ON a.key = b.key AND a.s = 'x' AND b.s = 'x' AND a.rn < b.rn
+       GROUP BY 1),
+yy AS (SELECT a.key, CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sum_yy
+       FROM t a JOIN t b
+         ON a.key = b.key AND a.s = 'y' AND b.s = 'y' AND a.rn < b.rn
+       GROUP BY 1),
+xy AS (SELECT a.key, CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sum_xy
+       FROM t a JOIN t b
+         ON a.key = b.key AND a.s = 'x' AND b.s = 'y'
+       GROUP BY 1),
+fin AS (SELECT su.key, nx, ny, sum_xx, sum_yy, sum_xy,
+          (2.0 * CAST(sum_xy AS DOUBLE)
+             / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+           - 2.0 * CAST(sum_xx AS DOUBLE)
+             / (CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))
+           - 2.0 * CAST(sum_yy AS DOUBLE)
+             / (CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE))) / 100.0
+            AS e_raw
+        FROM su JOIN xx ON su.key = xx.key
+                JOIN yy ON su.key = yy.key
+                JOIN xy ON su.key = xy.key)
+SELECT key, nx, ny, sum_xx, sum_yy, sum_xy,
+       round(e_raw, 6) + 0.0 AS e_stat,
+       round(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+             / (CAST(nx AS DOUBLE) + CAST(ny AS DOUBLE)) * e_raw, 6)
+         + 0.0 AS t_stat
+FROM fin
 """,
         # Rayleigh: exact integer us-of-day angles; trig sums round-6
         # per the perio_decl precedent; +0.0 normalizes signed zero.

@@ -810,3 +810,19 @@ def test_rayleigh_plan_single_agg_no_window(spark):
     assert t.count("Exchange") == 1
     assert t.count("HashAggregate") == 2
     assert "Python" not in p
+
+
+def test_energy_dist_plan_one_scan_one_exchange(spark):
+    """Energy distance: ONE raw scan, ONE key exchange — the side-major
+    rank, cumulative straddle counts, gap lead and final aggregate all
+    ride hashpartitioning(key); no join, no Python (the O(n^2) pair
+    joins live only in the oracle)."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["energy_dist"](spark, "/root/testdata/sf0.001"))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert t.count("Exchange") == 1
+    assert "Python" not in p

@@ -497,6 +497,17 @@ def main() -> None:
     )
 
     add(
+        "energy_dist (Szekely-Rizzo two-sample energy distance)",
+        "ONE scan, ONE key exchange: the side-major rank (per-side rank "
+        "= global row number minus the x-count offset), cumulative "
+        "straddle counts, gap lead and the final aggregate all ride "
+        "hashpartitioning(key). All three pairwise |diff| sums are "
+        "exact order-statistic identities — the O(n^2) pair joins "
+        "exist only in the oracle.",
+        E.q_energy_dist(spark, SF),
+    )
+
+    add(
         "rayleigh (circular time-of-day uniformity)",
         "One scan, one partial+final hash aggregate around a single "
         "exchange — no window, no join, no UDF: the cheapest plan "
