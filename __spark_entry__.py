@@ -3776,6 +3776,17 @@ def q_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extremal_index(_events(spark, sf_dir), k=30)
 
 
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman complete-block test of weekday effect on daily event
+    counts per user (blocks = weeks, zero-filled by the bounded gap
+    explode so interior weeks are complete by construction): doubled-
+    midrank numerator and A4 exact int64, chi2 one fixed double
+    tree. The blocked companion of kruskal_wallis."""
+    from tits_spark.operators.friedman import friedman_weekday
+
+    return friedman_weekday(_events(spark, sf_dir))
+
+
 def q_energy_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Szekely-Rizzo energy-distance two-sample test between the x and
     y event-value samples per user: all three pairwise |diff| sums
@@ -3821,7 +3832,7 @@ _R5_HEAD = [
     "variance_ratio", "spearman_xcorr", "mann_whitney",
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",
     "heaps_growth", "zipf_slope", "novelty_ngrams", "pmi_pairs",
-    "tpch_q1", "energy_dist", "pair_robust", "extremal_index",
+    "friedman", "energy_dist", "pair_robust", "extremal_index",
     "rayleigh", "kendall_tau", "data_profile", "seasonal_mk", "hy_cov",
     "hy_lead_lag",
 ]
@@ -3922,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extremal_index": q_extremal_index,
         "rayleigh": q_rayleigh,
         "energy_dist": q_energy_dist,
+        "friedman": q_friedman,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6764,6 +6776,43 @@ SELECT key, n_exc, u_cents, sum_t, sum_t2,
                 / (29 * CAST(sum_t2 AS DOUBLE))), 6)
   END AS theta
 FROM a
+""",
+        # Friedman: week blocks over zero-filled daily counts; doubled
+        # midranks; num/a4 exact int64; chi2 the Spark tree verbatim.
+        "friedman": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS n_day
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS dd, mn, mx
+       FROM (SELECT key, min(d) AS mn, max(d) AS mx
+             FROM daily GROUP BY 1)),
+g AS (SELECT sp.key, sp.dd, sp.mn, sp.mx,
+             coalesce(daily.n_day, 0) AS c
+      FROM sp LEFT JOIN daily
+        ON daily.key = sp.key AND daily.d = sp.dd),
+cells AS (SELECT key, dd // 7 AS blk, dd % 7 AS trt, c
+          FROM g
+          WHERE (dd // 7) * 7 >= mn AND (dd // 7) * 7 + 6 <= mx),
+r AS (SELECT key, blk, trt,
+             2 * rank() OVER (PARTITION BY key, blk ORDER BY c)
+               + count(*) OVER (PARTITION BY key, blk, c) - 1 AS r2
+      FROM cells),
+pt AS (SELECT key, trt, CAST(sum(r2) AS BIGINT) AS r2j,
+              CAST(sum(r2 * r2) AS BIGINT) AS a4p,
+              count(*) AS n
+       FROM r GROUP BY 1, 2),
+pk AS (SELECT key, CAST(max(n) AS BIGINT) AS n_blocks,
+              CAST(sum((r2j - 8 * n) * (r2j - 8 * n)) AS BIGINT) AS num,
+              CAST(sum(a4p) AS BIGINT) AS a4
+       FROM pt GROUP BY 1 HAVING max(n) >= 2)
+SELECT key, n_blocks, num, a4,
+  CASE WHEN a4 - 448 * n_blocks > 0 THEN
+    round(6.0 * CAST(num AS DOUBLE)
+          / CAST(a4 - 448 * n_blocks AS DOUBLE), 6)
+  END AS chi2
+FROM pk
 """,
         # energy distance: the oracle RUNS the O(n^2) within/cross pair
         # joins; the statistic trees mirror the operator verbatim.

@@ -826,3 +826,21 @@ def test_energy_dist_plan_one_scan_one_exchange(spark):
     assert "Join" not in t
     assert t.count("Exchange") == 1
     assert "Python" not in p
+
+
+def test_friedman_plan_two_exchanges_no_join(spark):
+    """Friedman: one scan, TWO exchanges — (key, day) daily partials,
+    then one key exchange that the span windows, the bounded zero-fill
+    Generate, the (key, blk) rank windows AND both final aggregates
+    all ride (hashpartitioning(key) satisfies every downstream
+    clustering); no join, no Python."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.queries()["friedman"](spark, "/root/testdata/sf0.001"))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert t.count("Exchange") == 2
+    assert "Generate" in t
+    assert "Python" not in p

@@ -1,0 +1,144 @@
+"""Friedman test per key — does the DAY OF WEEK shift a key's
+activity level, once each week is allowed its own level? (Friedman
+1937, public formula; the tie-corrected form, e.g. Conover 1999.)
+
+The complete-block companion of kruskal_wallis (which pools all days
+into independent samples and is blind to week-to-week drift): blocks
+= week index (epoch-day // 7), treatments = weekday (epoch-day % 7) —
+pure integer arithmetic, no calendar, identical cross-engine. The
+blocked design cancels trend/level differences BETWEEN weeks; ranking
+within each week isolates the weekday effect.
+
+Cell values are DAILY EVENT COUNTS with explicit zero-fill: the daily
+partial aggregate gap-fills missing days by the bounded
+explode-to-next-observation device (locf_bucket_grid's shape, but
+carrying 0 instead of the last value — a count, unlike a gauge, IS
+zero on a silent day), so every week inside the key's observed span
+[min_day, max_day] is complete BY CONSTRUCTION and enters; boundary
+part-weeks are dropped. Ranks are midranks within each block on the
+DOUBLED integer lattice (2*midrank = 2*rank_min + t - 1 for a tie
+group of size t — rank_tests.py's device; zero-heavy count rows make
+the tie correction load-bearing, not decorative). With k = 7 and n
+complete weeks, R2_j = sum of doubled midranks of weekday j and A4 =
+sum of squared doubled midranks:
+
+    chi2 = (k-1) * sum_j (R2_j - 8n)^2 / (A4 - 448n)
+
+— numerator and denominator EXACT int64 (the 2x/4x scalings cancel),
+chi2 one fixed double tree, NULL when every day of every week is tied
+(A4 == 448n). ~chi2(6) under H0.
+
+Scale shape: one raw scan -> one (key, day) hash aggregate (the daily
+partial collapses 10^12 turns to key-days BEFORE anything else), one
+(key)-window gap explode bounded by the span in days, block windows
+and two bounded aggregates — no join, no UDF, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tits_spark.functions.exprs import epoch_us, floordiv
+
+DAY_US = 86_400_000_000
+K = 7  # weekday treatments
+
+
+def friedman_weekday(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_blocks: int = 2,
+) -> DataFrame:
+    """Per-key Friedman test of weekday effect on daily event counts
+    over complete weeks.
+
+    Returns (key, n_blocks, num, a4, chi2): the complete-week count,
+    the exact integer numerator sum_j (R2_j - 8n)^2 and doubled-
+    midrank square sum A4, and the tie-corrected statistic (round 6,
+    NULL when all-tied). Keys with fewer than ``min_blocks`` complete
+    weeks are dropped.
+    """
+    daily = (
+        df.select(
+            F.col(key).alias("key"),
+            floordiv(epoch_us(ts), DAY_US).alias("d"),
+        )
+        .groupBy("key", "d")
+        .agg(F.count(F.lit(1)).alias("n_day"))
+    )
+    wk = Window.partitionBy("key")
+    wo = Window.partitionBy("key").orderBy("d")
+    spine = (
+        daily.withColumn("mn", F.min("d").over(wk))
+        .withColumn("mx", F.max("d").over(wk))
+        .withColumn("nd", F.lead("d").over(wo))
+        .select(
+            "key",
+            "d",
+            "n_day",
+            "mn",
+            "mx",
+            F.explode(
+                F.sequence(F.col("d"), F.coalesce(F.col("nd") - 1, F.col("d")))
+            ).alias("dd"),
+        )
+        .select(
+            "key",
+            "mn",
+            "mx",
+            F.col("dd"),
+            F.when(F.col("dd") == F.col("d"), F.col("n_day"))
+            .otherwise(F.lit(0))
+            .alias("c"),
+        )
+    )
+    blk = floordiv(F.col("dd"), K)
+    cells = spine.select(
+        "key",
+        blk.alias("blk"),
+        (F.col("dd") - blk * K).alias("trt"),
+        "c",
+        "mn",
+        "mx",
+    ).filter(
+        (F.col("blk") * K >= F.col("mn"))
+        & (F.col("blk") * K + (K - 1) <= F.col("mx"))
+    )
+    wr = Window.partitionBy("key", "blk").orderBy("c")
+    wt = Window.partitionBy("key", "blk", "c")
+    ranked = cells.withColumn(
+        "r2", 2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+    )
+    per_trt = ranked.groupBy("key", "trt").agg(
+        F.sum("r2").alias("r2j"),
+        F.sum(F.col("r2") * F.col("r2")).alias("a4p"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = F.col("r2j") - (K + 1) * F.col("n")
+    per_key = (
+        per_trt.groupBy("key")
+        .agg(
+            F.max("n").alias("n_blocks"),
+            F.sum(dev * dev).alias("num"),
+            F.sum("a4p").alias("a4"),
+        )
+        .filter(F.col("n_blocks") >= int(min_blocks))
+    )
+    denom = F.col("a4") - F.lit(K * (K + 1) * (K + 1)) * F.col("n_blocks")
+    chi2 = F.when(
+        denom > 0,
+        F.round(
+            F.lit(float(K - 1)) * F.col("num").cast("double")
+            / denom.cast("double"),
+            6,
+        ),
+    )
+    return per_key.select(
+        "key",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "num",
+        "a4",
+        chi2.alias("chi2"),
+    )

@@ -497,6 +497,17 @@ def main() -> None:
     )
 
     add(
+        "friedman (weekday-effect complete-block rank test)",
+        "One scan, TWO exchanges: the (key, day) daily partial "
+        "collapses raw turns to key-days, then ONE key exchange that "
+        "the span windows, the bounded zero-fill Generate, the "
+        "(key, blk) rank windows and both final aggregates all ride "
+        "(hashpartitioning(key) satisfies every downstream "
+        "clustering). No join, no Python.",
+        E.q_friedman(spark, SF),
+    )
+
+    add(
         "energy_dist (Szekely-Rizzo two-sample energy distance)",
         "ONE scan, ONE key exchange: the side-major rank (per-side rank "
         "= global row number minus the x-count offset), cumulative "

@@ -465,6 +465,33 @@ def main() -> None:
     results.append(("records_stream (per-key record highs)", nb, nr, sec,
                     *_bitwise_equal(got, want)))
 
+    # ---- extremal index (bounded top-k exceedance set carried as 2k
+    # integers; membership is an exact order-statistic decision, so
+    # the final readout must be BIT-equal to batch on the int surface)
+    from pyspark.sql import Window as W
+
+    from tits_spark.operators.extremal import extremal_index
+    from tits_spark.streaming.extremal_stream import stream_extremal_index
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_extremal_index(
+            spark, s, SCHEMA, o, c, k=30, max_files_per_trigger=1,
+        ),
+        "extremal",
+    )
+    want = extremal_index(ev, k=30).select(
+        "key", "n_exc", "u_cents", "sum_t", "sum_t2")
+    wlast = W.partitionBy("key").orderBy(F.desc("n_seen"))
+    got = (
+        spark.read.parquet(out)
+        .withColumn("_r", F.row_number().over(wlast))
+        .filter((F.col("_r") == 1) & (F.col("n_exc") == 30))
+        .select("key", "n_exc", "u_cents", "sum_t", "sum_t2")
+    )
+    results.append(("extremal_stream (top-k exceedance moments)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
     # ---- transfer entropy (two-sided LOCF grid as 29 carried
     # integers; the 16-cell lattice must be BIT-exact after restarts —
     # a single miscounted gap bucket shows up as a cell diff)
@@ -813,6 +840,13 @@ run incrementally" job with a persisted book table — is checked for
 restart-INVARIANCE: the phased run with 2 restarts must emit
 byte-identical results to one uninterrupted run over the same
 micro-batch boundaries (20 quote chunks, planted 30/70 ms lags).
+
+extremal_stream (twin #24) carries the top-k exceedance set as 2k+1
+integers per key; membership is a pure order-statistic decision over
+exact cents, so after any prefix of the stream — including phases
+that deliver the LARGEST values mid-stream — the final (n_exc,
+u_cents, sum_t, sum_t2) readout must be bit-equal to the batch
+operator's integer surface.
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
