@@ -518,6 +518,20 @@ def main() -> None:
 
     repeat("q24_causality", _body_q24_causality)
 
+    # q25: the round-5 robust/distributional wave — pairwise order
+    # statistics by value-space binary search (HL + Qn), exceedance
+    # clustering (Ferro-Segers), circular time-of-day uniformity
+    # (Rayleigh), two-sample energy distance (declarative sorted-gap
+    # identity) and the Friedman weekday block test
+    def _body_q25_robust_family():
+        for q in (
+            E.q_pair_robust, E.q_extremal_index, E.q_rayleigh,
+            E.q_energy_dist, E.q_friedman,
+        ):
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    repeat("q25_robust_family", _body_q25_robust_family)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
