@@ -3776,6 +3776,17 @@ def q_extremal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extremal_index(_events(spark, sf_dir), k=30)
 
 
+def q_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic circular block bootstrap CI for the per-user mean
+    (B=100 replicates, L=25 blocks, Knuth-hash starts): block sums are
+    prefix-sum endpoint differences fetched by ONE bounded-lattice
+    equi-join (the resampled series is never materialized), replicate
+    sums exact int64, CI bounds copied order statistics."""
+    from tits_spark.operators.bootstrap import block_bootstrap_mean
+
+    return block_bootstrap_mean(_events(spark, sf_dir))
+
+
 def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman complete-block test of weekday effect on daily event
     counts per user (blocks = weeks, zero-filled by the bounded gap
@@ -3826,7 +3837,7 @@ _R5_HEAD = [
     "event_study", "segreg", "rate_limit", "mutual_info", "tpch_q10",
     "tpch_q18", "staleness", "w1_drift", "lmoments", "source_overlap",
     "record_highs", "ecdf", "topk_per_group", "dispersion",
-    "survival_km", "survival_na", "occupancy", "rfm", "loghist",
+    "survival_km", "survival_na", "occupancy", "block_bootstrap", "loghist",
     "lev_pairs", "pagerank", "theil_sen", "granger", "transfer_entropy",
     "coint_eg", "motifs", "ks_two_sample", "runs_test",
     "variance_ratio", "spearman_xcorr", "mann_whitney",
@@ -3934,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rayleigh": q_rayleigh,
         "energy_dist": q_energy_dist,
         "friedman": q_friedman,
+        "block_bootstrap": q_block_bootstrap,
         "lmoments": q_lmoments,
         "source_overlap": q_source_overlap,
         "record_highs": q_record_highs,
@@ -6776,6 +6788,58 @@ SELECT key, n_exc, u_cents, sum_t, sum_t2,
                 / (29 * CAST(sum_t2 AS DOUBLE))), 6)
   END AS theta
 FROM a
+""",
+        # circular block bootstrap: identical Knuth-hash block starts,
+        # prefix-endpoint segment sums, copied order-statistic bounds.
+        "block_bootstrap": """
+WITH t AS (
+  SELECT user_id AS key, ts, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+pf AS (SELECT key,
+              row_number() OVER w AS i,
+              CAST(sum(c) OVER w AS BIGINT) AS p,
+              count(*) OVER (PARTITION BY key) AS n
+       FROM t
+       WINDOW w AS (PARTITION BY key ORDER BY ts, c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+hd AS (SELECT key, n, p AS sum_c FROM pf WHERE i = n AND n >= 8),
+lat AS (SELECT key, n, (n + 24) // 25 AS nj, unnest(range(0, 100)) AS r
+        FROM hd),
+lat2 AS (SELECT key, n, nj, r, unnest(range(0, nj)) AS j FROM lat),
+blk AS (SELECT key, n, r,
+               ((((key * 131071 + r * 1048576 + j) % 2147483648)
+                 * 2654435761) % 4294967296) % n AS s,
+               CASE WHEN j < nj - 1 THEN 25
+                    ELSE n - (nj - 1) * 25 END AS lj
+        FROM lat2),
+seg AS (
+  SELECT key, r, least(s + lj, n) AS pos, 1 AS sgn FROM blk
+  UNION ALL
+  SELECT key, r, s AS pos, -1 AS sgn FROM blk
+  UNION ALL
+  SELECT key, r, s + lj - n AS pos, 1 AS sgn FROM blk
+  WHERE s + lj - n > 0
+),
+sr AS (SELECT seg.key, seg.r, CAST(sum(sgn * p) AS BIGINT) AS srep
+       FROM seg JOIN pf ON pf.key = seg.key AND pf.i = seg.pos
+       WHERE seg.pos > 0
+       GROUP BY 1, 2),
+rk AS (SELECT key, srep, r,
+              row_number() OVER (PARTITION BY key ORDER BY srep, r) AS rk
+       FROM sr),
+ci AS (SELECT key,
+              min(CASE WHEN rk = 3 THEN srep END) AS lo_sum,
+              min(CASE WHEN rk = 98 THEN srep END) AS hi_sum
+       FROM rk WHERE rk IN (3, 98) GROUP BY 1)
+SELECT hd.key, hd.n AS n_obs, hd.sum_c, ci.lo_sum, ci.hi_sum,
+       round(CAST(sum_c AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100.0), 6) + 0.0 AS mean,
+       round(CAST(lo_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100.0), 6) + 0.0 AS ci_lo,
+       round(CAST(hi_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100.0), 6) + 0.0 AS ci_hi
+FROM hd JOIN ci ON hd.key = ci.key
 """,
         # Friedman: week blocks over zero-filled daily counts; doubled
         # midranks; num/a4 exact int64; chi2 the Spark tree verbatim.

@@ -844,3 +844,23 @@ def test_friedman_plan_two_exchanges_no_join(spark):
     assert t.count("Exchange") == 2
     assert "Generate" in t
     assert "Python" not in p
+
+
+def test_block_bootstrap_plan_single_scan_no_range_join(spark):
+    """Block bootstrap: the persisted prefix frame means ONE parquet
+    scan feeds all three consumers; block sums come from bounded
+    Generates + an EQUI-join on (key, pos) — no cartesian, no range
+    join, no Python."""
+    import __spark_entry__ as E
+
+    p = plan_of(
+        E.queries()["block_bootstrap"](spark, "/root/testdata/sf0.001")
+    )
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    # all three consumers read the cached prefix frame (the parquet
+    # scan prints inside each InMemoryRelation but executes once)
+    assert t.count("InMemoryTableScan") == 3
+    assert "CartesianProduct" not in t and "BroadcastNestedLoop" not in t
+    assert "Generate" in t
+    assert "Python" not in p

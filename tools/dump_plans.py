@@ -497,6 +497,18 @@ def main() -> None:
     )
 
     add(
+        "block_bootstrap (deterministic circular block bootstrap CI)",
+        "The resampled series is never materialized: each block is <= 2 "
+        "wrap segments, each segment two signed prefix-sum endpoint "
+        "lookups, so the lattice is ~4B/L rows per data row and joins "
+        "the PERSISTED prefix frame by equi-key (one parquet scan total "
+        "— three InMemoryTableScans). CI bounds are copied integer "
+        "order statistics; Knuth-hash starts make the whole thing a "
+        "pure function of the data at any parallelism.",
+        E.q_block_bootstrap(spark, SF),
+    )
+
+    add(
         "friedman (weekday-effect complete-block rank test)",
         "One scan, TWO exchanges: the (key, day) daily partial "
         "collapses raw turns to key-days, then ONE key exchange that "
