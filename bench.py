@@ -522,13 +522,15 @@ def main() -> None:
     # statistics by value-space binary search (HL + Qn), exceedance
     # clustering (Ferro-Segers), circular time-of-day uniformity
     # (Rayleigh), two-sample energy distance (declarative sorted-gap
-    # identity) and the Friedman weekday block test
+    # identity), the Friedman weekday block test and the deterministic
+    # circular block bootstrap CI (persisted prefix frame)
     def _body_q25_robust_family():
         for q in (
             E.q_pair_robust, E.q_extremal_index, E.q_rayleigh,
-            E.q_energy_dist, E.q_friedman,
+            E.q_energy_dist, E.q_friedman, E.q_block_bootstrap,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()  # bootstrap persists its prefix frame
 
     repeat("q25_robust_family", _body_q25_robust_family)
 
