@@ -3828,6 +3828,25 @@ def q_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rayleigh_uniformity(_events(spark, sf_dir))
 
 
+def q_hhi_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of per-key value totals per
+    hour: exact decimal share sums, hhi/top1_share/eff_keys each one
+    fixed double expression — two hash aggregates, no windows."""
+    from tits_spark.operators.concentration import hhi_per_bucket
+
+    return hhi_per_bucket(_events(spark, sf_dir))
+
+
+def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD(xi, sigma) fit per key via
+    probability-weighted moments over the top-50 exceedances: the
+    threshold is a copied order statistic, both PWM sums exact
+    decimals, xi/sigma fixed double trees (Hosking-Wallis 1987)."""
+    from tits_spark.operators.tail import gpd_pot
+
+    return gpd_pot(_events(spark, sf_dir), k=50)
+
+
 #: Round-5 driver head: the flagship rollup, `stochastic` (to prove the
 #: round-4 signed-zero oracle fix in a driver file), and 48 families
 #: NEVER sampled in any of CORRECTNESS_r01..r04 — the rotation the
@@ -3836,7 +3855,7 @@ _R5_HEAD = [
     "rollup_1m", "stochastic",
     "event_study", "segreg", "rate_limit", "mutual_info", "tpch_q10",
     "tpch_q18", "staleness", "w1_drift", "lmoments", "source_overlap",
-    "record_highs", "ecdf", "topk_per_group", "dispersion",
+    "record_highs", "hhi_hourly", "gpd_tail", "dispersion",
     "survival_km", "survival_na", "occupancy", "block_bootstrap", "loghist",
     "lev_pairs", "pagerank", "theil_sen", "granger", "transfer_entropy",
     "coint_eg", "motifs", "ks_two_sample", "runs_test",
@@ -4084,6 +4103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_peak": q_seasonal_peak,
         "exp_fit": q_exp_fit,
         "weekpart": q_weekpart,
+        "hhi_hourly": q_hhi_hourly,
+        "gpd_tail": q_gpd_tail,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -6788,6 +6809,66 @@ SELECT key, n_exc, u_cents, sum_t, sum_t2,
                 / (29 * CAST(sum_t2 AS DOUBLE))), 6)
   END AS theta
 FROM a
+""",
+        # HHI: exact decimal per-key bucket totals; three fixed double
+        # ratios over exact sums.
+        "hhi_hourly": """
+WITH t AS (
+  SELECT epoch_us(ts) // 3600000000 AS bucket, user_id AS key,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+p AS (SELECT bucket, key, sum(CAST(c AS HUGEINT)) AS s
+      FROM t WHERE c > 0 GROUP BY 1, 2),
+a AS (SELECT bucket, count(*) AS n_keys, sum(s) AS total_c,
+             sum(s * s) AS sumsq, max(s) AS top1_c
+      FROM p GROUP BY 1 HAVING count(*) >= 2)
+SELECT bucket, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(total_c AS BIGINT) AS total_c,
+       CAST(sumsq AS BIGINT) AS sumsq,
+       CAST(top1_c AS BIGINT) AS top1_c,
+       round(CAST(sumsq AS DOUBLE)
+             / (CAST(total_c AS DOUBLE) * CAST(total_c AS DOUBLE)), 6)
+         + 0.0 AS hhi,
+       round(CAST(top1_c AS DOUBLE) / CAST(total_c AS DOUBLE), 6) + 0.0
+         AS top1_share,
+       round(CAST(total_c AS DOUBLE) * CAST(total_c AS DOUBLE)
+             / CAST(sumsq AS DOUBLE), 6) + 0.0 AS eff_keys
+FROM a
+""",
+        # GPD-PWM over the top-50 exceedances: copied order-statistic
+        # threshold, exact HUGEINT PWM sums, fixed double xi/sigma
+        # (Hosking-Wallis 1987); D > 0 checked exactly on the lattice.
+        "gpd_tail": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+r AS (SELECT key, us, c,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY c DESC, us ASC) AS rk
+      FROM t),
+a AS (SELECT key, count(*) AS m,
+             max(CASE WHEN rk = 51 THEN c END) AS u_cents,
+             sum(CASE WHEN rk <= 50 THEN CAST(c AS HUGEINT) END) AS sc,
+             sum(CASE WHEN rk <= 50
+                 THEN CAST(rk - 1 AS HUGEINT) * c END) AS swc
+      FROM r WHERE rk <= 51 GROUP BY 1 HAVING count(*) = 51),
+m AS (SELECT key, u_cents,
+             sc - 50 * CAST(u_cents AS HUGEINT) AS m0,
+             swc - 1225 * CAST(u_cents AS HUGEINT) AS m1
+      FROM a)
+SELECT key, CAST(50 AS BIGINT) AS n_exc, u_cents,
+       CAST(m0 AS BIGINT) AS m0, CAST(m1 AS BIGINT) AS m1,
+       CASE WHEN 49 * m0 - 2 * m1 > 0 THEN
+         round(2.0 - 49.0 * CAST(m0 AS DOUBLE)
+               / CAST(49 * m0 - 2 * m1 AS DOUBLE), 6) + 0.0 END AS xi,
+       CASE WHEN 49 * m0 - 2 * m1 > 0 THEN
+         round(2.0 * CAST(m0 AS DOUBLE) * CAST(m1 AS DOUBLE)
+               / (50.0 * CAST(49 * m0 - 2 * m1 AS DOUBLE)), 6) + 0.0
+       END AS sigma_c
+FROM m
 """,
         # circular block bootstrap: identical Knuth-hash block starts,
         # prefix-endpoint segment sums, copied order-statistic bounds.

@@ -534,6 +534,15 @@ def main() -> None:
 
     repeat("q25_robust_family", _body_q25_robust_family)
 
+    # q26: concentration + extreme-value law — hourly HHI (two hash
+    # aggregates, zero windows) and the GPD-PWM peaks-over-threshold
+    # fit (hill's one-exchange top-k window shape)
+    def _body_q26_tail_concentration():
+        for q in (E.q_hhi_hourly, E.q_gpd_tail):
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    repeat("q26_tail_concentration", _body_q26_tail_concentration)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

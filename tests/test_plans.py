@@ -864,3 +864,32 @@ def test_block_bootstrap_plan_single_scan_no_range_join(spark):
     assert "CartesianProduct" not in t and "BroadcastNestedLoop" not in t
     assert "Generate" in t
     assert "Python" not in p
+
+
+def test_hhi_and_gpd_plan_shapes(spark, ev):
+    """Round-5 robust-wave additions: hhi is two partial+final hash
+    aggregates and nothing else (a bucket cross-section is an
+    aggregate, never a per-row window); gpd_pot is hill_tail's top-k
+    window shape — the rank filter plans a map-side WindowGroupLimit
+    below ONE key exchange, and the final groupBy(key) reuses that
+    partitioning."""
+    from tits_spark.operators.concentration import hhi_per_bucket
+    from tits_spark.operators.tail import gpd_pot
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+
+    p = plan_of(hhi_per_bucket(df))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Exchange") == 2
+    assert p.count("HashAggregate") >= 4  # partial+final x two levels
+    assert "Window" not in t and "Join" not in t
+    assert "Python" not in p and "CartesianProduct" not in t
+
+    p = plan_of(gpd_pot(df, k=10))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Exchange") == 1  # agg reuses the window partitioning
+    assert "WindowGroupLimit" in p  # rank<=k+1 prunes map-side
+    assert "Join" not in t
+    assert "Python" not in p and "CartesianProduct" not in t

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tits_spark.functions.exprs import epoch_us
+
 
 def hill_tail(
     df: DataFrame,
@@ -67,4 +69,132 @@ def hill_tail(
                 F.when(h > 0, F.lit(1.0) / h), 6
             ).alias("alpha"),
         )
+    )
+
+
+def gpd_pot(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    k: int = 50,
+) -> DataFrame:
+    """Peaks-over-threshold GPD fit per key via probability-weighted
+    moments (Hosking & Wallis, Technometrics 1987, public formula).
+
+    The threshold u is the (k+1)-th largest value on the cents
+    lattice (a copied order statistic — exact, cross-engine
+    bit-identical), the exceedances y_(1) <= ... <= y_(k) are the k
+    largest values minus u (exact nonnegative integer cents), and
+    with the two exact rank-weighted sums
+
+        M0 = sum_j y_(j)                    (decimal(38,0))
+        M1 = sum_j (k - j) * y_(j)          (decimal(38,0))
+        D  = (k - 1) * M0 - 2 * M1          (exact; > 0 required)
+
+    the PWM estimators of the GPD(xi, sigma) of the excess
+    distribution are
+
+        xi    = 2 - (k - 1) * M0 / D        (shape; > 0 heavy tail,
+                                             ~ 1/alpha_hill)
+        sigma = 2 * M0 * M1 / (k * D)       (scale, in cents)
+
+    — each ONE fixed double expression over exact integers, mirrored
+    verbatim in the DuckDB oracle, round-6 with signed zero
+    normalized. M1's ascending rank j is derived from the SAME
+    descending row_number used for the top-k membership (j = k+1-r),
+    so no second sort exists; within a block of tied y the sum of
+    (k-j)*y depends only on the block's rank span, making both sums
+    tie-invariant (the energy/gini rank-weight argument). Degenerate
+    tails (all exceedances equal => D = 0, checked EXACTLY on the
+    decimal lattice, never on a rounded double) return NULL xi/sigma.
+
+    This completes the EVT triptych: hill_tail says HOW heavy,
+    extremal_index says how CLUSTERED, gpd_pot gives the actual
+    excess-law parameters that turn a threshold into a return-level
+    forecast.
+
+    Plan shape: identical to hill_tail/extremal_index — one window
+    shuffle per key whose rank filter prunes to k+1 rows per key
+    before the aggregate (Spark plans a map-side WindowGroupLimit
+    below the exchange), and the final groupBy(key) reuses the
+    window's hashpartitioning — one exchange total, no joins.
+
+    Returns (key, n_exc, u_cents, m0, m1, xi, sigma_c).
+    """
+    kk = int(k)
+    if kk < 3:
+        raise ValueError("gpd_pot needs k >= 3 for a two-moment fit")
+    cents = F.round(F.col(value) * 100).cast("long")
+    rows = df.select(
+        F.col(key).alias("key"), epoch_us(ts).alias("us"), cents.alias("c")
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("c"), F.asc("us"))
+    top = rows.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= kk + 1
+    )
+    u = F.max(F.when(F.col("_r") == kk + 1, F.col("c")))
+    agg = (
+        top.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            u.alias("u_cents"),
+            F.sum(
+                F.when(F.col("_r") <= kk, F.col("c").cast("decimal(38,0)"))
+            ).alias("_sc"),
+            # ascending rank j = kk + 1 - _r, so (k - j) = _r - 1
+            F.sum(
+                F.when(
+                    F.col("_r") <= kk,
+                    (
+                        (F.col("_r") - 1).cast("decimal(19,0)") * F.col("c")
+                    ).cast("decimal(38,0)"),
+                )
+            ).alias("_swc"),
+        )
+        .filter(F.col("_m") == kk + 1)
+    )
+    # exceedance sums: y = c - u, so M0 = _sc - k*u and
+    # M1 = sum (_r - 1) * (c - u) = _swc - u * k(k-1)/2
+    m0 = (
+        F.col("_sc") - F.lit(kk) * F.col("u_cents").cast("decimal(38,0)")
+    ).alias("m0")
+    m1 = (
+        F.col("_swc")
+        - F.lit(kk * (kk - 1) // 2) * F.col("u_cents").cast("decimal(38,0)")
+    ).alias("m1")
+    withm = agg.select("key", "u_cents", m0, m1)
+    d = F.lit(kk - 1) * F.col("m0") - F.lit(2) * F.col("m1")
+    xi = F.when(
+        d > 0,
+        F.round(
+            F.lit(2.0)
+            - F.lit(float(kk - 1))
+            * F.col("m0").cast("double")
+            / d.cast("double"),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    sigma = F.when(
+        d > 0,
+        F.round(
+            F.lit(2.0)
+            * F.col("m0").cast("double")
+            * F.col("m1").cast("double")
+            / (F.lit(float(kk)) * d.cast("double")),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    # m0 <= k*max_cents and m1 <= k^2*max_cents: exact as BIGINT for
+    # any real k; the internal accumulation is decimal(38,0) regardless
+    return withm.select(
+        "key",
+        F.lit(kk).cast("long").alias("n_exc"),
+        "u_cents",
+        F.col("m0").cast("long").alias("m0"),
+        F.col("m1").cast("long").alias("m1"),
+        xi.alias("xi"),
+        sigma.alias("sigma_c"),
     )

@@ -538,6 +538,25 @@ def main() -> None:
         E.q_rayleigh(spark, SF),
     )
 
+    add(
+        "hhi_hourly (Herfindahl-Hirschman bucket concentration)",
+        "Two partial+final hash aggregates — (bucket, key) then "
+        "(bucket) — two exchanges, zero windows/joins/UDFs: a bucket's "
+        "cross-section is an AGGREGATE, so there is no single-task "
+        "bucket bottleneck at any key cardinality.",
+        E.q_hhi_hourly(spark, SF),
+    )
+
+    add(
+        "gpd_tail (peaks-over-threshold GPD fit, PWM)",
+        "hill_tail's top-k shape: the rank filter plans a map-side "
+        "WindowGroupLimit BELOW the single key exchange, so the "
+        "aggregate input is (k+1) rows per key regardless of input "
+        "size; the final groupBy(key) reuses the window partitioning "
+        "— one exchange total, no joins.",
+        E.q_gpd_tail(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
