@@ -69,6 +69,15 @@ def hhi_per_bucket(
     per_key = rows.groupBy("bucket", "key").agg(
         F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
     )
+    return hhi_finalize(per_key, min_keys=min_keys)
+
+
+def hhi_finalize(per_key: DataFrame, min_keys: int = 2) -> DataFrame:
+    """Final HHI stage over a (bucket, key, s) frame of exact per-key
+    decimal totals — factored out so the streaming twin
+    (streaming/hhi_stream.py) reads its merged share deltas through
+    the IDENTICAL expression tree and is bit-equal to batch by
+    construction."""
     agg = (
         per_key.groupBy("bucket")
         .agg(

@@ -641,6 +641,25 @@ def main() -> None:
     results.append(("hist_stream (per-bucket histogram deltas)", nb, nr,
                     sec, *_bitwise_equal(got, want)))
 
+    # ---- HHI share deltas (the CROSS-KEY continuous aggregate: a
+    # replayed micro-batch would tilt a bucket through a different
+    # key's share; same per-batch_id overwrite construction, and the
+    # reader goes through the batch operator's own finalize stage)
+    from tits_spark.operators.concentration import hhi_per_bucket
+    from tits_spark.streaming.hhi_stream import read_hhi, stream_hhi
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_hhi(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "hhi",
+    )
+    want = hhi_per_bucket(ev)
+    got = read_hhi(spark, out)
+    results.append(("hhi_stream (cross-key bucket concentration)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
     # ---- decontamination gate (stateless foreachBatch with the same
     # per-batch_id overwrite; restarts must neither drop nor duplicate
     # survivors)
@@ -856,6 +875,14 @@ exact cents, so after any prefix of the stream — including phases
 that deliver the LARGEST values mid-stream — the final (n_exc,
 u_cents, sum_t, sum_t2) readout must be bit-equal to the batch
 operator's integer surface.
+
+hhi_stream (twin #25) is the first CROSS-KEY state shape in the soak:
+per-bucket concentration mixes every key's share, so a dropped or
+replayed micro-batch corrupts a bucket through a DIFFERENT key than
+the one that moved — the restarts probe the per-batch_id delta
+construction against exactly that, and the reader derives HHI through
+the batch operator's own finalize stage over the merged exact integer
+totals, so the readout is bit-equal to batch by construction.
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
