@@ -3847,6 +3847,17 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test per user on the hourly LOCF grid
+    (the unit-root complement of the Engle-Granger ADF step): partial
+    sums and Bartlett autocovariances on the exact n-scaled integer
+    residual lattice (decimal(38,0) sums, no float mean anywhere);
+    eta is one fixed double tree over exact integers."""
+    from tits_spark.operators.kpss import kpss_level
+
+    return kpss_level(_events(spark, sf_dir))
+
+
 #: Round-5 driver head: the flagship rollup, `stochastic` (to prove the
 #: round-4 signed-zero oracle fix in a driver file), and 48 families
 #: NEVER sampled in any of CORRECTNESS_r01..r04 — the rotation the
@@ -4105,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekpart": q_weekpart,
         "hhi_hourly": q_hhi_hourly,
         "gpd_tail": q_gpd_tail,
+        "kpss": q_kpss,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9304,6 +9316,68 @@ SELECT p.key, count(*) AS n_freq,
 FROM p JOIN t USING (key)
 WHERE power > 0
 GROUP BY 1
+""",
+        # KPSS: identical hourly LOCF grid (the granger grid, one
+        # side), n-scaled integer residual lattice, HUGEINT sums; the
+        # eta/gamma0/s2_lrv double trees mirror the Spark expressions
+        # verbatim (den coefficients 2*(9-j) for L=8 Bartlett lags).
+        "kpss": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+lb AS (SELECT key, us // 3600000000 AS b, arg_max(c, us) AS c
+       FROM tk GROUP BY 1, 2),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(us // 3600000000) AS mn,
+                    max(us // 3600000000) AS mx
+             FROM tk GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(lb.c IGNORE NULLS) OVER w AS c
+      FROM sp LEFT JOIN lb ON lb.key = sp.key AND lb.b = sp.b
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+e AS (SELECT key, b,
+             count(*) OVER (PARTITION BY key) AS n,
+             CAST(count(*) OVER (PARTITION BY key) AS HUGEINT) * c
+               - sum(CAST(c AS HUGEINT)) OVER (PARTITION BY key) AS e
+      FROM g),
+cum AS (SELECT key, n, e,
+               sum(e) OVER (PARTITION BY key ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s,
+               lag(e, 1) OVER v AS e1, lag(e, 2) OVER v AS e2,
+               lag(e, 3) OVER v AS e3, lag(e, 4) OVER v AS e4,
+               lag(e, 5) OVER v AS e5, lag(e, 6) OVER v AS e6,
+               lag(e, 7) OVER v AS e7, lag(e, 8) OVER v AS e8
+        FROM e WINDOW v AS (PARTITION BY key ORDER BY b)),
+a AS (SELECT key, max(n) AS n_grid,
+             sum(s * s) AS ss2, sum(e * e) AS s2e,
+             sum(e * e1) AS g1, sum(e * e2) AS g2,
+             sum(e * e3) AS g3, sum(e * e4) AS g4,
+             sum(e * e5) AS g5, sum(e * e6) AS g6,
+             sum(e * e7) AS g7, sum(e * e8) AS g8
+      FROM cum GROUP BY 1 HAVING max(n) >= 30),
+d AS (SELECT key, n_grid, ss2, s2e,
+             9 * s2e + 16 * g1 + 14 * g2 + 12 * g3 + 10 * g4
+               + 8 * g5 + 6 * g6 + 4 * g7 + 2 * g8 AS den
+      FROM a)
+SELECT key, CAST(n_grid AS BIGINT) AS n_grid,
+  round(CAST(s2e AS DOUBLE)
+        / (CAST(n_grid AS DOUBLE) * CAST(n_grid AS DOUBLE)
+           * CAST(n_grid AS DOUBLE)), 2) AS gamma0,
+  CASE WHEN den > 0 THEN
+    round(CAST(den AS DOUBLE)
+          / (9.0 * (CAST(n_grid AS DOUBLE) * CAST(n_grid AS DOUBLE)
+                    * CAST(n_grid AS DOUBLE))), 2)
+  END AS s2_lrv,
+  CASE WHEN den > 0 THEN
+    round(9.0 * CAST(ss2 AS DOUBLE)
+          / (CAST(n_grid AS DOUBLE) * CAST(den AS DOUBLE)), 6)
+  END AS eta
+FROM d
 """,
     }
 

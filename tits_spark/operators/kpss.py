@@ -1,0 +1,158 @@
+"""KPSS level-stationarity test per key on the hourly LOCF grid —
+"is this series mean-reverting, or does it wander?"
+
+The unit-root COMPLEMENT of the Engle-Granger ADF step
+(operators/cointegration.py): ADF's null is "has a unit root", KPSS's
+null is "is level-stationary" (Kwiatkowski-Phillips-Schmidt-Shin 1992,
+public formula). Running both brackets the answer; on rolled-up tits
+tiers it is the gate between "model the level" and "model the
+differences". With demeaned residuals e_t = x_t - mean and partial
+sums S_t = sum_{i<=t} e_i,
+
+    eta = (1/n^2) * sum_t S_t^2 / s2_lrv
+
+where s2_lrv is the Bartlett long-run variance with L lags:
+gamma_0 + 2*sum_{j=1..L} (1 - j/(L+1)) * gamma_j,
+gamma_j = (1/n) sum_t e_t e_{t-j}. Large eta rejects stationarity
+(5% critical value 0.463 for the level case).
+
+Alignment is tits-style: the series is the hourly last-in-bucket +
+LOCF grid over the key's span (the single-sided use of
+granger.locf_bucket_grid — identical dedup/bucket determinism rules),
+so gaps do not fabricate spurious mean reversion.
+
+Exactness: cents-quantized values; every accumulated quantity is an
+INTEGER on the n-scaled residual lattice E_t = n*x_t - T (T = total,
+so E_t = n*e_t exactly — no float mean anywhere). Cumulative sums
+C_t = n*S_t are summed in decimal and the three moment families
+
+    ss2 = sum C_t^2             (= n^4 * sum S_t^2)
+    s2e = sum E_t^2             (= n^3 * gamma_0)
+    g_j = sum E_t * E_{t-j}     (= n^3 * gamma_j)
+
+accumulate in decimal(38,0), so no float partial-sum order exists
+anywhere. Bounds: |E| <= n*|c|max, |C| <= n^2*|c|max (< decimal(19)
+for n <= ~10^6 buckets at 6-figure cents) and ss2 <= n^5*|c|max^2
+(< 10^38 for n <= ~10^5 buckets) — beyond that, re-bucket to the next
+tits tier (daily), the engine's standard retention discipline.
+Clearing denominators with w_j = (L+1-j)/(L+1):
+
+    eta = (L+1) * ss2 / ( n * [ (L+1)*s2e + 2*sum_j (L+1-j)*g_j ] )
+
+Both engines convert the SAME exact decimal integers to double and
+evaluate ONE identical expression tree. The integer sums exceed 2^53,
+so the int->double conversions may differ by an ulp between engines
+(measured: one key in 150 at sf0.01) — a relative 1e-16 wobble. The
+ROUNDING QUANTA are therefore chosen per magnitude: eta is O(1) and
+rounds at 6dp (quantum 1e-6 >> 1e-16); gamma0/s2_lrv are O(cents^2)
+~1e8 where a 6dp quantum would demand 17 significant digits — more
+than a double HAS — so they round at 2dp (quantum 1e-2 >> the ~3e-8
+ulp wobble at that magnitude). The Bartlett weights make the
+denominator a positive-semidefinite quadratic form, so it is never
+negative; constant series (denominator 0) return NULL.
+
+Plan shape (the 100 TB argument): ONE raw scan; the grid costs two
+exchanges (granger.locf_bucket_grid), and every window below
+(per-key total, cumulative sum, the L lags) plus the final groupBy
+rides that same hashpartitioning(key) — no further exchange, no join,
+no UDF. The L=8 lag columns are a fixed-width widening, not a fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tits_spark.operators.granger import locf_bucket_grid
+
+DEC = "decimal(38,0)"
+D19 = "decimal(19,0)"
+
+
+def kpss_level(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    bucket_secs: int = 3600,
+    n_lags: int = 8,
+    min_obs: int = 30,
+) -> DataFrame:
+    """Per-key KPSS level-stationarity statistic over the hourly LOCF
+    grid. Returns (key, n_grid, gamma0, s2_lrv, eta): the grid length,
+    the residual variance and Bartlett long-run variance in cents^2
+    (round 6), and the KPSS statistic (round 6; NULL for constant
+    series). Keys shorter than ``min_obs`` grid buckets are dropped
+    (the Bartlett window needs n >> L; L is fixed, documented — an
+    n-dependent L would put a double pow() in the contract).
+    """
+    ll = int(n_lags)
+    if ll < 1:
+        raise ValueError("kpss_level needs n_lags >= 1")
+    mo = max(int(min_obs), 3 * (ll + 1))
+
+    grid = locf_bucket_grid(
+        df.withColumn("series", F.lit("x")),
+        key=key, ts=ts, value=value, series="series",
+        x_side="x", y_side="_none", bucket_secs=bucket_secs,
+    ).select("key", "b", F.col("xc").alias("c"))
+
+    wk = Window.partitionBy("key")
+    wc = (
+        Window.partitionBy("key")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("key").orderBy("b")
+
+    e = grid.select(
+        "key",
+        "b",
+        (F.count(F.lit(1)).over(wk) * F.col("c") - F.sum("c").over(wk))
+        .alias("e"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    cum = e.select(
+        "key",
+        "n",
+        F.col("e"),
+        F.sum(F.col("e").cast(D19)).over(wc).cast(D19).alias("s"),
+        *[F.lag("e", j).over(wo).alias(f"e{j}") for j in range(1, ll + 1)],
+    )
+
+    aggs = [
+        F.max("n").alias("n_grid"),
+        F.sum(F.col("s") * F.col("s")).alias("ss2"),
+        F.sum(F.col("e").cast(D19) * F.col("e")).alias("s2e"),
+    ]
+    for j in range(1, ll + 1):
+        aggs.append(
+            F.sum(F.col("e").cast(D19) * F.col(f"e{j}")).alias(f"g{j}")
+        )
+    agg = cum.groupBy("key").agg(*aggs).filter(F.col("n_grid") >= mo)
+
+    lp1 = ll + 1
+    den_dec = F.lit(lp1).cast(DEC) * F.col("s2e")
+    for j in range(1, ll + 1):
+        den_dec = den_dec + F.lit(2 * (lp1 - j)).cast(DEC) * F.col(f"g{j}")
+    n_d = F.col("n_grid").cast("double")
+    den = den_dec.cast("double")
+    n3 = n_d * n_d * n_d
+    eta = F.when(
+        den_dec > 0,
+        F.round(
+            F.lit(float(lp1)) * F.col("ss2").cast("double") / (n_d * den),
+            6,
+        ),
+    )
+    gamma0 = F.round(F.col("s2e").cast("double") / n3, 2)
+    s2_lrv = F.when(
+        den_dec > 0, F.round(den / (F.lit(float(lp1)) * n3), 2)
+    )
+    return agg.select(
+        "key",
+        F.col("n_grid").cast("long").alias("n_grid"),
+        gamma0.alias("gamma0"),
+        s2_lrv.alias("s2_lrv"),
+        eta.alias("eta"),
+    )
