@@ -3847,6 +3847,17 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_bns_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Barndorff-Nielsen-Shephard jump decomposition per user:
+    realized variance vs bipower variation over consecutive tick
+    returns — both sums exact int64 on the cents lattice; the relative
+    jump share is one fixed double tree with pi/2 embedded as the
+    identical repr literal on both engines."""
+    from tits_spark.operators.jumps import bns_jumps
+
+    return bns_jumps(_events(spark, sf_dir))
+
+
 def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPSS level-stationarity test per user on the hourly LOCF grid
     (the unit-root complement of the Engle-Granger ADF step): partial
@@ -4117,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_hourly": q_hhi_hourly,
         "gpd_tail": q_gpd_tail,
         "kpss": q_kpss,
+        "bns_jumps": q_bns_jumps,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9378,6 +9390,32 @@ SELECT key, CAST(n_grid AS BIGINT) AS n_grid,
           / (CAST(n_grid AS DOUBLE) * CAST(den AS DOUBLE)), 6)
   END AS eta
 FROM d
+""",
+        # BNS jumps: identical dedup rule, exact int64 return moments,
+        # pi/2 embedded as the same repr literal; + 0.0 normalizes the
+        # signed zero a tiny negative RJ can round to.
+        "bns_jumps": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+r AS (SELECT key, us, c - lag(c) OVER v AS r
+      FROM tk WINDOW v AS (PARTITION BY key ORDER BY us)),
+d AS (SELECT key, r, abs(r) * lag(abs(r)) OVER v AS p
+      FROM r WINDOW v AS (PARTITION BY key ORDER BY us)),
+a AS (SELECT key, count(r) AS n_ret,
+             CAST(sum(r * r) AS BIGINT) AS rv,
+             CAST(sum(p) AS BIGINT) AS bv_raw
+      FROM d GROUP BY 1 HAVING count(r) >= 20)
+SELECT key, CAST(n_ret AS BIGINT) AS n_ret, rv, bv_raw,
+  CASE WHEN rv > 0 THEN
+    round((CAST(rv AS DOUBLE)
+           - 1.5707963267948966 * CAST(bv_raw AS DOUBLE))
+          / CAST(rv AS DOUBLE), 6) + 0.0
+  END AS rj
+FROM a
 """,
     }
 
