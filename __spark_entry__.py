@@ -3847,6 +3847,17 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_tail_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper/lower tail dependence of x vs y per user on the
+    hourly LOCF grid (the tail counterpart of kendall/granger/hy_cov):
+    thresholds are copied order statistics under integer-floor rank
+    arithmetic, all six surfaces exact integer counts, each lambda one
+    division of exact ints."""
+    from tits_spark.operators.taildep import tail_dependence
+
+    return tail_dependence(_xyseries(spark, sf_dir))
+
+
 def q_bns_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Barndorff-Nielsen-Shephard jump decomposition per user:
     realized variance vs bipower variation over consecutive tick
@@ -4129,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpd_tail": q_gpd_tail,
         "kpss": q_kpss,
         "bns_jumps": q_bns_jumps,
+        "tail_dep": q_tail_dep,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9415,6 +9427,64 @@ SELECT key, CAST(n_ret AS BIGINT) AS n_ret, rv, bv_raw,
            - 1.5707963267948966 * CAST(bv_raw AS DOUBLE))
           / CAST(rv AS DOUBLE), 6) + 0.0
   END AS rj
+FROM a
+""",
+        # tail dependence: identical two-sided grid (the granger CTE),
+        # integer-floor rank thresholds, exact joint/marginal counts.
+        "tail_dep": """
+WITH t AS (
+  SELECT user_id AS key,
+         CASE WHEN event_type IN ('click', 'view') THEN 'x'
+              ELSE 'y' END AS s,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, s, us, max(c) AS c FROM t GROUP BY 1, 2, 3),
+hb AS (SELECT key, s, us // 3600000000 AS b, us, c FROM tk),
+lb AS (SELECT key, s, b, arg_max(c, us) AS c FROM hb GROUP BY 1, 2, 3),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(b) AS mn, max(b) AS mx FROM hb GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(xb.c IGNORE NULLS) OVER w AS xc,
+             last_value(yb.c IGNORE NULLS) OVER w AS yc
+      FROM sp
+      LEFT JOIN lb xb ON xb.key = sp.key AND xb.b = sp.b AND xb.s = 'x'
+      LEFT JOIN lb yb ON yb.key = sp.key AND yb.b = sp.b AND yb.s = 'y'
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+gg AS (SELECT * FROM g WHERE xc IS NOT NULL AND yc IS NOT NULL),
+r AS (SELECT key, b, xc, yc,
+             row_number() OVER (PARTITION BY key ORDER BY xc, b) AS rx,
+             row_number() OVER (PARTITION BY key ORDER BY yc, b) AS ry,
+             count(*) OVER (PARTITION BY key) AS n
+      FROM gg),
+th AS (SELECT key, xc, yc, n,
+              max(CASE WHEN rx = (9 * n) // 10 THEN xc END)
+                OVER (PARTITION BY key) AS xu,
+              max(CASE WHEN ry = (9 * n) // 10 THEN yc END)
+                OVER (PARTITION BY key) AS yu,
+              max(CASE WHEN rx = n - (9 * n) // 10 + 1 THEN xc END)
+                OVER (PARTITION BY key) AS xl,
+              max(CASE WHEN ry = n - (9 * n) // 10 + 1 THEN yc END)
+                OVER (PARTITION BY key) AS yl
+       FROM r),
+a AS (SELECT key, max(n) AS n_grid,
+             max(xu) AS xu, max(yu) AS yu, max(xl) AS xl, max(yl) AS yl,
+             sum(CASE WHEN xc > xu THEN 1 ELSE 0 END) AS n_xu,
+             sum(CASE WHEN xc > xu AND yc > yu THEN 1 ELSE 0 END) AS ju,
+             sum(CASE WHEN xc < xl THEN 1 ELSE 0 END) AS n_xl,
+             sum(CASE WHEN xc < xl AND yc < yl THEN 1 ELSE 0 END) AS jl
+      FROM th GROUP BY 1 HAVING max(n) >= 50)
+SELECT key, CAST(n_grid AS BIGINT) AS n_grid, xu, yu, xl, yl,
+       CAST(n_xu AS BIGINT) AS n_xu, CAST(ju AS BIGINT) AS ju,
+       CAST(n_xl AS BIGINT) AS n_xl, CAST(jl AS BIGINT) AS jl,
+       CASE WHEN n_xu > 0 THEN
+         round(CAST(ju AS DOUBLE) / CAST(n_xu AS DOUBLE), 6)
+       END AS lambda_u,
+       CASE WHEN n_xl > 0 THEN
+         round(CAST(jl AS DOUBLE) / CAST(n_xl AS DOUBLE), 6)
+       END AS lambda_l
 FROM a
 """,
     }
