@@ -3847,6 +3847,18 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston/SBA intermittent-demand forecast per user: exact int64
+    hourly demand sums feed two coupled SES recursions (alpha = 1/8)
+    whose update trees are mirrored verbatim by the DuckDB recursive
+    CTE — bit-identical state before the 6dp round (the holt
+    precedent)."""
+    from tits_spark.operators.croston import croston_sba
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    return croston_sba(ev)
+
+
 def q_tail_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical upper/lower tail dependence of x vs y per user on the
     hourly LOCF grid (the tail counterpart of kendall/granger/hy_cov):
@@ -4141,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpss": q_kpss,
         "bns_jumps": q_bns_jumps,
         "tail_dep": q_tail_dep,
+        "croston": q_croston,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9486,6 +9499,37 @@ SELECT key, CAST(n_grid AS BIGINT) AS n_grid, xu, yu, xl, yl,
          round(CAST(jl AS DOUBLE) / CAST(n_xl AS DOUBLE), 6)
        END AS lambda_l
 FROM a
+""",
+        # Croston/SBA: exact int64 demand sums; the recursive CTE
+        # mirrors the UDF's float64 update trees verbatim (holt
+        # precedent), so state is bit-identical before the round.
+        "croston": """
+WITH RECURSIVE t AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         epoch_us(ts) // 3600000000 AS b,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+dem0 AS (SELECT key, b, sum(c) AS d FROM t WHERE c > 0 GROUP BY 1, 2),
+dem AS (SELECT key, b, d,
+               row_number() OVER (PARTITION BY key ORDER BY b) AS rn,
+               count(*) OVER (PARTITION BY key) AS m
+        FROM dem0),
+rec AS (
+  SELECT key, rn, b, m, CAST(d AS DOUBLE) AS z, CAST(0 AS DOUBLE) AS p
+  FROM dem WHERE rn = 1 AND m >= 3
+  UNION ALL
+  SELECT dem.key, dem.rn, dem.b, dem.m,
+         rec.z + 0.125 * (CAST(dem.d AS DOUBLE) - rec.z) AS z,
+         CASE WHEN dem.rn = 2 THEN CAST(dem.b - rec.b AS DOUBLE)
+              ELSE rec.p + 0.125 * (CAST(dem.b - rec.b AS DOUBLE)
+                                    - rec.p) END AS p
+  FROM rec JOIN dem ON dem.key = rec.key AND dem.rn = rec.rn + 1
+)
+SELECT key, CAST(m AS BIGINT) AS n_dem,
+       round(z, 6) AS z_hat, round(p, 6) AS p_hat,
+       round(0.9375 * (z / p), 6) AS sba
+FROM rec WHERE rn = m
 """,
     }
 
