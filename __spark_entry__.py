@@ -3847,6 +3847,18 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most prominent strict peaks per user (the scipy
+    find_peaks prominence definition): peaks, bases and prominences
+    all exact int64 on the cents lattice; the operator's O(n)
+    monotonic-stack sweep is cross-checked by the oracle's O(n^2)
+    nearest-higher/base joins (pair_robust precedent)."""
+    from tits_spark.operators.peaks import peak_prominence
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    return peak_prominence(ev)
+
+
 def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston/SBA intermittent-demand forecast per user: exact int64
     hourly demand sums feed two coupled SES recursions (alpha = 1/8)
@@ -4154,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bns_jumps": q_bns_jumps,
         "tail_dep": q_tail_dep,
         "croston": q_croston,
+        "prominence": q_prominence,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9530,6 +9543,55 @@ SELECT key, CAST(m AS BIGINT) AS n_dem,
        round(z, 6) AS z_hat, round(p, 6) AS p_hat,
        round(0.9375 * (z / p), 6) AS sba
 FROM rec WHERE rn = m
+""",
+        # peak prominence: the O(n^2) relational formulation — nearest
+        # strictly-higher neighbor joins + between-interval min joins —
+        # cross-checks the operator's O(n) stack sweep structurally.
+        "prominence": """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+s AS (SELECT key, us, c,
+             row_number() OVER (PARTITION BY key ORDER BY us) AS rn,
+             count(*) OVER (PARTITION BY key) AS n
+      FROM tk),
+pk AS (SELECT key, us, c, rn, n FROM (
+         SELECT key, us, c, rn, n,
+                lag(c) OVER v AS pc, lead(c) OVER v AS nc
+         FROM s WINDOW v AS (PARTITION BY key ORDER BY rn))
+       WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc),
+lh AS (SELECT p.key, p.rn, max(x.rn) AS lrn
+       FROM pk p JOIN s x ON x.key = p.key AND x.rn < p.rn AND x.c > p.c
+       GROUP BY 1, 2),
+rh AS (SELECT p.key, p.rn, min(x.rn) AS rrn
+       FROM pk p JOIN s x ON x.key = p.key AND x.rn > p.rn AND x.c > p.c
+       GROUP BY 1, 2),
+lm AS (SELECT p.key, p.rn, min(x.c) AS lmin
+       FROM pk p
+       LEFT JOIN lh ON lh.key = p.key AND lh.rn = p.rn
+       JOIN s x ON x.key = p.key AND x.rn < p.rn
+                AND x.rn > coalesce(lh.lrn, 0)
+       GROUP BY 1, 2),
+rm AS (SELECT p.key, p.rn, min(x.c) AS rmin
+       FROM pk p
+       LEFT JOIN rh ON rh.key = p.key AND rh.rn = p.rn
+       JOIN s x ON x.key = p.key AND x.rn > p.rn
+                AND x.rn < coalesce(rh.rrn, p.n + 1)
+       GROUP BY 1, 2),
+pr AS (SELECT pk.key, pk.us, pk.c,
+              pk.c - greatest(lm.lmin, rm.rmin) AS prom
+       FROM pk
+       JOIN lm ON lm.key = pk.key AND lm.rn = pk.rn
+       JOIN rm ON rm.key = pk.key AND rm.rn = pk.rn),
+rk AS (SELECT key, us, c, prom,
+              row_number() OVER (PARTITION BY key
+                                 ORDER BY prom DESC, us ASC) AS rk
+       FROM pr)
+SELECT key, us, c, prom, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 10
 """,
     }
 
