@@ -9398,22 +9398,20 @@ cum AS (SELECT key, n, e,
                sum(e) OVER (PARTITION BY key ORDER BY b
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS s,
-               lag(e, 1) OVER v AS e1, lag(e, 2) OVER v AS e2,
-               lag(e, 3) OVER v AS e3, lag(e, 4) OVER v AS e4,
-               lag(e, 5) OVER v AS e5, lag(e, 6) OVER v AS e6,
-               lag(e, 7) OVER v AS e7, lag(e, 8) OVER v AS e8
+               16 * coalesce(lag(e, 1) OVER v, 0)
+                 + 14 * coalesce(lag(e, 2) OVER v, 0)
+                 + 12 * coalesce(lag(e, 3) OVER v, 0)
+                 + 10 * coalesce(lag(e, 4) OVER v, 0)
+                 + 8 * coalesce(lag(e, 5) OVER v, 0)
+                 + 6 * coalesce(lag(e, 6) OVER v, 0)
+                 + 4 * coalesce(lag(e, 7) OVER v, 0)
+                 + 2 * coalesce(lag(e, 8) OVER v, 0) AS wl
         FROM e WINDOW v AS (PARTITION BY key ORDER BY b)),
 a AS (SELECT key, max(n) AS n_grid,
              sum(s * s) AS ss2, sum(e * e) AS s2e,
-             sum(e * e1) AS g1, sum(e * e2) AS g2,
-             sum(e * e3) AS g3, sum(e * e4) AS g4,
-             sum(e * e5) AS g5, sum(e * e6) AS g6,
-             sum(e * e7) AS g7, sum(e * e8) AS g8
+             sum(e * wl) AS gw
       FROM cum GROUP BY 1 HAVING max(n) >= 30),
-d AS (SELECT key, n_grid, ss2, s2e,
-             9 * s2e + 16 * g1 + 14 * g2 + 12 * g3 + 10 * g4
-               + 8 * g5 + 6 * g6 + 4 * g7 + 2 * g8 AS den
-      FROM a)
+d AS (SELECT key, n_grid, ss2, s2e, 9 * s2e + gw AS den FROM a)
 SELECT key, CAST(n_grid AS BIGINT) AS n_grid,
   round(CAST(s2e AS DOUBLE)
         / (CAST(n_grid AS DOUBLE) * CAST(n_grid AS DOUBLE)

@@ -543,6 +543,21 @@ def main() -> None:
 
     repeat("q26_tail_concentration", _body_q26_tail_concentration)
 
+    # q27: the stationarity/jump/tail-dependence wave — KPSS on the
+    # LOCF grid (decimal moment lattice), BNS realized-variance vs
+    # bipower jump share (exact int64), tail dependence on the xy grid
+    # (integer exceedance counts), Croston/SBA intermittent demand
+    # (map-side demand skeleton + Arrow recursion) and top-k peak
+    # prominence (monotonic-stack UDF)
+    def _body_q27_stationarity_family():
+        for q in (
+            E.q_kpss, E.q_bns_jumps, E.q_tail_dep,
+            E.q_croston, E.q_prominence,
+        ):
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    repeat("q27_stationarity_family", _body_q27_stationarity_family)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

@@ -893,3 +893,29 @@ def test_hhi_and_gpd_plan_shapes(spark, ev):
     assert "WindowGroupLimit" in p  # rank<=k+1 prunes map-side
     assert "Join" not in t
     assert "Python" not in p and "CartesianProduct" not in t
+
+
+def test_r5c_wave_plan_shapes(spark):
+    """Round-5 continuation-5 wave: every family is ONE raw scan, ZERO
+    joins, TWO exchanges. kpss/tail_dep ride the LOCF grid's own two
+    exchanges (all their windows + the final aggregate reuse
+    hashpartitioning(key)); bns_jumps is dedup-agg + key window;
+    croston/prominence collapse the stream map-side (demand/dedup
+    aggregate) before ONE numbered key repartition into the grouped
+    Arrow UDF. No row-wise Python anywhere; the O(n^2) formulations
+    (prominence bases) live only in the oracles."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    want_udf = {"croston": 1, "prominence": 1, "kpss": 0,
+                "bns_jumps": 0, "tail_dep": 0}
+    for name, n_udf in want_udf.items():
+        p = plan_of(qs[name](spark, sf))
+        tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+        t = "\n".join(tree)
+        assert t.count("Scan parquet") == 1, name
+        assert "Join" not in t, name
+        assert t.count("Exchange") == 2, name
+        assert t.count("FlatMapGroupsInPandas") == n_udf, name
+        assert "EvalPython" not in p, name

@@ -31,10 +31,16 @@ C_t = n*S_t are summed in decimal and the three moment families
     g_j = sum E_t * E_{t-j}     (= n^3 * gamma_j)
 
 accumulate in decimal(38,0), so no float partial-sum order exists
-anywhere. Bounds: |E| <= n*|c|max, |C| <= n^2*|c|max (< decimal(19)
-for n <= ~10^6 buckets at 6-figure cents) and ss2 <= n^5*|c|max^2
-(< 10^38 for n <= ~10^5 buckets) — beyond that, re-bucket to the next
-tits tier (daily), the engine's standard retention discipline.
+anywhere. The Bartlett weights are constant INTEGERS once the
+denominator is cleared, so the eight lag sums FOLD into one decimal
+sum of E_t * (16*E_{t-1} + 14*E_{t-2} + ... + 2*E_{t-8}) — measured
+5.6 s -> 3 s at sf0.1 vs. eleven separate decimal aggregations (the
+inner weighted combination stays int64: |.| <= 72*n*|c|max).
+Bounds: |E| <= n*|c|max, |C| <= n^2*|c|max (int64 inside the
+envelope below; ANSI mode fails LOUD past it, never wraps) and
+ss2 <= n^5*|c|max^2 (< 10^38 for n <= ~10^5 buckets at 6-figure
+cents) — beyond that, re-bucket to the next tits tier (daily), the
+engine's standard retention discipline.
 Clearing denominators with w_j = (L+1-j)/(L+1):
 
     eta = (L+1) * ss2 / ( n * [ (L+1)*s2e + 2*sum_j (L+1-j)*g_j ] )
@@ -112,29 +118,34 @@ def kpss_level(
         .alias("e"),
         F.count(F.lit(1)).over(wk).alias("n"),
     )
+    lp1 = ll + 1
+    # fold the cleared-denominator Bartlett combination into ONE int64
+    # column: null lags contribute 0 (exactly the per-j null-skip)
+    wlag = F.lit(0).cast("long")
+    for j in range(1, ll + 1):
+        wlag = wlag + F.lit(2 * (lp1 - j)) * F.coalesce(
+            F.lag("e", j).over(wo), F.lit(0)
+        )
     cum = e.select(
         "key",
         "n",
         F.col("e"),
-        F.sum(F.col("e").cast(D19)).over(wc).cast(D19).alias("s"),
-        *[F.lag("e", j).over(wo).alias(f"e{j}") for j in range(1, ll + 1)],
+        F.sum("e").over(wc).alias("s"),
+        wlag.alias("wl"),
     )
 
-    aggs = [
-        F.max("n").alias("n_grid"),
-        F.sum(F.col("s") * F.col("s")).alias("ss2"),
-        F.sum(F.col("e").cast(D19) * F.col("e")).alias("s2e"),
-    ]
-    for j in range(1, ll + 1):
-        aggs.append(
-            F.sum(F.col("e").cast(D19) * F.col(f"e{j}")).alias(f"g{j}")
+    agg = (
+        cum.groupBy("key")
+        .agg(
+            F.max("n").alias("n_grid"),
+            F.sum(F.col("s").cast(D19) * F.col("s")).alias("ss2"),
+            F.sum(F.col("e").cast(D19) * F.col("e")).alias("s2e"),
+            F.sum(F.col("e").cast(D19) * F.col("wl")).alias("gw"),
         )
-    agg = cum.groupBy("key").agg(*aggs).filter(F.col("n_grid") >= mo)
+        .filter(F.col("n_grid") >= mo)
+    )
 
-    lp1 = ll + 1
-    den_dec = F.lit(lp1).cast(DEC) * F.col("s2e")
-    for j in range(1, ll + 1):
-        den_dec = den_dec + F.lit(2 * (lp1 - j)).cast(DEC) * F.col(f"g{j}")
+    den_dec = F.lit(lp1).cast(DEC) * F.col("s2e") + F.col("gw")
     n_d = F.col("n_grid").cast("double")
     den = den_dec.cast("double")
     n3 = n_d * n_d * n_d

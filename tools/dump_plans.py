@@ -557,6 +557,49 @@ def main() -> None:
         E.q_gpd_tail(spark, SF),
     )
 
+    add(
+        "kpss (level-stationarity on the LOCF grid)",
+        "One raw scan, zero joins, TWO exchanges — both the grid's: "
+        "the per-key total, the cumulative partial-sum window, the 8 "
+        "Bartlett lag columns and the final aggregate all ride "
+        "hashpartitioning(key). All moments in decimal(38,0).",
+        E.q_kpss(spark, SF),
+    )
+
+    add(
+        "bns_jumps (RV vs bipower-variation jump share)",
+        "Dedup (key,us) aggregate, then both window lags and the final "
+        "groupBy ride one hashpartitioning(key) — two exchanges, no "
+        "join, no UDF; both sums exact int64.",
+        E.q_bns_jumps(spark, SF),
+    )
+
+    add(
+        "tail_dep (upper/lower tail dependence on the xy grid)",
+        "The granger grid's one-scan/two-exchange shape; both rank "
+        "windows, the order-statistic threshold broadcast window and "
+        "the count aggregate all reuse hashpartitioning(key) — no "
+        "further exchange, all surfaces exact integer counts.",
+        E.q_tail_dep(spark, SF),
+    )
+
+    add(
+        "croston (intermittent-demand SES pair)",
+        "The (key, bucket) demand aggregate collapses the raw stream "
+        "MAP-SIDE to the sparse skeleton before one numbered key "
+        "repartition into the grouped Arrow UDF — two exchanges, no "
+        "join; the recursion state is O(1) per key.",
+        E.q_croston(spark, SF),
+    )
+
+    add(
+        "prominence (top-k peak prominence)",
+        "Dedup aggregate + one numbered key repartition into the O(n) "
+        "monotonic-stack Arrow UDF (<= k rows out per key); the O(n^2) "
+        "nearest-higher/base joins exist only in the DuckDB oracle.",
+        E.q_prominence(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
