@@ -778,6 +778,42 @@ def main() -> None:
     results.append(("guess_lag_stream (phased+restarted vs uninterrupted run)",
                     nb, nr, sec, *_bitwise_equal(got, want)))
 
+    # ---- Croston/SBA (twin #26: open-bucket int64 demand pivot + the
+    # two SES floats; the recursion tree is identical batch/stream so
+    # the final state must match bit-for-bit on the closed prefix)
+    from tits_spark.functions.exprs import epoch_us, floordiv
+    from tits_spark.operators.croston import croston_sba
+    from tits_spark.streaming.croston_stream import stream_croston
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_croston(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "croston",
+    )
+    bcol = floordiv(epoch_us("ts"), 3600 * 1_000_000)
+    dem = ev.filter(F.round(F.col("value") * 100) > 0).withColumn("b", bcol)
+    last_b = dem.groupBy("key").agg(F.max("b").alias("_mb"))
+    closed = ev.withColumn("b", bcol).join(last_b, "key").filter(
+        F.col("b") < F.col("_mb")
+    )
+    want = croston_sba(closed.select("key", "ts", "value")).select(
+        "key", "n_dem", "z_hat", "p_hat"
+    )
+    wlast = W.partitionBy("key").orderBy(F.desc("b"))
+    got = (
+        spark.read.parquet(out)
+        .withColumn("_r", F.row_number().over(wlast))
+        .filter((F.col("_r") == 1) & (F.col("n_dem") >= 3))
+        .select(
+            "key", "n_dem",
+            F.round("z", 6).alias("z_hat"), F.round("p", 6).alias("p_hat"),
+        )
+    )
+    results.append(("croston_stream (intermittent-demand SES pair)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
@@ -883,6 +919,15 @@ the one that moved — the restarts probe the per-batch_id delta
 construction against exactly that, and the reader derives HHI through
 the batch operator's own finalize stage over the merged exact integer
 totals, so the readout is bit-equal to batch by construction.
+
+croston_stream (twin #26) carries the open hourly demand bucket as an
+exact int64 pivot plus the two Croston SES floats (z, p) and the
+inter-demand anchor; a restart that loses the open-bucket partial
+under-counts the NEXT demand, and a phantom replay double-counts it —
+the compared surface is the final recursion state over the closed
+prefix, where the batch operator runs the identical float64 update
+tree, so agreement is bit-for-bit (round-6 on both sides is the same
+double rounded once).
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
