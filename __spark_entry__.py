@@ -3847,6 +3847,17 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_lo_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo's modified rescaled-range test per user on the hourly LOCF
+    grid (long-range dependence, robust to short-range ACF): the
+    partial-sum range is exact int64 on the n-scaled lattice and the
+    statistic collapses to 3*R'/sqrt(den) over the same cleared
+    Bartlett form as kpss — one fixed double tree."""
+    from tits_spark.operators.kpss import lo_modified_rs
+
+    return lo_modified_rs(_events(spark, sf_dir))
+
+
 def q_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most prominent strict peaks per user (the scipy
     find_peaks prominence definition): peaks, bases and prominences
@@ -4167,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_dep": q_tail_dep,
         "croston": q_croston,
         "prominence": q_prominence,
+        "lo_rs": q_lo_rs,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9425,6 +9437,56 @@ SELECT key, CAST(n_grid AS BIGINT) AS n_grid,
     round(9.0 * CAST(ss2 AS DOUBLE)
           / (CAST(n_grid AS DOUBLE) * CAST(den AS DOUBLE)), 6)
   END AS eta
+FROM d
+""",
+        # Lo modified R/S: identical grid/residual/Bartlett CTEs as
+        # kpss; the range is exact int64, V = 3*R'/sqrt(den) verbatim.
+        "lo_rs": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+lb AS (SELECT key, us // 3600000000 AS b, arg_max(c, us) AS c
+       FROM tk GROUP BY 1, 2),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(us // 3600000000) AS mn,
+                    max(us // 3600000000) AS mx
+             FROM tk GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(lb.c IGNORE NULLS) OVER w AS c
+      FROM sp LEFT JOIN lb ON lb.key = sp.key AND lb.b = sp.b
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+e AS (SELECT key, b,
+             count(*) OVER (PARTITION BY key) AS n,
+             CAST(count(*) OVER (PARTITION BY key) AS HUGEINT) * c
+               - sum(CAST(c AS HUGEINT)) OVER (PARTITION BY key) AS e
+      FROM g),
+cum AS (SELECT key, n, e,
+               sum(e) OVER (PARTITION BY key ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s,
+               16 * coalesce(lag(e, 1) OVER v, 0)
+                 + 14 * coalesce(lag(e, 2) OVER v, 0)
+                 + 12 * coalesce(lag(e, 3) OVER v, 0)
+                 + 10 * coalesce(lag(e, 4) OVER v, 0)
+                 + 8 * coalesce(lag(e, 5) OVER v, 0)
+                 + 6 * coalesce(lag(e, 6) OVER v, 0)
+                 + 4 * coalesce(lag(e, 7) OVER v, 0)
+                 + 2 * coalesce(lag(e, 8) OVER v, 0) AS wl
+        FROM e WINDOW v AS (PARTITION BY key ORDER BY b)),
+a AS (SELECT key, max(n) AS n_grid,
+             max(s) - min(s) AS r_range,
+             sum(e * e) AS s2e, sum(e * wl) AS gw
+      FROM cum GROUP BY 1 HAVING max(n) >= 30),
+d AS (SELECT key, n_grid, r_range, 9 * s2e + gw AS den FROM a)
+SELECT key, CAST(n_grid AS BIGINT) AS n_grid,
+       CAST(r_range AS BIGINT) AS r_range,
+  CASE WHEN den > 0 THEN
+    round(3.0 * CAST(r_range AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6)
+  END AS v_stat
 FROM d
 """,
         # BNS jumps: identical dedup rule, exact int64 return moments,

@@ -98,3 +98,61 @@ def test_constant_series_null_and_min_obs(spark):
     assert out["const"]["eta"] is None
     assert out["const"]["s2_lrv"] is None
     assert out["const"]["gamma0"] == 0.0
+
+
+def _brute_lors(cents, L=8):
+    x = np.asarray(cents, dtype=np.float64)
+    n = x.size
+    e = x - x.mean()
+    s = np.cumsum(e)
+    g = [float((e[j:] * e[:n - j]).sum()) / n if j else float((e * e).sum()) / n
+         for j in range(L + 1)]
+    s2 = g[0] + 2.0 * sum((1.0 - j / (L + 1)) * g[j] for j in range(1, L + 1))
+    if s2 <= 0:
+        return None, None
+    r = float(s.max() - s.min())
+    return r, r / (np.sqrt(n) * np.sqrt(s2))
+
+
+def test_lo_rs_brute_force_parity(spark):
+    from tits_spark.operators.kpss import lo_modified_rs
+
+    rng = np.random.default_rng(41)
+    cents = rng.integers(100, 5000, size=80)
+    out = lo_modified_rs(_mk(spark, _rows("a", list(enumerate(cents))))).collect()
+    assert len(out) == 1
+    r, v = _brute_lors(cents)
+    got = out[0]
+    assert got["n_grid"] == 80
+    # r_range is the n-scaled exact integer: n * R
+    assert got["r_range"] == round(80 * r)
+    assert abs(got["v_stat"] - v) < 1e-6
+
+
+def test_lo_rs_walk_vs_noise(spark):
+    from tits_spark.operators.kpss import lo_modified_rs
+
+    rng = np.random.default_rng(3)
+    steps = rng.integers(-300, 301, size=200)
+    walk = 100000 + np.cumsum(steps)
+    noise = 5000 + rng.integers(-300, 301, size=200)
+    rows = _rows("walk", list(enumerate(walk))) + _rows(
+        "flat", list(enumerate(noise))
+    )
+    out = {r["key"]: r for r in lo_modified_rs(_mk(spark, rows)).collect()}
+    # long-memory-like wandering blows the range past the null band;
+    # white noise stays inside [0.809, 1.862]
+    assert out["walk"]["v_stat"] > 1.862
+    assert 0.809 < out["flat"]["v_stat"] < 1.862
+
+
+def test_lo_rs_constant_null_and_fixed_l(spark):
+    import pytest
+
+    from tits_spark.operators.kpss import lo_modified_rs
+
+    rows = _rows("const", [(h, 500) for h in range(40)])
+    out = lo_modified_rs(_mk(spark, rows)).collect()
+    assert out[0]["v_stat"] is None and out[0]["r_range"] == 0
+    with pytest.raises(ValueError):
+        lo_modified_rs(_mk(spark, rows), n_lags=4)

@@ -167,3 +167,97 @@ def kpss_level(
         s2_lrv.alias("s2_lrv"),
         eta.alias("eta"),
     )
+
+
+def lo_modified_rs(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    bucket_secs: int = 3600,
+    n_lags: int = 8,
+    min_obs: int = 30,
+) -> DataFrame:
+    """Lo's modified rescaled-range statistic per key — LONG-range
+    dependence, robust to the short-range autocorrelation that fools
+    the classic Mandelbrot R/S (Lo, Econometrica 1991, public formula;
+    the test-statistic partner of the hurst point estimate):
+
+        V = (max_t S_t - min_t S_t) / (sqrt(n) * s_lrv)
+
+    with the SAME Bartlett long-run variance as KPSS. On the n-scaled
+    integer lattice the range R' = max S' - min S' is exact int64 and
+    the whole statistic collapses to V = sqrt(L+1) * R' / sqrt(den)
+    with den the cleared-denominator Bartlett quadratic form — for the
+    fixed L=8 the factor is EXACTLY 3.0, so V is one fixed double tree
+    over two exact integers. Null (no long memory) 95% band is
+    [0.809, 1.862]. Returns (key, n_grid, r_range, v_stat); plan shape
+    identical to kpss_level (one scan, two exchanges, no join/UDF).
+    """
+    ll = int(n_lags)
+    if ll != 8:
+        raise ValueError(
+            "lo_modified_rs fixes L=8 so sqrt(L+1)=3.0 is exact in the "
+            "cross-engine contract"
+        )
+    mo = max(int(min_obs), 3 * (ll + 1))
+
+    grid = locf_bucket_grid(
+        df.withColumn("series", F.lit("x")),
+        key=key, ts=ts, value=value, series="series",
+        x_side="x", y_side="_none", bucket_secs=bucket_secs,
+    ).select("key", "b", F.col("xc").alias("c"))
+
+    wk = Window.partitionBy("key")
+    wc = (
+        Window.partitionBy("key")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("key").orderBy("b")
+
+    e = grid.select(
+        "key",
+        "b",
+        (F.count(F.lit(1)).over(wk) * F.col("c") - F.sum("c").over(wk))
+        .alias("e"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    lp1 = ll + 1
+    wlag = F.lit(0).cast("long")
+    for j in range(1, ll + 1):
+        wlag = wlag + F.lit(2 * (lp1 - j)) * F.coalesce(
+            F.lag("e", j).over(wo), F.lit(0)
+        )
+    cum = e.select(
+        "key",
+        "n",
+        F.col("e"),
+        F.sum("e").over(wc).alias("s"),
+        wlag.alias("wl"),
+    )
+    agg = (
+        cum.groupBy("key")
+        .agg(
+            F.max("n").alias("n_grid"),
+            (F.max("s") - F.min("s")).alias("r_range"),
+            F.sum(F.col("e").cast(D19) * F.col("e")).alias("s2e"),
+            F.sum(F.col("e").cast(D19) * F.col("wl")).alias("gw"),
+        )
+        .filter(F.col("n_grid") >= mo)
+    )
+    den_dec = F.lit(lp1).cast(DEC) * F.col("s2e") + F.col("gw")
+    v_stat = F.when(
+        den_dec > 0,
+        F.round(
+            F.lit(3.0) * F.col("r_range").cast("double")
+            / F.sqrt(den_dec.cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        "key",
+        F.col("n_grid").cast("long").alias("n_grid"),
+        "r_range",
+        v_stat.alias("v_stat"),
+    )
