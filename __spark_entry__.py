@@ -3847,6 +3847,17 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec POF backtest of the 99% historical VaR per user: the
+    threshold is the estimation half's copied order statistic under
+    integer rank arithmetic, violations are exact counts on the test
+    half, and the likelihood ratio is one fixed double tree with the
+    ln(p)/ln(1-p) literals embedded as identical reprs."""
+    from tits_spark.operators.var_backtest import kupiec_pof
+
+    return kupiec_pof(_events(spark, sf_dir))
+
+
 def q_lo_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lo's modified rescaled-range test per user on the hourly LOCF
     grid (long-range dependence, robust to short-range ACF): the
@@ -4179,6 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston": q_croston,
         "prominence": q_prominence,
         "lo_rs": q_lo_rs,
+        "var_backtest": q_var_backtest,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9488,6 +9500,52 @@ SELECT key, CAST(n_grid AS BIGINT) AS n_grid,
     round(3.0 * CAST(r_range AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6)
   END AS v_stat
 FROM d
+""",
+        # Kupiec POF: copied order-statistic threshold (integer rank),
+        # exact violation counts, LR tree verbatim with repr ln
+        # literals; + 0.0 normalizes the tiny-negative-rounds-to-zero
+        # signed-zero case.
+        "var_backtest": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+base AS (SELECT * FROM (
+           SELECT key, us, c,
+                  row_number() OVER (PARTITION BY key ORDER BY us) AS rn,
+                  count(*) OVER (PARTITION BY key) AS n
+           FROM tk) WHERE n >= 40),
+est AS (SELECT key, c, us, n // 2 AS n1 FROM base WHERE rn <= n // 2),
+rx AS (SELECT key, c, n1,
+              row_number() OVER (PARTITION BY key ORDER BY c, us) AS rx
+       FROM est),
+thr AS (SELECT key, max(n1) AS n_est,
+               max(CASE WHEN rx = greatest((99 * n1) // 100, 1)
+                   THEN c END) AS u_cents
+        FROM rx GROUP BY 1),
+test AS (SELECT key, c FROM base WHERE rn > n // 2),
+a AS (SELECT t.key, max(th.n_est) AS n_est, max(th.u_cents) AS u_cents,
+             count(*) AS n_test,
+             sum(CASE WHEN t.c > th.u_cents THEN 1 ELSE 0 END) AS x
+      FROM test t JOIN thr th ON th.key = t.key GROUP BY 1)
+SELECT key, CAST(n_est AS BIGINT) AS n_est,
+       CAST(n_test AS BIGINT) AS n_test, u_cents,
+       CAST(x AS BIGINT) AS x_viol,
+       round(CAST(x AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS viol_rate,
+       round(-2.0 * (
+         (CASE WHEN x < n_test THEN
+            (CAST(n_test AS DOUBLE) - CAST(x AS DOUBLE))
+            * (-0.01005033585350145 - ln(1.0 - CAST(x AS DOUBLE)
+                                            / CAST(n_test AS DOUBLE)))
+          ELSE 0.0 END)
+         + (CASE WHEN x > 0 THEN
+              CAST(x AS DOUBLE)
+              * (-4.605170185988091 - ln(CAST(x AS DOUBLE)
+                                         / CAST(n_test AS DOUBLE)))
+            ELSE 0.0 END)), 6) + 0.0 AS lr_pof
+FROM a
 """,
         # BNS jumps: identical dedup rule, exact int64 return moments,
         # pi/2 embedded as the same repr literal; + 0.0 normalizes the
