@@ -3847,6 +3847,36 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_fisher_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's g-test for hidden periodicity per key: the largest
+    share of the (6dp-quantized) Lomb-Scargle periodogram over nw=8
+    frequencies. Quantized powers sum as EXACT micro-unit integers
+    (no float sum-order anywhere — tighter than the spectral_entropy
+    precedent), g is one division and the first-order p-value
+    nw*(1-g)^(nw-1) is a fixed multiply chain, no pow()."""
+    from tits_spark.operators.correlate import perio_declarative
+
+    out = perio_declarative(_events(spark, sf_dir), "key", "ts", "value", nw=8)
+    pu = out.select(
+        "key", F.round(F.round("power", 6) * 1e6).cast("long").alias("pu")
+    )
+    agg = pu.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_freq"),
+        F.max("pu").alias("pmax"),
+        F.sum("pu").alias("ptot"),
+    )
+    g = F.col("pmax").cast("double") / F.col("ptot").cast("double")
+    t = F.lit(1.0) - g
+    t2 = t * t
+    p_f = F.lit(8.0) * ((t2 * t2) * t2) * t
+    return agg.select(
+        "key",
+        F.col("n_freq").cast("long").alias("n_freq"),
+        F.when(F.col("ptot") > 0, F.round(g, 6)).alias("g_stat"),
+        F.when(F.col("ptot") > 0, F.round(p_f, 6)).alias("p_fisher"),
+    )
+
+
 def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kupiec POF backtest of the 99% historical VaR per user: the
     threshold is the estimation half's copied order statistic under
@@ -4191,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prominence": q_prominence,
         "lo_rs": q_lo_rs,
         "var_backtest": q_var_backtest,
+        "fisher_g": q_fisher_g,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9546,6 +9577,26 @@ SELECT key, CAST(n_est AS BIGINT) AS n_est,
                                          / CAST(n_test AS DOUBLE)))
             ELSE 0.0 END)), 6) + 0.0 AS lr_pof
 FROM a
+""",
+        # Fisher g: the shared quantized periodogram CTE; micro-unit
+        # integer sums, the (1-g)^7 multiply chain verbatim.
+        "fisher_g": f"""
+WITH p AS ({_perio_sql(8)}),
+q AS (SELECT key, CAST(round(power * 1e6) AS BIGINT) AS pu FROM p),
+a AS (SELECT key, count(*) AS n_freq, max(pu) AS pmax,
+             sum(pu) AS ptot
+      FROM q GROUP BY 1),
+g AS (SELECT key, n_freq, ptot,
+             CAST(pmax AS DOUBLE) / CAST(ptot AS DOUBLE) AS g
+      FROM a WHERE ptot > 0),
+t AS (SELECT key, n_freq, ptot, g, 1.0 - g AS t FROM g)
+SELECT key, CAST(n_freq AS BIGINT) AS n_freq,
+       round(g, 6) AS g_stat,
+       round(8.0 * (((t * t) * (t * t)) * (t * t)) * t, 6) AS p_fisher
+FROM t
+UNION ALL
+SELECT key, CAST(n_freq AS BIGINT) AS n_freq, NULL, NULL
+FROM a WHERE ptot <= 0
 """,
         # BNS jumps: identical dedup rule, exact int64 return moments,
         # pi/2 embedded as the same repr literal; + 0.0 normalizes the

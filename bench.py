@@ -500,6 +500,7 @@ def main() -> None:
         from tits_spark.operators.cointegration import engle_granger
         from tits_spark.operators.granger import granger_1lag, locf_bucket_grid
         from tits_spark.operators.kendall import kendall_tau
+        from tits_spark.operators.taildep import tail_dependence
         from tits_spark.operators.transfer_entropy import transfer_entropy
 
         xy = E._xyseries(spark, SF_DIR)
@@ -512,6 +513,8 @@ def main() -> None:
             engle_granger(xy, grid=grid).write.format("noop").mode(
                 "overwrite").save()
             kendall_tau(xy, grid=grid).write.format("noop").mode(
+                "overwrite").save()
+            tail_dependence(xy, grid=grid).write.format("noop").mode(
                 "overwrite").save()
         finally:
             grid.unpersist()

@@ -1,7 +1,7 @@
 """spark-submit entry point for the dependence family: 1-lag Granger
 F-test + bidirectional binary transfer entropy + Engle-Granger
-cointegration + Kendall tau-b between two irregular series per key,
-all on the shared one-scan LOCF bucket grid.
+cointegration + Kendall tau-b + empirical tail dependence between two
+irregular series per key, all on the shared one-scan LOCF bucket grid.
 
 The reference's guess_lag answers "WHICH shift best aligns x and y"
 (ref:guess_lag.c:336-357); this job answers the follow-up a
@@ -18,7 +18,8 @@ same tits-style gap-aware alignment.
 
 Output columns: key, n_obs (Granger grid rows), b_ar, c_x, f_stat,
 te_n_obs, te_xy, te_yx, eg_n_pairs, beta, alpha, gamma, df_t, kt_n_obs,
-tau_b (Kendall tau-b rank dependence on the same grid).
+tau_b (Kendall tau-b rank dependence on the same grid), td_n_grid,
+lambda_u, lambda_l (empirical tail dependence on the same grid).
 Prints ONE JSON line: {"keys": N, "rows": M, "sec": S}.
 """
 
@@ -46,6 +47,7 @@ def main(argv: list[str] | None = None) -> None:
     from tits_spark.operators.cointegration import engle_granger
     from tits_spark.operators.granger import granger_1lag
     from tits_spark.operators.kendall import kendall_tau
+    from tits_spark.operators.taildep import tail_dependence
     from tits_spark.operators.transfer_entropy import transfer_entropy
     from tits_spark.session import get_spark
 
@@ -89,10 +91,16 @@ def main(argv: list[str] | None = None) -> None:
         F.col("n_obs").alias("kt_n_obs"),
         "tau_b",
     )
+    td = tail_dependence(ticks, grid=grid, **common).select(
+        "key",
+        F.col("n_grid").alias("td_n_grid"),
+        "lambda_u", "lambda_l",
+    )
     out = (
         gr.join(te, "key", "full")
         .join(eg, "key", "full")
         .join(kt, "key", "full")
+        .join(td, "key", "full")
     )
     out.write.mode("overwrite").parquet(args.output)
     grid.unpersist()

@@ -50,8 +50,13 @@ def tail_dependence(
     y_side: str = "y",
     bucket_secs: int = 3600,
     min_obs: int = 50,
+    grid: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key empirical upper/lower tail dependence at q = 0.9 / 0.1.
+
+    ``grid`` accepts a pre-built (persisted) locf_bucket_grid so the
+    causality job can share ONE raw scan across all grid consumers
+    (the granger/kendall precedent).
 
     Returns (key, n_grid, xu, yu, xl, yl, n_xu, ju, n_xl, jl,
     lambda_u, lambda_l): the joint-grid length, the four copied
@@ -61,9 +66,11 @@ def tail_dependence(
     Keys with fewer than ``min_obs`` joint buckets are dropped.
     """
     mo = max(int(min_obs), 10)
-    grid = locf_bucket_grid(
-        df, key, ts, value, series, x_side, y_side, bucket_secs
-    ).filter(F.col("xc").isNotNull() & F.col("yc").isNotNull())
+    if grid is None:
+        grid = locf_bucket_grid(
+            df, key, ts, value, series, x_side, y_side, bucket_secs
+        )
+    grid = grid.filter(F.col("xc").isNotNull() & F.col("yc").isNotNull())
 
     wk = Window.partitionBy("key")
     wx = Window.partitionBy("key").orderBy(F.asc("xc"), F.asc("b"))
