@@ -3847,6 +3847,18 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_garch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional-variance filter per user with exact
+    binary parameters (alpha=1/16, beta=7/8, omega=var0/16): returns
+    and the var0 moments are exact int64, the recursion tree is
+    mirrored verbatim by the DuckDB recursive CTE (holt/kalman
+    precedent), bit-identical state before the 6dp round."""
+    from tits_spark.operators.garch import garch_filter
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    return garch_filter(ev)
+
+
 def q_fisher_g(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fisher's g-test for hidden periodicity per key: the largest
     share of the (6dp-quantized) Lomb-Scargle periodogram over nw=8
@@ -4222,6 +4234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lo_rs": q_lo_rs,
         "var_backtest": q_var_backtest,
         "fisher_g": q_fisher_g,
+        "garch": q_garch,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9597,6 +9610,49 @@ FROM t
 UNION ALL
 SELECT key, CAST(n_freq AS BIGINT) AS n_freq, NULL, NULL
 FROM a WHERE ptot <= 0
+""",
+        # GARCH(1,1): exact int64 return moments, var0/omega and the
+        # recursion tree verbatim; acc divides by the SAME s_i
+        # expression the next state uses.
+        "garch": """
+WITH RECURSIVE t AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+r0 AS (SELECT key, us, c - lag(c) OVER v AS r
+       FROM tk WINDOW v AS (PARTITION BY key ORDER BY us)),
+r AS (SELECT key, r, CAST(r AS HUGEINT) * r AS rr,
+             row_number() OVER (PARTITION BY key ORDER BY us) AS rn,
+             count(r) OVER (PARTITION BY key) AS n
+      FROM r0 WHERE r IS NOT NULL
+      WINDOW us AS (PARTITION BY key ORDER BY r)),
+mo AS (SELECT key, max(n) AS n, sum(r) AS sr, sum(rr) AS srr
+       FROM r GROUP BY 1
+       HAVING max(n) >= 21 AND max(n) * sum(rr) - sum(r) * sum(r) > 0),
+ini AS (SELECT key, n,
+               CAST(n * srr - sr * sr AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) AS var0
+        FROM mo),
+rec AS (
+  SELECT r.key, r.rn, ini.n, ini.var0, ini.var0 * 0.0625 AS om,
+         CAST(r.rr AS DOUBLE) AS rr,
+         ini.var0 AS s,
+         CAST(r.rr AS DOUBLE) / ini.var0 AS acc
+  FROM r JOIN ini ON ini.key = r.key WHERE r.rn = 1
+  UNION ALL
+  SELECT r.key, r.rn, rec.n, rec.var0, rec.om,
+         CAST(r.rr AS DOUBLE) AS rr,
+         rec.om + 0.0625 * rec.rr + 0.875 * rec.s AS s,
+         rec.acc + CAST(r.rr AS DOUBLE)
+           / (rec.om + 0.0625 * rec.rr + 0.875 * rec.s) AS acc
+  FROM rec JOIN r ON r.key = rec.key AND r.rn = rec.rn + 1
+)
+SELECT key, CAST(n AS BIGINT) AS n_ret,
+       round(var0, 2) AS var0, round(s, 2) AS s_last,
+       round(acc / n, 6) AS z2_mean
+FROM rec WHERE rn = n
 """,
         # BNS jumps: identical dedup rule, exact int64 return moments,
         # pi/2 embedded as the same repr literal; + 0.0 normalizes the
