@@ -50,8 +50,14 @@ def garch_filter(
     ts: str = "ts",
     value: str = "value",
     min_returns: int = 20,
+    init_var: float | None = None,
 ) -> DataFrame:
     """Per-key GARCH(1,1) filter state after the last return.
+
+    ``init_var`` replaces the full-sample var0 estimate with an
+    explicit calibration (cents^2) — the CAUSAL form a streaming
+    deployment uses (the full-sample estimate looks ahead), and the
+    form the streaming twin compares against bit-for-bit.
 
     Returns (key, n_ret, var0, s_last, z2_mean): the return count, the
     unconditional variance init (cents^2), the final conditional
@@ -79,14 +85,17 @@ def garch_filter(
         c = pdf["c"].to_numpy(dtype=np.int64)
         r = np.diff(c)
         n = r.size
-        # exact int64 within the bns_jumps bound n * |c|max^2 < 2^63
-        sr = int(r.sum())
-        srr = int((r * r).sum())
-        # var0 = (n*srr - sr*sr) / (n*(n-1)) — exact ints into one tree
-        num = n * srr - sr * sr
-        if num <= 0:
-            return pd.DataFrame(columns=cols)
-        var0 = float(num) / float(n * (n - 1))
+        if init_var is not None:
+            var0 = float(init_var)
+        else:
+            # exact int64 within the bns_jumps bound n * |c|max^2 < 2^63
+            sr = int(r.sum())
+            srr = int((r * r).sum())
+            # var0 = (n*srr - sr*sr) / (n*(n-1)) — exact ints, one tree
+            num = n * srr - sr * sr
+            if num <= 0:
+                return pd.DataFrame(columns=cols)
+            var0 = float(num) / float(n * (n - 1))
         om = var0 * _ALPHA  # (1 - alpha - beta) == alpha == 1/16
         s = var0
         z2 = 0.0

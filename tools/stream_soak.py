@@ -814,6 +814,37 @@ def main() -> None:
     results.append(("croston_stream (intermittent-demand SES pair)", nb, nr,
                     sec, *_bitwise_equal(got, want)))
 
+    # ---- GARCH(1,1) (twin #27: prev-tick + conditional variance +
+    # z^2 accumulator; a lost prev-tick fabricates a phantom return
+    # whose squared innovation permanently shifts the variance path)
+    from tits_spark.operators.garch import garch_filter
+    from tits_spark.streaming.garch_stream import stream_garch
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_garch(
+            spark, s, SCHEMA, o, c, init_var=250000.0,
+            max_files_per_trigger=1,
+        ),
+        "garch",
+    )
+    want = garch_filter(ev, init_var=250000.0).select(
+        "key", "n_ret", "s_last", "z2_mean"
+    )
+    wlast = W.partitionBy("key").orderBy(F.desc("n_ret"))
+    got = (
+        spark.read.parquet(out)
+        .withColumn("_r", F.row_number().over(wlast))
+        .filter("_r = 1")
+        .select(
+            "key", "n_ret",
+            F.round("s", 2).alias("s_last"),
+            F.round(F.col("z2") / F.col("n_ret"), 6).alias("z2_mean"),
+        )
+    )
+    results.append(("garch_stream (conditional-variance filter)", nb, nr,
+                    sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
@@ -928,6 +959,13 @@ the compared surface is the final recursion state over the closed
 prefix, where the batch operator runs the identical float64 update
 tree, so agreement is bit-for-bit (round-6 on both sides is the same
 double rounded once).
+
+garch_stream (twin #27) is the same class with a harder failure mode:
+its state couples the previous TICK (not bucket) to a variance
+recursion, so a restart that loses prev_c fabricates a phantom return
+whose squared innovation shifts sigma2 for every later row; the
+batch comparison uses the causal init_var form (the full-sample var0
+looks ahead and is deliberately not streamed).
 """
     (REPO / "BENCH" / "STREAM_SOAK.md").write_text(md)
     print(md)
