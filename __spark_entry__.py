@@ -3847,6 +3847,17 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_acd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACD(1,1) conditional-duration filter per user (Engle-Russell,
+    the point-process GARCH): exact int64 whole-second durations,
+    xbar one division of exact ints, the recursion tree mirrored
+    verbatim by the recursive CTE — bit-identical before the round."""
+    from tits_spark.operators.acd import acd_filter
+
+    ev = _events(spark, sf_dir).withColumn("key", F.col("key").cast("string"))
+    return acd_filter(ev)
+
+
 def q_garch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GARCH(1,1) conditional-variance filter per user with exact
     binary parameters (alpha=1/16, beta=7/8, omega=var0/16): returns
@@ -4235,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var_backtest": q_var_backtest,
         "fisher_g": q_fisher_g,
         "garch": q_garch,
+        "acd": q_acd,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9652,6 +9664,45 @@ rec AS (
 SELECT key, CAST(n AS BIGINT) AS n_ret,
        round(var0, 2) AS var0, round(s, 2) AS s_last,
        round(acc / n, 6) AS z2_mean
+FROM rec WHERE rn = n
+""",
+        # ACD(1,1): exact whole-second gaps, xbar/omega and the
+        # recursion tree verbatim (the garch CTE on durations).
+        "acd": """
+WITH RECURSIVE t AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+g0 AS (SELECT key, us, (us - lag(us) OVER v) // 1000000 AS x
+       FROM tk WINDOW v AS (PARTITION BY key ORDER BY us)),
+g AS (SELECT key, x,
+             row_number() OVER (PARTITION BY key ORDER BY us) AS rn,
+             count(x) OVER (PARTITION BY key) AS n
+      FROM g0 WHERE x IS NOT NULL
+      WINDOW us AS (PARTITION BY key ORDER BY x)),
+mo AS (SELECT key, max(n) AS n, sum(x) AS sx
+       FROM g GROUP BY 1 HAVING max(n) >= 21 AND sum(x) > 0),
+ini AS (SELECT key, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        FROM mo),
+rec AS (
+  SELECT g.key, g.rn, ini.n, ini.xbar, ini.xbar * 0.0625 AS om,
+         CAST(g.x AS DOUBLE) AS x,
+         ini.xbar AS psi,
+         CAST(g.x AS DOUBLE) / ini.xbar AS eps
+  FROM g JOIN ini ON ini.key = g.key WHERE g.rn = 1
+  UNION ALL
+  SELECT g.key, g.rn, rec.n, rec.xbar, rec.om,
+         CAST(g.x AS DOUBLE) AS x,
+         rec.om + 0.0625 * rec.x + 0.875 * rec.psi AS psi,
+         rec.eps + CAST(g.x AS DOUBLE)
+           / (rec.om + 0.0625 * rec.x + 0.875 * rec.psi) AS eps
+  FROM rec JOIN g ON g.key = rec.key AND g.rn = rec.rn + 1
+)
+SELECT key, CAST(n AS BIGINT) AS n_gaps,
+       round(xbar, 6) AS xbar, round(psi, 6) AS psi_last,
+       round(eps / n, 6) AS eps_mean
 FROM rec WHERE rn = n
 """,
         # BNS jumps: identical dedup rule, exact int64 return moments,
