@@ -546,16 +546,17 @@ def main() -> None:
 
     repeat("q26_tail_concentration", _body_q26_tail_concentration)
 
-    # q27: the stationarity/jump/tail-dependence wave — KPSS on the
-    # LOCF grid (decimal moment lattice), BNS realized-variance vs
-    # bipower jump share (exact int64), tail dependence on the xy grid
-    # (integer exceedance counts), Croston/SBA intermittent demand
-    # (map-side demand skeleton + Arrow recursion) and top-k peak
-    # prominence (monotonic-stack UDF)
+    # q27: the stationarity/volatility/tail wave — KPSS + Lo R/S on
+    # the LOCF grid (decimal moment lattice), BNS jump share, tail
+    # dependence (integer exceedance counts), Croston/SBA and
+    # GARCH/ACD recursive filters (Arrow recursions), peak prominence
+    # (monotonic-stack UDF), Kupiec VaR backtest (boolean-first window
+    # rank) and Fisher g (quantized periodogram)
     def _body_q27_stationarity_family():
         for q in (
             E.q_kpss, E.q_bns_jumps, E.q_tail_dep,
-            E.q_croston, E.q_prominence,
+            E.q_croston, E.q_prominence, E.q_lo_rs,
+            E.q_var_backtest, E.q_fisher_g, E.q_garch, E.q_acd,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 

@@ -919,3 +919,32 @@ def test_r5c_wave_plan_shapes(spark):
         assert t.count("Exchange") == 2, name
         assert t.count("FlatMapGroupsInPandas") == n_udf, name
         assert "EvalPython" not in p, name
+
+
+def test_r5c_second_wave_plan_shapes(spark):
+    """Second continuation-5 wave: lo_rs rides the grid like kpss
+    (one scan, two exchanges, declarative); var_backtest's
+    estimation-half rank rides a boolean-first window sort — ONE scan,
+    ZERO joins, two exchanges (the branch+broadcast-join formulation
+    it replaced cost two scans and five exchanges); fisher_g is the
+    periodogram plus one hash aggregate; garch/acd are the dedup-agg +
+    numbered-repartition Arrow recursion shape."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    spec = {
+        "lo_rs": (1, 2, 0),
+        "var_backtest": (1, 2, 0),
+        "garch": (1, 2, 1),
+        "acd": (1, 2, 1),
+    }
+    for name, (n_scan, n_exch, n_udf) in spec.items():
+        p = plan_of(qs[name](spark, sf))
+        tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+        t = "\n".join(tree)
+        assert t.count("Scan parquet") == n_scan, name
+        assert "Join" not in t, name
+        assert t.count("Exchange") == n_exch, name
+        assert t.count("FlatMapGroupsInPandas") == n_udf, name
+        assert "EvalPython" not in p, name

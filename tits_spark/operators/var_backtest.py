@@ -26,13 +26,14 @@ limit). ln() may differ by an ulp across libm implementations — a
 relative 1e-16 wobble against the 1e-6 rounding quantum at O(1..n)
 magnitudes (the te/spectral_entropy precedent).
 
-Plan shape (the 100 TB argument): one window chain on
-hashpartitioning(key) builds (rn, n); the estimation half's rank
-window and threshold aggregate ride the same partitioning, and the
-per-key threshold frame (one row per key) is BROADCAST back onto the
-test half (the Q2/Q11/Q15 one-aggregate-broadcast precedent) — no
-shuffle join at any key cardinality a broadcast can hold; the final
-count aggregate rides the key partitioning again.
+Plan shape (the 100 TB argument): ONE scan, ZERO joins, TWO
+exchanges. The estimation half's rank does not need a separate branch
+(which would re-scan the raw and join the threshold back): a single
+window ordered by (is_test, c, us) sorts estimation rows FIRST, so
+row_number restricted to the estimation half IS the estimation rank,
+and the threshold broadcast is a plain windowed max over the same
+hashpartitioning(key) the dedup/rn windows already established. The
+final count aggregate rides the same partitioning.
 """
 
 from __future__ import annotations
@@ -86,32 +87,50 @@ def kupiec_pof(
     ).filter(F.col("n") >= mo)
 
     n1 = floordiv(F.col("n"), 2)
-    est = base.filter(F.col("rn") <= n1).select(
-        "key", "c", "us", n1.alias("n1")
+    # estimation rows sort FIRST (is_test false < true), so row_number
+    # restricted to them is the estimation-half rank — no branch/join
+    wr = Window.partitionBy("key").orderBy(
+        F.col("rn") > n1, F.asc("c"), F.asc("us")
     )
-    wr = Window.partitionBy("key").orderBy(F.asc("c"), F.asc("us"))
-    ku = floordiv(F.lit(99) * F.col("n1"), 100)
-    thr = (
-        est.withColumn("rx", F.row_number().over(wr))
+    ranked = base.select(
+        "key",
+        "c",
+        (F.col("rn") > n1).alias("is_test"),
+        n1.alias("n1"),
+        F.row_number().over(wr).alias("rx"),
+    )
+    wk2 = Window.partitionBy("key")
+    flagged = ranked.select(
+        "key",
+        "c",
+        "is_test",
+        "n1",
+        F.max(
+            F.when(
+                (~F.col("is_test"))
+                & (
+                    F.col("rx")
+                    == F.greatest(
+                        floordiv(F.lit(99) * F.col("n1"), 100), F.lit(1)
+                    )
+                ),
+                F.col("c"),
+            )
+        ).over(wk2).alias("u_cents"),
+    )
+    agg = (
+        flagged.filter(F.col("is_test"))
         .groupBy("key")
         .agg(
             F.max("n1").alias("n_est"),
-            F.max(
-                F.when(F.col("rx") == F.greatest(ku, F.lit(1)), F.col("c"))
-            ).alias("u_cents"),
+            F.max("u_cents").alias("u_cents"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("c") > F.col("u_cents"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("x_viol"),
         )
-    )
-    test = base.filter(F.col("rn") > n1).select("key", "c")
-    joined = test.join(F.broadcast(thr), "key")
-    agg = joined.groupBy("key").agg(
-        F.max("n_est").alias("n_est"),
-        F.max("u_cents").alias("u_cents"),
-        F.count(F.lit(1)).alias("n_test"),
-        F.sum(
-            F.when(F.col("c") > F.col("u_cents"), F.lit(1)).otherwise(
-                F.lit(0)
-            )
-        ).alias("x_viol"),
     )
 
     n_d = F.col("n_test").cast("double")

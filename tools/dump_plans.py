@@ -600,6 +600,33 @@ def main() -> None:
         E.q_prominence(spark, SF),
     )
 
+    add(
+        "lo_rs (Lo modified R/S long-range dependence)",
+        "kpss's grid/residual/Bartlett machinery with a max-min range "
+        "aggregate instead of the cumulative square sum — one scan, "
+        "two exchanges, no join/UDF; V = 3*R'/sqrt(den) over two "
+        "exact integers.",
+        E.q_lo_rs(spark, SF),
+    )
+
+    add(
+        "var_backtest (Kupiec POF, 99% VaR)",
+        "ONE scan, ZERO joins: the estimation-half rank rides a "
+        "boolean-first window sort (est rows order before test rows), "
+        "so the threshold is a windowed max on the same "
+        "hashpartitioning(key) — the branch + broadcast-join "
+        "formulation this replaced cost two scans and five exchanges.",
+        E.q_var_backtest(spark, SF),
+    )
+
+    add(
+        "garch / acd (recursive volatility & duration filters)",
+        "Dedup (key,us) aggregate -> numbered key repartition -> one "
+        "grouped Arrow UDF with O(1) recursion state; the recursive-"
+        "CTE oracles replay the identical float64 trees.",
+        E.q_garch(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
