@@ -3986,17 +3986,20 @@ def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R5_HEAD = [
     "rollup_1m", "stochastic",
     "event_study", "segreg", "rate_limit", "mutual_info", "tpch_q10",
-    "tpch_q18", "staleness", "w1_drift", "lmoments", "source_overlap",
-    "record_highs", "hhi_hourly", "gpd_tail", "dispersion",
-    "survival_km", "survival_na", "occupancy", "block_bootstrap", "loghist",
-    "lev_pairs", "pagerank", "theil_sen", "granger", "transfer_entropy",
+    "tpch_q18", "staleness", "w1_drift", "lmoments",
+    "hhi_hourly", "gpd_tail", "block_bootstrap",
+    "theil_sen", "granger", "transfer_entropy",
     "coint_eg", "motifs", "ks_two_sample", "runs_test",
     "variance_ratio", "spearman_xcorr", "mann_whitney",
     "kruskal_wallis", "cvm_two_sample", "anderson_darling",
     "heaps_growth", "zipf_slope", "novelty_ngrams", "pmi_pairs",
     "friedman", "energy_dist", "pair_robust", "extremal_index",
-    "rayleigh", "kendall_tau", "data_profile", "seasonal_mk", "hy_cov",
+    "rayleigh", "kendall_tau", "seasonal_mk", "hy_cov",
     "hy_lead_lag",
+    # the round-5 continuation-5 wave, rotated in so the driver gate
+    # samples the freshest operators (union stays >= 124 distinct)
+    "kpss", "lo_rs", "bns_jumps", "tail_dep", "croston",
+    "prominence", "var_backtest", "fisher_g", "garch", "acd",
 ]
 
 
