@@ -3847,6 +3847,16 @@ def q_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpd_pot(_events(spark, sf_dir), k=50)
 
 
+def q_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per user (RMS percentage drawdown from the running
+    peak): drawdowns quantized to integer basis points by floor
+    division on the cents lattice, exact decimal sums, one sqrt of one
+    division — the slow-bleed companion of max_dd."""
+    from tits_spark.operators.rolling import ulcer_index
+
+    return ulcer_index(_events(spark, sf_dir))
+
+
 def q_acd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACD(1,1) conditional-duration filter per user (Engle-Russell,
     the point-process GARCH): exact int64 whole-second durations,
@@ -4250,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_g": q_fisher_g,
         "garch": q_garch,
         "acd": q_acd,
+        "ulcer": q_ulcer,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9707,6 +9718,31 @@ SELECT key, CAST(n AS BIGINT) AS n_gaps,
        round(xbar, 6) AS xbar, round(psi, 6) AS psi_last,
        round(eps / n, 6) AS eps_mean
 FROM rec WHERE rn = n
+""",
+        # Ulcer index: integer basis-point drawdowns by floor division
+        # against the copied running peak; HUGEINT sums.
+        "ulcer": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+pk AS (SELECT key, c,
+              max(c) OVER (PARTITION BY key ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS p
+       FROM tk),
+d AS (SELECT key, (10000 * (p - c)) // p AS d_bp FROM pk WHERE p > 0),
+a AS (SELECT key, count(*) AS n_obs, max(d_bp) AS max_dd_bp,
+             sum(CAST(d_bp AS HUGEINT)) AS sd,
+             sum(CAST(d_bp AS HUGEINT) * d_bp) AS sd2
+      FROM d GROUP BY 1 HAVING count(*) >= 20)
+SELECT key, CAST(n_obs AS BIGINT) AS n_obs, max_dd_bp,
+       round(CAST(sd AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) AS avg_dd_bp,
+       round(sqrt(CAST(sd2 AS DOUBLE) / CAST(n_obs AS DOUBLE)), 6)
+         AS ulcer_bp
+FROM a
 """,
         # BNS jumps: identical dedup rule, exact int64 return moments,
         # pi/2 embedded as the same repr literal; + 0.0 normalizes the

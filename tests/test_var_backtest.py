@@ -82,3 +82,36 @@ def test_zero_violations_boundary(spark):
 def test_min_obs_drop(spark):
     out = kupiec_pof(_mk(spark, _rows("short", range(100, 130))))
     assert out.count() == 0
+
+
+def test_ulcer_brute_and_properties(spark):
+    """Ulcer index: brute parity on a planted peak/valley profile plus
+    the slow-bleed vs spike separation max_dd cannot make."""
+    from tits_spark.operators.rolling import ulcer_index
+
+    # spike: one sharp 50% drop, instant recovery; bleed: shallow 10%
+    # under water the whole time — same max_dd ordering flips on ulcer
+    spike = [1000] * 30 + [500] + [1000] * 30
+    bleed = [1000] + [900] * 60
+    df = _mk(spark, _rows("spike", spike) + _rows("bleed", bleed))
+    out = {r["key"]: r for r in ulcer_index(df).collect()}
+
+    def brute(cents):
+        import numpy as np
+
+        c = np.asarray(cents, dtype=np.int64)
+        p = np.maximum.accumulate(c)
+        d = (10_000 * (p - c)) // p
+        return (
+            int(d.max()),
+            float(d.sum()) / d.size,
+            math.sqrt(float((d * d).sum()) / d.size),
+        )
+
+    for k, cents in (("spike", spike), ("bleed", bleed)):
+        mx, avg, ui = brute(cents)
+        assert out[k]["max_dd_bp"] == mx
+        assert abs(out[k]["avg_dd_bp"] - avg) < 1e-6
+        assert abs(out[k]["ulcer_bp"] - ui) < 1e-6
+    assert out["spike"]["max_dd_bp"] > out["bleed"]["max_dd_bp"]
+    assert out["spike"]["ulcer_bp"] < out["bleed"]["ulcer_bp"]

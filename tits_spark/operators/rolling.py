@@ -156,3 +156,76 @@ def rolling_corr(
         cnt.cast("long").alias("n_obs"),
         corr.alias("roll_corr"),
     )
+
+
+def ulcer_index(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    min_obs: int = 20,
+) -> DataFrame:
+    """Ulcer index per key — drawdown-based risk (Martin & McCann,
+    public formula): the RMS of percentage drawdowns from the running
+    peak, the number that distinguishes "slow bleed under water" from
+    the single worst drop max_dd reports.
+
+    Exactness device: drawdowns are quantized to integer BASIS POINTS
+    by floor division on the cents lattice, d_bp = (10^4*(P-c)) // P
+    (P = running max — a copied value, exact), so the sum and sum of
+    squares are exact integers (decimal(38,0) against partial-agg
+    order) and the index is one sqrt of one division of exact ints.
+    Rows before the first positive peak are excluded (0/0 guard),
+    deterministically on both engines.
+
+    Plan shape: the dedup aggregate, the running-max window and the
+    final groupBy ride ONE hashpartitioning(key) exchange after the
+    (key, us) dedup exchange — no join, no UDF.
+    """
+    from tits_spark.functions.exprs import epoch_us, floordiv
+
+    mo = max(int(min_obs), 2)
+    ticks = (
+        df.select(
+            F.col(key).alias("key"),
+            epoch_us(ts).alias("us"),
+            F.round(F.col(value) * 100).cast("long").alias("c"),
+        )
+        .groupBy("key", "us")
+        .agg(F.max("c").alias("c"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaked = ticks.select(
+        "key", "c", F.max("c").over(w).alias("p")
+    ).filter(F.col("p") > 0)
+    d = peaked.select(
+        "key",
+        floordiv(F.lit(10_000) * (F.col("p") - F.col("c")), F.col("p"))
+        .alias("d_bp"),
+    )
+    agg = (
+        d.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("d_bp").alias("max_dd_bp"),
+            F.sum(F.col("d_bp").cast("decimal(19,0)")).alias("sd"),
+            F.sum(
+                F.col("d_bp").cast("decimal(19,0)") * F.col("d_bp")
+            ).alias("sd2"),
+        )
+        .filter(F.col("n_obs") >= mo)
+    )
+    n_d = F.col("n_obs").cast("double")
+    return agg.select(
+        "key",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "max_dd_bp",
+        F.round(F.col("sd").cast("double") / n_d, 6).alias("avg_dd_bp"),
+        F.round(F.sqrt(F.col("sd2").cast("double") / n_d), 6).alias(
+            "ulcer_bp"
+        ),
+    )
