@@ -3857,6 +3857,60 @@ def q_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ulcer_index(_events(spark, sf_dir))
 
 
+def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle ARCH-LM(1) test per user — the decision gate in front of
+    the GARCH filter: exact decimal sufficient statistics over the
+    squared-return pairs, one identical cleared-denominator R^2 tree,
+    LM = n*R^2."""
+    from tits_spark.operators.archlm import arch_lm
+
+    return arch_lm(_events(spark, sf_dir))
+
+
+def q_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFA-1 exponent per user over dyadic boxes {4,8,16,32}: raw
+    integer cumsum profile (the per-box line fit absorbs the mean
+    term exactly), cleared per-box least-squares residuals in
+    decimal(38,0), alpha from the fixed 4-octave slope combination."""
+    from tits_spark.operators.dfa import dfa_alpha
+
+    return dfa_alpha(_events(spark, sf_dir))
+
+
+def q_underwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater-spell durations per user (the TIME axis of drawdown
+    risk): gaps-and-islands over the below-running-peak flag, exact
+    int64 tick counts and microsecond spans."""
+    from tits_spark.operators.rolling import underwater_spells
+
+    return underwater_spells(_events(spark, sf_dir))
+
+
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test per user: exact count of strict
+    interior extrema, normal z via the fixed Kendall moments."""
+    from tits_spark.operators.randomness import turning_points
+
+    return turning_points(_events(spark, sf_dir))
+
+
+def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart sign-trend test per user: half-vs-half pair signs
+    via the join-free slot-fold device, exact integer counts."""
+    from tits_spark.operators.randomness import cox_stuart
+
+    return cox_stuart(_events(spark, sf_dir))
+
+
+def q_cornish_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cornish-Fisher modified VaR per user: exact decimal power sums
+    over cents returns, one fixed double tree with the 1% normal
+    quantile embedded as the identical repr literal."""
+    from tits_spark.operators.tail import cornish_fisher
+
+    return cornish_fisher(_events(spark, sf_dir))
+
+
 def q_acd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACD(1,1) conditional-duration filter per user (Engle-Russell,
     the point-process GARCH): exact int64 whole-second durations,
@@ -4261,6 +4315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "garch": q_garch,
         "acd": q_acd,
         "ulcer": q_ulcer,
+        "arch_lm": q_arch_lm,
+        "dfa": q_dfa,
+        "underwater": q_underwater,
+        "turning_points": q_turning_points,
+        "cox_stuart": q_cox_stuart,
+        "cornish_fisher": q_cornish_fisher,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -9743,6 +9803,260 @@ SELECT key, CAST(n_obs AS BIGINT) AS n_obs, max_dd_bp,
        round(sqrt(CAST(sd2 AS DOUBLE) / CAST(n_obs AS DOUBLE)), 6)
          AS ulcer_bp
 FROM a
+""",
+        # ARCH-LM(1): exact HUGEINT sufficient statistics over the
+        # squared-return pairs; the cleared-denominator R^2 is the
+        # identical double tree (decimal->double conversions first).
+        "arch_lm": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+r AS (SELECT key, us,
+             c - lag(c) OVER (PARTITION BY key ORDER BY us) AS r
+      FROM tk),
+z AS (SELECT key, r * r AS zt,
+             lag(r) OVER (PARTITION BY key ORDER BY us)
+               * lag(r) OVER (PARTITION BY key ORDER BY us) AS zl
+      FROM r),
+a AS (SELECT key, count(*) AS m,
+             sum(CAST(zl AS HUGEINT)) AS sx,
+             sum(CAST(zt AS HUGEINT)) AS sy,
+             sum(CAST(zl AS HUGEINT) * zl) AS sxx,
+             sum(CAST(zt AS HUGEINT) * zt) AS syy,
+             sum(CAST(zl AS HUGEINT) * zt) AS sxy
+      FROM z WHERE zl IS NOT NULL AND zt IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 30),
+d AS (SELECT key, m,
+             CAST(m AS DOUBLE) AS md, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+      FROM a),
+v AS (SELECT key, m, md,
+             md * sxxd - sxd * sxd AS vx,
+             md * syyd - syd * syd AS vy,
+             md * sxyd - sxd * syd AS cov
+      FROM d)
+SELECT key, CAST(m AS BIGINT) AS n_pairs,
+       round(CASE WHEN vx > 0 AND vy > 0
+                  THEN cov * cov / (vx * vy) END, 6) AS r2,
+       round(md * (CASE WHEN vx > 0 AND vy > 0
+                        THEN cov * cov / (vx * vy) END), 6) AS lm
+FROM v
+""",
+        # DFA-1: same dedup/profile, the dyadic lattice via a VALUES
+        # cross, per-box cleared residuals in HUGEINT, the identical
+        # double tree + log2 + fixed 4-octave slope combination.
+        "dfa": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+p AS (SELECT key,
+             row_number() OVER (PARTITION BY key ORDER BY us) AS i,
+             sum(c) OVER (PARTITION BY key ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS y,
+             count(*) OVER (PARTITION BY key) AS n
+      FROM tk),
+f AS (SELECT * FROM p WHERE n >= 64),
+l AS (SELECT key, n, s, (i - 1) // s AS box,
+             i - s * ((i - 1) // s) AS j, y
+      FROM f, (VALUES (4), (8), (16), (32)) AS o(s)),
+b AS (SELECT key, s, box, max(n) AS n, count(*) AS cnt,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(j * y AS HUGEINT)) AS sjy
+      FROM l GROUP BY 1, 2, 3),
+b2 AS (SELECT *, CAST(s AS HUGEINT) AS sh FROM b WHERE cnt = s),
+per AS (SELECT key, s, max(n) AS n, count(*) AS nb,
+               sum((sh * syy - sy * sy)
+                     * ((sh * sh * (sh * sh - 1)) // 12)
+                   - (sh * sjy - ((sh * (sh + 1)) // 2) * sy)
+                     * (sh * sjy - ((sh * (sh + 1)) // 2) * sy))
+                 AS ssum
+        FROM b2 GROUP BY 1, 2),
+lf AS (SELECT key, s, n,
+              CASE WHEN ssum > 0 THEN
+                log2(CAST(ssum AS DOUBLE)
+                     / (CAST(nb AS DOUBLE) * CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE)
+                        * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              - 1.0) / 12.0))) * 0.5
+              END AS lf
+       FROM per),
+pv AS (SELECT key, max(n) AS n_obs,
+              max(CASE WHEN s = 4 THEN lf END) AS lf_4,
+              max(CASE WHEN s = 8 THEN lf END) AS lf_8,
+              max(CASE WHEN s = 16 THEN lf END) AS lf_16,
+              max(CASE WHEN s = 32 THEN lf END) AS lf_32
+       FROM lf GROUP BY 1)
+SELECT key, CAST(n_obs AS BIGINT) AS n_obs,
+       round(lf_4, 6) AS lf_4, round(lf_8, 6) AS lf_8,
+       round(lf_16, 6) AS lf_16, round(lf_32, 6) AS lf_32,
+       round((-1.5 * lf_4 - 0.5 * lf_8 + 0.5 * lf_16
+              + 1.5 * lf_32) / 5.0, 6) AS alpha
+FROM pv
+""",
+        # Underwater spells: gaps-and-islands on the below-peak flag;
+        # spell span = previous at-peak tick to recovery tick, exact
+        # int64 microseconds floor-divided to whole seconds.
+        "underwater": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+fl AS (SELECT key, us,
+              CAST(c < max(c) OVER (PARTITION BY key ORDER BY us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS INT) AS below,
+              count(*) OVER (PARTITION BY key) AS n
+       FROM tk),
+ff AS (SELECT * FROM fl WHERE n >= 20),
+mk AS (SELECT key, us, below, n,
+              row_number() OVER (PARTITION BY key ORDER BY us)
+                - row_number() OVER (PARTITION BY key, below
+                                     ORDER BY us) AS grp,
+              lag(us) OVER (PARTITION BY key ORDER BY us) AS prev_us,
+              lead(us) OVER (PARTITION BY key ORDER BY us) AS next_us
+       FROM ff),
+sp AS (SELECT key, grp, max(n) AS n, count(*) AS ticks,
+              min(coalesce(prev_us, us)) AS t0,
+              max(coalesce(next_us, us)) AS t1
+       FROM mk WHERE below = 1 GROUP BY 1, 2)
+SELECT key, CAST(max(n) AS BIGINT) AS n_obs,
+       CAST(count(*) AS BIGINT) AS n_spells,
+       CAST(sum(ticks) AS BIGINT) AS below_ticks,
+       CAST(max(ticks) AS BIGINT) AS max_spell_ticks,
+       CAST(max(t1 - t0) // 1000000 AS BIGINT) AS max_spell_secs
+FROM sp GROUP BY 1
+""",
+        # Turning points: exact strict-extremum count (ties count as
+        # neither, NULL edges drop out of the sum on both engines),
+        # fixed Kendall moment tree.
+        "turning_points": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+w3 AS (SELECT key,
+              lag(c) OVER (PARTITION BY key ORDER BY us) AS a,
+              c AS b,
+              lead(c) OVER (PARTITION BY key ORDER BY us) AS d
+       FROM tk),
+a AS (SELECT key, count(*) AS n_obs,
+             sum(CASE WHEN a IS NOT NULL THEN
+                   CAST(((a < b AND b > d) OR (a > b AND b < d))
+                        AS INT) END) AS n_turns
+      FROM w3 GROUP BY 1 HAVING count(*) >= 30)
+SELECT key, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       round((CAST(n_turns AS DOUBLE)
+              - 2.0 * (CAST(n_obs AS DOUBLE) - 2.0) / 3.0)
+             / sqrt((16.0 * CAST(n_obs AS DOUBLE) - 29.0) / 90.0),
+             6) AS z
+FROM a
+""",
+        # Cox-Stuart: the join-free slot-fold (first-half row i pairs
+        # with second-half slot j), exact sign counts, binomial z.
+        "cox_stuart": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+idx AS (SELECT key,
+               row_number() OVER (PARTITION BY key ORDER BY us) AS i,
+               count(*) OVER (PARTITION BY key) AS n, c
+        FROM tk),
+f AS (SELECT * FROM idx WHERE n >= 30),
+sl AS (SELECT key, n,
+              CASE WHEN i <= n // 2 THEN i
+                   WHEN i > n - n // 2 THEN i - (n - n // 2) END AS j,
+              CASE WHEN i <= n // 2 THEN 1 ELSE 2 END AS side, c
+       FROM f),
+p AS (SELECT key, j, max(n) AS n,
+             max(CASE WHEN side = 1 THEN c END) AS c1,
+             max(CASE WHEN side = 2 THEN c END) AS c2
+      FROM sl WHERE j IS NOT NULL GROUP BY 1, 2),
+a AS (SELECT key, max(n) AS n_obs,
+             sum(CAST(c2 != c1 AS BIGINT)) AS m,
+             sum(CAST(c2 > c1 AS BIGINT)) AS np
+      FROM p GROUP BY 1)
+SELECT key, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(m AS BIGINT) AS n_pairs, CAST(np AS BIGINT) AS n_plus,
+       round(CASE WHEN m > 0 THEN
+               (CAST(np AS DOUBLE) - CAST(m AS DOUBLE) / 2.0)
+               / sqrt(CAST(m AS DOUBLE) / 4.0) END, 6) AS z
+FROM a
+""",
+        # Cornish-Fisher: exact HUGEINT power sums over cents returns,
+        # the identical staged double tree, z = Phi^-1(0.01) as the
+        # same repr literal.
+        "cornish_fisher": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+r AS (SELECT key,
+             c - lag(c) OVER (PARTITION BY key ORDER BY us) AS r
+      FROM tk),
+a AS (SELECT key, count(*) AS n,
+             sum(CAST(r AS HUGEINT)) AS s1,
+             sum(CAST(r AS HUGEINT) * r) AS s2,
+             sum(CAST(r * r AS HUGEINT) * r) AS s3,
+             sum(CAST(r * r AS HUGEINT) * (r * r)) AS s4
+      FROM r WHERE r IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 30),
+d AS (SELECT key, n, s1, s2,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d
+      FROM a),
+m AS (SELECT key, n, s1, s2, nd, s2d, s3d, s4d,
+             s1d / nd AS mu
+      FROM d),
+m2s AS (SELECT key, n, s1, s2, nd, s3d, s4d, mu, s2d,
+               s2d / nd - mu * mu AS m2,
+               s3d / nd - 3.0 * mu * s2d / nd
+                 + 2.0 * mu * mu * mu AS m3,
+               s4d / nd - 4.0 * mu * s3d / nd
+                 + 6.0 * mu * mu * s2d / nd
+                 - 3.0 * mu * mu * mu * mu AS m4
+        FROM m),
+sk AS (SELECT key, n, s1, s2, nd, mu, m2,
+              sqrt(m2) AS sig,
+              m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skew,
+              m4 / (m2 * m2) - 3.0 AS kurt,
+              -2.3263478740408408e0 AS z
+       FROM m2s),
+zc AS (SELECT key, n, s1, s2, mu, sig, skew, kurt,
+              z + (z * z - 1.0) * skew / 6.0
+                + (z * z * z - 3.0 * z) * kurt / 24.0
+                - (2.0 * z * z * z - 5.0 * z) * skew * skew
+                  / 36.0 AS zcf
+       FROM sk),
+ok AS (SELECT *, CAST(s2 AS HUGEINT) * CAST(n AS HUGEINT)
+                   > CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS g
+       FROM zc)
+SELECT key, CAST(n AS BIGINT) AS n_ret,
+       round(CASE WHEN g THEN skew END, 6) AS skew,
+       round(CASE WHEN g THEN kurt END, 6) AS kurt_x,
+       round(CASE WHEN g THEN zcf END, 6) AS z_cf,
+       round(CASE WHEN g THEN -(mu + sig * zcf) END, 6) AS mvar_cents
+FROM ok
 """,
         # BNS jumps: identical dedup rule, exact int64 return moments,
         # pi/2 embedded as the same repr literal; + 0.0 normalizes the

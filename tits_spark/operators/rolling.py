@@ -229,3 +229,99 @@ def ulcer_index(
             "ulcer_bp"
         ),
     )
+
+
+def underwater_spells(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    min_obs: int = 20,
+) -> DataFrame:
+    """Underwater-spell durations per key — for HOW LONG does the
+    series sit below its running peak? The TIME axis of drawdown risk:
+    max_dd reports the worst depth and ulcer_index the RMS depth, but
+    neither distinguishes a week under water from a year. A spell is a
+    maximal run of consecutive ticks with c < running peak; its
+    duration spans from the last at-peak tick to the recovery tick
+    (NULL-extended to the key's last tick for a spell still open at
+    end of history).
+
+    Exactness: everything is an exact integer — cents with the house
+    dup-timestamp rule, the running max is a copied value, spell ids
+    come from the textbook gaps-and-islands device (row_number minus
+    row_number over the below-flag), durations are int64 microsecond
+    differences floor-divided to whole seconds.
+
+    Plan shape (the 100 TB argument): the dedup aggregate, the running
+    max, both row_number windows, the lead() recovery probe and the
+    two stacked groupBys all ride ONE hashpartitioning(key) exchange
+    — no join, no UDF.
+    """
+    from tits_spark.functions.exprs import epoch_us, floordiv
+
+    mo = max(int(min_obs), 2)
+    ticks = (
+        df.select(
+            F.col(key).alias("key"),
+            epoch_us(ts).alias("us"),
+            F.round(F.col(value) * 100).cast("long").alias("c"),
+        )
+        .groupBy("key", "us")
+        .agg(F.max("c").alias("c"))
+    )
+    wp = (
+        Window.partitionBy("key")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("key").orderBy("us")
+    wk = Window.partitionBy("key")
+    flagged = ticks.select(
+        "key",
+        "us",
+        (F.col("c") < F.max("c").over(wp)).cast("int").alias("below"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    ).filter(F.col("n") >= mo)
+    # gaps-and-islands: within a key, consecutive below-rows share
+    # (rn_all - rn_below); the spell starts at the previous at-peak
+    # tick and ends at the recovery tick (lead over the at-peak rows
+    # would need a join — instead take the previous/next us via lag/
+    # lead on the FULL tick order, exact because spells are maximal)
+    marked = flagged.select(
+        "key",
+        "us",
+        "below",
+        "n",
+        (
+            F.row_number().over(wo)
+            - F.row_number().over(
+                Window.partitionBy("key", "below").orderBy("us")
+            )
+        ).alias("grp"),
+        F.lag("us").over(wo).alias("prev_us"),
+        F.lead("us").over(wo).alias("next_us"),
+    ).filter(F.col("below") == 1)
+    spells = marked.groupBy("key", "grp").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("ticks"),
+        F.min(F.coalesce(F.col("prev_us"), F.col("us"))).alias("t0"),
+        F.max(F.coalesce(F.col("next_us"), F.col("us"))).alias("t1"),
+    )
+    out = spells.groupBy("key").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_spells"),
+        F.sum("ticks").cast("long").alias("below_ticks"),
+        F.max("ticks").cast("long").alias("max_spell_ticks"),
+        F.max(F.col("t1") - F.col("t0")).alias("max_spell_us"),
+    )
+    return out.select(
+        "key",
+        "n_obs",
+        "n_spells",
+        "below_ticks",
+        "max_spell_ticks",
+        floordiv(F.col("max_spell_us"), 1_000_000)
+        .cast("long")
+        .alias("max_spell_secs"),
+    )
