@@ -3161,7 +3161,7 @@ def q_arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ljung_box(ev, "key", "ts", "v2", nlags=3)
 
 
-def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_turning_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turning-point count and rate per key: local extrema detected by
     a strict sign flip of consecutive first differences (flat steps
     break a run, matching the classic Kendall turning-point test's
@@ -4212,7 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "arch_test": q_arch_test,
         "spectral_entropy": q_spectral_entropy,
-        "turning_points": q_turning_points,
+        "turning_rate": q_turning_rate,
         "benford": q_benford,
         "seasonal_strength": q_seasonal_strength,
         "mixing_stats": q_mixing_stats,
@@ -9472,7 +9472,7 @@ SELECT key, count(*) AS n_obs,
              - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
 FROM r GROUP BY 1
 """,
-        "turning_points": """
+        "turning_rate": """
 WITH s AS (
   SELECT user_id AS key, value,
          value - lag(value) OVER w AS dp,
