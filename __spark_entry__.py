@@ -4067,6 +4067,47 @@ _R5_HEAD = [
 ]
 
 
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson + von Neumann serial-correlation ratios per user:
+    exact integer squared-difference sums, one double division."""
+    from tits_spark.operators.vnratio import durbin_watson
+
+    return durbin_watson(_events(spark, sf_dir))
+
+
+def q_bartels_rvn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann randomness test per user: ranks via
+    the deterministic (c, us) total order, exact integer numerator,
+    Bartels' exact-variance z."""
+    from tits_spark.operators.vnratio import bartels_rank
+
+    return bartels_rank(_events(spark, sf_dir))
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per user: exact decimal power sums
+    over cents returns, one fixed double tree for S, K and JB."""
+    from tits_spark.operators.normality import jarque_bera
+
+    return jarque_bera(_events(spark, sf_dir))
+
+
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme studentized deviate per user: single aggregate
+    (n, S1, S2, min, max), side decided by an exact integer compare."""
+    from tits_spark.operators.normality import grubbs
+
+    return grubbs(_events(spark, sf_dir))
+
+
+def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) mean-reversion half-life per user: five exact decimal
+    sufficient statistics, cleared-denominator slope, -ln2/ln(phi)."""
+    from tits_spark.operators.meanrev import ar1_half_life
+
+    return ar1_half_life(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the round driver's correctness gate runs the
     # FIRST 50 entries, so the head is a rotating cross-section
@@ -4321,6 +4362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turning_points": q_turning_points,
         "cox_stuart": q_cox_stuart,
         "cornish_fisher": q_cornish_fisher,
+        "durbin_watson": q_durbin_watson,
+        "bartels_rvn": q_bartels_rvn,
+        "jarque_bera": q_jarque_bera,
+        "grubbs": q_grubbs,
+        "half_life": q_half_life,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -10221,6 +10267,182 @@ rk AS (SELECT key, us, c, prom,
        FROM pr)
 SELECT key, us, c, prom, CAST(rk AS BIGINT) AS rk
 FROM rk WHERE rk <= 10
+""",
+        "durbin_watson": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+r0 AS (SELECT key, us,
+              c - lag(c) OVER (PARTITION BY key ORDER BY us) AS r
+       FROM tk),
+r AS (SELECT key, us, r FROM r0 WHERE r IS NOT NULL),
+d AS (SELECT key, r,
+             r - lag(r) OVER (PARTITION BY key ORDER BY us) AS d
+      FROM r),
+a AS (SELECT key, count(*) AS n,
+             sum(CAST(r AS HUGEINT) * r) AS srr,
+             sum(CASE WHEN d IS NOT NULL
+                      THEN CAST(d AS HUGEINT) * d END) AS sdd
+      FROM d GROUP BY 1 HAVING count(*) >= 30),
+f AS (SELECT key, n, CAST(n AS DOUBLE) AS nd,
+             CASE WHEN srr > 0
+                  THEN CAST(sdd AS DOUBLE) / CAST(srr AS DOUBLE)
+             END AS dw
+      FROM a)
+SELECT key, CAST(n AS BIGINT) AS n_ret,
+       round(dw, 6) AS dw,
+       round(dw * nd / (nd - 1.0), 6) AS vn
+FROM f
+""",
+        "bartels_rvn": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+rk AS (SELECT key, us,
+              row_number() OVER (PARTITION BY key ORDER BY c, us) AS rk
+       FROM tk),
+d AS (SELECT key,
+             rk - lead(rk) OVER (PARTITION BY key ORDER BY us) AS d
+      FROM rk),
+a AS (SELECT key, count(*) AS n,
+             sum(CASE WHEN d IS NOT NULL
+                      THEN CAST(d AS HUGEINT) * d END) AS nm
+      FROM d GROUP BY 1 HAVING count(*) >= 30),
+f AS (SELECT key, n, CAST(n AS DOUBLE) AS nd,
+             CAST(nm AS DOUBLE) AS nmd
+      FROM a),
+g AS (SELECT key, n, nd,
+             nmd / (nd * (nd * nd - 1.0) / 12.0) AS rvn,
+             4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+               / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0)) AS v
+      FROM f)
+SELECT key, CAST(n AS BIGINT) AS n_obs,
+       round(rvn, 6) AS rvn,
+       round((rvn - 2.0) / sqrt(v), 6) AS z
+FROM g
+""",
+        "jarque_bera": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+r AS (SELECT key,
+             c - lag(c) OVER (PARTITION BY key ORDER BY us) AS r
+      FROM tk),
+a AS (SELECT key, count(*) AS n,
+             sum(CAST(r AS HUGEINT)) AS s1,
+             sum(CAST(r AS HUGEINT) * r) AS s2,
+             sum(CAST(r * r AS HUGEINT) * r) AS s3,
+             sum(CAST(r * r AS HUGEINT) * (r * r)) AS s4
+      FROM r WHERE r IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 30),
+d AS (SELECT key, n, s1, s2,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d
+      FROM a),
+m AS (SELECT key, n, s1, s2, nd, s2d, s3d, s4d,
+             s1d / nd AS mu
+      FROM d),
+m2s AS (SELECT key, n, s1, s2, nd, mu,
+               s2d / nd - mu * mu AS m2,
+               s3d / nd - 3.0 * mu * s2d / nd
+                 + 2.0 * mu * mu * mu AS m3,
+               s4d / nd - 4.0 * mu * s3d / nd
+                 + 6.0 * mu * mu * s2d / nd
+                 - 3.0 * mu * mu * mu * mu AS m4
+        FROM m),
+sk AS (SELECT key, n, s1, s2, nd,
+              m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skew,
+              m4 / (m2 * m2) - 3.0 AS kurt
+       FROM m2s),
+ok AS (SELECT *, CAST(s2 AS HUGEINT) * CAST(n AS HUGEINT)
+                   > CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS g
+       FROM sk)
+SELECT key, CAST(n AS BIGINT) AS n_ret,
+       round(CASE WHEN g THEN skew END, 6) AS skew,
+       round(CASE WHEN g THEN kurt END, 6) AS kurt_x,
+       round(CASE WHEN g THEN
+             nd * (skew * skew / 6.0 + kurt * kurt / 24.0) END, 6) AS jb
+FROM ok
+""",
+        "grubbs": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+a AS (SELECT key, count(*) AS n,
+             sum(CAST(c AS HUGEINT)) AS s1,
+             sum(CAST(c AS HUGEINT) * c) AS s2,
+             min(c) AS cmin, max(c) AS cmax
+      FROM tk GROUP BY 1 HAVING count(*) >= 30),
+f AS (SELECT key, n, cmin, cmax,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(n AS HUGEINT) * s2 - s1 * s1 AS v,
+             CAST(n AS HUGEINT) * (CAST(cmax AS HUGEINT) + cmin)
+               >= 2 * s1 AS hi
+      FROM a),
+g AS (SELECT key, n, hi,
+             s1d / nd AS mu,
+             sqrt(CAST(v AS DOUBLE) / (nd * (nd - 1.0))) AS s,
+             CAST(cmax AS DOUBLE) AS cmaxd,
+             CAST(cmin AS DOUBLE) AS cmind,
+             v > 0 AS ok
+      FROM f)
+SELECT key, CAST(n AS BIGINT) AS n_obs,
+       round(CASE WHEN ok THEN
+             (CASE WHEN hi THEN cmaxd - mu ELSE mu - cmind END) / s
+             END, 6) AS g,
+       CASE WHEN hi THEN 'high' ELSE 'low' END AS side
+FROM g
+""",
+        "half_life": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+p AS (SELECT key, c AS y,
+             lag(c) OVER (PARTITION BY key ORDER BY us) AS x
+      FROM tk),
+a AS (SELECT key, count(*) AS m,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM p WHERE x IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 30),
+f AS (SELECT key, m,
+             CAST(m AS HUGEINT) * sxx - sx * sx AS vx_i,
+             CAST(m AS HUGEINT) * syy - sy * sy AS vy_i,
+             CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cov
+      FROM a),
+g AS (SELECT key, m, vx_i, vy_i, cov,
+             CAST(vx_i AS DOUBLE) AS vx, CAST(vy_i AS DOUBLE) AS vy
+      FROM f),
+h AS (SELECT key, m,
+             CASE WHEN vx_i > 0 THEN cov / vx END AS phi,
+             CASE WHEN vx_i > 0 AND vy_i > 0
+                  THEN cov * cov / (vx * vy) END AS r2
+      FROM g)
+SELECT key, CAST(m AS BIGINT) AS n_pairs,
+       round(phi, 6) AS phi,
+       round(r2, 6) AS r2,
+       round(CASE WHEN phi > 0.0 AND phi < 1.0
+                  THEN -ln(2.0) / ln(phi) END, 6) AS half_life
+FROM h
 """,
     }
 
