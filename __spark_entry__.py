@@ -4108,6 +4108,17 @@ def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ar1_half_life(_events(spark, sf_dir))
 
 
+def q_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper V time-of-day uniformity test per user: both ECDF
+    deviations reduced to exact BIGINT maxima over the integer
+    microsecond-of-day lattice (cleared denominators), one double
+    division for V and Stephens' Vn — the rotation-invariant
+    complement of rayleigh."""
+    from tits_spark.operators.circular import kuiper_uniformity
+
+    return kuiper_uniformity(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the round driver's correctness gate runs the
     # FIRST 50 entries, so the head is a rotating cross-section
@@ -4367,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jarque_bera": q_jarque_bera,
         "grubbs": q_grubbs,
         "half_life": q_half_life,
+        "kuiper": q_kuiper,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -7290,6 +7302,34 @@ SELECT key, n_obs,
        round(ss / CAST(n_obs AS DOUBLE), 6) + 0.0 AS s_bar,
        round(sqrt(cs * cs + ss * ss) / CAST(n_obs AS DOUBLE), 6) AS rbar,
        round((cs * cs + ss * ss) / CAST(n_obs AS DOUBLE), 6) AS z
+FROM a
+""",
+        # Kuiper: the same cleared-denominator BIGINT maxima as the
+        # operator; V/Vn are the identical double tree.
+        "kuiper": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) % 86400000000 AS u
+  FROM events
+),
+r AS (
+  SELECT key, u,
+         row_number() OVER (PARTITION BY key ORDER BY u) AS i,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM t
+),
+a AS (
+  SELECT key, CAST(max(n) AS BIGINT) AS n_obs,
+         CAST(max(i * 86400000000 - n * u) AS BIGINT) AS dp_num,
+         CAST(max(n * u - (i - 1) * 86400000000) AS BIGINT) AS dm_num
+  FROM r GROUP BY 1 HAVING max(n) >= 8
+)
+SELECT key, n_obs, dp_num, dm_num,
+  round(CAST(dp_num + dm_num AS DOUBLE)
+        / (CAST(n_obs AS DOUBLE) * 86400000000.0), 6) AS v,
+  round(CAST(dp_num + dm_num AS DOUBLE)
+        / (CAST(n_obs AS DOUBLE) * 86400000000.0)
+        * (sqrt(CAST(n_obs AS DOUBLE)) + 0.155
+           + 0.24 / sqrt(CAST(n_obs AS DOUBLE))), 6) AS vn_stat
 FROM a
 """,
         # Engle-Granger: residual sums expanded onto the HUGEINT pair

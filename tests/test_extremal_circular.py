@@ -111,3 +111,83 @@ def test_rayleigh_min_points(spark):
     rows = [("k", _t(i * 3600), 0.0) for i in range(5)]
     df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
     assert rayleigh_uniformity(df, min_points=8).count() == 0
+
+
+def _brute_kuiper(times_s):
+    DAY = 86_400_000_000
+    u = np.sort((np.asarray(times_s, dtype=np.int64) * 1_000_000
+                 + int(BASE.timestamp()) * 1_000_000) % DAY)
+    n = len(u)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    dp = int(np.max(i * DAY - n * u))
+    dm = int(np.max(n * u - (i - 1) * DAY))
+    v = (dp + dm) / (n * DAY)
+    vn = v * (math.sqrt(n) + 0.155 + 0.24 / math.sqrt(n))
+    return dp, dm, v, vn
+
+
+def test_kuiper_brute_force_parity(spark):
+    from tits_spark.operators.circular import kuiper_uniformity
+
+    rng = np.random.default_rng(11)
+    rows = []
+    per_key = {}
+    for k in range(4):
+        times = sorted(rng.integers(0, 20 * 86400, size=60).tolist())
+        per_key[f"k{k}"] = times
+        rows += [(f"k{k}", _t(s), 0.0) for s in times]
+    got = {
+        r["key"]: r
+        for r in kuiper_uniformity(_mk(spark, rows)).collect()
+    }
+    assert set(got) == set(per_key)
+    for k, times in per_key.items():
+        dp, dm, v, vn = _brute_kuiper(times)
+        assert got[k]["dp_num"] == dp and got[k]["dm_num"] == dm
+        assert got[k]["v"] == round(v, 6)
+        assert got[k]["vn_stat"] == round(vn, 6)
+
+
+def test_kuiper_bimodal_beats_rayleigh_blind_spot(spark):
+    """Two tight opposite phases (06:00 and 18:00): the Rayleigh
+    resultant cancels to ~0 (looks uniform) while Kuiper rejects."""
+    from tits_spark.operators.circular import kuiper_uniformity
+
+    rows = []
+    for d in range(30):
+        rows.append(("bi", _t(d * 86400 + 6 * 3600), 0.0))
+        rows.append(("bi", _t(d * 86400 + 18 * 3600), 0.0))
+    for j in range(60):  # uniform control at a 24-coprime stride
+        rows.append(("uni", _t(j * 86400 // 60 + j * 1441), 0.0))
+    df = _mk(spark, rows)
+    ray = {r["key"]: r["rbar"] for r in rayleigh_uniformity(df).collect()}
+    kui = {
+        r["key"]: r["vn_stat"]
+        for r in kuiper_uniformity(df).collect()
+    }
+    assert ray["bi"] < 0.05  # Rayleigh is blind to the antipodal pair
+    assert kui["bi"] > 2.0   # Kuiper rejects loudly (1% cv ~ 2.0)
+    assert kui["uni"] < 1.75  # uniform control stays below the 5% cv
+
+
+def test_kuiper_rotation_invariance(spark):
+    """Shifting every event by the same clock offset leaves V
+    unchanged (the property KS-on-the-wrapped-value lacks)."""
+    from tits_spark.operators.circular import kuiper_uniformity
+
+    rng = np.random.default_rng(7)
+    times = sorted(int(x) for x in rng.integers(0, 86400, size=40))
+    rows = [("a", _t(s), 0.0) for s in times]
+    shift = 7 * 3600 + 123
+    rows += [("b", _t((s + shift) % 86400), 0.0) for s in times]
+    out = {
+        r["key"]: r["v"]
+        for r in kuiper_uniformity(_mk(spark, rows)).collect()
+    }
+    assert abs(out["a"] - out["b"]) <= 2e-6  # round-6 quanta apart
+
+def test_kuiper_min_points(spark):
+    from tits_spark.operators.circular import kuiper_uniformity
+
+    rows = [("tiny", _t(i * 3600), 0.0) for i in range(5)]
+    assert kuiper_uniformity(_mk(spark, rows)).count() == 0

@@ -84,3 +84,82 @@ def rayleigh_uniformity(
         F.round(F.sqrt(r2) / n, 6).alias("rbar"),
         F.round(r2 / n, 6).alias("z"),
     )
+
+
+def kuiper_uniformity(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_points: int = 8,
+) -> DataFrame:
+    """Per-key Kuiper V test of time-of-day uniformity — the
+    rotation-invariant ECDF companion of :func:`rayleigh_uniformity`
+    (Kuiper 1960; Stephens 1970 modification, public formulae).
+
+    Rayleigh only sees the FIRST circular moment (a key active at
+    exactly 06:00 and 18:00 has resultant ~0 and looks uniform);
+    Kuiper compares the empirical CDF of microsecond-of-day against
+    the uniform ramp and is sensitive to any departure, yet (unlike a
+    naive KS on the wrapped value) assigns the same statistic no
+    matter where the day is cut:
+
+        D+ = max_i ( i/n  - u_(i)/DAY )
+        D- = max_i ( u_(i)/DAY - (i-1)/n )
+        V  = D+ + D-
+        Vn = V * (sqrt(n) + 0.155 + 0.24/sqrt(n))   (Stephens 1970)
+
+    Exactness: u_(i) is the EXACT int64 microsecond-of-day; clearing
+    the denominators makes both maxima integer lattices,
+
+        dp_num = max_i ( i*DAY - n*u_(i) )
+        dm_num = max_i ( n*u_(i) - (i-1)*DAY )
+
+    so the per-key reduction is a pure BIGINT max — no float ever
+    enters until the single V = (dp_num + dm_num)/(n*DAY) division
+    (round 6). Ties on u are harmless: within a tie group both
+    expressions are monotone in i, so row_number order inside the
+    group never moves the max (the ECDF's top step wins). Bound:
+    |i*DAY|, |n*u| <= n * 86.4e9 — int64-exact for n <= 1e8 events
+    per key; beyond that, run it on a rolled-up tier (the engine's
+    standard retention discipline, cf. kpss.py's envelope note).
+
+    Plan shape: one scan, one per-key sort window (row_number + two
+    running maxima ride the same exchange), one hash agg. No join,
+    no UDF, no grid.
+    """
+    from pyspark.sql import Window
+
+    usod = (epoch_us(ts) % F.lit(_DAY_US)).alias("u")
+    rows = df.select(F.col(key).alias("key"), usod)
+    w = Window.partitionBy("key").orderBy("u")
+    wk = Window.partitionBy("key")
+    ranked = rows.select(
+        "key",
+        "u",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    dp = F.col("i") * F.lit(_DAY_US) - F.col("n") * F.col("u")
+    dm = F.col("n") * F.col("u") - (F.col("i") - 1) * F.lit(_DAY_US)
+    agg = (
+        ranked.groupBy("key")
+        .agg(
+            F.max("n").alias("n_obs"),
+            F.max(dp).alias("dp_num"),
+            F.max(dm).alias("dm_num"),
+        )
+        .filter(F.col("n_obs") >= int(min_points))
+    )
+    n = F.col("n_obs").cast("double")
+    v = (F.col("dp_num") + F.col("dm_num")).cast("double") / (
+        n * F.lit(float(_DAY_US))
+    )
+    vn = v * (F.sqrt(n) + F.lit(0.155) + F.lit(0.24) / F.sqrt(n))
+    return agg.select(
+        "key",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("dp_num").cast("long").alias("dp_num"),
+        F.col("dm_num").cast("long").alias("dm_num"),
+        F.round(v, 6).alias("v"),
+        F.round(vn, 6).alias("vn_stat"),
+    )
