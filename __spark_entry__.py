@@ -4119,6 +4119,20 @@ def q_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kuiper_uniformity(_events(spark, sf_dir))
 
 
+def q_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of event_type x
+    hour-of-day per user, with Cramer's V: the observed-cell
+    telescoped identity keeps the aggregation on the floor-1e9
+    BIGINT lattice (mutual_info's discipline); empty cells enter
+    through the +N constant, never materialized."""
+    from tits_spark.operators.mutual_info import chi2_independence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "ts", "event_type"
+    )
+    return chi2_independence(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the round driver's correctness gate runs the
     # FIRST 50 entries, so the head is a rotating cross-section
@@ -4379,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grubbs": q_grubbs,
         "half_life": q_half_life,
         "kuiper": q_kuiper,
+        "chi2_indep": q_chi2_indep,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -7660,6 +7675,49 @@ q AS (
 SELECT key, CAST(max(n) AS BIGINT) AS n, count(*) AS n_cells,
        CAST(floor(sum(q) / (max(n) * 1000.0)) AS BIGINT) AS mi_u6
 FROM q GROUP BY 1
+""",
+        # chi-square independence: the same telescoped observed-cell
+        # identity as the operator — per-cell doubles from identical
+        # exact ints, floor-1e9 quantized BEFORE the BIGINT sum.
+        "chi2_indep": """
+WITH joint AS (
+  SELECT user_id AS key, event_type AS u, hour(ts) AS v, count(*) AS nuv
+  FROM events GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT key, u, v, nuv,
+         CAST(sum(nuv) OVER (PARTITION BY key) AS BIGINT) AS n,
+         CAST(sum(nuv) OVER (PARTITION BY key, u) AS BIGINT) AS nu,
+         CAST(sum(nuv) OVER (PARTITION BY key, v) AS BIGINT) AS nv
+  FROM joint
+),
+q AS (
+  SELECT key, u, v, n,
+         CAST(floor(
+           (CAST(nuv * n - nu * nv AS DOUBLE)
+              * CAST(nuv * n - nu * nv AS DOUBLE)
+            - CAST(nu * nv AS DOUBLE) * CAST(nu * nv AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(nu * nv AS DOUBLE)) * 1e9
+         ) AS BIGINT) AS q
+  FROM cells
+),
+a AS (
+  SELECT key, CAST(max(n) AS BIGINT) AS n,
+         CAST(count(DISTINCT u) AS BIGINT) AS r_cats,
+         CAST(count(DISTINCT v) AS BIGINT) AS c_cats,
+         CAST(sum(q) AS DOUBLE) / 1e9 + CAST(max(n) AS DOUBLE) AS x2
+  FROM q GROUP BY 1
+)
+SELECT key, n, r_cats, c_cats,
+       (r_cats - 1) * (c_cats - 1) AS dof,
+       CASE WHEN r_cats >= 2 AND c_cats >= 2
+            THEN round(x2, 6) END AS chi2,
+       CASE WHEN r_cats >= 2 AND c_cats >= 2
+            THEN round(sqrt(greatest(x2, 0.0)
+                 / (CAST(n AS DOUBLE)
+                    * CAST(least(r_cats, c_cats) - 1 AS DOUBLE))), 6)
+       END AS cramers_v
+FROM a
 """,
         # token-bucket replay: BIGINT micro-token recursion with
         # floor-div refill — bit-exact by construction
