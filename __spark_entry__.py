@@ -4119,6 +4119,25 @@ def q_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kuiper_uniformity(_events(spark, sf_dir))
 
 
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F + eta2 of weekday effect on daily event counts
+    per user over friedman's balanced complete-week spine: equal group
+    sizes by construction clear every denominator, so U/T/Q are exact
+    integers and F is one double division."""
+    from tits_spark.operators.anova import anova_weekday
+
+    return anova_weekday(_events(spark, sf_dir))
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe weekday variance-homogeneity test per user: the
+    balanced one-way F applied to doubled absolute deviations from
+    each weekday's doubled median (exact integers, the 2x cancels)."""
+    from tits_spark.operators.anova import brown_forsythe_weekday
+
+    return brown_forsythe_weekday(_events(spark, sf_dir))
+
+
 def q_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test of event_type x
     hour-of-day per user, with Cramer's V: the observed-cell
@@ -4394,6 +4413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "half_life": q_half_life,
         "kuiper": q_kuiper,
         "chi2_indep": q_chi2_indep,
+        "anova_weekday": q_anova,
+        "brown_forsythe": q_brown_forsythe,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -7246,6 +7267,96 @@ SELECT key, n_blocks, num, a4,
     round(6.0 * CAST(num AS DOUBLE)
           / CAST(a4 - 448 * n_blocks AS DOUBLE), 6)
   END AS chi2
+FROM pk
+""",
+        # balanced one-way ANOVA on the friedman spine: equal group
+        # sizes clear every denominator; U/T/Q exact HUGEINT.
+        "anova_weekday": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS n_day
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS dd, mn, mx
+       FROM (SELECT key, min(d) AS mn, max(d) AS mx
+             FROM daily GROUP BY 1)),
+g AS (SELECT sp.key, sp.dd, sp.mn, sp.mx,
+             coalesce(daily.n_day, 0) AS c
+      FROM sp LEFT JOIN daily
+        ON daily.key = sp.key AND daily.d = sp.dd),
+cells AS (SELECT key, dd // 7 AS blk, dd % 7 AS trt, c
+          FROM g
+          WHERE (dd // 7) * 7 >= mn AND (dd // 7) * 7 + 6 <= mx),
+pt AS (SELECT key, trt,
+              CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sj,
+              CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS qj,
+              count(*) AS nj
+       FROM cells GROUP BY 1, 2),
+pk AS (SELECT key, CAST(max(nj) AS BIGINT) AS n_blocks,
+              sum(sj * sj) AS u, sum(sj) AS t, sum(qj) AS q
+       FROM pt GROUP BY 1 HAVING max(nj) >= 2)
+SELECT key, n_blocks,
+       CAST(u AS BIGINT) AS u, CAST(t AS BIGINT) AS t,
+       CAST(q AS BIGINT) AS q,
+  CASE WHEN n_blocks * q - u > 0 THEN
+    round(CAST((n_blocks - 1) * (7 * u - t * t) AS DOUBLE)
+          / CAST(6 * (n_blocks * q - u) AS DOUBLE), 6) + 0.0
+  END AS f_stat,
+  CASE WHEN 7 * n_blocks * q - t * t > 0 THEN
+    round(CAST(7 * u - t * t AS DOUBLE)
+          / CAST(7 * n_blocks * q - t * t AS DOUBLE), 6) + 0.0
+  END AS eta2
+FROM pk
+""",
+        # Brown-Forsythe: the same balanced one-way tree over doubled
+        # |x - median| deviations (doubled group median = the two
+        # middle order statistics, exact integers).
+        "brown_forsythe": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS n_day
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS dd, mn, mx
+       FROM (SELECT key, min(d) AS mn, max(d) AS mx
+             FROM daily GROUP BY 1)),
+g AS (SELECT sp.key, sp.dd, sp.mn, sp.mx,
+             coalesce(daily.n_day, 0) AS c
+      FROM sp LEFT JOIN daily
+        ON daily.key = sp.key AND daily.d = sp.dd),
+cells AS (SELECT key, dd // 7 AS blk, dd % 7 AS trt, c
+          FROM g
+          WHERE (dd // 7) * 7 >= mn AND (dd // 7) * 7 + 6 <= mx),
+r AS (SELECT key, blk, trt, c,
+             row_number() OVER (PARTITION BY key, trt
+                                ORDER BY c, blk) AS rn,
+             count(*) OVER (PARTITION BY key, trt) AS ng
+      FROM cells),
+m AS (SELECT key, trt, c,
+             sum(CASE WHEN rn = (ng + 1) // 2 THEN c ELSE 0 END
+                 + CASE WHEN rn = (ng + 2) // 2 THEN c ELSE 0 END)
+               OVER (PARTITION BY key, trt) AS m2
+      FROM r),
+dev AS (SELECT key, trt, abs(2 * c - m2) AS c FROM m),
+pt AS (SELECT key, trt,
+              CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS sj,
+              CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS qj,
+              count(*) AS nj
+       FROM dev GROUP BY 1, 2),
+pk AS (SELECT key, CAST(max(nj) AS BIGINT) AS n_blocks,
+              sum(sj * sj) AS u, sum(sj) AS t, sum(qj) AS q
+       FROM pt GROUP BY 1 HAVING max(nj) >= 3)
+SELECT key, n_blocks,
+       CAST(u AS BIGINT) AS u, CAST(t AS BIGINT) AS t,
+       CAST(q AS BIGINT) AS q,
+  CASE WHEN n_blocks * q - u > 0 THEN
+    round(CAST((n_blocks - 1) * (7 * u - t * t) AS DOUBLE)
+          / CAST(6 * (n_blocks * q - u) AS DOUBLE), 6) + 0.0
+  END AS f_stat,
+  CASE WHEN 7 * n_blocks * q - t * t > 0 THEN
+    round(CAST(7 * u - t * t AS DOUBLE)
+          / CAST(7 * n_blocks * q - t * t AS DOUBLE), 6) + 0.0
+  END AS eta2
 FROM pk
 """,
         # energy distance: the oracle RUNS the O(n^2) within/cross pair

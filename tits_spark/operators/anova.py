@@ -1,0 +1,166 @@
+"""One-way ANOVA F and Brown-Forsythe variance-homogeneity tests per
+key over the balanced complete-week weekday design — the PARAMETRIC
+partners of friedman (blocked ranks) and kruskal_wallis (pooled
+ranks): does the weekday shift a key's activity LEVEL, and does it
+shift its SPREAD? (Fisher 1925; Brown & Forsythe 1974 / Levene 1960
+with the median center, public formulae.)
+
+Both ride :func:`tits_spark.operators.friedman.weekday_cells` — daily
+event counts, zero-filled, complete weeks only — so every weekday
+group has EXACTLY n observations (n = complete weeks). Balance is a
+construction, not an assumption, and it makes the cleared one-way
+algebra exact: with k = 7 groups, group sums S_j, U = sum_j S_j^2,
+grand total T = sum_j S_j and raw square sum Q = sum x^2,
+
+    SSB = (7U - T^2) / (7n)        SSW = (nQ - U) / n
+
+        F = (n-1) * (7U - T^2) / ( 6 * (nQ - U) )
+     eta2 = (7U - T^2) / (7nQ - T^2)
+
+— numerator and denominator are EXACT integers (one double division
+each), because every n_j equals n so no per-group /n_j survives the
+clearing. Unbalanced daily data never reaches this formula: the
+zero-fill completes interior weeks and the filter drops boundary
+part-weeks, exactly as friedman does.
+
+Brown-Forsythe is the SAME cleared one-way F applied to the doubled
+absolute deviations z = |2x - m2_j| where m2_j is the DOUBLED group
+median (the sum of the two middle order statistics — an exact
+integer even when the median itself is a half-integer; the constant
+factor 2 cancels inside F). The median center (vs Levene's mean) is
+what makes the test robust to the heavy tails daily counts actually
+have, and it keeps the lattice integer: a mean center would put a
+rational on every row.
+
+Exactness: U, T, Q (and their z-counterparts) accumulate in
+decimal(38,0) and are emitted as BIGINT — int64-exact while
+n * C_day^2 * 7n < 2^63 (C_day = max daily count; ~10^3 weeks at
+10^6-events/day keys before the envelope matters — far above any real
+key-span; past it, the decimal(38,0) internals stay exact and only
+the emission cast would need widening, cf. kpss.py's envelope note).
+F and eta2 are one fixed double tree over those exact integers
+(round 6; NULL when the denominator is 0 — all-equal-within-groups
+for F, an all-constant key for eta2).
+
+Plan shape: ONE raw scan -> the (key, day) partial aggregate (10^12
+turns collapse to key-days before anything else) -> the bounded gap
+explode -> for ANOVA one (key, trt) + one (key) hash aggregate; for
+Brown-Forsythe one extra (key, trt) window pair (rank + median pick)
+riding the SAME exchange as the group aggregate. No join, no UDF,
+no cartesian anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tits_spark.operators.friedman import K, weekday_cells
+
+DEC = "decimal(38,0)"
+
+
+def _balanced_oneway(cells: DataFrame, min_blocks: int) -> DataFrame:
+    """Cleared balanced one-way F + eta2 over (key, trt, c) cells.
+
+    Emits (key, n_blocks, u, t, q, f_stat, eta2); u/t/q are the exact
+    integer sufficient statistics (sum_j S_j^2, grand total, raw
+    square sum)."""
+    per_trt = cells.groupBy("key", "trt").agg(
+        F.sum(F.col("c").cast(DEC)).alias("sj"),
+        F.sum((F.col("c").cast(DEC) * F.col("c"))).alias("qj"),
+        F.count(F.lit(1)).alias("nj"),
+    )
+    per_key = (
+        per_trt.groupBy("key")
+        .agg(
+            F.max("nj").alias("n_blocks"),
+            F.sum(F.col("sj") * F.col("sj")).alias("_u"),
+            F.sum("sj").alias("_t"),
+            F.sum("qj").alias("_q"),
+        )
+        .filter(F.col("n_blocks") >= int(min_blocks))
+    )
+    n = F.col("n_blocks").cast(DEC)
+    ssb_num = F.lit(K) * F.col("_u") - F.col("_t") * F.col("_t")  # 7U - T^2
+    ssw_num = n * F.col("_q") - F.col("_u")                       # nQ - U
+    sst_num = F.lit(K) * n * F.col("_q") - F.col("_t") * F.col("_t")
+    f_stat = F.when(
+        ssw_num > 0,
+        F.round(
+            ((n - 1) * ssb_num).cast("double")
+            / (F.lit(K - 1) * ssw_num).cast("double"),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    eta2 = F.when(
+        sst_num > 0,
+        F.round(ssb_num.cast("double") / sst_num.cast("double"), 6)
+        + F.lit(0.0),
+    )
+    return per_key.select(
+        "key",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("_u").cast("long").alias("u"),
+        F.col("_t").cast("long").alias("t"),
+        F.col("_q").cast("long").alias("q"),
+        f_stat.alias("f_stat"),
+        eta2.alias("eta2"),
+    )
+
+
+def anova_weekday(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_blocks: int = 2,
+) -> DataFrame:
+    """Per-key one-way ANOVA F of weekday effect on daily event counts
+    over complete weeks (balanced by construction).
+
+    Returns (key, n_blocks, u, t, q, f_stat, eta2): the exact integer
+    sufficient statistics, the F statistic on (6, 7(n-1)) degrees of
+    freedom and the eta-squared effect size (round 6; NULL when the
+    within-group variance, resp. the total variance, is zero)."""
+    return _balanced_oneway(
+        weekday_cells(df, key=key, ts=ts), min_blocks=min_blocks
+    )
+
+
+def brown_forsythe_weekday(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_blocks: int = 3,
+) -> DataFrame:
+    """Per-key Brown-Forsythe test: does the SPREAD of daily activity
+    differ by weekday? The balanced one-way F applied to the doubled
+    absolute deviations from each weekday's doubled median (exact
+    integers; the 2x cancels in F).
+
+    Returns (key, n_blocks, u, t, q, f_stat, eta2) over the deviation
+    lattice; f_stat is NULL when every deviation is group-constant.
+    ``min_blocks`` defaults to 3: with n = 2 every |x - median| pair
+    is symmetric and the within-group variance collapses."""
+    cells = weekday_cells(df, key=key, ts=ts)
+    wg = Window.partitionBy("key", "trt")
+    # deterministic median pick: order by (c, blk); ties on c make the
+    # blk tiebreak irrelevant to the VALUE of the middle order stats
+    wr = Window.partitionBy("key", "trt").orderBy("c", "blk")
+    ranked = cells.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "ng", F.count(F.lit(1)).over(wg)
+    )
+    # middle order-statistic ranks: lo = floor((n+1)/2), hi = floor((n+2)/2)
+    lo = F.floor((F.col("ng") + 1) / 2).cast("long")
+    hi = F.floor((F.col("ng") + 2) / 2).cast("long")
+    m2 = F.sum(
+        F.when(F.col("rn") == lo, F.col("c")).otherwise(F.lit(0))
+        + F.when(F.col("rn") == hi, F.col("c")).otherwise(F.lit(0))
+    ).over(wg)
+    dev = ranked.select(
+        "key",
+        "trt",
+        F.abs(2 * F.col("c") - m2).alias("c"),
+    )
+    return _balanced_oneway(dev, min_blocks=min_blocks)

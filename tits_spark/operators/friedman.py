@@ -45,20 +45,21 @@ DAY_US = 86_400_000_000
 K = 7  # weekday treatments
 
 
-def friedman_weekday(
+def weekday_cells(
     df: DataFrame,
     key: str = "key",
     ts: str = "ts",
-    min_blocks: int = 2,
 ) -> DataFrame:
-    """Per-key Friedman test of weekday effect on daily event counts
-    over complete weeks.
-
-    Returns (key, n_blocks, num, a4, chi2): the complete-week count,
-    the exact integer numerator sum_j (R2_j - 8n)^2 and doubled-
-    midrank square sum A4, and the tie-corrected statistic (round 6,
-    NULL when all-tied). Keys with fewer than ``min_blocks`` complete
-    weeks are dropped.
+    """The balanced complete-week design shared by this module's
+    Friedman test and the parametric one-way pair in operators/anova.py
+    (ANOVA F + Brown-Forsythe): (key, blk, trt, c) where blk =
+    epoch-day // 7, trt = weekday (epoch-day % 7) and c is the DAILY
+    EVENT COUNT with explicit zero-fill over the key's span — every
+    retained week is complete BY CONSTRUCTION (boundary part-weeks
+    drop), so each weekday group has exactly n_blocks observations and
+    balanced-design algebra (equal n_j) is sound, not an assumption.
+    One raw scan -> one (key, day) hash aggregate -> one bounded gap
+    explode; no join, no UDF.
     """
     daily = (
         df.select(
@@ -95,7 +96,7 @@ def friedman_weekday(
         )
     )
     blk = floordiv(F.col("dd"), K)
-    cells = spine.select(
+    return spine.select(
         "key",
         blk.alias("blk"),
         (F.col("dd") - blk * K).alias("trt"),
@@ -105,7 +106,25 @@ def friedman_weekday(
     ).filter(
         (F.col("blk") * K >= F.col("mn"))
         & (F.col("blk") * K + (K - 1) <= F.col("mx"))
-    )
+    ).drop("mn", "mx")
+
+
+def friedman_weekday(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_blocks: int = 2,
+) -> DataFrame:
+    """Per-key Friedman test of weekday effect on daily event counts
+    over complete weeks.
+
+    Returns (key, n_blocks, num, a4, chi2): the complete-week count,
+    the exact integer numerator sum_j (R2_j - 8n)^2 and doubled-
+    midrank square sum A4, and the tie-corrected statistic (round 6,
+    NULL when all-tied). Keys with fewer than ``min_blocks`` complete
+    weeks are dropped.
+    """
+    cells = weekday_cells(df, key=key, ts=ts)
     wr = Window.partitionBy("key", "blk").orderBy("c")
     wt = Window.partitionBy("key", "blk", "c")
     ranked = cells.withColumn(
