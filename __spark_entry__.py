@@ -4138,6 +4138,16 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe_weekday(_events(spark, sf_dir))
 
 
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page trend test per user: does hourly activity rise (or fall)
+    monotonically through the UTC day, day after day? Doubled-midrank
+    L exact int64 over zero-filled complete days; z from the tie-free
+    large-sample null with the k=24 constants folded."""
+    from tits_spark.operators.friedman import page_trend_hourly
+
+    return page_trend_hourly(_events(spark, sf_dir))
+
+
 def q_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test of event_type x
     hour-of-day per user, with Cramer's V: the observed-cell
@@ -4415,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_indep": q_chi2_indep,
         "anova_weekday": q_anova,
         "brown_forsythe": q_brown_forsythe,
+        "page_trend": q_page_trend,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -7267,6 +7278,36 @@ SELECT key, n_blocks, num, a4,
     round(6.0 * CAST(num AS DOUBLE)
           / CAST(a4 - 448 * n_blocks AS DOUBLE), 6)
   END AS chi2
+FROM pk
+""",
+        # Page trend: friedman's doubled-midrank machinery on the
+        # hourly spine, position-weighted; z is the k=24 tie-free tree.
+        "page_trend": """
+WITH hourly AS (
+  SELECT user_id AS key, epoch_us(ts) // 3600000000 AS h,
+         count(*) AS n_h
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS hh, mn, mx
+       FROM (SELECT key, min(h) AS mn, max(h) AS mx
+             FROM hourly GROUP BY 1)),
+g AS (SELECT sp.key, sp.hh, sp.mn, sp.mx,
+             coalesce(hourly.n_h, 0) AS c
+      FROM sp LEFT JOIN hourly
+        ON hourly.key = sp.key AND hourly.h = sp.hh),
+cells AS (SELECT key, hh // 24 AS blk, hh % 24 AS trt, c
+          FROM g
+          WHERE (hh // 24) * 24 >= mn AND (hh // 24) * 24 + 23 <= mx),
+r AS (SELECT key, trt,
+             2 * rank() OVER (PARTITION BY key, blk ORDER BY c)
+               + count(*) OVER (PARTITION BY key, blk, c) - 1 AS r2
+      FROM cells),
+pk AS (SELECT key, CAST(count(*) / 24 AS BIGINT) AS n_blocks,
+              CAST(sum((trt + 1) * r2) AS BIGINT) AS l2
+       FROM r GROUP BY 1 HAVING count(*) / 24 >= 2)
+SELECT key, n_blocks, l2,
+  round((CAST(l2 AS DOUBLE) - 7500.0 * CAST(n_blocks AS DOUBLE))
+        / (2.0 * sqrt(57500.0 * CAST(n_blocks AS DOUBLE))), 6) + 0.0 AS z
 FROM pk
 """,
         # balanced one-way ANOVA on the friedman spine: equal group

@@ -122,3 +122,101 @@ def test_boundary_weeks_excluded_and_zero_fill(spark):
     # observed days are 19725 (excluded, boundary) and 19735 (excluded)
     # -> all 7 cells are zero-filled ties -> chi2 NULL
     assert r["chi2"] is None
+
+
+def _brute_page(counts_by_hour):
+    """counts_by_hour: dict epoch-hour -> count over a contiguous span.
+    Returns (n_blocks, l2, z) over zero-filled complete days."""
+    hours = sorted(counts_by_hour)
+    mn, mx = hours[0], hours[-1]
+    blocks = {}
+    for hh in range(mn, mx + 1):
+        blk, trt = hh // 24, hh % 24
+        if blk * 24 >= mn and blk * 24 + 23 <= mx:
+            blocks.setdefault(blk, {})[trt] = counts_by_hour.get(hh, 0)
+    n = len(blocks)
+    l2 = 0
+    for cells in blocks.values():
+        vals = np.array([cells[t] for t in range(24)], dtype=np.int64)
+        order = np.argsort(vals, kind="mergesort")
+        r2 = np.zeros(24, dtype=np.int64)
+        i = 0
+        while i < 24:
+            j = i
+            while j + 1 < 24 and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            for p in range(i, j + 1):
+                r2[order[p]] = (i + 1) + (j + 1)
+            i = j + 1
+        l2 += int(((np.arange(24) + 1) * r2).sum())
+    z = (l2 - 7500.0 * n) / (2.0 * (57500.0 * n) ** 0.5)
+    return n, l2, z
+
+
+def test_page_brute_force_parity(spark):
+    from tits_spark.operators.friedman import page_trend_hourly
+
+    rng = np.random.default_rng(23)
+    rows, per_key = [], {}
+    base_hour = 19723 * 24
+    for k in range(3):
+        counts = {}
+        for off in sorted(rng.choice(24 * 9, size=60, replace=False).tolist()):
+            c = int(rng.integers(1, 6))
+            counts[base_hour + off] = c
+            rows += [
+                (f"k{k}", BASE + dt.timedelta(hours=off, seconds=s))
+                for s in range(c)
+            ]
+        per_key[f"k{k}"] = counts
+    got = {
+        r["key"]: r for r in page_trend_hourly(
+            spark.createDataFrame(rows, "key string, ts timestamp")
+        ).collect()
+    }
+    for k, counts in per_key.items():
+        n, l2, z = _brute_page(counts)
+        assert (got[k]["n_blocks"], got[k]["l2"]) == (n, l2)
+        assert got[k]["z"] == round(z, 6) + 0.0
+
+
+def test_page_planted_monotone_vs_shuffled(spark):
+    from tits_spark.operators.friedman import page_trend_hourly
+
+    rows = []
+    for d in range(6):
+        for h in range(24):
+            # "up": count rises with the hour; "mix": same multiset,
+            # hour order scrambled by a fixed permutation
+            rows += [
+                ("up", BASE + dt.timedelta(days=d, hours=h, seconds=s))
+                for s in range(h + 1)
+            ]
+            hp = (h * 7 + 3) % 24
+            rows += [
+                ("mix", BASE + dt.timedelta(days=d, hours=hp, seconds=s))
+                for s in range(h + 1)
+            ]
+    out = {
+        r["key"]: r for r in page_trend_hourly(
+            spark.createDataFrame(rows, "key string, ts timestamp")
+        ).collect()
+    }
+    assert out["up"]["z"] > 10.0
+    assert abs(out["mix"]["z"]) < out["up"]["z"] / 3
+
+
+def test_page_all_silent_days_z_zero(spark):
+    """A key whose every complete day is all-tied (uniform hourly
+    count) sits exactly at the null expectation: z == 0."""
+    from tits_spark.operators.friedman import page_trend_hourly
+
+    rows = [
+        ("flat", BASE + dt.timedelta(days=d, hours=h))
+        for d in range(4)
+        for h in range(24)
+    ]
+    got = page_trend_hourly(
+        spark.createDataFrame(rows, "key string, ts timestamp")
+    ).collect()[0]
+    assert got["z"] == 0.0 and got["l2"] == 7500 * got["n_blocks"]

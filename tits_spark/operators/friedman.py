@@ -161,3 +161,114 @@ def friedman_weekday(
         "a4",
         chi2.alias("chi2"),
     )
+
+
+HOUR_US = 3_600_000_000
+K24 = 24
+
+
+def page_trend_hourly(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_blocks: int = 2,
+) -> DataFrame:
+    """Per-key Page trend test (Page 1963, public formula): do hourly
+    event counts trend MONOTONICALLY over the day, day after day?
+
+    The ordered-alternative companion of friedman_weekday: Friedman
+    asks "does the treatment matter at all"; Page weights each
+    treatment's rank sum by its position, so a consistent
+    within-block ordering (counts rising — or falling — through the
+    day) accumulates where an unordered shuffle cancels. Blocks are
+    complete UTC days (epoch-hour // 24 — zero-filled from the hourly
+    partial aggregate by the same bounded gap explode as the weekday
+    spine, boundary part-days dropped), treatments the 24 hours:
+
+        L = sum_j j * R_j    (j = hour + 1, R_j = rank sum of hour j)
+
+    Ranks are doubled midranks on the integer lattice (zero-heavy
+    hours make ties the common case, and the all-tied block
+    contributes exactly its null expectation to L, so silent days
+    never bias the trend). l2 = 2L is EXACT int64; the z-score uses
+    the tie-free large-sample null (the standard published form —
+    the tie-exact variance has no closed form),
+
+        E[L] = n*k*(k+1)^2/4          Var[L] = n*k^2*(k+1)^2*(k-1)/144
+        z    = (l2 - 2*E[L]) / (2*sqrt(Var[L]))
+
+    with k = 24 the constants fold: z = (l2 - 7500*n) /
+    (2*sqrt(57500*n)). Positive z = activity rises through the UTC
+    day; |z| > 1.96 rejects "no consistent intra-day ordering".
+
+    Plan shape: one raw scan -> one (key, hour) hash aggregate (the
+    10^12-turn stream collapses to key-hours first) -> bounded gap
+    explode (24x the day-spine width, still span-bounded) -> one
+    block-rank window -> one hash agg. No join, no UDF.
+    """
+    hourly = (
+        df.select(
+            F.col(key).alias("key"),
+            floordiv(epoch_us(ts), HOUR_US).alias("h"),
+        )
+        .groupBy("key", "h")
+        .agg(F.count(F.lit(1)).alias("n_h"))
+    )
+    wk = Window.partitionBy("key")
+    wo = Window.partitionBy("key").orderBy("h")
+    spine = (
+        hourly.withColumn("mn", F.min("h").over(wk))
+        .withColumn("mx", F.max("h").over(wk))
+        .withColumn("nh", F.lead("h").over(wo))
+        .select(
+            "key",
+            "h",
+            "n_h",
+            "mn",
+            "mx",
+            F.explode(
+                F.sequence(F.col("h"), F.coalesce(F.col("nh") - 1, F.col("h")))
+            ).alias("hh"),
+        )
+        .select(
+            "key",
+            "mn",
+            "mx",
+            F.col("hh"),
+            F.when(F.col("hh") == F.col("h"), F.col("n_h"))
+            .otherwise(F.lit(0))
+            .alias("c"),
+        )
+    )
+    blk = floordiv(F.col("hh"), K24)
+    cells = spine.select(
+        "key",
+        blk.alias("blk"),
+        (F.col("hh") - blk * K24).alias("trt"),
+        "c",
+    ).filter(
+        (blk * K24 >= F.col("mn")) & (blk * K24 + (K24 - 1) <= F.col("mx"))
+    )
+    wr = Window.partitionBy("key", "blk").orderBy("c")
+    wt = Window.partitionBy("key", "blk", "c")
+    ranked = cells.withColumn(
+        "r2", 2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+    )
+    per_key = (
+        ranked.groupBy("key")
+        .agg(
+            (F.count(F.lit(1)) / K24).cast("long").alias("n_blocks"),
+            F.sum((F.col("trt") + 1) * F.col("r2")).alias("l2"),
+        )
+        .filter(F.col("n_blocks") >= int(min_blocks))
+    )
+    n = F.col("n_blocks").cast("double")
+    z = (F.col("l2").cast("double") - F.lit(7500.0) * n) / (
+        F.lit(2.0) * F.sqrt(F.lit(57500.0) * n)
+    )
+    return per_key.select(
+        "key",
+        "n_blocks",
+        F.col("l2").cast("long").alias("l2"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )
