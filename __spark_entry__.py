@@ -4138,6 +4138,17 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe_weekday(_events(spark, sf_dir))
 
 
+def q_hac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS time-trend with Newey-West (Bartlett L=8) robust errors per
+    user on the hourly LOCF grid: exact-integer regression sufficient
+    statistics, cent-quantized cleared residual lattice, the kpss
+    single-fold Bartlett combination in decimal — one double tree for
+    slope/se/t."""
+    from tits_spark.operators.hac import newey_west_trend
+
+    return newey_west_trend(_events(spark, sf_dir))
+
+
 def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page trend test per user: does hourly activity rise (or fall)
     monotonically through the UTC day, day after day? Doubled-midrank
@@ -4426,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_weekday": q_anova,
         "brown_forsythe": q_brown_forsythe,
         "page_trend": q_page_trend,
+        "hac_trend": q_hac_trend,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -7279,6 +7291,77 @@ SELECT key, n_blocks, num, a4,
           / CAST(a4 - 448 * n_blocks AS DOUBLE), 6)
   END AS chi2
 FROM pk
+""",
+        # Newey-West trend: kpss's LOCF grid + Bartlett fold over the
+        # cent-quantized cleared residual lattice; identical trees.
+        "hac_trend": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+lb AS (SELECT key, us // 3600000000 AS b, arg_max(c, us) AS c
+       FROM tk GROUP BY 1, 2),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(us // 3600000000) AS mn,
+                    max(us // 3600000000) AS mx
+             FROM tk GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(lb.c IGNORE NULLS) OVER w AS c
+      FROM sp LEFT JOIN lb ON lb.key = sp.key AND lb.b = sp.b
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+r0 AS (SELECT key, b, c,
+              row_number() OVER (PARTITION BY key ORDER BY b) AS t,
+              count(*) OVER (PARTITION BY key) AS n,
+              sum(CAST(c AS HUGEINT)) OVER (PARTITION BY key) AS tc
+       FROM g),
+r1 AS (SELECT *,
+              sum(CAST(t AS HUGEINT) * c) OVER (PARTITION BY key) AS stc,
+              sum(CAST(t AS HUGEINT) * t) OVER (PARTITION BY key) AS st2,
+              (CAST(n AS HUGEINT) * (n + 1)) // 2 AS tt
+       FROM r0),
+r2 AS (SELECT *,
+              CAST(n AS HUGEINT) * st2 - tt * tt AS sxx,
+              CAST(n AS HUGEINT) * stc - tt * tc AS sxy
+       FROM r1),
+r3 AS (SELECT *,
+              CAST(floor(
+                CAST(sxx * (CAST(n AS HUGEINT) * c - tc)
+                     - sxy * (CAST(n AS HUGEINT) * t - tt) AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * sxx AS DOUBLE)
+              ) AS BIGINT) AS eq
+       FROM r2),
+r4 AS (SELECT key, b, n, sxx, sxy,
+              (CAST(n AS HUGEINT) * t - tt) * eq AS h
+       FROM r3),
+cum AS (SELECT key, n, sxx, sxy, h,
+               16 * coalesce(lag(h, 1) OVER v, 0)
+                 + 14 * coalesce(lag(h, 2) OVER v, 0)
+                 + 12 * coalesce(lag(h, 3) OVER v, 0)
+                 + 10 * coalesce(lag(h, 4) OVER v, 0)
+                 + 8 * coalesce(lag(h, 5) OVER v, 0)
+                 + 6 * coalesce(lag(h, 6) OVER v, 0)
+                 + 4 * coalesce(lag(h, 7) OVER v, 0)
+                 + 2 * coalesce(lag(h, 8) OVER v, 0) AS wl
+        FROM r4 WINDOW v AS (PARTITION BY key ORDER BY b)),
+a AS (SELECT key, max(n) AS n_grid, max(sxx) AS sxx, max(sxy) AS sxy,
+             sum(h * h) AS g0, sum(h * wl) AS gw
+      FROM cum GROUP BY 1 HAVING max(n) >= 30),
+d AS (SELECT *, 9 * g0 + gw AS slrv FROM a)
+SELECT key, CAST(n_grid AS BIGINT) AS n_grid,
+  round(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE) / 100.0, 6) + 0.0
+    AS slope,
+  CASE WHEN slrv > 0 THEN
+    round(sqrt(CAST(slrv AS DOUBLE) / 9.0) / CAST(sxx AS DOUBLE)
+          / 100.0, 6) + 0.0
+  END AS se_nw,
+  CASE WHEN slrv > 0 THEN
+    round(CAST(sxy AS DOUBLE) * sqrt(9.0 / CAST(slrv AS DOUBLE)), 6)
+      + 0.0
+  END AS t_nw
+FROM d
 """,
         # Page trend: friedman's doubled-midrank machinery on the
         # hourly spine, position-weighted; z is the k=24 tie-free tree.
