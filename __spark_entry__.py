@@ -4138,6 +4138,17 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe_weekday(_events(spark, sf_dir))
 
 
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows Delta stylometric distance per document vs the corpus
+    centroid over the top-50 marker words: floor-1e9 relative
+    frequencies, cleared z-scores from decimal moments, the
+    absent-word telescope (a bounded Z0 scalar) instead of a doc x K
+    zero-fill grid; delta on the floor-1e6 lattice."""
+    from tits_spark.operators.stylometry import burrows_delta
+
+    return burrows_delta(_docs(spark, sf_dir))
+
+
 def q_hac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS time-trend with Newey-West (Bartlett L=8) robust errors per
     user on the hourly LOCF grid: exact-integer regression sufficient
@@ -4438,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forsythe": q_brown_forsythe,
         "page_trend": q_page_trend,
         "hac_trend": q_hac_trend,
+        "burrows_delta": q_burrows_delta,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -6425,6 +6437,47 @@ SELECT t.doc_id,
            p -> t.w[p]),
          ' '), '')) AS clean_md5
 FROM tok t LEFT JOIN rep r ON r.id = t.doc_id
+""",
+        # Burrows Delta: shared tokenizer, top-50 markers, cleared
+        # z-scores over HUGEINT moments, the same absent-word telescope
+        # and floor-1e9 cell quantization as the operator.
+        "burrows_delta": _TOK_CTE + """
+, tf AS (
+  SELECT doc_id AS doc, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+  GROUP BY 1, 2
+),
+dl AS (SELECT doc, sum(tf) AS len FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM dl),
+top AS (SELECT term FROM tf GROUP BY term
+        ORDER BY sum(tf) DESC, term ASC LIMIT 50),
+cells AS (SELECT tf.doc, tf.term,
+                 CAST(floor(1e9 * CAST(tf AS DOUBLE)
+                            / CAST(len AS DOUBLE)) AS BIGINT) AS fq
+          FROM tf JOIN top USING (term) JOIN dl USING (doc)),
+stats AS (SELECT term,
+                 CAST(sum(CAST(fq AS HUGEINT)) AS HUGEINT) AS s,
+                 CAST(sum(CAST(fq AS HUGEINT) * fq) AS HUGEINT) AS q
+          FROM cells GROUP BY 1),
+st3 AS (SELECT term, s,
+               (SELECT n FROM nd) * q - s * s AS var_num,
+               CAST(floor(1e9 * CAST(s AS DOUBLE)
+                    / sqrt(CAST((SELECT n FROM nd) * q - s * s
+                                AS DOUBLE))) AS BIGINT) AS z0q
+        FROM stats WHERE (SELECT n FROM nd) * q - s * s > 0),
+consts AS (SELECT count(*) AS k_eff, sum(z0q) AS z0_total FROM st3),
+pd AS (SELECT c.doc, count(*) AS n_present,
+              sum(CAST(floor(1e9 * (
+                    abs(CAST((SELECT n FROM nd) * CAST(c.fq AS HUGEINT)
+                             - s AS DOUBLE)
+                        / sqrt(CAST(var_num AS DOUBLE)))
+                    - CAST(z0q AS DOUBLE) / 1e9)) AS BIGINT)) AS sq
+       FROM cells c JOIN st3 USING (term) GROUP BY 1)
+SELECT dl.doc AS doc_id, CAST(len AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_present, 0) AS BIGINT) AS n_present,
+       CAST(floor((coalesce(sq, 0) + z0_total)
+                  / (k_eff * 1000.0)) AS BIGINT) AS delta_u6
+FROM dl LEFT JOIN pd USING (doc) CROSS JOIN consts
 """,
         "unigram_logprob": _TOK_CTE + """
 , ex AS (SELECT doc_id, t AS token FROM tok, unnest(w) AS u(t)),
