@@ -127,6 +127,15 @@ def chi2_independence(
         .groupBy("key", "u", "v")
         .agg(F.count(F.lit(1)).alias("nuv"))
     )
+    return chi2_finalize(joint)
+
+
+def chi2_finalize(joint: DataFrame) -> DataFrame:
+    """The statistic stage of :func:`chi2_independence` over a
+    (key, u, v, nuv) contingency table — split out so the streaming
+    twin (streaming/contingency_stream.py) can push its merged count
+    deltas through the IDENTICAL expression tree (the hhi_finalize
+    pattern): bit-equal batch/stream readouts by construction."""
     wk = Window.partitionBy("key")
     wu = Window.partitionBy("key", "u")
     wv = Window.partitionBy("key", "v")

@@ -845,6 +845,39 @@ def main() -> None:
     results.append(("garch_stream (conditional-variance filter)", nb, nr,
                     sec, *_bitwise_equal(got, want)))
 
+    # ---- chi-square contingency monitor (twin #28: the per-key
+    # TYPE x HOUR lattice — a cross-CATEGORY continuous aggregate; a
+    # replayed micro-batch corrupts the statistic through the
+    # MARGINALS, invisible in any single cell; same per-batch_id
+    # delta construction, reader goes through chi2_finalize)
+    from tits_spark.operators.mutual_info import chi2_independence
+    from tits_spark.streaming.contingency_stream import (
+        read_chi2,
+        stream_contingency,
+    )
+
+    evc = (
+        spark.read.parquet(f"{args.sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+    )
+    cat_chunks = _chunks(evc, N_CHUNKS)
+    out, nb, nr, sec = _run_phases(
+        spark, cat_chunks, work,
+        lambda s, o, c: stream_contingency(
+            spark, s, "key string, ts timestamp, event_type string",
+            o, c, max_files_per_trigger=1,
+        ),
+        "contingency",
+    )
+    want = chi2_independence(evc)
+    got = read_chi2(spark, out)
+    results.append(("contingency_stream (chi-square type x hour lattice)",
+                    nb, nr, sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
