@@ -562,6 +562,25 @@ def main() -> None:
 
     repeat("q27_stationarity_family", _body_q27_stationarity_family)
 
+    # q28: the inference/homogeneity wave — Kuiper circular ECDF
+    # (one-exchange BIGINT maxima), chi-square independence + Cramer's
+    # V (one raw shuffle, lattice-local finalize), balanced one-way
+    # ANOVA + Brown-Forsythe on the complete-week spine (cleared
+    # integer algebra), Page's hourly trend test (position-weighted
+    # midranks), Newey-West HAC trend inference (kpss's Bartlett fold
+    # over the cent-quantized residual lattice) and Burrows Delta
+    # stylometry over the documents corpus (persisted tf, broadcast
+    # markers, absent-word telescope)
+    def _body_q28_inference_family():
+        for q in (
+            E.q_kuiper, E.q_chi2_indep, E.q_anova, E.q_brown_forsythe,
+            E.q_page_trend, E.q_hac_trend, E.q_burrows_delta,
+        ):
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()  # burrows persists tf + cells
+
+    repeat("q28_inference_family", _body_q28_inference_family)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

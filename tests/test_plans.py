@@ -948,3 +948,88 @@ def test_r5c_second_wave_plan_shapes(spark):
         assert t.count("Exchange") == n_exch, name
         assert t.count("FlatMapGroupsInPandas") == n_udf, name
         assert "EvalPython" not in p, name
+
+
+def test_kuiper_single_exchange(ev):
+    """row_number + both running maxima + the final agg all cluster on
+    key: hash(key) is established once, all-BIGINT, no UDF."""
+    from tits_spark.operators.circular import kuiper_uniformity
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(kuiper_uniformity(df))
+    assert p.count("Exchange (") == 1
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_chi2_one_raw_shuffle_rest_on_lattice(ev):
+    """The only full-data shuffle is the (key,u,v) joint count; the
+    marginal windows and final agg run on the collapsed lattice
+    (bounded by keys x types x 24). No join anywhere."""
+    from tits_spark.operators.mutual_info import chi2_independence
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "event_type")
+    p = plan_of(chi2_independence(df))
+    assert p.count("Exchange (") == 4  # 1 raw + 3 lattice-local
+    assert "Join" not in p
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_anova_pair_two_exchanges_no_join(ev):
+    """weekday_cells' (key, day) partial collapses the raw stream
+    first; the gap explode + group aggregates ride hash(key[,trt]) —
+    never a join, never Python."""
+    from tits_spark.operators.anova import (
+        anova_weekday,
+        brown_forsythe_weekday,
+    )
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    for op in (anova_weekday, brown_forsythe_weekday):
+        p = plan_of(op(df))
+        assert p.count("Exchange (") == 2
+        assert "Join" not in p
+        assert "SinglePartition" not in p
+        assert "EvalPython" not in p
+
+
+def test_page_trend_two_exchanges_no_join(ev):
+    from tits_spark.operators.friedman import page_trend_hourly
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(page_trend_hourly(df))
+    assert p.count("Exchange (") == 2
+    assert "Join" not in p
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_hac_trend_rides_grid_partitioning(ev):
+    """Same contract as kpss: the grid costs two exchanges and every
+    window below (regression sums, row_number, the L=8 lag fold) plus
+    the final groupBy reuse hash(key). No join, no UDF."""
+    from tits_spark.operators.hac import newey_west_trend
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(newey_west_trend(df))
+    assert p.count("Exchange (") == 2
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_burrows_tokenizes_once_and_broadcasts_markers(spark):
+    """tf and cells are persisted (the corpus tokenization runs once,
+    not per branch); the top-K markers and the K-row stats frame join
+    back by BROADCAST; the only global exchanges are the bounded
+    top-K limit and the 1-row constants — never a doc x doc pair."""
+    from tits_spark.operators.stylometry import burrows_delta
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    p = plan_of(burrows_delta(docs, k_markers=10))
+    assert "InMemoryTableScan" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p

@@ -76,7 +76,13 @@ def burrows_delta(
         F.col(id_col).alias("doc"),
         F.explode(_tokens(F.col(text_col))).alias("term"),
     )
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds three consumers (doc lengths, the top-K vocab, the
+    # marker cells) and cells feeds two (stats, per-doc sums): persist
+    # both so the corpus is tokenized ONCE, not re-derived per branch
+    # (lexical.py's tfidf weights-frame lesson)
+    tf = toks.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     doc_len = tf.groupBy("doc").agg(F.sum("tf").alias("len"))
     if n_docs is None:
         n_docs = doc_len.count()  # scalar corpus size (one bounded job)
@@ -99,6 +105,7 @@ def burrows_delta(
                 / F.col("len").cast("double")
             ).cast("long").alias("fq"),
         )
+        .persist()
     )
     stats = (
         cells.groupBy("term")

@@ -627,6 +627,59 @@ def main() -> None:
         E.q_garch(spark, SF),
     )
 
+    add(
+        "kuiper (circular ECDF uniformity)",
+        "One exchange: row_number + both cleared-denominator BIGINT "
+        "maxima + the final agg all cluster on hash(key); no float "
+        "until the single V division.",
+        E.q_kuiper(spark, SF),
+    )
+
+    add(
+        "chi2_indep (type x hour independence + Cramer's V)",
+        "ONE full-data shuffle (the joint count); the marginal windows "
+        "and finalize run on the collapsed lattice bounded by "
+        "keys x types x 24 — the telescoped identity keeps empty cells "
+        "out of the plan entirely. No join.",
+        E.q_chi2_indep(spark, SF),
+    )
+
+    add(
+        "anova_weekday / brown_forsythe (balanced one-way pair)",
+        "The (key, day) partial collapses the raw stream before the "
+        "bounded gap explode; two exchanges, no join, cleared integer "
+        "algebra exact because the complete-week spine makes every "
+        "group the same size by construction. BF adds one (key,trt) "
+        "window pair riding the group exchange.",
+        E.q_anova(spark, SF),
+    )
+
+    add(
+        "page_trend (monotone intra-day ordering)",
+        "friedman's spine at hour grain: (key, hour) partial -> gap "
+        "explode -> one block-rank window -> one agg; two exchanges, "
+        "position-weighted doubled midranks exact int64.",
+        E.q_page_trend(spark, SF),
+    )
+
+    add(
+        "hac_trend (Newey-West robust trend)",
+        "kpss's contract: the LOCF grid costs two exchanges and the "
+        "regression sums, row_number, cent-quantized residual and the "
+        "L=8 Bartlett lag fold all reuse hash(key); decimal lattice "
+        "end-to-end, no join, no UDF.",
+        E.q_hac_trend(spark, SF),
+    )
+
+    add(
+        "burrows_delta (stylometric distance)",
+        "tf and marker cells persisted (corpus tokenized once); top-K "
+        "markers and the K-row stats frame broadcast back; the "
+        "absent-word telescope's Z0 is a 1-row constant, so no doc x K "
+        "zero-fill grid and no doc x doc pair exist anywhere.",
+        E.q_burrows_delta(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
