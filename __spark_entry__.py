@@ -4140,6 +4140,25 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe_weekday(_events(spark, sf_dir))
 
 
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran Q test of weekday effect on daily ACTIVITY (any event
+    vs silent) per user over complete weeks: binary cells on the
+    zero-filled spine, exact integer column/row square sums, Q one
+    double division — the presence/absence layer under friedman."""
+    from tits_spark.operators.cochran import cochran_q_weekday
+
+    return cochran_q_weekday(_events(spark, sf_dir))
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar morning/evening marginal-homogeneity test per user:
+    paired within-day binaries over observed days, discordant counts
+    exact int64, (b-c)^2/(b+c) one double division."""
+    from tits_spark.operators.cochran import mcnemar_ampm
+
+    return mcnemar_ampm(_events(spark, sf_dir))
+
+
 def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burrows Delta stylometric distance per document vs the corpus
     centroid over the top-50 marker words: floor-1e9 relative
@@ -4452,6 +4471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_trend": q_page_trend,
         "hac_trend": q_hac_trend,
         "burrows_delta": q_burrows_delta,
+        "cochran_q": q_cochran_q,
+        "mcnemar": q_mcnemar,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -7346,6 +7367,65 @@ SELECT key, n_blocks, num, a4,
           / CAST(a4 - 448 * n_blocks AS DOUBLE), 6)
   END AS chi2
 FROM pk
+""",
+        # Cochran Q: binary cells on the friedman spine; all counts
+        # exact, Q one double division.
+        "cochran_q": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS n_day
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS dd, mn, mx
+       FROM (SELECT key, min(d) AS mn, max(d) AS mx
+             FROM daily GROUP BY 1)),
+g AS (SELECT sp.key, sp.dd, sp.mn, sp.mx,
+             CASE WHEN coalesce(daily.n_day, 0) > 0 THEN 1 ELSE 0 END AS x
+      FROM sp LEFT JOIN daily
+        ON daily.key = sp.key AND daily.d = sp.dd),
+cells AS (SELECT key, dd // 7 AS blk, dd % 7 AS trt, x
+          FROM g
+          WHERE (dd // 7) * 7 >= mn AND (dd // 7) * 7 + 6 <= mx),
+pb AS (SELECT key, blk, CAST(sum(x) AS BIGINT) AS rb
+       FROM cells GROUP BY 1, 2),
+ptr AS (SELECT key, trt, CAST(sum(x) AS BIGINT) AS cj, count(*) AS nb
+        FROM cells GROUP BY 1, 2),
+at AS (SELECT key, CAST(max(nb) AS BIGINT) AS n_blocks,
+              CAST(sum(cj) AS BIGINT) AS n_act,
+              CAST(sum(cj * cj) AS BIGINT) AS sum_cj2
+       FROM ptr GROUP BY 1 HAVING max(nb) >= 2),
+ab AS (SELECT key, CAST(sum(rb * rb) AS BIGINT) AS sum_rb2
+       FROM pb GROUP BY 1)
+SELECT at.key, n_blocks, n_act, sum_cj2, sum_rb2,
+  CASE WHEN 7 * n_act - sum_rb2 > 0 THEN
+    round(CAST(6 * (7 * sum_cj2 - n_act * n_act) AS DOUBLE)
+          / CAST(7 * n_act - sum_rb2 AS DOUBLE), 6) + 0.0
+  END AS q_stat
+FROM at JOIN ab ON at.key = ab.key
+""",
+        # McNemar: paired morning/evening binaries per observed day;
+        # discordant counts exact int64.
+        "mcnemar": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         max(CASE WHEN (epoch_us(ts) // 43200000000) % 2 = 0
+                  THEN 1 ELSE 0 END) AS x_am,
+         max(CASE WHEN (epoch_us(ts) // 43200000000) % 2 = 1
+                  THEN 1 ELSE 0 END) AS y_pm
+  FROM events GROUP BY 1, 2
+),
+a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN x_am = 1 AND y_pm = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_am,
+             CAST(sum(CASE WHEN x_am = 0 AND y_pm = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_pm
+      FROM daily GROUP BY 1 HAVING count(*) >= 8)
+SELECT key, n_days, b_am, c_pm,
+  CASE WHEN b_am + c_pm > 0 THEN
+    round(CAST(b_am - c_pm AS DOUBLE) * CAST(b_am - c_pm AS DOUBLE)
+          / CAST(b_am + c_pm AS DOUBLE), 6) + 0.0
+  END AS mcnemar
+FROM a
 """,
         # Newey-West trend: kpss's LOCF grid + Bartlett fold over the
         # cent-quantized cleared residual lattice; identical trees.
