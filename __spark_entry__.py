@@ -4140,6 +4140,26 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe_weekday(_events(spark, sf_dir))
 
 
+def q_moran_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran exponentiality test of inter-arrival gaps per user: exact
+    int64 microsecond gaps, per-gap floor-1e9 log terms summed as
+    BIGINT, same-microsecond collisions counted out; M and the
+    Stirling-corrected M/C one double tree."""
+    from tits_spark.operators.poissonness import moran_exponentiality
+
+    return moran_exponentiality(_events(spark, sf_dir))
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document:
+    sentence/word/vowel-run counts exact from one regexp pass each,
+    scores fixed double trees (round 4) — pure column expressions,
+    zero shuffles."""
+    from tits_spark.operators.readability import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran Q test of weekday effect on daily ACTIVITY (any event
     vs silent) per user over complete weeks: binary cells on the
@@ -4473,6 +4493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": q_burrows_delta,
         "cochran_q": q_cochran_q,
         "mcnemar": q_mcnemar,
+        "moran_gaps": q_moran_gaps,
+        "readability": q_readability,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -7367,6 +7389,65 @@ SELECT key, n_blocks, num, a4,
           / CAST(a4 - 448 * n_blocks AS DOUBLE), 6)
   END AS chi2
 FROM pk
+""",
+        # Moran exponentiality: exact us gaps, floor-1e9 log lattice,
+        # zero gaps counted out; identical double trees.
+        "moran_gaps": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us FROM events
+),
+g AS (SELECT key, us - lag(us) OVER (PARTITION BY key ORDER BY us) AS g
+      FROM t),
+a AS (
+  SELECT key,
+         CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         CAST(sum(CASE WHEN g > 0 THEN g END) AS BIGINT) AS sum_gap_us,
+         CAST(sum(CASE WHEN g > 0 THEN
+              CAST(floor(ln(CAST(g AS DOUBLE)) * 1e9) AS BIGINT)
+            END) AS BIGINT) AS slnq
+  FROM g WHERE g IS NOT NULL
+  GROUP BY 1 HAVING sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) >= 8
+)
+SELECT key, n_gaps, n_zero, sum_gap_us,
+  round(2.0 * CAST(n_gaps AS DOUBLE)
+        * (ln(CAST(sum_gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+           - CAST(slnq AS DOUBLE) / (CAST(n_gaps AS DOUBLE) * 1e9)),
+        6) + 0.0 AS m_stat,
+  round(2.0 * CAST(n_gaps AS DOUBLE)
+        * (ln(CAST(sum_gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+           - CAST(slnq AS DOUBLE) / (CAST(n_gaps AS DOUBLE) * 1e9))
+        / (1.0 + (CAST(n_gaps AS DOUBLE) + 1.0)
+                 / (6.0 * CAST(n_gaps AS DOUBLE))), 6) + 0.0 AS m_corr
+FROM a
+""",
+        # Readability: the shared tokenizer for words; sentences and
+        # vowel runs via regexp list lengths; identical score trees.
+        "readability": """
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(list_filter(string_split_regex(lower(regexp_replace(text,
+             '[^a-zA-Z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  CASE WHEN n_words > 0 THEN
+    round(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+          4) + 0.0
+  END AS flesch_ease,
+  CASE WHEN n_words > 0 THEN
+    round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          - 15.59, 4) + 0.0
+  END AS fk_grade
+FROM c
 """,
         # Cochran Q: binary cells on the friedman spine; all counts
         # exact, Q one double division.
