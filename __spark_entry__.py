@@ -4053,19 +4053,18 @@ _R5_HEAD = [
     "event_study", "segreg", "rate_limit", "mutual_info", "tpch_q10",
     "tpch_q18", "staleness", "w1_drift", "lmoments",
     "survival_km", "survival_na", "pagerank", "occupancy",
-    "mann_whitney", "kruskal_wallis", "cvm_two_sample",
-    "anderson_darling", "wilcoxon_sr",
+    "mann_whitney", "kruskal_wallis", "wilcoxon_sr",
     "hhi_hourly", "gpd_tail",
     # the round-5 stationarity/volatility/tail wave
     "kpss", "lo_rs", "bns_jumps", "tail_dep", "croston",
     "prominence", "var_backtest", "fisher_g", "garch", "acd",
     # the round-5 regression-diagnostics waves
-    "ulcer", "arch_lm", "dfa", "turning_points", "cox_stuart",
-    "cornish_fisher", "durbin_watson", "bartels_rvn", "jarque_bera",
-    "grubbs", "half_life",
-    # the round-5 inference/homogeneity wave (newest)
+    "ulcer", "arch_lm", "dfa", "cornish_fisher", "durbin_watson",
+    "bartels_rvn", "jarque_bera", "grubbs", "half_life",
+    # the round-5 inference/homogeneity + binary/arrival/text waves
     "kuiper", "chi2_indep", "anova_weekday", "brown_forsythe",
     "page_trend", "hac_trend", "burrows_delta",
+    "cochran_q", "mcnemar", "moran_gaps", "readability",
 ]
 
 
@@ -4138,6 +4137,17 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tits_spark.operators.anova import brown_forsythe_weekday
 
     return brown_forsythe_weekday(_events(spark, sf_dir))
+
+
+def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label coherence: mean/min member-to-centroid
+    cosine per label over the floor-1e4 component lattice (float sums
+    never aggregated raw); centroid as exact component sums, per-member
+    cosine floor-1e9 quantized before the BIGINT mean."""
+    from tits_spark.operators.coherence import label_coherence
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_coherence(emb)
 
 
 def q_moran_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4495,6 +4505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar": q_mcnemar,
         "moran_gaps": q_moran_gaps,
         "readability": q_readability,
+        "label_coherence": q_label_coherence,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -7389,6 +7400,45 @@ SELECT key, n_blocks, num, a4,
           / CAST(a4 - 448 * n_blocks AS DOUBLE), 6)
   END AS chi2
 FROM pk
+""",
+        # label coherence: floor-1e4 component lattice, exact HUGEINT
+        # centroid sums, per-member cosine floor-1e9 before the mean.
+        "label_coherence": """
+WITH comp AS (
+  SELECT vec_id AS vec, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT)
+           AS q
+  FROM embeddings
+),
+cent AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s
+         FROM comp GROUP BY 1, 2),
+pv AS (SELECT c.label, c.vec,
+              sum(CAST(c.q AS HUGEINT) * ct.s) AS dot,
+              sum(CAST(c.q AS HUGEINT) * c.q) AS q2,
+              sum(CAST(ct.s AS HUGEINT) * ct.s) AS s2
+       FROM comp c JOIN cent ct ON c.label = ct.label AND c.pos = ct.pos
+       GROUP BY 1, 2),
+sc AS (SELECT label,
+              CASE WHEN q2 > 0 AND s2 > 0 THEN
+                CAST(floor(CAST(dot AS DOUBLE)
+                     / sqrt(CAST(q2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                     * 1e9) AS BIGINT)
+              END AS cq
+       FROM pv),
+a AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CASE WHEN cq IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(sum(cq) AS BIGINT) AS sc,
+             CAST(min(cq) AS BIGINT) AS min_cos_u9
+      FROM sc GROUP BY 1 HAVING count(*) >= 2)
+SELECT label, n_vecs, n_zero,
+  CASE WHEN n_vecs - n_zero > 0 THEN
+    CAST(floor(CAST(sc AS DOUBLE)
+         / CAST(n_vecs - n_zero AS DOUBLE)) AS BIGINT)
+  END AS mean_cos_u9,
+  min_cos_u9
+FROM a
 """,
         # Moran exponentiality: exact us gaps, floor-1e9 log lattice,
         # zero gaps counted out; identical double trees.

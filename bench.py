@@ -575,6 +575,8 @@ def main() -> None:
         for q in (
             E.q_kuiper, E.q_chi2_indep, E.q_anova, E.q_brown_forsythe,
             E.q_page_trend, E.q_hac_trend, E.q_burrows_delta,
+            E.q_cochran_q, E.q_mcnemar, E.q_moran_gaps, E.q_readability,
+            E.q_label_coherence,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()  # burrows persists tf + cells

@@ -1033,3 +1033,62 @@ def test_burrows_tokenizes_once_and_broadcasts_markers(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_cochran_telescoped_no_join(ev):
+    """sum_b rb^2 telescopes onto the cells (rb*x), so the per-block
+    aggregate and its join-back don't exist; two exchanges, all on
+    hash(key)."""
+    from tits_spark.operators.cochran import cochran_q_weekday
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(cochran_q_weekday(df))
+    assert p.count("Exchange (") == 2
+    assert "Join" not in p
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_mcnemar_two_hash_aggregates(ev):
+    from tits_spark.operators.cochran import mcnemar_ampm
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(mcnemar_ampm(df))
+    assert p.count("Exchange (") == 2  # (key, day) partial + (key)
+    assert "Join" not in p and "Window" not in p
+    assert "EvalPython" not in p
+
+
+def test_moran_single_exchange(ev):
+    from tits_spark.operators.poissonness import moran_exponentiality
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(moran_exponentiality(df))
+    assert p.count("Exchange (") == 1
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_readability_zero_shuffles(spark):
+    """Pure column expressions: scan -> project, no exchange at all
+    (the tokenizer's higher-order filter() keeps the Project off
+    codegen, but it stays a single JVM-side map stage)."""
+    from tits_spark.operators.readability import readability
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(readability(docs))
+    assert p.count("Exchange (") == 0
+    assert "EvalPython" not in p
+
+
+def test_label_coherence_equi_joins_only(spark):
+    """posexplode -> (label,pos) centroid agg -> equi-join back ->
+    per-vec agg -> label agg: no cartesian, no Python, no global
+    partition anywhere."""
+    from tits_spark.operators.coherence import label_coherence
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_of(label_coherence(emb))
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p

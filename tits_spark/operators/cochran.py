@@ -42,15 +42,17 @@ out of the statistic by construction, so silent days never need
 zero-filling.
 
 Plan shape: Cochran rides the (key, day) partial aggregate and the
-bounded gap explode (one raw scan, two exchanges) plus one
-(key, blk)/(key, trt) aggregate pair; McNemar is a single
+bounded gap explode (one raw scan, two exchanges); the row-total
+square sum telescopes onto the cells (sum_cells rb*x == sum_b rb^2),
+so one (key, blk) window plus one grouping chain — all on hash(key),
+no per-block join-back; McNemar is a single
 (key, day) partial with two conditional half-day maxima folded into
 one (key) hash aggregate — no window, no join, no UDF anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tits_spark.operators.friedman import K, weekday_cells
@@ -75,20 +77,26 @@ def cochran_q_weekday(
     cells = weekday_cells(df, key=key, ts=ts).select(
         "key", "blk", "trt", (F.col("c") > 0).cast("int").alias("x")
     )
-    per_blk = cells.groupBy("key", "blk").agg(F.sum("x").alias("rb"))
-    per_trt = cells.groupBy("key", "trt").agg(
-        F.sum("x").alias("cj"), F.count(F.lit(1)).alias("nb")
+    # Sum_b rb^2 telescopes onto the cells: sum_cells rb*x = sum_b rb^2
+    # (within block b the x's sum to rb), so ONE window + one grouping
+    # chain replaces the per-block aggregate and its join-back — the
+    # (key, blk) window and both groupings all ride hash(key)
+    wb = Window.partitionBy("key", "blk")
+    with_rb = cells.withColumn("rb", F.sum("x").over(wb))
+    per_trt = with_rb.groupBy("key", "trt").agg(
+        F.sum("x").alias("cj"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.col("rb") * F.col("x")).alias("p_rb2"),
     )
-    a_trt = per_trt.groupBy("key").agg(
-        F.max("nb").alias("n_blocks"),
-        F.sum("cj").alias("n_act"),
-        F.sum(F.col("cj") * F.col("cj")).alias("sum_cj2"),
-    )
-    a_blk = per_blk.groupBy("key").agg(
-        F.sum(F.col("rb") * F.col("rb")).alias("sum_rb2")
-    )
-    agg = a_trt.join(a_blk, "key").filter(
-        F.col("n_blocks") >= int(min_blocks)
+    agg = (
+        per_trt.groupBy("key")
+        .agg(
+            F.max("nb").alias("n_blocks"),
+            F.sum("cj").alias("n_act"),
+            F.sum(F.col("cj") * F.col("cj")).alias("sum_cj2"),
+            F.sum("p_rb2").alias("sum_rb2"),
+        )
+        .filter(F.col("n_blocks") >= int(min_blocks))
     )
     num = F.lit(K - 1) * (
         F.lit(K) * F.col("sum_cj2") - F.col("n_act") * F.col("n_act")

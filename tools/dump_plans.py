@@ -680,6 +680,40 @@ def main() -> None:
         E.q_burrows_delta(spark, SF),
     )
 
+    add(
+        "cochran_q / mcnemar (binary blocked & paired tests)",
+        "Cochran: the row-total square sum telescopes onto the cells "
+        "(sum rb*x == sum rb^2), so the per-block aggregate + join-back "
+        "don't exist — two exchanges, all on hash(key). McNemar: one "
+        "(key, day) partial with conditional half-day maxima, one "
+        "(key) agg — no window, no join.",
+        E.q_cochran_q(spark, SF),
+    )
+
+    add(
+        "moran_gaps (Poissonness of inter-arrivals)",
+        "One exchange: lag() and the hash agg ride hash(key); per-gap "
+        "floor-1e9 log terms summed as BIGINT, zero gaps counted out.",
+        E.q_moran_gaps(spark, SF),
+    )
+
+    add(
+        "readability (Flesch / FK grade)",
+        "Scan -> project, ZERO exchanges: three exact regexp counts "
+        "and two fixed double trees per row — the cheapest operator "
+        "class in the repo (quality_features' shape).",
+        E.q_readability(spark, SF),
+    )
+
+    add(
+        "label_coherence (embedding-cluster audit)",
+        "posexplode -> (label,pos) centroid sums (exact int lattice) "
+        "-> equi-join back -> per-vec + per-label aggregates; float "
+        "components quantized before any aggregation, so no "
+        "order-dependent float sum exists; no cartesian, no UDF.",
+        E.q_label_coherence(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
