@@ -4235,6 +4235,56 @@ def q_chi2_indep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(ev)
 
 
+def q_christoffersen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Christoffersen independence + conditional coverage on the same
+    split/threshold protocol as var_backtest: exact violation
+    transition counts, LR trees over exact integers."""
+    from tits_spark.operators.christoffersen import christoffersen
+
+    return christoffersen(_events(spark, sf_dir))
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta + Vargha-Delaney A, weekend vs weekday values
+    per user: exact pair-dominance counts off the tie grid (decimal
+    lattice), two single double divisions."""
+    from tits_spark.operators.effect_size import cliffs_delta
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"),
+        F.col("value"),
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    return cliffs_delta(ev)
+
+
+def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma + Somers d + tau-b of value quartile vs
+    hour-of-day per user: copied order-statistic thresholds, exact
+    pair counts on the bounded 24 x 4 lattice."""
+    from tits_spark.operators.gk_gamma import gk_ordinal_assoc
+
+    return gk_ordinal_assoc(_events(spark, sf_dir))
+
+
+def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
+    Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
+    zero-shuffle sorted-array 2r-1 telescope fold."""
+    from tits_spark.operators.richness import lexical_richness
+
+    return lexical_richness(_docs(spark, sf_dir))
+
+
+def q_ari_cl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI + Coleman-Liau per document: the character-based
+    readability pair over exact letter/word/sentence counts from the
+    shared tokenizer conventions; fixed double trees, round 4."""
+    from tits_spark.operators.readability import ari_coleman_liau
+
+    return ari_coleman_liau(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the round driver's correctness gate runs the
     # FIRST 50 entries, so the head is a rotating cross-section
@@ -4506,6 +4556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_gaps": q_moran_gaps,
         "readability": q_readability,
         "label_coherence": q_label_coherence,
+        "yules_k": q_yules_k,
+        "ari_cl": q_ari_cl,
+        "christoffersen": q_christoffersen,
+        "cliffs_delta": q_cliffs_delta,
+        "gk_gamma": q_gk_gamma,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -11042,6 +11097,276 @@ SELECT key, CAST(m AS BIGINT) AS n_pairs,
        round(CASE WHEN phi > 0.0 AND phi < 1.0
                   THEN -ln(2.0) / ln(phi) END, 6) AS half_life
 FROM h
+""",
+        # Yule's K family: orthodox unnest + GROUP BY type counts on
+        # the shared tokenizer; the Spark side reaches the same
+        # (N, V, V1, S2) integers via the sorted-array 2r-1 fold.
+        "yules_k": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(regexp_replace(text,
+             '[^a-zA-Z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, count(*) AS m FROM tok GROUP BY 1, 2),
+a AS (SELECT doc_id,
+             CAST(sum(m) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS v_types,
+             CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v1_hapax,
+             CAST(sum(m * m) AS BIGINT) AS sum_m2
+      FROM tf GROUP BY 1)
+SELECT doc_id, n_tokens, v_types, v1_hapax, sum_m2,
+  round(1e4 * CAST(sum_m2 - n_tokens AS DOUBLE)
+        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+    + 0.0 AS yules_k,
+  CASE WHEN n_tokens >= 2 THEN
+    round(ln(CAST(v_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 6)
+      + 0.0 END AS herdan_c,
+  round(CAST(v_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+    + 0.0 AS guiraud_r,
+  CASE WHEN n_tokens >= 2 AND v1_hapax < v_types THEN
+    round(100.0 * ln(CAST(n_tokens AS DOUBLE))
+          / (1.0 - CAST(v1_hapax AS DOUBLE) / CAST(v_types AS DOUBLE)), 6)
+      + 0.0 END AS honore_h
+FROM a
+""",
+        # ARI + Coleman-Liau: alphanumeric char count via the same
+        # character class the tokenizer keeps; exact centigrade floor
+        # lattice (signed floor via the +den mod device; `//` alone
+        # truncates toward zero on BIGINT), doubles = lattice / 100.
+        "ari_cl": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+           AS BIGINT) AS c,
+         CAST(len(list_filter(string_split_regex(lower(regexp_replace(text,
+             '[^a-zA-Z0-9]+', ' ', 'g')), ' '), t -> t <> ''))
+           AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS BIGINT) AS s
+  FROM documents
+),
+n AS (
+  SELECT doc_id, c, w, s,
+         471 * c * s + 50 * w * w - 2143 * w * s AS num_a, w * s AS den_a,
+         588 * c - 2960 * s - 1580 * w AS num_c
+  FROM c WHERE w > 0
+),
+f AS (
+  SELECT doc_id, c, w, s,
+         (num_a - ((num_a % den_a) + den_a) % den_a) // den_a AS ari_c,
+         (num_c - ((num_c % w) + w) % w) // w AS cl_c
+  FROM n
+)
+SELECT doc_id, c AS n_chars_an, w AS n_words, s AS n_sentences,
+       ari_c, cl_c,
+       CAST(ari_c AS DOUBLE) / 100.0 AS ari,
+       CAST(cl_c AS DOUBLE) / 100.0 AS cl_index
+FROM f
+""",
+        # Christoffersen: var_backtest's split/threshold CTEs, then
+        # violation transition counts and the LR_ind/LR_cc trees in
+        # the operator's association order (counts exact in double).
+        "christoffersen": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+base AS (SELECT * FROM (
+           SELECT key, us, c,
+                  row_number() OVER (PARTITION BY key ORDER BY us) AS rn,
+                  count(*) OVER (PARTITION BY key) AS n
+           FROM tk) WHERE n >= 40),
+est AS (SELECT key, c, us, n // 2 AS n1 FROM base WHERE rn <= n // 2),
+rx AS (SELECT key, c, n1,
+              row_number() OVER (PARTITION BY key ORDER BY c, us) AS rx
+       FROM est),
+thr AS (SELECT key,
+               max(CASE WHEN rx = greatest((99 * n1) // 100, 1)
+                   THEN c END) AS u_cents
+        FROM rx GROUP BY 1),
+test AS (SELECT b.key, b.us,
+                CASE WHEN b.c > th.u_cents THEN 1 ELSE 0 END AS i
+         FROM base b JOIN thr th ON th.key = b.key
+         WHERE b.rn > b.n // 2),
+pr AS (SELECT key, i,
+              lag(i) OVER (PARTITION BY key ORDER BY us) AS ip
+       FROM test),
+a AS (SELECT key,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(i) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ip = 0 AND i = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN ip = 0 AND i = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN ip = 1 AND i = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN ip = 1 AND i = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11
+      FROM pr GROUP BY 1),
+d AS (SELECT key, n_test, x, n00, n01, n10, n11,
+             round(-2.0 * (
+               (CASE WHEN x < n_test THEN
+                  (CAST(n_test AS DOUBLE) - CAST(x AS DOUBLE))
+                  * (-0.01005033585350145
+                     - ln(1.0 - CAST(x AS DOUBLE)
+                              / CAST(n_test AS DOUBLE)))
+                ELSE 0.0 END)
+               + (CASE WHEN x > 0 THEN
+                    CAST(x AS DOUBLE)
+                    * (-4.605170185988091
+                       - ln(CAST(x AS DOUBLE) / CAST(n_test AS DOUBLE)))
+                  ELSE 0.0 END)), 6) + 0.0 AS lr_pof,
+             (((CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE))
+               + CAST(n10 AS DOUBLE)) + CAST(n11 AS DOUBLE)) AS mall,
+             (CAST(n01 AS DOUBLE) + CAST(n11 AS DOUBLE)) AS mviol
+      FROM a),
+e AS (SELECT *, mviol / mall AS pi,
+             CAST(n01 AS DOUBLE)
+               / (CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE)) AS pi0,
+             CAST(n11 AS DOUBLE)
+               / (CAST(n10 AS DOUBLE) + CAST(n11 AS DOUBLE)) AS pi1
+      FROM d),
+g AS (SELECT key, n_test, x, n00, n01, n10, n11, lr_pof,
+             (n00 + n01 > 0) AND (n10 + n11 > 0) AS defined,
+             ((CASE WHEN n00 + n10 > 0 THEN
+                 (CAST(n00 AS DOUBLE) + CAST(n10 AS DOUBLE))
+                 * ln(1.0 - pi) ELSE 0.0 END)
+              + (CASE WHEN n01 + n11 > 0 THEN
+                   (CAST(n01 AS DOUBLE) + CAST(n11 AS DOUBLE)) * ln(pi)
+                 ELSE 0.0 END)) AS ll_null,
+             ((((CASE WHEN n00 > 0 THEN
+                   CAST(n00 AS DOUBLE) * ln(1.0 - pi0) ELSE 0.0 END)
+                + (CASE WHEN n01 > 0 THEN
+                     CAST(n01 AS DOUBLE) * ln(pi0) ELSE 0.0 END))
+               + (CASE WHEN n10 > 0 THEN
+                    CAST(n10 AS DOUBLE) * ln(1.0 - pi1) ELSE 0.0 END))
+              + (CASE WHEN n11 > 0 THEN
+                   CAST(n11 AS DOUBLE) * ln(pi1) ELSE 0.0 END)) AS ll_alt
+      FROM e)
+SELECT key, n_test, x AS x_viol, n00, n01, n10, n11, lr_pof,
+       CASE WHEN defined THEN
+         round(2.0 * (ll_alt - ll_null), 6) + 0.0 END AS lr_ind,
+       CASE WHEN defined THEN
+         lr_pof + (round(2.0 * (ll_alt - ll_null), 6) + 0.0) + 0.0
+       END AS lr_cc
+FROM g
+""",
+        # Cliff's delta: the same (key, value) tie grid; dominance
+        # counts via cumulative windows on HUGEINT, one division each.
+        "cliffs_delta": """
+WITH t AS (
+  SELECT user_id AS key, value,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+g AS (SELECT key, value,
+             CAST(sum(a) AS BIGINT) AS ca,
+             CAST(sum(1 - a) AS BIGINT) AS cb
+      FROM t GROUP BY 1, 2),
+w AS (SELECT key, ca, cb,
+             sum(cb) OVER (PARTITION BY key ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) - cb AS cb_below,
+             sum(ca) OVER (PARTITION BY key ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) - ca AS ca_below
+      FROM g),
+a AS (SELECT key,
+             CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(ca AS HUGEINT) * CAST(cb_below AS HUGEINT)) AS gt,
+             sum(CAST(cb AS HUGEINT) * CAST(ca_below AS HUGEINT)) AS lt,
+             sum(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)) AS eq
+      FROM w GROUP BY 1)
+SELECT key, n_a, n_b,
+       CAST(gt AS BIGINT) AS n_gt,
+       CAST(lt AS BIGINT) AS n_lt,
+       CAST(eq AS BIGINT) AS n_eq,
+       round(CAST(gt - lt AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                    AS DOUBLE), 6) + 0.0 AS cliffs_delta,
+       round(CAST(2 * gt + eq AS DOUBLE)
+             / (2.0 * CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                           AS DOUBLE)), 6) + 0.0 AS vd_a
+FROM a WHERE n_a > 0 AND n_b > 0
+""",
+        # GK gamma: copied quartile thresholds, bounded 24x4 cell
+        # lattice, pair counts via the cell cross, ties via marginals.
+        "gk_gamma": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us, hour(ts) AS h,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+rk AS (SELECT * FROM (
+         SELECT key, h, c,
+                row_number() OVER (PARTITION BY key ORDER BY c, us) AS r,
+                count(*) OVER (PARTITION BY key) AS n
+         FROM t) WHERE n >= 16),
+th AS (SELECT key, h, c, n,
+              max(CASE WHEN r = (1 * n) // 4 THEN c END)
+                OVER (PARTITION BY key) AS t1,
+              max(CASE WHEN r = (2 * n) // 4 THEN c END)
+                OVER (PARTITION BY key) AS t2,
+              max(CASE WHEN r = (3 * n) // 4 THEN c END)
+                OVER (PARTITION BY key) AS t3
+       FROM rk),
+bkt AS (SELECT key, h, n,
+               (CASE WHEN c > t1 THEN 1 ELSE 0 END
+                + CASE WHEN c > t2 THEN 1 ELSE 0 END
+                + CASE WHEN c > t3 THEN 1 ELSE 0 END) AS b
+        FROM th),
+cells AS (SELECT key, h, b, count(*) AS m, max(n) AS n
+          FROM bkt GROUP BY 1, 2, 3),
+cd AS (SELECT l.key,
+              sum(CASE WHEN l.b < r.b THEN
+                    CAST(l.m AS HUGEINT) * CAST(r.m AS HUGEINT)
+                  ELSE 0 END) AS c_pairs,
+              sum(CASE WHEN l.b > r.b THEN
+                    CAST(l.m AS HUGEINT) * CAST(r.m AS HUGEINT)
+                  ELSE 0 END) AS d_pairs
+       FROM cells l JOIN cells r ON l.key = r.key AND l.h < r.h
+       GROUP BY 1),
+hx AS (SELECT key, h, sum(m) AS mh, max(n) AS n
+       FROM cells GROUP BY 1, 2),
+tx AS (SELECT key,
+              sum(CAST(mh AS HUGEINT) * CAST(mh - 1 AS HUGEINT) // 2)
+                AS t_x,
+              max(n) AS n
+       FROM hx GROUP BY 1),
+bya AS (SELECT key, b, sum(m) AS mb FROM cells GROUP BY 1, 2),
+ty AS (SELECT key,
+              sum(CAST(mb AS HUGEINT) * CAST(mb - 1 AS HUGEINT) // 2)
+                AS t_y
+       FROM bya GROUP BY 1),
+a AS (SELECT tx.key, tx.n, tx.t_x, ty.t_y,
+             coalesce(cd.c_pairs, 0) AS c_pairs,
+             coalesce(cd.d_pairs, 0) AS d_pairs,
+             CAST(tx.n AS HUGEINT) * CAST(tx.n - 1 AS HUGEINT) // 2
+               AS t_all
+      FROM tx JOIN ty ON ty.key = tx.key
+      LEFT JOIN cd ON cd.key = tx.key)
+SELECT key, CAST(n AS BIGINT) AS n,
+       CAST(c_pairs AS BIGINT) AS c_pairs,
+       CAST(d_pairs AS BIGINT) AS d_pairs,
+       CAST(t_x AS BIGINT) AS t_x,
+       CAST(t_y AS BIGINT) AS t_y,
+       CASE WHEN c_pairs + d_pairs > 0 THEN
+         round(CAST(c_pairs - d_pairs AS DOUBLE)
+               / CAST(c_pairs + d_pairs AS DOUBLE), 6) + 0.0
+       END AS gamma,
+       CASE WHEN t_all - t_x > 0 THEN
+         round(CAST(c_pairs - d_pairs AS DOUBLE)
+               / CAST(t_all - t_x AS DOUBLE), 6) + 0.0
+       END AS somers_dyx,
+       CASE WHEN t_all - t_x > 0 AND t_all - t_y > 0 THEN
+         round(CAST(c_pairs - d_pairs AS DOUBLE)
+               / sqrt(CAST(t_all - t_x AS DOUBLE)
+                      * CAST(t_all - t_y AS DOUBLE)), 6) + 0.0
+       END AS tau_b
+FROM a
 """,
     }
 

@@ -950,6 +950,58 @@ def test_r5c_second_wave_plan_shapes(spark):
         assert "EvalPython" not in p, name
 
 
+def test_christoffersen_one_scan_zero_joins(ev):
+    """var_backtest's boolean-first window chain plus one lag window
+    and the transition aggregate — all on hashpartitioning(key): ONE
+    scan, ZERO joins, two exchanges, no Python."""
+    from tits_spark.operators.christoffersen import christoffersen
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(christoffersen(df))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert t.count("Exchange") == 2
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_cliffs_delta_grid_then_windows(ev):
+    """One raw shuffle to the (key, value) grid, the cumulative
+    window + final agg on hash(key): no join, no Python, no global
+    partition; window input is the distinct-value grid."""
+    from tits_spark.operators.effect_size import cliffs_delta
+
+    df = ev.select(
+        F.col("user_id").alias("key"),
+        "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(cliffs_delta(df))
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert p.count("Exchange (") <= 3
+
+
+def test_gk_gamma_bounded_lattice_join(ev):
+    """The only join is cells-with-cells on key — fan-out capped at
+    96^2/2 pairs per key; no cartesian, no Python, no global window."""
+    from tits_spark.operators.gk_gamma import gk_ordinal_assoc
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(gk_ordinal_assoc(df))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    # the persisted cells frame replaces re-derivation: all four
+    # consumers read InMemoryTableScans (the parquet scan appears
+    # again only INSIDE the InMemoryRelation's embedded child plan,
+    # which executes once at first materialization)
+    assert p.count("InMemoryTableScan") >= 4
+
+
 def test_kuiper_single_exchange(ev):
     """row_number + both running maxima + the final agg all cluster on
     key: hash(key) is established once, all-BIGINT, no UDF."""
@@ -1077,6 +1129,26 @@ def test_readability_zero_shuffles(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = plan_of(readability(docs))
+    assert p.count("Exchange (") == 0
+    assert "EvalPython" not in p
+
+
+def test_richness_zero_shuffles(spark):
+    """Sorted-array fold: the m^2 telescope stays inside one project
+    stage — no exchange, no Python, no per-(doc, token) shuffle."""
+    from tits_spark.operators.richness import lexical_richness
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(lexical_richness(docs))
+    assert p.count("Exchange (") == 0
+    assert "EvalPython" not in p
+
+
+def test_ari_cl_zero_shuffles(spark):
+    from tits_spark.operators.readability import ari_coleman_liau
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(ari_coleman_liau(docs))
     assert p.count("Exchange (") == 0
     assert "EvalPython" not in p
 
