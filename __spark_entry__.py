@@ -4267,6 +4267,23 @@ def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gk_ordinal_assoc(_events(spark, sf_dir))
 
 
+def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano naive vs seasonal-naive forecast comparison on
+    the hourly LOCF grid: exact int64 squared-loss differentials,
+    cleared-mean decimal lattice, the hac Bartlett(8) fold."""
+    from tits_spark.operators.dm_test import diebold_mariano
+
+    return diebold_mariano(_events(spark, sf_dir))
+
+
+def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino / Omega / Calmar over observed-day closes per user:
+    exact cents sums, one double division per ratio."""
+    from tits_spark.operators.risk_ratios import risk_ratios
+
+    return risk_ratios(_events(spark, sf_dir))
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4561,6 +4578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "christoffersen": q_christoffersen,
         "cliffs_delta": q_cliffs_delta,
         "gk_gamma": q_gk_gamma,
+        "diebold_mariano": q_diebold_mariano,
+        "risk_ratios": q_risk_ratios,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -11366,6 +11385,107 @@ SELECT key, CAST(n AS BIGINT) AS n,
                / sqrt(CAST(t_all - t_x AS DOUBLE)
                       * CAST(t_all - t_y AS DOUBLE)), 6) + 0.0
        END AS tau_b
+FROM a
+""",
+        # Diebold-Mariano: the hac_trend grid CTEs; int64 squared-loss
+        # differential, cleared-mean HUGEINT lattice, Bartlett(8) fold,
+        # DM = D * n * sqrt(9/S).
+        "diebold_mariano": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+lb AS (SELECT key, us // 3600000000 AS b, arg_max(c, us) AS c
+       FROM tk GROUP BY 1, 2),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(us // 3600000000) AS mn,
+                    max(us // 3600000000) AS mx
+             FROM tk GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(lb.c IGNORE NULLS) OVER w AS c
+      FROM sp LEFT JOIN lb ON lb.key = sp.key AND lb.b = sp.b
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+dl AS (SELECT key, b,
+              (c - lag(c, 1) OVER v) * (c - lag(c, 1) OVER v) AS la,
+              (c - lag(c, 24) OVER v) * (c - lag(c, 24) OVER v) AS lb
+       FROM g WINDOW v AS (PARTITION BY key ORDER BY b)),
+dd AS (SELECT key, b, la, lb,
+              CASE WHEN la IS NOT NULL AND lb IS NOT NULL
+                   THEN la - lb END AS d
+       FROM dl),
+r0 AS (SELECT * FROM (
+         SELECT key, b, la, lb, d,
+                count(d) OVER (PARTITION BY key) AS n_eff,
+                sum(CAST(d AS HUGEINT)) OVER (PARTITION BY key) AS sd
+         FROM dd) WHERE n_eff >= 60),
+r1 AS (SELECT key, b, la, lb, d, n_eff, sd,
+              CASE WHEN d IS NOT NULL
+                   THEN CAST(n_eff AS HUGEINT) * d - sd END AS e
+       FROM r0),
+cum AS (SELECT key, la, lb, d, n_eff, sd, e,
+               16 * coalesce(lag(e, 1) OVER v, 0)
+                 + 14 * coalesce(lag(e, 2) OVER v, 0)
+                 + 12 * coalesce(lag(e, 3) OVER v, 0)
+                 + 10 * coalesce(lag(e, 4) OVER v, 0)
+                 + 8 * coalesce(lag(e, 5) OVER v, 0)
+                 + 6 * coalesce(lag(e, 6) OVER v, 0)
+                 + 4 * coalesce(lag(e, 7) OVER v, 0)
+                 + 2 * coalesce(lag(e, 8) OVER v, 0) AS wl
+        FROM r1 WINDOW v AS (PARTITION BY key ORDER BY b)),
+a AS (SELECT key, max(n_eff) AS n_eff, max(sd) AS sd,
+             sum(CASE WHEN d IS NOT NULL THEN la END) AS sum_la,
+             sum(CASE WHEN d IS NOT NULL THEN lb END) AS sum_lb,
+             sum(e * e) AS g0, sum(e * wl) AS gw
+      FROM cum GROUP BY 1),
+f AS (SELECT *, 9 * g0 + gw AS s FROM a)
+SELECT key, CAST(n_eff AS BIGINT) AS n_eff,
+       CAST(sum_la AS BIGINT) AS sum_la,
+       CAST(sum_lb AS BIGINT) AS sum_lb,
+       CAST(sd AS BIGINT) AS sum_d,
+       CASE WHEN s > 0 THEN
+         round(CAST(sd AS DOUBLE) * CAST(n_eff AS DOUBLE)
+               * sqrt(9.0 / CAST(s AS DOUBLE)), 6) + 0.0
+       END AS dm
+FROM f
+""",
+        # Risk ratios: observed-day arg_max closes, exact cents sums,
+        # running-peak drawdown, one division per ratio.
+        "risk_ratios": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+daily AS (SELECT key, us // 86400000000 AS d, arg_max(c, us) AS close
+          FROM t GROUP BY 1, 2),
+w AS (SELECT key, close,
+             close - lag(close) OVER v AS r,
+             max(close) OVER (PARTITION BY key ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) - close AS dd
+      FROM daily WINDOW v AS (PARTITION BY key ORDER BY d)),
+a AS (SELECT key,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(CASE WHEN r < 0 THEN r * r ELSE 0 END) AS BIGINT)
+               AS down2,
+             CAST(sum(greatest(r, 0)) AS BIGINT) AS gain,
+             CAST(sum(greatest(-r, 0)) AS BIGINT) AS loss,
+             CAST(max(dd) AS BIGINT) AS maxdd
+      FROM w GROUP BY 1 HAVING count(*) >= 10)
+SELECT key, n_days, sum_r, down2, gain, loss, maxdd,
+  CASE WHEN down2 > 0 THEN
+    round(CAST(sum_r AS DOUBLE)
+          / sqrt(CAST(n_days - 1 AS DOUBLE) * CAST(down2 AS DOUBLE)), 6)
+      + 0.0 END AS sortino,
+  CASE WHEN loss > 0 THEN
+    round(CAST(gain AS DOUBLE) / CAST(loss AS DOUBLE), 6) + 0.0
+  END AS omega,
+  CASE WHEN maxdd > 0 THEN
+    round(CAST(sum_r AS DOUBLE) / CAST(maxdd AS DOUBLE), 6) + 0.0
+  END AS calmar
 FROM a
 """,
     }

@@ -1002,6 +1002,37 @@ def test_gk_gamma_bounded_lattice_join(ev):
     assert p.count("InMemoryTableScan") >= 4
 
 
+def test_diebold_mariano_grid_shape(ev):
+    """hac_trend's plan class: one raw scan, the grid exchanges, lag
+    windows + final agg on hash(key) — no join beyond the grid spine,
+    no Python, no global partition."""
+    from tits_spark.operators.dm_test import diebold_mariano
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(diebold_mariano(df))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_risk_ratios_one_scan_no_join(ev):
+    """Raw rows collapse to observed-day closes in one hash agg; the
+    lag/running-max windows and the final agg ride hash(key)."""
+    from tits_spark.operators.risk_ratios import risk_ratios
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(risk_ratios(df))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    t = "\n".join(tree)
+    assert t.count("Scan parquet") == 1
+    assert "Join" not in t
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
 def test_kuiper_single_exchange(ev):
     """row_number + both running maxima + the final agg all cluster on
     key: hash(key) is established once, all-BIGINT, no UDF."""
