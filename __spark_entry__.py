@@ -4284,6 +4284,15 @@ def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risk_ratios(_events(spark, sf_dir))
 
 
+def q_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy of the zero-filled daily activity series per
+    user: exact integer template-match counts at r = max(1, IQR/4)
+    (copied order statistics), one ln at the end."""
+    from tits_spark.operators.sampen import sample_entropy
+
+    return sample_entropy(_events(spark, sf_dir))
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4580,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gk_gamma": q_gk_gamma,
         "diebold_mariano": q_diebold_mariano,
         "risk_ratios": q_risk_ratios,
+        "sampen": q_sampen,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -11487,6 +11497,54 @@ SELECT key, n_days, sum_r, down2, gain, loss, maxdd,
     round(CAST(sum_r AS DOUBLE) / CAST(maxdd AS DOUBLE), 6) + 0.0
   END AS calmar
 FROM a
+""",
+        # SampEn: zero-filled day spine, copied quartile tolerance,
+        # template self-join with exact match counts, one ln.
+        "sampen": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS d
+       FROM (SELECT key, min(d) AS mn, max(d) AS mx
+             FROM daily GROUP BY 1)),
+g AS (SELECT sp.key, sp.d,
+             CAST(coalesce(daily.x, 0) AS BIGINT) AS x
+      FROM sp LEFT JOIN daily
+        ON daily.key = sp.key AND daily.d = sp.d),
+rk AS (SELECT * FROM (
+         SELECT key, d, x,
+                row_number() OVER (PARTITION BY key ORDER BY x, d) AS rk,
+                count(*) OVER (PARTITION BY key) AS n,
+                lead(x) OVER (PARTITION BY key ORDER BY d) AS xn,
+                row_number() OVER (PARTITION BY key ORDER BY d) AS i
+         FROM g) WHERE n >= 20),
+q AS (SELECT key, x, xn, i, n,
+             max(CASE WHEN rk = n // 4 THEN x END)
+               OVER (PARTITION BY key) AS q1,
+             max(CASE WHEN rk = (3 * n) // 4 THEN x END)
+               OVER (PARTITION BY key) AS q3
+      FROM rk),
+tmpl AS (SELECT key, i, x, xn, n,
+                greatest(1, (q3 - q1) // 4) AS r
+         FROM q WHERE xn IS NOT NULL),
+pairs AS (SELECT l.key, l.n, l.r,
+                 CASE WHEN abs(l.x - r2.x) <= l.r THEN 1 ELSE 0 END AS b,
+                 CASE WHEN abs(l.x - r2.x) <= l.r
+                       AND abs(l.xn - r2.xn) <= l.r THEN 1 ELSE 0 END AS a
+          FROM tmpl l JOIN tmpl r2
+            ON r2.key = l.key AND l.i < r2.i),
+ag AS (SELECT key, max(n) AS n_days, max(r) AS r_tol,
+              CAST(sum(b) AS BIGINT) AS b_pairs,
+              CAST(sum(a) AS BIGINT) AS a_pairs
+       FROM pairs GROUP BY 1)
+SELECT key, CAST(n_days AS BIGINT) AS n_days,
+       CAST(r_tol AS BIGINT) AS r_tol, b_pairs, a_pairs,
+       CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN
+         round(-ln(CAST(a_pairs AS DOUBLE) / CAST(b_pairs AS DOUBLE)), 6)
+           + 0.0 END AS sampen
+FROM ag
 """,
     }
 

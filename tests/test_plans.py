@@ -1033,6 +1033,19 @@ def test_risk_ratios_one_scan_no_join(ev):
     assert "SinglePartition" not in p
 
 
+def test_sampen_bounded_template_join(ev):
+    """Raw collapses to the day spine before the only data join (the
+    template self-join on key, span^2/2 fan-out); spine-building left
+    join + self-join only — no cartesian, no Python."""
+    from tits_spark.operators.sampen import sample_entropy
+
+    df = ev.select(F.col("user_id").alias("key"), "ts")
+    p = plan_of(sample_entropy(df))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
 def test_kuiper_single_exchange(ev):
     """row_number + both running maxima + the final agg all cluster on
     key: hash(key) is established once, all-BIGINT, no UDF."""
