@@ -583,6 +583,23 @@ def main() -> None:
 
     repeat("q28_inference_family", _body_q28_inference_family)
 
+    # q29: the ordinal/effect-size/risk wave — GK gamma (persisted
+    # cell lattice + bounded cross), Cliff's delta (tie-grid dominance
+    # windows), Christoffersen (boolean-first window + lag), Diebold-
+    # Mariano (LOCF grid + Bartlett fold), risk ratios (arg-max daily
+    # closes + running peak), SampEn (span-bounded template join),
+    # Yule's K + ARI/CL (zero-shuffle text folds)
+    def _body_q29_ordinal_risk_family():
+        for q in (
+            E.q_gk_gamma, E.q_cliffs_delta, E.q_christoffersen,
+            E.q_diebold_mariano, E.q_risk_ratios, E.q_sampen,
+            E.q_yules_k, E.q_ari_cl,
+        ):
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()  # gk_gamma persists its cell frame
+
+    repeat("q29_ordinal_risk_family", _body_q29_ordinal_risk_family)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

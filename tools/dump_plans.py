@@ -714,6 +714,45 @@ def main() -> None:
         E.q_label_coherence(spark, SF),
     )
 
+    add(
+        "gk_gamma (ordinal association lattice)",
+        "Copied quartile thresholds ride the (key) window chain; the "
+        "raw collapses to <= 96 cells/key which are PERSISTED (one "
+        "scan, four InMemoryTableScan consumers); the only join is the "
+        "cell cross capped at 96^2/2 pairs per key; ties from "
+        "marginals, no pair enumeration.",
+        E.q_gk_gamma(spark, SF),
+    )
+
+    add(
+        "christoffersen / cliffs_delta (backtest + effect size)",
+        "Christoffersen: var_backtest's boolean-first window chain + "
+        "one lag window + transition agg, all on hash(key) — ONE scan, "
+        "ZERO joins. Cliff's delta: one raw shuffle to the (key, "
+        "value) tie grid, dominance counts via two cumulative windows "
+        "on the grid, decimal products — no join.",
+        E.q_christoffersen(spark, SF),
+    )
+
+    add(
+        "diebold_mariano / risk_ratios (hourly grid + daily closes)",
+        "DM: hac_trend's plan class — one scan, the LOCF grid "
+        "exchanges, the Bartlett(8) lag fold and final agg on "
+        "hash(key). Risk ratios: raw -> observed-day arg-max closes "
+        "in one hash agg, lag + running-peak windows, final agg — one "
+        "scan, zero joins.",
+        E.q_diebold_mariano(spark, SF),
+    )
+
+    add(
+        "sampen / yules_k / ari_cl (template join + zero-shuffle text)",
+        "SampEn: day-span-bounded spine, copied-IQR tolerance, ONE "
+        "template self-join (span^2/2 fan-out). Yule's K: the sorted-"
+        "array 2r-1 telescope keeps sum m^2 inside one Project — ZERO "
+        "exchanges, like ari_cl's pure-integer centigrade lattice.",
+        E.q_sampen(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
