@@ -11469,8 +11469,9 @@ WITH t AS (
          CAST(round(value * 100) AS BIGINT) AS c
   FROM events
 ),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
 daily AS (SELECT key, us // 86400000000 AS d, arg_max(c, us) AS close
-          FROM t GROUP BY 1, 2),
+          FROM tk GROUP BY 1, 2),
 w AS (SELECT key, close,
              close - lag(close) OVER v AS r,
              max(close) OVER (PARTITION BY key ORDER BY d

@@ -61,6 +61,10 @@ def risk_ratios(
             epoch_us(ts).alias("us"),
             F.round(F.col(value) * 100).cast("long").alias("c"),
         )
+        # (key, us) max-cents dedup first (the var_backtest rule), so
+        # max_by's tie-break on duplicate timestamps is deterministic
+        .groupBy("key", "us")
+        .agg(F.max("c").alias("c"))
         .withColumn("d", floordiv(F.col("us"), 86_400_000_000))
         .groupBy("key", "d")
         .agg(F.max_by("c", "us").alias("close"))

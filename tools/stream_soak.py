@@ -465,6 +465,46 @@ def main() -> None:
     results.append(("records_stream (per-key record highs)", nb, nr, sec,
                     *_bitwise_equal(got, want)))
 
+    # ---- risk ledger (10 integer scalars; one emission per closed
+    # day; the final ledger row per key must equal batch risk_ratios
+    # over the closed-day prefix bit for bit, ratios included)
+    from tits_spark.operators.risk_ratios import risk_ratios
+    from tits_spark.streaming.risk_stream import stream_risk_ratios
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_risk_ratios(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "risk",
+    )
+    from pyspark.sql import Window as _W
+
+    ledger = spark.read.parquet(out)
+    got = (
+        ledger.withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy("key").orderBy(F.desc("d"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "d")
+    )
+    open_day = ev.groupBy("key").agg(
+        F.max(
+            F.floor(F.col("ts").cast("double") / 86400).cast("long")
+        ).alias("_od")
+    )
+    closed = ev.join(open_day, "key").filter(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long")
+        < F.col("_od")
+    ).drop("_od")
+    want = risk_ratios(closed, min_days=1)
+    got = got.select(*want.columns)
+    results.append(("risk_stream (closed-day Sortino/Omega/Calmar ledger)",
+                    nb, nr, sec, *_bitwise_equal(got, want)))
+
     # ---- extremal index (bounded top-k exceedance set carried as 2k
     # integers; membership is an exact order-statistic decision, so
     # the final readout must be BIT-equal to batch on the int surface)
