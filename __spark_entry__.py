@@ -4293,6 +4293,34 @@ def q_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_entropy(_events(spark, sf_dir))
 
 
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test, AM-entry vs PM-entry conversion per
+    entry-month cohort: exact observed counts, floor-quantized
+    expected/variance lattices, one chi-square tree."""
+    from tits_spark.operators.logrank import logrank_ampm
+
+    return logrank_ampm(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR across the key cross-section, applied
+    to the per-key Jarque-Bera normality screen (p = exp(-jb/2), the
+    chi2(2) closed form over the round-6 statistic): deterministic
+    (p, key) step-up, exact integer ranks."""
+    from tits_spark.operators.cross_section import bh_fdr
+    from tits_spark.operators.normality import jarque_bera
+
+    jb = jarque_bera(_events(spark, sf_dir)).select(
+        "key",
+        F.col("jb").alias("stat"),
+        # round-6 lattice BEFORE ranking: raw exp() differs by an ulp
+        # across JVM/libm, and both the emitted p and the step-up
+        # boundary compare must be engine-identical doubles
+        F.round(F.exp(-F.col("jb") / F.lit(2.0)), 6).alias("p"),
+    )
+    return bh_fdr(jb)
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4590,6 +4618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diebold_mariano": q_diebold_mariano,
         "risk_ratios": q_risk_ratios,
         "sampen": q_sampen,
+        "logrank": q_logrank,
+        "bh_fdr": q_bh_fdr,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -11546,6 +11576,152 @@ SELECT key, CAST(n_days AS BIGINT) AS n_days,
          round(-ln(CAST(a_pairs AS DOUBLE) / CAST(b_pairs AS DOUBLE)), 6)
            + 0.0 END AS sampen
 FROM ag
+""",
+        # Log-rank: survival_km's subject/grid CTEs split into AM/PM
+        # arms; expected/variance terms floor-quantized per time onto
+        # integer lattices, chi2 one double tree.
+        "logrank": """
+WITH e AS (
+  SELECT user_id AS _k, epoch_us(ts) AS _u, event_type AS _et FROM events
+),
+fv AS (
+  SELECT _k, min(CASE WHEN _et = 'view' THEN _u END) AS _fv
+  FROM e GROUP BY 1
+),
+subj0 AS (
+  SELECT e._k, fv._fv,
+         min(CASE WHEN e._et = 'purchase' AND e._u >= fv._fv
+                  THEN e._u END) AS _lp,
+         max(e._u) AS _le
+  FROM e JOIN fv USING (_k)
+  WHERE fv._fv IS NOT NULL
+  GROUP BY 1, 2
+),
+subj AS (
+  SELECT strftime(make_timestamp(_fv), '%Y-%m') AS cohort,
+         (hour(make_timestamp(_fv)) < 12) AS am,
+         CASE WHEN _lp IS NOT NULL THEN _lp - _fv ELSE _le - _fv END AS dur,
+         CASE WHEN _lp IS NOT NULL THEN 1 ELSE 0 END AS evt
+  FROM subj0
+),
+grid AS (
+  SELECT cohort, dur,
+         sum(CASE WHEN am THEN evt ELSE 0 END) AS d1,
+         sum(CASE WHEN NOT am THEN evt ELSE 0 END) AS d2,
+         sum(CASE WHEN am THEN 1 - evt ELSE 0 END) AS c1,
+         sum(CASE WHEN NOT am THEN 1 - evt ELSE 0 END) AS c2
+  FROM subj GROUP BY 1, 2
+),
+r AS (
+  SELECT cohort, d1, d2,
+         sum(d1 + c1) OVER (PARTITION BY cohort)
+           - sum(d1 + c1) OVER w + (d1 + c1) AS n1t,
+         sum(d2 + c2) OVER (PARTITION BY cohort)
+           - sum(d2 + c2) OVER w + (d2 + c2) AS n2t,
+         sum(d1 + c1) OVER (PARTITION BY cohort) AS n1,
+         sum(d2 + c2) OVER (PARTITION BY cohort) AS n2
+  FROM grid
+  WINDOW w AS (PARTITION BY cohort ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+q AS (
+  SELECT cohort, d1, d2, n1, n2,
+         d1 + d2 AS d, n1t + n2t AS nt, n1t, n2t
+  FROM r
+),
+terms AS (
+  SELECT cohort, d1, d2, n1, n2,
+         CASE WHEN d > 0 AND nt > 1 THEN
+           CAST(floor(1e9 * (CAST(CAST(d AS HUGEINT) * n1t AS DOUBLE)
+                             / CAST(nt AS DOUBLE))) AS HUGEINT)
+         ELSE 0 END AS e1q,
+         CASE WHEN d > 0 AND nt > 1 THEN
+           CAST(floor(1e6 *
+             (CAST(CAST(d AS HUGEINT) * n1t * n2t * (nt - d) AS DOUBLE)
+              / CAST(CAST(nt AS HUGEINT) * nt * (nt - 1) AS DOUBLE)))
+             AS HUGEINT)
+         ELSE 0 END AS vq
+  FROM q
+),
+a AS (
+  SELECT cohort,
+         CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+         CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+         sum(e1q) AS e1q, sum(vq) AS vq
+  FROM terms GROUP BY 1
+)
+SELECT cohort, n1, n2, o1, o2,
+       CAST(e1q AS BIGINT) AS e1q, CAST(vq AS BIGINT) AS vq,
+       CASE WHEN vq > 0 THEN
+         round((CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e9)
+               * (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1e9)
+               / (CAST(vq AS DOUBLE) / 1e6), 6) + 0.0
+       END AS chi2
+FROM a
+""",
+        # BH-FDR: the jarque_bera CTE chain verbatim, p = exp(-jb/2),
+        # deterministic (p, key) step-up, exact integer ranks.
+        "bh_fdr": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+r AS (SELECT key,
+             c - lag(c) OVER (PARTITION BY key ORDER BY us) AS r
+      FROM tk),
+a AS (SELECT key, count(*) AS n,
+             sum(CAST(r AS HUGEINT)) AS s1,
+             sum(CAST(r AS HUGEINT) * r) AS s2,
+             sum(CAST(r * r AS HUGEINT) * r) AS s3,
+             sum(CAST(r * r AS HUGEINT) * (r * r)) AS s4
+      FROM r WHERE r IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 30),
+d AS (SELECT key, n, s1, s2,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d
+      FROM a),
+m AS (SELECT key, n, s1, s2, nd, s2d, s3d, s4d,
+             s1d / nd AS mu
+      FROM d),
+m2s AS (SELECT key, n, s1, s2, nd, mu,
+               s2d / nd - mu * mu AS m2,
+               s3d / nd - 3.0 * mu * s2d / nd
+                 + 2.0 * mu * mu * mu AS m3,
+               s4d / nd - 4.0 * mu * s3d / nd
+                 + 6.0 * mu * mu * s2d / nd
+                 - 3.0 * mu * mu * mu * mu AS m4
+        FROM m),
+sk AS (SELECT key, n, s1, s2, nd,
+              m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skew,
+              m4 / (m2 * m2) - 3.0 AS kurt
+       FROM m2s),
+ok AS (SELECT *, CAST(s2 AS HUGEINT) * CAST(n AS HUGEINT)
+                   > CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS g
+       FROM sk),
+jbq AS (SELECT key,
+               round(CASE WHEN g THEN
+                     nd * (skew * skew / 6.0 + kurt * kurt / 24.0)
+                     END, 6) AS jb
+        FROM ok),
+b AS (SELECT key, jb AS stat, round(exp(-jb / 2.0), 6) AS p
+      FROM jbq WHERE jb IS NOT NULL),
+rk AS (SELECT key, stat, p,
+              row_number() OVER (ORDER BY p, key) AS rnk,
+              count(*) OVER () AS m
+       FROM b),
+f AS (SELECT *,
+             coalesce(max(CASE WHEN p <= 0.05 * CAST(rnk AS DOUBLE)
+                                         / CAST(m AS DOUBLE)
+                          THEN rnk END) OVER (), 0) AS k_star
+      FROM rk)
+SELECT key, stat, p,
+       CAST(rnk AS BIGINT) AS rnk, CAST(m AS BIGINT) AS m,
+       CAST(k_star AS BIGINT) AS k_star,
+       rnk <= k_star AS reject
+FROM f
 """,
     }
 

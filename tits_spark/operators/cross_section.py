@@ -102,3 +102,77 @@ def topk_per_group(
         .where(F.col("rank") <= k)
         .select("grp", "k", "n", "cents", "rank")
     )
+
+
+def bh_fdr(
+    stats: DataFrame,
+    key: str = "key",
+    stat: str = "stat",
+    p: str = "p",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg (1995) FDR control across the key
+    cross-section: given one (key, statistic, p-value) row per key,
+    find k* = max{ k : p_(k) <= k * alpha / m } and reject the k*
+    smallest p-values — the multiple-testing layer every per-key test
+    family in this package needs before anyone acts on "150 keys, 9
+    significant at 5%" (7.5 are expected by chance).
+
+    Determinism: the ranking order (p, key) is total; the step-up
+    comparison p <= alpha * rank / m runs over identical doubles on
+    both engines (p itself must be an engine-identical double — e.g.
+    a closed-form transform of a round-6 statistic). NULL p rows drop
+    (their family already reported the degenerate pole).
+
+    Returns (key, stat, p, rnk, m, k_star, reject).
+
+    Scale note: the frame is the per-key statistic table — ONE row
+    per key, already the cross-sectional reduction of the raw stream.
+    The global rank window funnels it through one task, fine to ~1e8
+    keys (cross_rank's bound); past that, replace the rank with a
+    two-phase distributed quantile search on p.
+    """
+    a = float(alpha)
+    if not 0.0 < a < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    base = stats.select(
+        F.col(key).alias("key"),
+        F.col(stat).alias("stat"),
+        F.col(p).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    # bounded-global-window: frame = one row per key (the per-key test
+    # statistic table), the cross-sectional reduction — cross_rank's
+    # documented ~1e8-key bound applies
+    wg = Window.orderBy(F.asc("p"), F.asc("key"))
+    # bounded-global-window: same one-row-per-key frame as above
+    wall = Window.partitionBy()
+    ranked = base.select(
+        "key",
+        "stat",
+        "p",
+        F.row_number().over(wg).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    ok = F.col("p") <= F.lit(a) * F.col("rnk").cast("double") / F.col(
+        "m"
+    ).cast("double")
+    flagged = ranked.select(
+        "key",
+        "stat",
+        "p",
+        "rnk",
+        "m",
+        # bounded-global-window: max over the same per-key frame
+        F.coalesce(
+            F.max(F.when(ok, F.col("rnk"))).over(wall), F.lit(0)
+        ).alias("k_star"),
+    )
+    return flagged.select(
+        "key",
+        "stat",
+        "p",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("m").cast("long").alias("m"),
+        F.col("k_star").cast("long").alias("k_star"),
+        (F.col("rnk") <= F.col("k_star")).alias("reject"),
+    )
