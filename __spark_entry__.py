@@ -4321,6 +4321,15 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bh_fdr(jb)
 
 
+def q_chow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow mid-sample structural-break F-test on the hourly LOCF
+    grid: three closed-form cleared-SSE rationals (exact decimal
+    lattices), one F tree."""
+    from tits_spark.operators.chow import chow_test
+
+    return chow_test(_events(spark, sf_dir))
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4620,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampen": q_sampen,
         "logrank": q_logrank,
         "bh_fdr": q_bh_fdr,
+        "chow": q_chow,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -11722,6 +11732,79 @@ SELECT key, stat, p,
        CAST(k_star AS BIGINT) AS k_star,
        rnk <= k_star AS reject
 FROM f
+""",
+        # Chow: the shared LOCF grid; per-segment HUGEINT sufficient
+        # sums, closed-form cleared SSEs, one F tree.
+        "chow": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+lb AS (SELECT key, us // 3600000000 AS b, arg_max(c, us) AS c
+       FROM tk GROUP BY 1, 2),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS b
+       FROM (SELECT key, min(us // 3600000000) AS mn,
+                    max(us // 3600000000) AS mx
+             FROM tk GROUP BY 1)),
+g AS (SELECT sp.key, sp.b,
+             last_value(lb.c IGNORE NULLS) OVER w AS c
+      FROM sp LEFT JOIN lb ON lb.key = sp.key AND lb.b = sp.b
+      WINDOW w AS (PARTITION BY sp.key ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+r0 AS (SELECT * FROM (
+         SELECT key, c,
+                row_number() OVER (PARTITION BY key ORDER BY b) AS t,
+                count(*) OVER (PARTITION BY key) AS n
+         FROM g) WHERE n >= 40),
+seg AS (SELECT key, c, t, n,
+               CASE WHEN t <= n // 2 THEN 1 ELSE 0 END AS h
+        FROM r0),
+a AS (SELECT key,
+        CAST(count(*) AS HUGEINT) AS n_p,
+        sum(CAST(t AS HUGEINT)) AS st_p,
+        sum(CAST(t AS HUGEINT) * t) AS st2_p,
+        sum(CAST(c AS HUGEINT)) AS sc_p,
+        sum(CAST(c AS HUGEINT) * c) AS sc2_p,
+        sum(CAST(t AS HUGEINT) * c) AS stc_p,
+        CAST(sum(h) AS HUGEINT) AS n_1,
+        sum(CAST(h AS HUGEINT) * t) AS st_1,
+        sum(CAST(h AS HUGEINT) * t * t) AS st2_1,
+        sum(CAST(h AS HUGEINT) * c) AS sc_1,
+        sum(CAST(h AS HUGEINT) * c * c) AS sc2_1,
+        sum(CAST(h AS HUGEINT) * t * c) AS stc_1,
+        CAST(sum(1 - h) AS HUGEINT) AS n_2,
+        sum(CAST(1 - h AS HUGEINT) * t) AS st_2,
+        sum(CAST(1 - h AS HUGEINT) * t * t) AS st2_2,
+        sum(CAST(1 - h AS HUGEINT) * c) AS sc_2,
+        sum(CAST(1 - h AS HUGEINT) * c * c) AS sc2_2,
+        sum(CAST(1 - h AS HUGEINT) * t * c) AS stc_2
+      FROM seg GROUP BY 1),
+q AS (SELECT key, n_p, n_1, n_2,
+        CAST((n_p * st2_p - st_p * st_p) * (n_p * sc2_p - sc_p * sc_p)
+             - (n_p * stc_p - st_p * sc_p) * (n_p * stc_p - st_p * sc_p)
+          AS DOUBLE)
+          / CAST(n_p * (n_p * st2_p - st_p * st_p) AS DOUBLE) AS sse_p,
+        CAST((n_1 * st2_1 - st_1 * st_1) * (n_1 * sc2_1 - sc_1 * sc_1)
+             - (n_1 * stc_1 - st_1 * sc_1) * (n_1 * stc_1 - st_1 * sc_1)
+          AS DOUBLE)
+          / CAST(n_1 * (n_1 * st2_1 - st_1 * st_1) AS DOUBLE) AS sse_1,
+        CAST((n_2 * st2_2 - st_2 * st_2) * (n_2 * sc2_2 - sc_2 * sc_2)
+             - (n_2 * stc_2 - st_2 * sc_2) * (n_2 * stc_2 - st_2 * sc_2)
+          AS DOUBLE)
+          / CAST(n_2 * (n_2 * st2_2 - st_2 * st_2) AS DOUBLE) AS sse_2
+      FROM a)
+SELECT key, CAST(n_p AS BIGINT) AS n_grid,
+       CAST(n_1 AS BIGINT) AS n1, CAST(n_2 AS BIGINT) AS n2,
+       round(sse_1, 2) + 0.0 AS sse1,
+       round(sse_2, 2) + 0.0 AS sse2,
+       round(sse_p, 2) + 0.0 AS sse_p,
+       CASE WHEN (sse_1 + sse_2) / CAST(n_p - 4 AS DOUBLE) > 0 THEN
+         round(((sse_p - sse_1 - sse_2) / 2.0)
+               / ((sse_1 + sse_2) / CAST(n_p - 4 AS DOUBLE)), 6) + 0.0
+       END AS f_chow
+FROM q
 """,
     }
 

@@ -1046,6 +1046,33 @@ def test_sampen_bounded_template_join(ev):
     assert "SinglePartition" not in p
 
 
+def test_chow_one_scan_no_join(ev):
+    """The grid spine plus one window chain and one agg: no data
+    join beyond the spine, no Python, no global partition."""
+    from tits_spark.operators.chow import chow_test
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(chow_test(df))
+    tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+    assert "\n".join(tree).count("Scan parquet") == 1
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_logrank_grid_windows(ev):
+    """Subjects and the pooled duration grid are hash aggs; cohort-
+    partitioned cumulative windows run on the grid, never raw rows;
+    no cartesian, no Python."""
+    from tits_spark.operators.logrank import logrank_ampm
+
+    df = ev.select("user_id", "ts", "event_type")
+    p = plan_of(logrank_ampm(df))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
 def test_kuiper_single_exchange(ev):
     """row_number + both running maxima + the final agg all cluster on
     key: hash(key) is established once, all-BIGINT, no UDF."""

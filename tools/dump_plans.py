@@ -753,6 +753,17 @@ def main() -> None:
         E.q_sampen(spark, SF),
     )
 
+    add(
+        "logrank / bh_fdr / chow (survival test, FDR cross-section, break)",
+        "Log-rank: survival's grid shape, cohort-partitioned windows "
+        "on distinct durations, floor-quantized E/V lattices, no join "
+        "beyond the spine. BH: global rank over the ONE-row-per-key "
+        "statistic frame (marked bounded; ~1e8-key bound documented). "
+        "Chow: the LOCF grid + one window chain + one agg, F from "
+        "three cleared-SSE decimals.",
+        E.q_bh_fdr(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
