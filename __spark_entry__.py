@@ -4330,6 +4330,33 @@ def q_chow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chow_test(_events(spark, sf_dir))
 
 
+def _weekend_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+
+
+def q_ww_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz two-sample runs test, weekend vs weekday values
+    per user: label runs in the deterministic (cents, us) merged
+    order, exact counts, one z tree."""
+    from tits_spark.operators.ww_runs import ww_runs_test
+
+    return ww_runs_test(_weekend_flagged(spark, sf_dir))
+
+
+def q_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage joint location-scale test (Wilcoxon^2 + Ansari-
+    Bradley^2), weekend vs weekday per user: doubled-midrank and
+    doubled-AB-score exact lattices, three z/chi2 trees."""
+    from tits_spark.operators.ww_runs import lepage_test
+
+    return lepage_test(_weekend_flagged(spark, sf_dir))
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4630,6 +4657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank": q_logrank,
         "bh_fdr": q_bh_fdr,
         "chow": q_chow,
+        "ww_runs": q_ww_runs,
+        "lepage": q_lepage,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -11805,6 +11834,101 @@ SELECT key, CAST(n_p AS BIGINT) AS n_grid,
                / ((sse_1 + sse_2) / CAST(n_p - 4 AS DOUBLE)), 6) + 0.0
        END AS f_chow
 FROM q
+""",
+        # WW runs: label changes in the (cents, us) merged order.
+        "ww_runs": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+r AS (SELECT key, a,
+             CASE WHEN lag(a) OVER v IS NULL
+                    OR lag(a) OVER v <> a THEN 1 ELSE 0 END AS chg
+      FROM t WINDOW v AS (PARTITION BY key ORDER BY c, us)),
+ag AS (SELECT key,
+              CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(1 - a) AS BIGINT) AS n_b,
+              CAST(sum(chg) AS BIGINT) AS runs
+       FROM r GROUP BY 1
+       HAVING sum(a) > 0 AND sum(1 - a) > 0
+          AND count(*) >= 20)
+SELECT key, n_a, n_b, runs,
+  CASE WHEN 2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            * (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)) > 0
+  THEN
+    round((CAST(runs AS DOUBLE)
+           - (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) + 1.0))
+          / sqrt(2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 * (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                       - 1.0))), 6) + 0.0
+  END AS z
+FROM ag
+""",
+        # Lepage: the tie grid; doubled midranks + doubled AB scores,
+        # classic tie-free moments on identical double trees.
+        "lepage": """
+WITH t AS (
+  SELECT user_id AS key, value,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+g AS (SELECT key, value,
+             CAST(sum(a) AS BIGINT) AS ca,
+             CAST(sum(1 - a) AS BIGINT) AS cb
+      FROM t GROUP BY 1, 2),
+w AS (SELECT key, ca, cb,
+             2 * (sum(ca + cb) OVER (PARTITION BY key ORDER BY value
+                    ROWS UNBOUNDED PRECEDING) - (ca + cb))
+               + (ca + cb) + 1 AS rr,
+             sum(ca + cb) OVER (PARTITION BY key) AS n
+      FROM g),
+ag AS (SELECT key,
+              CAST(sum(ca) AS BIGINT) AS n_a,
+              CAST(sum(cb) AS BIGINT) AS n_b,
+              sum(CAST(ca AS HUGEINT) * rr) AS r2_a,
+              sum(CAST(ca AS HUGEINT)
+                  * least(rr, 2 * (n + 1) - rr)) AS ab2
+       FROM w GROUP BY 1
+       HAVING sum(ca) >= 8 AND sum(cb) >= 8),
+d AS (SELECT key, n_a, n_b,
+             r2_a - n_a * (n_a + 1) AS u2, ab2,
+             CAST(n_a AS DOUBLE) AS n1d, CAST(n_b AS DOUBLE) AS n2d,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
+             (n_a + n_b) % 2 = 0 AS ev
+      FROM ag),
+e AS (SELECT *,
+             n1d * n2d * (nd + 1) / 3.0 AS var_u2,
+             CASE WHEN ev THEN n1d * (nd + 2) / 2.0
+                  ELSE n1d * (nd + 1) * (nd + 1) / (2.0 * nd) END AS e_ab2,
+             CASE WHEN ev THEN
+               n1d * n2d * (nd + 2) * (nd - 2) / (12.0 * (nd - 1))
+             ELSE
+               n1d * n2d * (nd + 1) * (3.0 + nd * nd) / (12.0 * nd * nd)
+             END AS var_ab2
+      FROM d),
+f AS (SELECT *,
+             (CAST(u2 AS DOUBLE) - n1d * n2d) / sqrt(var_u2) AS z_w,
+             (CAST(ab2 AS DOUBLE) - e_ab2) / sqrt(var_ab2) AS z_ab,
+             var_u2 > 0 AND var_ab2 > 0 AS ok
+      FROM e)
+SELECT key, n_a, n_b,
+       CAST(u2 AS BIGINT) AS u2, CAST(ab2 AS BIGINT) AS ab2,
+       CASE WHEN ok THEN round(z_w, 6) + 0.0 END AS z_w,
+       CASE WHEN ok THEN round(z_ab, 6) + 0.0 END AS z_ab,
+       CASE WHEN ok THEN round(z_w * z_w + z_ab * z_ab, 6) + 0.0
+       END AS lepage
+FROM f
 """,
     }
 

@@ -1073,6 +1073,25 @@ def test_logrank_grid_windows(ev):
     assert "SinglePartition" not in p
 
 
+def test_ww_lepage_shapes(ev):
+    """WW: one lag window + agg on hash(key), one scan. Lepage: the
+    tie-grid agg + cumulative window + agg — no join, no Python."""
+    from tits_spark.operators.ww_runs import lepage_test, ww_runs_test
+
+    df = ev.select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    for op in (ww_runs_test, lepage_test):
+        p = plan_of(op(df))
+        tree = [ln for ln in p.splitlines() if ":-" in ln or "+-" in ln]
+        t = "\n".join(tree)
+        assert t.count("Scan parquet") == 1, op.__name__
+        assert "Join" not in t, op.__name__
+        assert "EvalPython" not in p, op.__name__
+        assert "SinglePartition" not in p, op.__name__
+
+
 def test_kuiper_single_exchange(ev):
     """row_number + both running maxima + the final agg all cluster on
     key: hash(key) is established once, all-BIGINT, no UDF."""
