@@ -4357,6 +4357,14 @@ def q_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lepage_test(_weekend_flagged(spark, sf_dir))
 
 
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies over the corpus vocab:
+    exact n_r histogram, Turing-adjusted r* and unseen mass p0."""
+    from tits_spark.operators.good_turing import good_turing
+
+    return good_turing(_docs(spark, sf_dir))
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4659,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chow": q_chow,
         "ww_runs": q_ww_runs,
         "lepage": q_lepage,
+        "good_turing": q_good_turing,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -11929,6 +11938,41 @@ SELECT key, n_a, n_b,
        CASE WHEN ok THEN round(z_w * z_w + z_ab * z_ab, 6) + 0.0
        END AS lepage
 FROM f
+""",
+        # Good-Turing: shared-tokenizer term counts, n_r histogram,
+        # r* = (r+1) n_{r+1}/n_r, p0 = n_1/N.
+        "good_turing": """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(regexp_replace(text,
+             '[^a-zA-Z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS t
+  FROM documents
+),
+tf AS (SELECT t, count(*) AS r FROM tok GROUP BY 1),
+fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(CAST(r AS HUGEINT) * n_r) AS BIGINT) AS n_tokens,
+               CAST(sum(n_r) AS BIGINT) AS v_types,
+               CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0)
+                 AS BIGINT) AS n1
+        FROM fof),
+chain AS (SELECT r, n_r,
+                 CAST(CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+                      THEN lead(n_r) OVER (ORDER BY r)
+                      ELSE 0 END AS BIGINT) AS n_next,
+                 row_number() OVER (ORDER BY r) AS rk
+          FROM fof),
+lim AS (SELECT r, n_r, n_next FROM chain WHERE rk <= 10)
+SELECT CAST(lim.r AS BIGINT) AS r, lim.n_r, lim.n_next,
+  CASE WHEN n_next > 0 THEN
+    round(CAST(r + 1 AS DOUBLE) * CAST(n_next AS DOUBLE)
+          / CAST(n_r AS DOUBLE), 6) + 0.0 END AS r_star,
+  CASE WHEN n_next > 0 THEN
+    round(CAST(r + 1 AS DOUBLE) * CAST(n_next AS DOUBLE)
+          / CAST(n_r AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) + 0.0
+  END AS p_r,
+  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) + 0.0 AS p0,
+  n_tokens, v_types
+FROM lim CROSS JOIN tot
+ORDER BY r
 """,
     }
 
