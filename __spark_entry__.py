@@ -4365,6 +4365,15 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_turing(_docs(spark, sf_dir))
 
 
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift alarms per user: micro-cent
+    quantized running-mean increments, exact decimal PH/min lattice,
+    one alarm row per firing tick."""
+    from tits_spark.operators.page_hinkley import page_hinkley
+
+    return page_hinkley(_events(spark, sf_dir))
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4668,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ww_runs": q_ww_runs,
         "lepage": q_lepage,
         "good_turing": q_good_turing,
+        "page_hinkley": q_page_hinkley,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -11973,6 +11983,40 @@ SELECT CAST(lim.r AS BIGINT) AS r, lim.n_r, lim.n_next,
   n_tokens, v_types
 FROM lim CROSS JOIN tot
 ORDER BY r
+""",
+        # Page-Hinkley: micro-cent floor lattice over the running
+        # mean, HUGEINT cumulative PH + running min, alarm filter.
+        "page_hinkley": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+b AS (SELECT key, us, c,
+             row_number() OVER v AS tt,
+             sum(CAST(c AS HUGEINT)) OVER
+               (PARTITION BY key ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+      FROM tk WINDOW v AS (PARTITION BY key ORDER BY us)),
+q AS (SELECT key, us, tt,
+             CAST(floor(CAST(CAST(tt AS HUGEINT) * c - a AS DOUBLE) * 1e6
+                        / CAST(tt AS DOUBLE)) AS HUGEINT)
+               - 0 AS q
+      FROM b),
+p0 AS (SELECT key, us, tt,
+              sum(q) OVER (PARTITION BY key ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+       FROM q),
+p AS (SELECT key, us, tt, ph,
+             min(ph) OVER (PARTITION BY key ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+      FROM p0)
+SELECT key, us, CAST(tt AS BIGINT) AS t,
+       CAST(ph AS BIGINT) AS ph_u,
+       CAST(mn AS BIGINT) AS min_u,
+       CAST(ph - mn AS BIGINT) AS excess_u
+FROM p WHERE ph - mn > 500000000
 """,
     }
 

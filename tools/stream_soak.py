@@ -505,6 +505,24 @@ def main() -> None:
     results.append(("risk_stream (closed-day Sortino/Omega/Calmar ledger)",
                     nb, nr, sec, *_bitwise_equal(got, want)))
 
+    # ---- Page-Hinkley drift alarms (4 integer scalars; sequential
+    # by construction, so the stream's alarm rows are bit-equal to
+    # the batch replay with no closed-prefix carve-out at all)
+    from tits_spark.operators.page_hinkley import page_hinkley
+    from tits_spark.streaming.ph_stream import stream_page_hinkley
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_page_hinkley(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "ph",
+    )
+    want = page_hinkley(ev)
+    got = spark.read.parquet(out).select(*want.columns)
+    results.append(("ph_stream (Page-Hinkley drift alarms)", nb, nr, sec,
+                    *_bitwise_equal(got, want)))
+
     # ---- extremal index (bounded top-k exceedance set carried as 2k
     # integers; membership is an exact order-statistic decision, so
     # the final readout must be BIT-equal to batch on the int surface)
