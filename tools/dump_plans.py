@@ -764,6 +764,16 @@ def main() -> None:
         E.q_bh_fdr(spark, SF),
     )
 
+    add(
+        "page_hinkley / ww_runs / lepage / good_turing",
+        "PH: dedup agg + index/cumsum/running-min windows on "
+        "hash(key), one scan, alarm filter at the end. WW: one lag "
+        "window over the (cents, us) merged order. Lepage: the tie "
+        "grid + cumulative window. Good-Turing: term-count shuffle -> "
+        "tiny n_r histogram -> lead window + 1-row broadcast.",
+        E.q_page_hinkley(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
