@@ -4374,6 +4374,29 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_hinkley(_events(spark, sf_dir))
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn-stream statistics over the transcript
+    shape (events mapped deterministically: conv=user, turn index by
+    (ts, event_id), role=event_type, text=props, tool for non-UI
+    types, responder='purchase'): exact integer counts, copied
+    order-statistic median response gap."""
+    from tits_spark.operators.transcript_stats import conversation_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            ~F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("tool"),
+        "ts",
+    )
+    return conversation_stats(tr, responder="purchase")
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4678,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lepage": q_lepage,
         "good_turing": q_good_turing,
         "page_hinkley": q_page_hinkley,
+        "conv_stats": q_conv_stats,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -12017,6 +12041,55 @@ SELECT key, us, CAST(tt AS BIGINT) AS t,
        CAST(mn AS BIGINT) AS min_u,
        CAST(ph - mn AS BIGINT) AS excess_u
 FROM p WHERE ph - mn > 500000000
+""",
+        # Conversation stats: the transcript-shape mapping, exact
+        # counts, copied order-statistic median response gap.
+        "conv_stats": """
+WITH tr AS (
+  SELECT user_id AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         event_type AS r, props AS t,
+         CASE WHEN event_type NOT IN ('click', 'view')
+              THEN event_type END AS tool,
+         epoch_us(ts) AS u
+  FROM events
+),
+st AS (SELECT c, i, r, u,
+              CASE WHEN lag(r) OVER v IS NOT NULL
+                        AND lag(r) OVER v <> r THEN 1
+                   WHEN lag(r) OVER v IS NOT NULL THEN 0 END AS alt,
+              CASE WHEN r = 'purchase' AND lag(r) OVER v IS NOT NULL
+                        AND lag(r) OVER v <> 'purchase'
+                   THEN u - lag(u) OVER v END AS resp,
+              len(list_filter(string_split_regex(lower(regexp_replace(t,
+                  '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> ''))
+                AS ntok,
+              length(t) AS nchr,
+              CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1
+                   ELSE 0 END AS tl
+       FROM tr WINDOW v AS (PARTITION BY c ORDER BY i)),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY c
+                ORDER BY resp IS NULL, resp, i) AS rkk,
+              count(resp) OVER (PARTITION BY c) AS nresp
+       FROM st)
+SELECT c AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT r) AS BIGINT) AS n_roles,
+       CAST(max(u) - min(u) AS BIGINT) AS duration_us,
+       CAST(count(alt) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(alt), 0) AS BIGINT) AS n_alt,
+       CASE WHEN count(alt) > 0 THEN
+         round(CAST(coalesce(sum(alt), 0) AS DOUBLE)
+               / CAST(count(alt) AS DOUBLE), 6) + 0.0 END AS alt_rate,
+       CAST(sum(tl) AS BIGINT) AS tool_turns,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(nchr) AS BIGINT) AS n_chars,
+       CAST(max(nresp) AS BIGINT) AS n_resp,
+       CAST(max(CASE WHEN rkk = greatest((nresp + 1) // 2, 1)
+                THEN resp END) AS BIGINT) AS p50_resp_us
+FROM rk GROUP BY 1
 """,
     }
 

@@ -1092,6 +1092,33 @@ def test_ww_lepage_shapes(ev):
         assert "SinglePartition" not in p, op.__name__
 
 
+def test_conversation_stats_shape(spark):
+    """One (conv)-window chain + one hash agg; checksum is one agg
+    with an in-agg sorted fold — no Python, no global window."""
+    from tits_spark.operators.transcript_stats import (
+        conversation_stats,
+        transcript_checksum,
+    )
+
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+    for op in (conversation_stats, transcript_checksum):
+        p = plan_of(op(tr))
+        assert "EvalPython" not in p, op.__name__
+        assert "SinglePartition" not in p, op.__name__
+        assert "Cartesian" not in p, op.__name__
+
+
 def test_kuiper_single_exchange(ev):
     """row_number + both running maxima + the final agg all cluster on
     key: hash(key) is established once, all-BIGINT, no UDF."""
