@@ -4058,9 +4058,13 @@ _R5_HEAD = [
     # the round-5 stationarity/volatility/tail wave
     "kpss", "lo_rs", "bns_jumps", "tail_dep", "croston",
     "prominence", "var_backtest", "fisher_g", "garch", "acd",
-    # the round-5 regression-diagnostics waves
-    "ulcer", "arch_lm", "dfa", "cornish_fisher", "durbin_watson",
-    "bartels_rvn", "jarque_bera", "grubbs", "half_life",
+    # regression diagnostics (one representative; the displaced
+    # siblings stayed judge-gate-verified) + the continuation-6/7
+    # inference-completion wave, rotated in so the NEWEST families
+    # flow through the driver's independent channel
+    "jarque_bera",
+    "gk_gamma", "cliffs_delta", "christoffersen", "diebold_mariano",
+    "risk_ratios", "sampen", "logrank", "page_hinkley",
     # the round-5 inference/homogeneity + binary/arrival/text waves
     "kuiper", "chi2_indep", "anova_weekday", "brown_forsythe",
     "page_trend", "hac_trend", "burrows_delta",
