@@ -4401,6 +4401,15 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_stats(tr, responder="purchase")
 
 
+def q_hoeffding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding D of consecutive daily closes per user: strict
+    tie-broken permutation ranks, exact c_i dominance counts from the
+    span-bounded self-join, one 30*[...] double tree."""
+    from tits_spark.operators.hoeffding import hoeffding_d
+
+    return hoeffding_d(_events(spark, sf_dir))
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4706,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "page_hinkley": q_page_hinkley,
         "conv_stats": q_conv_stats,
+        "hoeffding": q_hoeffding,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -12094,6 +12104,55 @@ SELECT c AS conv_id,
        CAST(max(CASE WHEN rkk = greatest((nresp + 1) // 2, 1)
                 THEN resp END) AS BIGINT) AS p50_resp_us
 FROM rk GROUP BY 1
+""",
+        # Hoeffding D: observed-day close pairs, strict tie-broken
+        # ranks, c_i dominance via the bounded self-join, HUGEINT
+        # D1/D2/D3, one double tree.
+        "hoeffding": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tk AS (SELECT key, us, max(c) AS c FROM t GROUP BY 1, 2),
+daily AS (SELECT key, us // 86400000000 AS d, arg_max(c, us) AS close
+          FROM tk GROUP BY 1, 2),
+pr AS (SELECT key, d, close AS x,
+              lead(close) OVER (PARTITION BY key ORDER BY d) AS y
+       FROM daily),
+p2 AS (SELECT * FROM pr WHERE y IS NOT NULL),
+rk AS (SELECT * FROM (
+         SELECT key, d,
+                row_number() OVER (PARTITION BY key ORDER BY x, d) AS rx,
+                row_number() OVER (PARTITION BY key ORDER BY y, d) AS ry,
+                count(*) OVER (PARTITION BY key) AS n
+         FROM p2) WHERE n >= 10),
+ci AS (SELECT l.key, l.n, l.d, l.rx, l.ry,
+              sum(CASE WHEN r2.rx < l.rx AND r2.ry < l.ry
+                  THEN 1 ELSE 0 END) AS c
+       FROM rk l JOIN rk r2 ON r2.key = l.key
+       GROUP BY 1, 2, 3, 4, 5),
+ag AS (SELECT key, CAST(max(n) AS BIGINT) AS n_pairs,
+              sum(CAST(c AS HUGEINT) * (c - 1)) AS d1,
+              sum(CAST(rx - 1 AS HUGEINT) * (rx - 2)
+                  * (ry - 1) * (ry - 2)) AS d2,
+              sum(CAST(rx - 2 AS HUGEINT) * (ry - 2) * c) AS d3
+       FROM ci GROUP BY 1)
+SELECT key, n_pairs,
+       CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(d3 AS BIGINT) AS d3,
+       round(30.0 * ((CAST(n_pairs AS DOUBLE) - 2)
+                     * (CAST(n_pairs AS DOUBLE) - 3)
+                     * CAST(d1 AS DOUBLE)
+                     + CAST(d2 AS DOUBLE)
+                     - 2.0 * (CAST(n_pairs AS DOUBLE) - 2)
+                       * CAST(d3 AS DOUBLE))
+             / (CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) - 1)
+                * (CAST(n_pairs AS DOUBLE) - 2)
+                * (CAST(n_pairs AS DOUBLE) - 3)
+                * (CAST(n_pairs AS DOUBLE) - 4)), 6) + 0.0
+         AS hoeffding_d
+FROM ag
 """,
     }
 

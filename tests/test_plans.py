@@ -1119,6 +1119,19 @@ def test_conversation_stats_shape(spark):
         assert "Cartesian" not in p, op.__name__
 
 
+def test_hoeffding_span_bounded_join(ev):
+    """Raw collapses to observed-day close pairs before the only
+    data join (rank self-join, span^2 fan-out); no cartesian, no
+    Python, no global window."""
+    from tits_spark.operators.hoeffding import hoeffding_d
+
+    df = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(hoeffding_d(df))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
 def test_kuiper_single_exchange(ev):
     """row_number + both running maxima + the final agg all cluster on
     key: hash(key) is established once, all-BIGINT, no UDF."""
