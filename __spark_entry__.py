@@ -4410,6 +4410,17 @@ def q_hoeffding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hoeffding_d(_events(spark, sf_dir))
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (type, hour, value
+    band) quasi-identifier lattice: exact class sizes, copied
+    order-statistic median, integer-ppm small-class share."""
+    from tits_spark.operators.privacy import k_anonymity_report
+
+    return k_anonymity_report(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4716,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley": q_page_hinkley,
         "conv_stats": q_conv_stats,
         "hoeffding": q_hoeffding,
+        "k_anonymity": q_k_anonymity,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -12153,6 +12165,34 @@ SELECT key, n_pairs,
                 * (CAST(n_pairs AS DOUBLE) - 4)), 6) + 0.0
          AS hoeffding_d
 FROM ag
+""",
+        # k-anonymity: exact QI-class sizes on the bounded lattice,
+        # copied-order-statistic median, integer floor-ppm share.
+        "k_anonymity": """
+WITH cl AS (
+  SELECT qt, qh,
+         (c - ((c % 1000) + 1000) % 1000) // 1000 AS qb,
+         count(*) AS k, count(DISTINCT user_id) AS l
+  FROM (SELECT event_type AS qt, hour(ts) AS qh,
+               CAST(round(value * 100) AS BIGINT) AS c, user_id
+        FROM events)
+  GROUP BY 1, 2, 3
+),
+rk AS (SELECT k, l,
+              row_number() OVER (ORDER BY k, qt, qh, qb) AS rk,
+              count(*) OVER () AS m
+       FROM cl)
+SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(max(m) AS BIGINT) AS n_classes,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(CASE WHEN rk = greatest((m + 1) // 2, 1)
+                THEN k END) AS BIGINT) AS k_p50,
+       CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
+         AS rows_small,
+       CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
+         * 1000000 // CAST(sum(k) AS BIGINT) AS pct_small_ppm,
+       CAST(min(l) AS BIGINT) AS l_min
+FROM rk
 """,
     }
 

@@ -595,7 +595,7 @@ def main() -> None:
             E.q_diebold_mariano, E.q_risk_ratios, E.q_sampen,
             E.q_yules_k, E.q_ari_cl, E.q_logrank, E.q_bh_fdr, E.q_chow,
             E.q_ww_runs, E.q_lepage, E.q_good_turing, E.q_page_hinkley,
-            E.q_conv_stats, E.q_hoeffding,
+            E.q_conv_stats, E.q_hoeffding, E.q_k_anonymity,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()  # gk_gamma persists its cell frame
