@@ -774,6 +774,17 @@ def main() -> None:
         E.q_page_hinkley(spark, SF),
     )
 
+    add(
+        "conv_stats / hoeffding / k_anonymity",
+        "Conversation stats: one (conv)-window chain + one hash agg; "
+        "digest = one agg with an in-agg sorted fold. Hoeffding: raw "
+        "-> observed-day close pairs (span-bounded), rank windows, "
+        "ONE span^2 self-join for the dominance counts. k-anonymity: "
+        "raw -> bounded QI class lattice, rank window + final agg on "
+        "the lattice only.",
+        E.q_hoeffding(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
