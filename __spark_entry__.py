@@ -4421,6 +4421,68 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit per event type: exact digit counts
+    on the cents lattice, chi2 against the integer-ppm Benford
+    expectation, Nigrini MAD in ppm."""
+    from tits_spark.operators.benford import benford_audit
+
+    return benford_audit(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("event_type").alias("key"), "value"
+        )
+    )
+
+
+def q_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises, weekend vs weekday values per
+    user: exact squared rank-displacement sums in the (cents, us,
+    label) total order, one T double tree."""
+    from tits_spark.operators.cvm import cvm_two_sample
+
+    return cvm_two_sample(_weekend_flagged(spark, sf_dir))
+
+
+def q_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent tool-loop audit over the transcript shape (the
+    conv_stats event mapping): exact run/alternation-chain lengths,
+    modal tool with floor-ppm share — pure integers end to end."""
+    from tits_spark.operators.agent_flow import tool_loop_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            ~F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("tool"),
+        "ts",
+    )
+    return tool_loop_audit(tr)
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA-equal minimax) fit of the hourly mean profile
+    per user: exact floor-micro-cent lattice, bounded 24-level
+    self-join — no float anywhere."""
+    from tits_spark.operators.isotonic import isotonic_hourly
+
+    return isotonic_hourly(_events(spark, sf_dir))
+
+
+def q_gev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEV shape of daily block maxima per user (the testdata spans
+    one month; production default is weekly) via cleared-PWM integer
+    sums and Hosking's kappa polynomial — no engine transcendental
+    (log2/log3 is a shared literal)."""
+    from tits_spark.operators.gev import gev_shape
+
+    return gev_shape(_events(spark, sf_dir), block_us=86_400_000_000)
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4728,6 +4790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": q_conv_stats,
         "hoeffding": q_hoeffding,
         "k_anonymity": q_k_anonymity,
+        "benford": q_benford,
+        "cvm": q_cvm,
+        "tool_loops": q_tool_loops,
+        "isotonic": q_isotonic,
+        "gev_shape": q_gev,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -12193,6 +12260,230 @@ SELECT CAST(sum(k) AS BIGINT) AS n_rows,
          * 1000000 // CAST(sum(k) AS BIGINT) AS pct_small_ppm,
        CAST(min(l) AS BIGINT) AS l_min
 FROM rk
+""",
+        # Benford: exact digit counts, chi2 on the integer-ppm
+        # expectation lattice (no engine log10), floor-ppm MAD.
+        "benford": """
+WITH d AS (
+  SELECT key, count(*) AS n,
+         sum(CASE WHEN dg = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN dg = 2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN dg = 3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN dg = 4 THEN 1 ELSE 0 END) AS n4,
+         sum(CASE WHEN dg = 5 THEN 1 ELSE 0 END) AS n5,
+         sum(CASE WHEN dg = 6 THEN 1 ELSE 0 END) AS n6,
+         sum(CASE WHEN dg = 7 THEN 1 ELSE 0 END) AS n7,
+         sum(CASE WHEN dg = 8 THEN 1 ELSE 0 END) AS n8,
+         sum(CASE WHEN dg = 9 THEN 1 ELSE 0 END) AS n9
+  FROM (SELECT event_type AS key,
+               CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS dg
+        FROM (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events)
+        WHERE c > 0)
+  GROUP BY 1 HAVING count(*) >= 50
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(n3 AS BIGINT) AS n3, CAST(n4 AS BIGINT) AS n4,
+       CAST(n5 AS BIGINT) AS n5, CAST(n6 AS BIGINT) AS n6,
+       CAST(n7 AS BIGINT) AS n7, CAST(n8 AS BIGINT) AS n8,
+       CAST(n9 AS BIGINT) AS n9,
+       round(
+           CAST(CAST(1000000 * n1 - n * 301030 AS HUGEINT)
+                * (1000000 * n1 - n * 301030) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 301030 AS DOUBLE)
+         + CAST(CAST(1000000 * n2 - n * 176091 AS HUGEINT)
+                * (1000000 * n2 - n * 176091) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 176091 AS DOUBLE)
+         + CAST(CAST(1000000 * n3 - n * 124939 AS HUGEINT)
+                * (1000000 * n3 - n * 124939) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 124939 AS DOUBLE)
+         + CAST(CAST(1000000 * n4 - n * 96910 AS HUGEINT)
+                * (1000000 * n4 - n * 96910) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 96910 AS DOUBLE)
+         + CAST(CAST(1000000 * n5 - n * 79181 AS HUGEINT)
+                * (1000000 * n5 - n * 79181) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 79181 AS DOUBLE)
+         + CAST(CAST(1000000 * n6 - n * 66947 AS HUGEINT)
+                * (1000000 * n6 - n * 66947) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 66947 AS DOUBLE)
+         + CAST(CAST(1000000 * n7 - n * 57992 AS HUGEINT)
+                * (1000000 * n7 - n * 57992) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 57992 AS DOUBLE)
+         + CAST(CAST(1000000 * n8 - n * 51153 AS HUGEINT)
+                * (1000000 * n8 - n * 51153) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 51153 AS DOUBLE)
+         + CAST(CAST(1000000 * n9 - n * 45757 AS HUGEINT)
+                * (1000000 * n9 - n * 45757) AS DOUBLE)
+           / CAST(CAST(1000000 AS HUGEINT) * n * 45757 AS DOUBLE),
+         6) + 0.0 AS chi2,
+       CAST((abs(n1 * 1000000 // n - 301030)
+           + abs(n2 * 1000000 // n - 176091)
+           + abs(n3 * 1000000 // n - 124939)
+           + abs(n4 * 1000000 // n - 96910)
+           + abs(n5 * 1000000 // n - 79181)
+           + abs(n6 * 1000000 // n - 66947)
+           + abs(n7 * 1000000 // n - 57992)
+           + abs(n8 * 1000000 // n - 51153)
+           + abs(n9 * 1000000 // n - 45757)) // 9 AS BIGINT)
+         AS mad_ppm
+FROM d
+""",
+        # CvM two-sample: squared rank displacements in the
+        # (cents, us, label) total order, exact HUGEINT sums, one T.
+        "cvm": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+r AS (SELECT key, a,
+             row_number() OVER (PARTITION BY key ORDER BY c, us, a)
+             - row_number() OVER (PARTITION BY key, a ORDER BY c, us)
+               AS d
+      FROM t),
+ag AS (SELECT key,
+              CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(1 - a) AS BIGINT) AS n_b,
+              sum(CASE WHEN a = 1 THEN CAST(d AS HUGEINT) * d END) AS sqa,
+              sum(CASE WHEN a = 0 THEN CAST(d AS HUGEINT) * d END) AS sqb
+       FROM r GROUP BY 1
+       HAVING sum(a) >= 8 AND sum(1 - a) >= 8)
+SELECT key, n_a, n_b,
+       CAST(sqa AS BIGINT) AS sq_a, CAST(sqb AS BIGINT) AS sq_b,
+       round(CAST(n_a * sqa + n_b * sqb AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) AS DOUBLE)
+             - CAST(4 * CAST(n_a AS HUGEINT) * n_b - 1 AS DOUBLE)
+               / CAST(6 * (CAST(n_a AS HUGEINT) + n_b) AS DOUBLE),
+             6) + 0.0 AS cvm_t
+FROM ag
+""",
+        # Tool-loop audit: run/alternation chains on the transcript
+        # mapping — pure integer surfaces end to end.
+        "tool_loops": """
+WITH tr AS (
+  SELECT user_id AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         CASE WHEN event_type NOT IN ('click', 'view')
+              THEN event_type END AS tool
+  FROM events
+),
+calls AS (SELECT c, i, tool AS t FROM tr
+          WHERE tool IS NOT NULL AND tool <> ''),
+st AS (SELECT c, i, t,
+              CASE WHEN lag(t) OVER v IS NULL
+                     OR lag(t) OVER v <> t THEN 1 ELSE 0 END AS chg,
+              CASE WHEN lag(t, 2) OVER v IS NOT NULL
+                        AND lag(t, 2) OVER v = t
+                        AND lag(t) OVER v <> t
+                   THEN 1 ELSE 0 END AS ab
+       FROM calls WINDOW v AS (PARTITION BY c ORDER BY i)),
+rn AS (SELECT c, t, ab,
+              sum(chg) OVER w AS rid,
+              sum(1 - ab) OVER w AS aid
+       FROM st
+       WINDOW w AS (PARTITION BY c ORDER BY i
+                    ROWS UNBOUNDED PRECEDING)),
+per_run AS (SELECT c, rid, t, count(*) AS len
+            FROM rn GROUP BY 1, 2, 3),
+per_ab AS (SELECT c, aid, sum(ab) AS abn FROM rn GROUP BY 1, 2),
+runagg AS (SELECT c,
+                  CAST(sum(len) AS BIGINT) AS n_tool_calls,
+                  CAST(count(DISTINCT t) AS BIGINT) AS n_tools,
+                  CAST(max(len) AS BIGINT) AS longest_run,
+                  CAST(sum(len) - count(*) AS BIGINT) AS n_self_repeats
+           FROM per_run GROUP BY 1),
+abagg AS (SELECT c, CAST(coalesce(max(abn), 0) AS BIGINT) AS abm
+          FROM per_ab GROUP BY 1),
+per_tool AS (SELECT c, t, sum(len) AS tn FROM per_run GROUP BY 1, 2),
+top AS (SELECT c, t, tn FROM (
+          SELECT c, t, tn,
+                 row_number() OVER (PARTITION BY c
+                                    ORDER BY tn DESC, t) AS rk
+          FROM per_tool) WHERE rk = 1)
+SELECT r.c AS conv_id, r.n_tool_calls, r.n_tools, r.longest_run,
+       r.n_self_repeats,
+       CAST(CASE WHEN a.abm > 0 THEN a.abm + 2 ELSE 0 END AS BIGINT)
+         AS ab_chain_max,
+       tp.t AS top_tool,
+       CAST(CAST(tp.tn AS BIGINT) * 1000000 // r.n_tool_calls
+            AS BIGINT) AS top_share_ppm
+FROM runagg r
+JOIN abagg a ON a.c = r.c
+JOIN top tp ON tp.c = r.c
+""",
+        # Isotonic hourly fit: minimax over floor-micro-cent interval
+        # quotients on the bounded 24-level lattice == floored PAVA.
+        "isotonic": """
+WITH hr AS (
+  SELECT user_id AS key, hour(ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+cm AS (SELECT key, h, s, n,
+              sum(s) OVER w AS cs, sum(n) OVER w AS cn
+       FROM hr WINDOW w AS (PARTITION BY key ORDER BY h
+                            ROWS UNBOUNDED PRECEDING)),
+pr AS (SELECT a.key, a.h AS ha, b.h AS hb,
+              (b.cs - (a.cs - a.s)) * 1000000 AS num,
+              (b.cn - (a.cn - a.n)) AS den
+       FROM cm a JOIN cm b ON b.key = a.key AND b.h >= a.h),
+q AS (SELECT key, ha, hb,
+             (num - ((num % den) + den) % den) // den AS qq
+      FROM pr),
+sf AS (SELECT key, ha, hb AS h,
+              min(qq) OVER (PARTITION BY key, ha ORDER BY hb DESC
+                            ROWS UNBOUNDED PRECEDING) AS m
+       FROM q),
+ft AS (SELECT key, h, max(m) AS fit FROM sf GROUP BY 1, 2)
+SELECT hr.key, CAST(hr.h AS INT) AS hour,
+       CAST(hr.n AS BIGINT) AS n_obs,
+       CAST((hr.s * 1000000
+             - ((hr.s * 1000000 % hr.n) + hr.n) % hr.n) // hr.n
+            AS BIGINT) AS raw_micro,
+       CAST(ft.fit AS BIGINT) AS fit_micro
+FROM hr JOIN ft ON ft.key = hr.key AND ft.h = hr.h
+""",
+        # GEV shape: cleared-PWM integer sums over weekly block
+        # maxima; log2/log3 as the shared literal, one kappa tree.
+        "gev_shape": """
+WITH b AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS wk,
+         max(CAST(round(value * 100) AS BIGINT)) AS m
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT key, m,
+             row_number() OVER (PARTITION BY key ORDER BY m, wk) AS j,
+             count(*) OVER (PARTITION BY key) AS n
+      FROM b),
+ag AS (SELECT key, CAST(max(n) AS BIGINT) AS n_blocks,
+              sum(CAST(m AS HUGEINT)) AS b0,
+              sum(CAST(j - 1 AS HUGEINT) * m) AS b1,
+              sum(CAST(j - 1 AS HUGEINT) * (j - 2) * m) AS b2
+       FROM r GROUP BY 1 HAVING count(*) >= 20),
+ab AS (SELECT key, n_blocks, b0, b1, b2,
+              2 * (CAST(n_blocks AS HUGEINT) - 2) * b1
+                - (CAST(n_blocks AS HUGEINT) - 1) * (n_blocks - 2) * b0
+                AS an,
+              3 * b2
+                - (CAST(n_blocks AS HUGEINT) - 1) * (n_blocks - 2) * b0
+                AS bn
+       FROM ag),
+cc AS (SELECT key, n_blocks, b0, b1, b2,
+              CASE WHEN bn <> 0 THEN
+                CAST(an AS DOUBLE) / CAST(bn AS DOUBLE)
+                - 0.6309297535714574 END AS c
+       FROM ab)
+SELECT key, n_blocks,
+       CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+       CAST(b2 AS BIGINT) AS b2,
+       CASE WHEN c IS NOT NULL THEN
+         round(7.8590 * c + 2.9554 * c * c, 6) + 0.0 END AS gev_shape
+FROM cc
 """,
     }
 
