@@ -29,9 +29,12 @@ engine-computed log10) is what makes the statistic cross-engine
 bit-identical: both engines divide the same exact integers in the
 same fixed order.
 
-Plan shape (100 TB): one scan -> one hash agg on hash(key) with 10
-conditional integer sums (map-side partials), then per-row closed
-forms. No joins, no windows, no Python.
+Plan shape (100 TB): one scan -> hash agg to the <=9-row (key, d)
+digit lattice (map-side partials carry the reduction) -> a trivial
+pivot agg on the lattice, then per-row closed forms. The split at
+the lattice is what the streaming twin shares: counts merge by
+adding, benford_finalize is the common readout. No joins, no
+windows, no Python.
 """
 
 from __future__ import annotations
@@ -50,29 +53,38 @@ BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
 DEC = "decimal(38,0)"
 
 
-def benford_audit(
-    df: DataFrame,
-    key: str = "key",
-    value: str = "value",
-    min_n: int = 50,
+def benford_counts(
+    df: DataFrame, key: str = "key", value: str = "value"
 ) -> DataFrame:
-    """Per-key Benford first-digit audit over positive values on the
-    cents lattice. Returns (key, n, n1..n9, chi2, mad_ppm); keys with
-    fewer than min_n positive observations drop out (the chi2
-    approximation needs expected counts >= ~5 in the rare digits)."""
+    """The exact (key, d, n) first-digit count lattice over positive
+    cents — the mergeable state the streaming twin accumulates (counts
+    add; benford_finalize turns any merged lattice into the report)."""
     cents = F.round(F.col(value) * 100).cast("long")
     rows = df.select(F.col(key).alias("key"), cents.alias("c")).filter(
         F.col("c") > 0
     )
     d1 = F.substring(F.col("c").cast("string"), 1, 1).cast("int")
-    counts = [
-        F.sum(F.when(F.col("_d") == d, 1).otherwise(0)).alias(f"n{d}")
+    return (
+        rows.select("key", d1.alias("d"))
+        .groupBy("key", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def benford_finalize(counts: DataFrame, min_n: int = 50) -> DataFrame:
+    """Pivot a (key, d, n) digit-count lattice into the audit report
+    (key, n, n1..n9, chi2, mad_ppm) — the shared finalize stage: the
+    batch operator and the streaming twin's reader both end here, so
+    their reports are bit-equal over equal counts by construction."""
+    pivots = [
+        F.coalesce(
+            F.sum(F.when(F.col("d") == d, F.col("n"))), F.lit(0)
+        ).alias(f"n{d}")
         for d in range(1, 10)
     ]
     agg = (
-        rows.select("key", d1.alias("_d"))
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n"), *counts)
+        counts.groupBy("key")
+        .agg(F.sum("n").alias("n"), *pivots)
         .filter(F.col("n") >= int(min_n))
     )
     # chi2 term for digit d: (1e6*n_d - n*e_ppm)^2 / (1e6*n*e_ppm);
@@ -106,3 +118,16 @@ def benford_audit(
         chi2.alias("chi2"),
         mad.cast("long").alias("mad_ppm"),
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    min_n: int = 50,
+) -> DataFrame:
+    """Per-key Benford first-digit audit over positive values on the
+    cents lattice. Returns (key, n, n1..n9, chi2, mad_ppm); keys with
+    fewer than min_n positive observations drop out (the chi2
+    approximation needs expected counts >= ~5 in the rare digits)."""
+    return benford_finalize(benford_counts(df, key, value), min_n)

@@ -936,6 +936,29 @@ def main() -> None:
     results.append(("contingency_stream (chi-square type x hour lattice)",
                     nb, nr, sec, *_bitwise_equal(got, want)))
 
+    # ---- Benford conformance monitor (twin #31: the per-key
+    # first-digit count lattice — same per-batch_id delta
+    # construction as contingency/hist; a replayed micro-batch
+    # corrupts chi2/MAD through a different digit's count; reader
+    # goes through benford_finalize)
+    from tits_spark.operators.benford import benford_audit
+    from tits_spark.streaming.benford_stream import (
+        read_report,
+        stream_benford,
+    )
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_benford(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "benford",
+    )
+    want = benford_audit(ev)
+    got = read_report(spark, out)
+    results.append(("benford_stream (first-digit conformance lattice)",
+                    nb, nr, sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
