@@ -4055,9 +4055,13 @@ _R5_HEAD = [
     "survival_km", "survival_na", "pagerank", "occupancy",
     "mann_whitney", "kruskal_wallis", "wilcoxon_sr",
     "hhi_hourly", "gpd_tail",
-    # the round-5 stationarity/volatility/tail wave
-    "kpss", "lo_rs", "bns_jumps", "tail_dep", "croston",
-    "prominence", "var_backtest", "fisher_g", "garch", "acd",
+    # round-5 stationarity/volatility representatives (siblings
+    # stayed judge-gate-verified) + the continuation-7 transcript
+    # families and the governance/calibration wave — the newest
+    # operators flow through the driver's independent channel
+    "var_backtest", "garch",
+    "conv_stats", "hoeffding", "k_anonymity",
+    "benford_audit", "cvm", "tool_loops", "isotonic", "gev_shape",
     # regression diagnostics (one representative; the displaced
     # siblings stayed judge-gate-verified) + the continuation-6/7
     # inference-completion wave, rotated in so the NEWEST families
@@ -4421,10 +4425,11 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit per event type: exact digit counts
-    on the cents lattice, chi2 against the integer-ppm Benford
-    expectation, Nigrini MAD in ppm."""
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit per event type (distinct from the
+    per-user chi2-only `benford` family): exact digit counts on the
+    cents lattice, chi2 against the integer-ppm Benford expectation,
+    Nigrini MAD in ppm."""
     from tits_spark.operators.benford import benford_audit
 
     return benford_audit(
@@ -4790,7 +4795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": q_conv_stats,
         "hoeffding": q_hoeffding,
         "k_anonymity": q_k_anonymity,
-        "benford": q_benford,
+        "benford_audit": q_benford_audit,
         "cvm": q_cvm,
         "tool_loops": q_tool_loops,
         "isotonic": q_isotonic,
@@ -12261,9 +12266,9 @@ SELECT CAST(sum(k) AS BIGINT) AS n_rows,
        CAST(min(l) AS BIGINT) AS l_min
 FROM rk
 """,
-        # Benford: exact digit counts, chi2 on the integer-ppm
+        # Benford audit: exact digit counts, chi2 on the integer-ppm
         # expectation lattice (no engine log10), floor-ppm MAD.
-        "benford": """
+        "benford_audit": """
 WITH d AS (
   SELECT key, count(*) AS n,
          sum(CASE WHEN dg = 1 THEN 1 ELSE 0 END) AS n1,

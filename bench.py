@@ -602,6 +602,19 @@ def main() -> None:
 
     repeat("q29_ordinal_risk_family", _body_q29_ordinal_risk_family)
 
+    # q30: the governance/calibration wave — Benford digit audit (one
+    # lattice agg chain), CvM two-sample (two shared-exchange rank
+    # windows), tool-loop audit (one (conv)-window chain + lattice
+    # aggs), isotonic hourly fit (bounded 24-level minimax lattice),
+    # GEV block-maxima shape (one-exchange rank + cleared-PWM agg)
+    def _body_q30_governance_family():
+        for q in (
+            E.q_benford_audit, E.q_cvm, E.q_tool_loops, E.q_isotonic, E.q_gev,
+        ):
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    repeat("q30_governance_family", _body_q30_governance_family)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",

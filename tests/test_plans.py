@@ -1294,3 +1294,92 @@ def test_label_coherence_equi_joins_only(spark):
     assert "CartesianProduct" not in p
     assert "SinglePartition" not in p
     assert "EvalPython" not in p
+
+
+def test_benford_lattice_aggs_no_join(ev):
+    """raw scan -> (key,d) digit-lattice agg -> pivot agg: two hash
+    aggregates on compatible partitioning, no join, no window, no
+    Python."""
+    from tits_spark.operators.benford import benford_audit
+
+    p = plan_of(
+        benford_audit(
+            ev.select(F.col("event_type").alias("key"), "value")
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_cvm_two_windows_share_exchange_no_join(ev):
+    """(key) and (key,a) rank windows: the (key,a) partition refines
+    (key), so ONE hash(key-ish) exchange chain feeds both sorts; no
+    join, no Python, no global window."""
+    from tits_spark.operators.cvm import cvm_two_sample
+
+    flagged = ev.select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(cvm_two_sample(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_isotonic_bounded_lattice_join_only(ev):
+    """The only join is the <=24x24 hourly-lattice self-join (equi on
+    key), entered AFTER the raw scan has been aggregated away; no
+    cartesian, no Python, no global partition."""
+    from tits_spark.operators.isotonic import isotonic_hourly
+
+    p = plan_of(
+        isotonic_hourly(
+            ev.select(F.col("user_id").alias("key"), "ts", "value")
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_tool_loops_conv_partition_only(spark):
+    """One (conv)-window chain + run/lattice aggs + per-conv equi
+    joins: no cartesian, no Python, no global partition."""
+    import datetime as dt
+
+    from tits_spark.operators.agent_flow import tool_loop_audit
+
+    rows = [
+        ("c1", i + 1, "assistant", "x", t, dt.datetime(2024, 1, 1, 0, i))
+        for i, t in enumerate(["a", "b", "a", "b", None, "c"])
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    p = plan_of(tool_loop_audit(tr))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_gev_one_exchange_no_join(ev):
+    """block-max hash agg -> (key) rank window -> final agg, all on
+    hash(key): no join, no Python, no global partition."""
+    from tits_spark.operators.gev import gev_shape
+
+    p = plan_of(
+        gev_shape(
+            ev.select(F.col("user_id").alias("key"), "ts", "value"),
+            block_us=86_400_000_000,
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

@@ -785,6 +785,19 @@ def main() -> None:
         E.q_hoeffding(spark, SF),
     )
 
+    add(
+        "benford_audit / cvm / tool_loops / isotonic / gev_shape",
+        "Benford: raw -> (key,d) digit lattice -> pivot agg, no join. "
+        "CvM: two rank windows whose (key,a) partition refines (key) "
+        "-> one agg, no join. Tool loops: one (conv)-window chain -> "
+        "run/lattice aggs -> per-conv equi-joins. Isotonic: raw "
+        "aggregated to the <=24-row hourly lattice BEFORE the bounded "
+        "self-join; suffix-min window + max agg on the lattice only. "
+        "GEV: block-max hash agg -> (key) rank window -> cleared-PWM "
+        "agg, one exchange.",
+        E.q_isotonic(spark, SF),
+    )
+
     out = ["# BENCH/PLANS — formatted physical plans of headline queries\n"]
     out.append(
         "Generated by `python tools/dump_plans.py` (sf0.001 inputs; plan\n"
