@@ -4488,6 +4488,24 @@ def q_gev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gev_shape(_events(spark, sf_dir), block_us=86_400_000_000)
 
 
+def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi joint location-scale test, weekend vs weekday per
+    user: exact squared-rank and squared-contrary-rank sums, one
+    correlated-quadratic C tree — the one-shot Lepage alternative."""
+    from tits_spark.operators.cucconi import cucconi_test
+
+    return cucconi_test(_weekend_flagged(spark, sf_dir))
+
+
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test across the six
+    4-hour dayparts per user: doubled dominance counts from the
+    pivoted value grid, tie-corrected moments, one z tree."""
+    from tits_spark.operators.jonckheere import jonckheere_daypart
+
+    return jonckheere_daypart(_events(spark, sf_dir))
+
+
 def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per document — Yule's K, Herdan C, Guiraud R,
     Honoré H from exact (N, V, V1, sum m^2) integers; sum m^2 via the
@@ -4796,6 +4814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hoeffding": q_hoeffding,
         "k_anonymity": q_k_anonymity,
         "benford_audit": q_benford_audit,
+        "cucconi": q_cucconi,
+        "jonckheere": q_jonckheere,
         "cvm": q_cvm,
         "tool_loops": q_tool_loops,
         "isotonic": q_isotonic,
@@ -12334,6 +12354,149 @@ SELECT key, CAST(n AS BIGINT) AS n,
            + abs(n9 * 1000000 // n - 45757)) // 9 AS BIGINT)
          AS mad_ppm
 FROM d
+""",
+        # Cucconi: squared / squared-contrary rank sums in the same
+        # merged total order, correlated-quadratic C tree.
+        "cucconi": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+r AS (SELECT key, a,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY c, us, a) AS s,
+             count(*) OVER (PARTITION BY key) AS nn
+      FROM t),
+ag AS (SELECT key,
+              CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(1 - a) AS BIGINT) AS n_b,
+              sum(CASE WHEN a = 0
+                  THEN CAST(s AS HUGEINT) * s END) AS sq,
+              sum(CASE WHEN a = 0
+                  THEN CAST(nn + 1 - s AS HUGEINT) * (nn + 1 - s)
+                  END) AS sc
+       FROM r GROUP BY 1
+       HAVING sum(a) >= 8 AND sum(1 - a) >= 8),
+d AS (SELECT key, n_a, n_b, sq, sc,
+             CAST(n_a AS DOUBLE) AS dn, CAST(n_b AS DOUBLE) AS dm,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS dnn
+      FROM ag),
+uv AS (SELECT key, n_a, n_b, sq, sc,
+              (6.0 * CAST(sq AS DOUBLE)
+               - dm * (dnn + 1) * (2 * dnn + 1))
+              / sqrt(dm * dn * (dnn + 1) * (2 * dnn + 1)
+                     * (8 * dnn + 11) / 5.0) AS u,
+              (6.0 * CAST(sc AS DOUBLE)
+               - dm * (dnn + 1) * (2 * dnn + 1))
+              / sqrt(dm * dn * (dnn + 1) * (2 * dnn + 1)
+                     * (8 * dnn + 11) / 5.0) AS v,
+              2.0 * (dnn * dnn - 4)
+              / ((2 * dnn + 3) * (8 * dnn + 11)) - 1.0 AS rho
+       FROM d)
+SELECT key, n_a, n_b,
+       CAST(sq AS BIGINT) AS sq_rank, CAST(sc AS BIGINT) AS sq_contra,
+       round((u * u + v * v - 2.0 * rho * u * v)
+             / (2.0 * (1.0 - rho * rho)), 6) + 0.0 AS cucconi_c
+FROM uv
+""",
+        # Jonckheere-Terpstra: doubled dominance via the pivoted
+        # 6-daypart value grid, tie-corrected moments, one z tree.
+        "jonckheere": """
+WITH base AS (
+  SELECT user_id AS key, hour(ts) // 4 AS g,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+grid AS (SELECT key, c,
+                sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c0,
+                sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+                sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2,
+                sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS c3,
+                sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS c4,
+                sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS c5
+         FROM base GROUP BY 1, 2),
+cums AS (SELECT key, c, c0, c1, c2, c3, c4, c5,
+                sum(c0) OVER w - c0 AS s0,
+                sum(c1) OVER w - c1 AS s1,
+                sum(c2) OVER w - c2 AS s2,
+                sum(c3) OVER w - c3 AS s3,
+                sum(c4) OVER w - c4 AS s4
+         FROM grid WINDOW w AS (PARTITION BY key ORDER BY c
+                                ROWS UNBOUNDED PRECEDING)),
+ag AS (SELECT key,
+              CAST(sum(c0 + c1 + c2 + c3 + c4 + c5) AS BIGINT) AS n,
+              sum(CAST(c1 AS HUGEINT) * (2 * s0 + c0)
+                + CAST(c2 AS HUGEINT) * (2 * (s0 + s1) + (c0 + c1))
+                + CAST(c3 AS HUGEINT)
+                  * (2 * (s0 + s1 + s2) + (c0 + c1 + c2))
+                + CAST(c4 AS HUGEINT)
+                  * (2 * (s0 + s1 + s2 + s3) + (c0 + c1 + c2 + c3))
+                + CAST(c5 AS HUGEINT)
+                  * (2 * (s0 + s1 + s2 + s3 + s4)
+                     + (c0 + c1 + c2 + c3 + c4))) AS jt2,
+              CAST(sum(c0) AS BIGINT) AS n0,
+              CAST(sum(c1) AS BIGINT) AS n1,
+              CAST(sum(c2) AS BIGINT) AS n2,
+              CAST(sum(c3) AS BIGINT) AS n3,
+              CAST(sum(c4) AS BIGINT) AS n4,
+              CAST(sum(c5) AS BIGINT) AS n5,
+              sum(CAST(c0 + c1 + c2 + c3 + c4 + c5 AS HUGEINT)
+                  * (c0 + c1 + c2 + c3 + c4 + c5 - 1)
+                  * (2 * (c0 + c1 + c2 + c3 + c4 + c5) + 5)) AS t1,
+              sum(CAST(c0 + c1 + c2 + c3 + c4 + c5 AS HUGEINT)
+                  * (c0 + c1 + c2 + c3 + c4 + c5 - 1)
+                  * (c0 + c1 + c2 + c3 + c4 + c5 - 2)) AS t2,
+              sum(CAST(c0 + c1 + c2 + c3 + c4 + c5 AS HUGEINT)
+                  * (c0 + c1 + c2 + c3 + c4 + c5 - 1)) AS t3
+       FROM cums GROUP BY 1),
+m1 AS (SELECT key, n, jt2,
+              (CASE WHEN n0 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n1 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n2 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n3 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n4 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN n5 > 0 THEN 1 ELSE 0 END) AS nonempty,
+              CAST(n AS HUGEINT) * n
+                - (CAST(n0 AS HUGEINT) * n0 + CAST(n1 AS HUGEINT) * n1
+                 + CAST(n2 AS HUGEINT) * n2 + CAST(n3 AS HUGEINT) * n3
+                 + CAST(n4 AS HUGEINT) * n4 + CAST(n5 AS HUGEINT) * n5)
+                AS e4,
+              CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                - (CAST(n0 AS HUGEINT) * (n0 - 1) * (2 * n0 + 5)
+                 + CAST(n1 AS HUGEINT) * (n1 - 1) * (2 * n1 + 5)
+                 + CAST(n2 AS HUGEINT) * (n2 - 1) * (2 * n2 + 5)
+                 + CAST(n3 AS HUGEINT) * (n3 - 1) * (2 * n3 + 5)
+                 + CAST(n4 AS HUGEINT) * (n4 - 1) * (2 * n4 + 5)
+                 + CAST(n5 AS HUGEINT) * (n5 - 1) * (2 * n5 + 5))
+                - t1 AS a,
+              (CAST(n0 AS HUGEINT) * (n0 - 1) * (n0 - 2)
+             + CAST(n1 AS HUGEINT) * (n1 - 1) * (n1 - 2)
+             + CAST(n2 AS HUGEINT) * (n2 - 1) * (n2 - 2)
+             + CAST(n3 AS HUGEINT) * (n3 - 1) * (n3 - 2)
+             + CAST(n4 AS HUGEINT) * (n4 - 1) * (n4 - 2)
+             + CAST(n5 AS HUGEINT) * (n5 - 1) * (n5 - 2)) * t2 AS b2,
+              (CAST(n0 AS HUGEINT) * (n0 - 1)
+             + CAST(n1 AS HUGEINT) * (n1 - 1)
+             + CAST(n2 AS HUGEINT) * (n2 - 1)
+             + CAST(n3 AS HUGEINT) * (n3 - 1)
+             + CAST(n4 AS HUGEINT) * (n4 - 1)
+             + CAST(n5 AS HUGEINT) * (n5 - 1)) * t3 AS c3t
+       FROM ag),
+m2 AS (SELECT key, n, jt2, e4,
+              CAST(a AS DOUBLE) / 72.0
+              + CAST(b2 AS DOUBLE)
+                / (36.0 * CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2)
+                               AS DOUBLE))
+              + CAST(c3t AS DOUBLE)
+                / (8.0 * CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                AS var
+       FROM m1 WHERE n >= 30 AND nonempty >= 2)
+SELECT key, n, CAST(jt2 AS BIGINT) AS jt2, CAST(e4 AS BIGINT) AS e4,
+       round((2.0 * CAST(jt2 AS DOUBLE) - CAST(e4 AS DOUBLE))
+             / (4.0 * sqrt(var)), 6) + 0.0 AS z_jt
+FROM m2 WHERE var > 0
 """,
         # CvM two-sample: squared rank displacements in the
         # (cents, us, label) total order, exact HUGEINT sums, one T.

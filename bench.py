@@ -604,12 +604,15 @@ def main() -> None:
 
     # q30: the governance/calibration wave — Benford digit audit (one
     # lattice agg chain), CvM two-sample (two shared-exchange rank
-    # windows), tool-loop audit (one (conv)-window chain + lattice
-    # aggs), isotonic hourly fit (bounded 24-level minimax lattice),
-    # GEV block-maxima shape (one-exchange rank + cleared-PWM agg)
+    # windows), Cucconi (one rank window + agg), Jonckheere-Terpstra
+    # (pivoted 6-daypart grid + one window chain), tool-loop audit
+    # (one (conv)-window chain + lattice aggs), isotonic hourly fit
+    # (bounded 24-level minimax lattice), GEV block-maxima shape
+    # (one-exchange rank + cleared-PWM agg)
     def _body_q30_governance_family():
         for q in (
-            E.q_benford_audit, E.q_cvm, E.q_tool_loops, E.q_isotonic, E.q_gev,
+            E.q_benford_audit, E.q_cvm, E.q_cucconi, E.q_jonckheere,
+            E.q_tool_loops, E.q_isotonic, E.q_gev,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 

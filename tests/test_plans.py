@@ -1383,3 +1383,36 @@ def test_gev_one_exchange_no_join(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_cucconi_one_window_no_join(ev):
+    """ONE (key) rank window + count window sharing the exchange ->
+    one agg: no join, no Python, no global partition."""
+    from tits_spark.operators.cucconi import cucconi_test
+
+    flagged = ev.select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(cucconi_test(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_jonckheere_grid_window_no_join(ev):
+    """raw -> per-key distinct-cents tie grid (hash agg) -> ONE
+    (key)-window cumsum chain -> final agg: no join, no Python, no
+    global partition; group count lives in fixed columns."""
+    from tits_spark.operators.jonckheere import jonckheere_daypart
+
+    p = plan_of(
+        jonckheere_daypart(
+            ev.select(F.col("user_id").alias("key"), "ts", "value")
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

@@ -786,7 +786,8 @@ def main() -> None:
     )
 
     add(
-        "benford_audit / cvm / tool_loops / isotonic / gev_shape",
+        "benford_audit / cvm / cucconi / jonckheere / tool_loops / "
+        "isotonic / gev_shape",
         "Benford: raw -> (key,d) digit lattice -> pivot agg, no join. "
         "CvM: two rank windows whose (key,a) partition refines (key) "
         "-> one agg, no join. Tool loops: one (conv)-window chain -> "
@@ -794,7 +795,9 @@ def main() -> None:
         "aggregated to the <=24-row hourly lattice BEFORE the bounded "
         "self-join; suffix-min window + max agg on the lattice only. "
         "GEV: block-max hash agg -> (key) rank window -> cleared-PWM "
-        "agg, one exchange.",
+        "agg, one exchange. Cucconi: ONE rank window + agg. "
+        "Jonckheere: tie grid -> pivoted 6-daypart cumsum window -> "
+        "one agg, no joins.",
         E.q_isotonic(spark, SF),
     )
 
