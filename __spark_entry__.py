@@ -4497,6 +4497,16 @@ def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cucconi_test(_weekend_flagged(spark, sf_dir))
 
 
+def q_bws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baumgartner–Weiß–Schindler tail-weighted EDF test, weekend vs
+    weekday per user: per-row exact-integer term ratios quantized
+    onto the 1e-6 lattice (logrank's floor device), exact decimal
+    sums, one B tree."""
+    from tits_spark.operators.bws import bws_test
+
+    return bws_test(_weekend_flagged(spark, sf_dir))
+
+
 def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jonckheere–Terpstra ordered-alternative test across the six
     4-hour dayparts per user: doubled dominance counts from the
@@ -4815,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "benford_audit": q_benford_audit,
         "cucconi": q_cucconi,
+        "bws": q_bws,
         "jonckheere": q_jonckheere,
         "cvm": q_cvm,
         "tool_loops": q_tool_loops,
@@ -12401,6 +12412,46 @@ SELECT key, n_a, n_b,
              / (2.0 * (1.0 - rho * rho)), 6) + 0.0 AS cucconi_c
 FROM uv
 """,
+        # BWS: per-row cleared-integer term ratios floored onto the
+        # 1e-6 lattice, exact HUGEINT sums, one B tree.
+        "bws": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+r0 AS (SELECT key, a,
+              row_number() OVER (PARTITION BY key
+                                 ORDER BY c, us, a) AS r,
+              count(*) OVER (PARTITION BY key) AS nn
+       FROM t),
+r AS (SELECT key, a, r, nn,
+             row_number() OVER (PARTITION BY key, a ORDER BY r) AS i,
+             count(*) OVER (PARTITION BY key, a) AS no
+      FROM r0),
+q AS (SELECT key, a,
+             floor(1000000.0
+                   * CAST(CAST(no * r - nn * i AS HUGEINT)
+                          * (no * r - nn * i)
+                          * ((no + 1) * (no + 1)) AS DOUBLE)
+                   / CAST(CAST(no AS HUGEINT) * no * i * (no + 1 - i)
+                          * (nn - no) * nn AS DOUBLE)) AS qq
+      FROM r),
+ag AS (SELECT key,
+              CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(1 - a) AS BIGINT) AS n_b,
+              sum(CASE WHEN a = 1 THEN CAST(qq AS HUGEINT) END) AS qa,
+              sum(CASE WHEN a = 0 THEN CAST(qq AS HUGEINT) END) AS qb
+       FROM q GROUP BY 1
+       HAVING sum(a) >= 8 AND sum(1 - a) >= 8)
+SELECT key, n_a, n_b,
+       CAST(qa AS BIGINT) AS bq_a, CAST(qb AS BIGINT) AS bq_b,
+       CAST((qa + qb) // 2 AS BIGINT) AS bws_micro,
+       CAST(CAST((qa + qb) // 2 AS BIGINT) AS DOUBLE) / 1000000.0
+         AS bws_b
+FROM ag
+""",
         # Jonckheere-Terpstra: doubled dominance via the pivoted
         # 6-daypart value grid, tie-corrected moments, one z tree.
         "jonckheere": """
@@ -12507,11 +12558,14 @@ WITH t AS (
          CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
   FROM events
 ),
+r0 AS (SELECT key, a,
+              row_number() OVER (PARTITION BY key
+                                 ORDER BY c, us, a) AS rr
+       FROM t),
 r AS (SELECT key, a,
-             row_number() OVER (PARTITION BY key ORDER BY c, us, a)
-             - row_number() OVER (PARTITION BY key, a ORDER BY c, us)
+             rr - row_number() OVER (PARTITION BY key, a ORDER BY rr)
                AS d
-      FROM t),
+      FROM r0),
 ag AS (SELECT key,
               CAST(sum(a) AS BIGINT) AS n_a,
               CAST(sum(1 - a) AS BIGINT) AS n_b,

@@ -1416,3 +1416,19 @@ def test_jonckheere_grid_window_no_join(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_bws_windows_no_join(ev):
+    """The cvm window family (combined rank, then rank-of-rank within
+    (key,a)) + one agg: no join, no Python, no global partition."""
+    from tits_spark.operators.bws import bws_test
+
+    flagged = ev.select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(bws_test(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

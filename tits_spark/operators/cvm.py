@@ -16,11 +16,15 @@ s_j (b-sample) in the deterministic (cents, us, label) total order:
 E[T] under H0 is (1 + 1/N)/6 ~ 1/6; large T rejects equality.
 
 Tie determinism: the house (cents, us) order is extended by the
-label so a full tie (same key, cents, us, label) is between
-interchangeable rows — they are consecutive in BOTH the combined
-and the within-sample order, so either assignment yields the same
-(r - i) pair and the statistic is assignment-invariant. Cross-engine
-the two row_numbers therefore agree wherever they matter.
+label so a full tie (same key, cents, us, label) is only between
+interchangeable same-label rows; the within-sample index i is then
+derived by ranking the COMBINED rank r itself within (key, label) —
+never by an independent second sort — so whichever arbitrary
+tie-break r lands on, i follows it consistently and the (r - i)
+multiset (hence the statistic) is assignment-invariant by
+construction on both engines. (An independent (cents, us) sort for
+i would be one unstable sort away from pairing r and i
+inconsistently across a full tie.)
 
 Exactness: r, i and each (r-i)^2 are exact integers ((r-i)^2 <= N^2
 per row, int64-safe); the two squared sums accumulate in
@@ -64,13 +68,13 @@ def cvm_two_sample(
         F.col(is_a).cast("int").alias("a"),
     )
     w_all = Window.partitionBy("key").orderBy("c", "us", "a")
-    w_lab = Window.partitionBy("key", "a").orderBy("c", "us")
+    w_lab = Window.partitionBy("key", "a").orderBy("r")
     ranked = base.select(
+        "key", "a", F.row_number().over(w_all).alias("r")
+    ).select(
         "key",
         "a",
-        (F.row_number().over(w_all) - F.row_number().over(w_lab)).alias(
-            "_d"
-        ),
+        (F.col("r") - F.row_number().over(w_lab)).alias("_d"),
     )
     sq = (F.col("_d").cast(DEC) * F.col("_d")).cast(DEC)
     agg = (

@@ -786,7 +786,7 @@ def main() -> None:
     )
 
     add(
-        "benford_audit / cvm / cucconi / jonckheere / tool_loops / "
+        "benford_audit / cvm / cucconi / bws / jonckheere / tool_loops / "
         "isotonic / gev_shape",
         "Benford: raw -> (key,d) digit lattice -> pivot agg, no join. "
         "CvM: two rank windows whose (key,a) partition refines (key) "
