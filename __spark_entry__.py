@@ -4497,6 +4497,23 @@ def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cucconi_test(_weekend_flagged(spark, sf_dir))
 
 
+def q_conover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover squared-ranks scale test, weekend vs weekday per
+    user: own-median deviations, doubled midranks on the deviation
+    tie grid, cleared exact moments, one z tree."""
+    from tits_spark.operators.conover import squared_ranks_test
+
+    return squared_ranks_test(_weekend_flagged(spark, sf_dir))
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test, weekend vs weekday per user: pooled-median
+    copied order statistic, exact 2x2 counts, one chi2 tree."""
+    from tits_spark.operators.median_test import mood_median_test
+
+    return mood_median_test(_weekend_flagged(spark, sf_dir))
+
+
 def q_bws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baumgartner–Weiß–Schindler tail-weighted EDF test, weekend vs
     weekday per user: per-row exact-integer term ratios quantized
@@ -4826,6 +4843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "cucconi": q_cucconi,
         "bws": q_bws,
+        "conover_sq": q_conover,
+        "mood_median": q_mood_median,
         "jonckheere": q_jonckheere,
         "cvm": q_cvm,
         "tool_loops": q_tool_loops,
@@ -12411,6 +12430,86 @@ SELECT key, n_a, n_b,
        round((u * u + v * v - 2.0 * rho * u * v)
              / (2.0 * (1.0 - rho * rho)), 6) + 0.0 AS cucconi_c
 FROM uv
+""",
+        # Conover squared ranks: own-median deviations, doubled
+        # midranks, cleared exact moments, one z tree.
+        "conover_sq": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+rk AS (SELECT key, a, c,
+              row_number() OVER (PARTITION BY key, a
+                                 ORDER BY c, us) AS rk,
+              count(*) OVER (PARTITION BY key, a) AS no
+       FROM t),
+dv AS (SELECT key, a,
+              abs(c - max(CASE WHEN rk = greatest((no + 1) // 2, 1)
+                               THEN c END)
+                    OVER (PARTITION BY key, a)) AS d
+       FROM rk),
+grid AS (SELECT key, d, sum(a) AS ca, sum(1 - a) AS cb
+         FROM dv GROUP BY 1, 2),
+cum AS (SELECT key, ca, cb,
+               2 * (sum(ca + cb) OVER (PARTITION BY key ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) - (ca + cb))
+               + (ca + cb) + 1 AS rr
+        FROM grid),
+ag AS (SELECT key,
+              CAST(sum(ca) AS BIGINT) AS n_a,
+              CAST(sum(cb) AS BIGINT) AS n_b,
+              sum(CAST(ca AS HUGEINT) * rr * rr) AS tsq,
+              sum(CAST(ca + cb AS HUGEINT) * rr * rr) AS s1,
+              sum(CAST(ca + cb AS HUGEINT) * rr * rr * rr * rr) AS s2
+       FROM cum GROUP BY 1
+       HAVING sum(ca) >= 8 AND sum(cb) >= 8)
+SELECT key, n_a, n_b,
+       CAST(tsq AS BIGINT) AS t_sq, CAST(s1 AS BIGINT) AS s1,
+       round(CAST((n_a + n_b) * tsq - n_a * s1 AS DOUBLE)
+             / sqrt(CAST(CAST(n_a AS HUGEINT) * n_b
+                         * ((n_a + n_b) * s2 - s1 * s1) AS DOUBLE)
+                    / CAST(n_a + n_b - 1 AS DOUBLE)), 6) + 0.0 AS z_sr
+FROM ag
+WHERE CAST(n_a AS HUGEINT) * n_b * ((n_a + n_b) * s2 - s1 * s1) > 0
+""",
+        # Mood's median test: pooled-median copied order statistic,
+        # exact 2x2, one chi2 tree.
+        "mood_median": """
+WITH t AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+rk AS (SELECT key, a, c,
+              row_number() OVER (PARTITION BY key ORDER BY c, us) AS rk,
+              count(*) OVER (PARTITION BY key) AS n
+       FROM t),
+sp AS (SELECT key, a, c,
+              max(CASE WHEN rk = greatest((n + 1) // 2, 1) THEN c END)
+                OVER (PARTITION BY key) AS med
+       FROM rk),
+ag AS (SELECT key,
+              CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(1 - a) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN a = 1 AND c > med THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n11,
+              CAST(sum(CASE WHEN a = 0 AND c > med THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n21,
+              CAST(max(med) AS BIGINT) AS med_cents
+       FROM sp GROUP BY 1
+       HAVING sum(a) >= 8 AND sum(1 - a) >= 8)
+SELECT key, n_a, n_b, n11, n21, med_cents,
+       round(CAST(CAST(n_a + n_b AS HUGEINT)
+                  * (n11 * (n_b - n21) - (n_a - n11) * n21)
+                  * (n11 * (n_b - n21) - (n_a - n11) * n21) AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * n_b * (n11 + n21)
+                    * (n_a + n_b - n11 - n21) AS DOUBLE), 6) + 0.0
+         AS chi2
+FROM ag
+WHERE n11 + n21 > 0 AND n_a + n_b - n11 - n21 > 0
 """,
         # BWS: per-row cleared-integer term ratios floored onto the
         # 1e-6 lattice, exact HUGEINT sums, one B tree.

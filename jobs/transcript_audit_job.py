@@ -3,7 +3,9 @@ north-rule invariant ("per-turn text equality under stable
 (conv_id, turn_idx) ordering") as a production job.
 
 Given one transcripts table, writes per-conversation turn-stream
-statistics and the order-sensitive text digest. Given a --compare
+statistics, the order-sensitive text digest, and the tool-loop audit
+(longest same-tool run / ABAB alternation chain — the stuck-agent
+screen). Given a --compare
 table too, also writes the digest diff (changed / only_a / only_b) —
 the readout a 10^12-turn backfill runs after every rewrite, with only
 (conv_id, digest) pairs ever crossing the shuffle.
@@ -16,7 +18,10 @@ the readout a 10^12-turn backfill runs after every rewrite, with only
 
 Prints ONE JSON line:
   {"convs": N, "turns": T, "changed": C, "only_a": A, "only_b": B,
-   "sec": S}   (diff fields -1 when --compare is absent).
+   "loop_convs": L, "worst_run": W, "sec": S}
+(diff fields -1 when --compare is absent; loop_convs counts
+conversations with a same-tool run >= 5 or an alternation chain
+>= 6).
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import functions as F
 
+    from tits_spark.operators.agent_flow import tool_loop_audit
     from tits_spark.operators.transcript_stats import (
         conversation_stats,
         transcript_checksum,
@@ -57,6 +63,9 @@ def main(argv: list[str] | None = None) -> None:
     sums = transcript_checksum(tr)
     out = stats.join(sums.select("conv_id", "digest"), "conv_id", "left")
     out.write.mode("overwrite").parquet(f"{args.output}/stats")
+    tool_loop_audit(tr).write.mode("overwrite").parquet(
+        f"{args.output}/loops"
+    )
 
     changed = only_a = only_b = -1
     if args.compare:
@@ -74,12 +83,18 @@ def main(argv: list[str] | None = None) -> None:
         only_b = counts.get("only_b", 0)
 
     written = spark.read.parquet(f"{args.output}/stats")
+    loops = spark.read.parquet(f"{args.output}/loops")
+    worst = loops.agg(F.max("longest_run")).first()[0]
     print(json.dumps({
         "convs": written.count(),
         "turns": written.agg(F.sum("n_turns")).first()[0],
         "changed": changed,
         "only_a": only_a,
         "only_b": only_b,
+        "loop_convs": loops.filter(
+            (F.col("longest_run") >= 5) | (F.col("ab_chain_max") >= 6)
+        ).count(),
+        "worst_run": worst,
         "sec": round(time.perf_counter() - t0, 3),
     }))
     spark.stop()

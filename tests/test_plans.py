@@ -1432,3 +1432,37 @@ def test_bws_windows_no_join(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_conover_windowed_median_no_join(ev):
+    """Own-sample median as a WINDOWED copied order statistic (no
+    join-back), deviation tie grid, cumulative window, final agg: no
+    join, no Python, no global partition."""
+    from tits_spark.operators.conover import squared_ranks_test
+
+    flagged = ev.select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(squared_ranks_test(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+
+
+def test_mood_median_one_window_no_join(ev):
+    """One (key)-window (rank + pooled-median copied order statistic
+    + count share the sort) -> one agg: no join, no Python, no
+    global partition."""
+    from tits_spark.operators.median_test import mood_median_test
+
+    flagged = ev.select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(mood_median_test(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
