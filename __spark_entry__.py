@@ -4497,6 +4497,15 @@ def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cucconi_test(_weekend_flagged(spark, sf_dir))
 
 
+def q_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade range-weighted Friedman over complete weeks per user:
+    doubled within-block midranks x doubled block-range midranks on
+    the quadrupled integer lattice, one F tree."""
+    from tits_spark.operators.quade import quade_weekday
+
+    return quade_weekday(_events(spark, sf_dir).select("key", "ts"))
+
+
 def q_conover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conover squared-ranks scale test, weekend vs weekday per
     user: own-median deviations, doubled midranks on the deviation
@@ -4845,6 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bws": q_bws,
         "conover_sq": q_conover,
         "mood_median": q_mood_median,
+        "quade": q_quade,
         "jonckheere": q_jonckheere,
         "cvm": q_cvm,
         "tool_loops": q_tool_loops,
@@ -12430,6 +12440,52 @@ SELECT key, n_a, n_b,
        round((u * u + v * v - 2.0 * rho * u * v)
              / (2.0 * (1.0 - rho * rho)), 6) + 0.0 AS cucconi_c
 FROM uv
+""",
+        # Quade: friedman's complete-week spine + doubled range
+        # midrank block weights on the quadrupled lattice, one F.
+        "quade": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS n_day
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS dd, mn, mx
+       FROM (SELECT key, min(d) AS mn, max(d) AS mx
+             FROM daily GROUP BY 1)),
+g AS (SELECT sp.key, sp.dd, sp.mn, sp.mx,
+             coalesce(daily.n_day, 0) AS c
+      FROM sp LEFT JOIN daily
+        ON daily.key = sp.key AND daily.d = sp.dd),
+cells AS (SELECT key, dd // 7 AS blk, dd % 7 AS trt, c
+          FROM g
+          WHERE (dd // 7) * 7 >= mn AND (dd // 7) * 7 + 6 <= mx),
+r AS (SELECT key, blk, trt,
+             2 * rank() OVER (PARTITION BY key, blk ORDER BY c)
+               + count(*) OVER (PARTITION BY key, blk, c) - 1 AS r2
+      FROM cells),
+rg AS (SELECT key, blk, max(c) - min(c) AS rng
+       FROM cells GROUP BY 1, 2),
+wt AS (SELECT key, blk,
+              2 * rank() OVER (PARTITION BY key ORDER BY rng)
+                + count(*) OVER (PARTITION BY key, rng) - 1 AS q2
+       FROM rg),
+sc AS (SELECT r.key, r.trt,
+              CAST(wt.q2 AS HUGEINT) * (r.r2 - 8) AS s4
+       FROM r JOIN wt ON wt.key = r.key AND wt.blk = r.blk),
+pt AS (SELECT key, trt, sum(s4) AS sj, sum(s4 * s4) AS a4p,
+              count(*) AS n
+       FROM sc GROUP BY 1, 2),
+pk AS (SELECT key, CAST(max(n) AS BIGINT) AS n_blocks,
+              sum(sj * sj) AS sb, sum(a4p) AS a4
+       FROM pt GROUP BY 1 HAVING max(n) >= 2)
+SELECT key, n_blocks, CAST(sb AS BIGINT) AS sb,
+       CAST(a4 AS BIGINT) AS a4,
+       CASE WHEN CAST(n_blocks AS HUGEINT) * a4 - sb > 0 THEN
+         round(CAST((n_blocks - 1) * sb AS DOUBLE)
+               / CAST(CAST(n_blocks AS HUGEINT) * a4 - sb AS DOUBLE),
+               6) + 0.0
+       END AS quade_f
+FROM pk
 """,
         # Conover squared ranks: own-median deviations, doubled
         # midranks, cleared exact moments, one z tree.

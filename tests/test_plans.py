@@ -1466,3 +1466,17 @@ def test_mood_median_one_window_no_join(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_quade_bounded_weight_join(ev):
+    """friedman's one-scan spine; the only join is the per-key block
+    weight equi-join on the bounded weeks frame: no cartesian, no
+    Python, no global partition."""
+    from tits_spark.operators.quade import quade_weekday
+
+    p = plan_of(
+        quade_weekday(ev.select(F.col("user_id").alias("key"), "ts"))
+    )
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
