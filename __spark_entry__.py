@@ -4497,6 +4497,15 @@ def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cucconi_test(_weekend_flagged(spark, sf_dir))
 
 
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner–Munzel heteroscedasticity-robust rank test, weekend
+    vs weekday per user: doubled placement lattice on the tie-grid
+    cells, cleared placement SS, one W/df/p_hat tree set."""
+    from tits_spark.operators.brunner_munzel import brunner_munzel
+
+    return brunner_munzel(_weekend_flagged(spark, sf_dir))
+
+
 def q_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quade range-weighted Friedman over complete weeks per user:
     doubled within-block midranks x doubled block-range midranks on
@@ -4855,6 +4864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conover_sq": q_conover,
         "mood_median": q_mood_median,
         "quade": q_quade,
+        "brunner_munzel": q_brunner_munzel,
         "jonckheere": q_jonckheere,
         "cvm": q_cvm,
         "tool_loops": q_tool_loops,
@@ -12440,6 +12450,60 @@ SELECT key, n_a, n_b,
        round((u * u + v * v - 2.0 * rho * u * v)
              / (2.0 * (1.0 - rho * rho)), 6) + 0.0 AS cucconi_c
 FROM uv
+""",
+        # Brunner-Munzel: cell-level doubled placements, cleared SS,
+        # W / Satterthwaite df / p_hat trees.
+        "brunner_munzel": """
+WITH t AS (
+  SELECT user_id AS key,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+grid AS (SELECT key, c, sum(a) AS ca, sum(1 - a) AS cb
+         FROM t GROUP BY 1, 2),
+cum AS (SELECT key, ca, cb,
+               2 * (sum(ca + cb) OVER w - (ca + cb))
+                 + (ca + cb) + 1 AS rr,
+               2 * (sum(ca) OVER w - ca) + ca + 1 AS ha,
+               2 * (sum(cb) OVER w - cb) + cb + 1 AS hb
+        FROM grid WINDOW w AS (PARTITION BY key ORDER BY c
+                               ROWS UNBOUNDED PRECEDING)),
+ag AS (SELECT key,
+              CAST(sum(ca) AS BIGINT) AS n_a,
+              CAST(sum(cb) AS BIGINT) AS n_b,
+              sum(CAST(ca AS HUGEINT) * rr) AS ra,
+              sum(CAST(cb AS HUGEINT) * rr) AS rb,
+              sum(CAST(ca AS HUGEINT) * (rr - ha)) AS d1,
+              sum(CAST(ca AS HUGEINT) * (rr - ha) * (rr - ha)) AS q1,
+              sum(CAST(cb AS HUGEINT) * (rr - hb)) AS d2,
+              sum(CAST(cb AS HUGEINT) * (rr - hb) * (rr - hb)) AS q2
+       FROM cum GROUP BY 1
+       HAVING sum(ca) >= 10 AND sum(cb) >= 10),
+m AS (SELECT key, n_a, n_b,
+             n_a * q1 - d1 * d1 AS a1,
+             n_b * q2 - d2 * d2 AS a2,
+             n_a * rb - n_b * ra AS num, rb
+      FROM ag),
+v AS (SELECT key, n_a, n_b, a1, a2, num, rb,
+             CAST(a1 AS DOUBLE) / (4.0 * CAST(n_a - 1 AS DOUBLE)) AS nv1,
+             CAST(a2 AS DOUBLE) / (4.0 * CAST(n_b - 1 AS DOUBLE)) AS nv2
+      FROM m)
+SELECT key, n_a, n_b,
+       CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+       round(CAST(rb - CAST(n_b AS HUGEINT) * (n_b + 1) AS DOUBLE)
+             / (2.0 * CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)), 6)
+         + 0.0 AS p_hat,
+       CASE WHEN a1 + a2 <> 0 THEN
+         round(CAST(num AS DOUBLE)
+               / (2.0 * CAST(n_a + n_b AS DOUBLE)
+                  * sqrt(nv1 + nv2)), 6) + 0.0 END AS bm_w,
+       CASE WHEN a1 + a2 <> 0 THEN
+         round((nv1 + nv2) * (nv1 + nv2)
+               / (nv1 * nv1 / CAST(n_a - 1 AS DOUBLE)
+                  + nv2 * nv2 / CAST(n_b - 1 AS DOUBLE)), 6) + 0.0
+       END AS bm_df
+FROM v
 """,
         # Quade: friedman's complete-week spine + doubled range
         # midrank block weights on the quadrupled lattice, one F.

@@ -1480,3 +1480,19 @@ def test_quade_bounded_weight_join(ev):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_brunner_munzel_grid_only_no_join(ev):
+    """Tie grid -> ONE (key)-window cumulative chain -> one agg: no
+    join, no Python, no global partition."""
+    from tits_spark.operators.brunner_munzel import brunner_munzel
+
+    flagged = ev.select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(brunner_munzel(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

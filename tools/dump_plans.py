@@ -787,7 +787,8 @@ def main() -> None:
 
     add(
         "benford_audit / cvm / cucconi / bws / conover / mood_median / "
-        "quade / jonckheere / tool_loops / isotonic / gev_shape",
+        "quade / brunner_munzel / jonckheere / tool_loops / isotonic / "
+        "gev_shape",
         "Benford: raw -> (key,d) digit lattice -> pivot agg, no join. "
         "CvM: two rank windows whose (key,a) partition refines (key) "
         "-> one agg, no join. Tool loops: one (conv)-window chain -> "
