@@ -4069,9 +4069,11 @@ _R5_HEAD = [
     "jarque_bera",
     "gk_gamma", "cliffs_delta", "christoffersen", "diebold_mariano",
     "risk_ratios", "sampen", "logrank", "page_hinkley",
-    # the round-5 inference/homogeneity + binary/arrival/text waves
-    "kuiper", "chi2_indep", "anova_weekday", "brown_forsythe",
-    "page_trend", "hac_trend", "burrows_delta",
+    # continuation-8/9 two-sample/blocked-design completions — the
+    # newest operators flow through the driver's independent channel
+    # (displaced c5 families keep judge-gate + pytest evidence)
+    "cucconi", "bws", "conover_sq", "mood_median", "quade",
+    "brunner_munzel", "jonckheere",
     "cochran_q", "mcnemar", "moran_gaps", "readability",
 ]
 
