@@ -4499,6 +4499,21 @@ def q_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cucconi_test(_weekend_flagged(spark, sf_dir))
 
 
+def q_turn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-depth abandonment hazard over the transcript mapping:
+    per-conv max turn, depth histogram, suffix-sum reach counts,
+    integer floor-ppm hazard — pure integers end to end."""
+    from tits_spark.operators.agent_flow import turn_depth_hazard
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+    )
+    return turn_depth_hazard(tr)
+
+
 def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brunner–Munzel heteroscedasticity-robust rank test, weekend
     vs weekday per user: doubled placement lattice on the tie-grid
@@ -4867,6 +4882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_median": q_mood_median,
         "quade": q_quade,
         "brunner_munzel": q_brunner_munzel,
+        "turn_hazard": q_turn_hazard,
         "jonckheere": q_jonckheere,
         "cvm": q_cvm,
         "tool_loops": q_tool_loops,
@@ -12452,6 +12468,27 @@ SELECT key, n_a, n_b,
        round((u * u + v * v - 2.0 * rho * u * v)
              / (2.0 * (1.0 - rho * rho)), 6) + 0.0 AS cucconi_c
 FROM uv
+""",
+        # Turn-depth hazard: depth histogram + suffix reach counts,
+        # floor-ppm lattice.
+        "turn_hazard": """
+WITH tr AS (
+  SELECT user_id AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+),
+d AS (SELECT c, max(i) AS dpt FROM tr GROUP BY 1),
+h AS (SELECT dpt AS depth, count(*) AS n_ended FROM d GROUP BY 1),
+r AS (SELECT depth, n_ended,
+             sum(n_ended) OVER (ORDER BY depth DESC
+                                ROWS UNBOUNDED PRECEDING) AS n_reached
+      FROM h)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(n_ended AS BIGINT) AS n_ended,
+       CAST(n_reached AS BIGINT) AS n_reached,
+       CAST(n_ended * 1000000 // n_reached AS BIGINT) AS hazard_ppm
+FROM r
 """,
         # Brunner-Munzel: cell-level doubled placements, cleared SS,
         # W / Satterthwaite df / p_hat trees.

@@ -614,7 +614,7 @@ def main() -> None:
             E.q_benford_audit, E.q_cvm, E.q_cucconi, E.q_bws,
             E.q_conover, E.q_mood_median, E.q_quade,
             E.q_brunner_munzel, E.q_jonckheere,
-            E.q_tool_loops, E.q_isotonic, E.q_gev,
+            E.q_tool_loops, E.q_turn_hazard, E.q_isotonic, E.q_gev,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 

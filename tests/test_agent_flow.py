@@ -100,3 +100,22 @@ def test_tool_loops_brute_force_parity(spark):
         want = _brute(tools)
         have = {f: got[k][f] for f in want}
         assert have == want, k
+
+
+def test_turn_depth_hazard(spark):
+    # conv lengths: 2, 2, 3, 5 -> depths {2:2, 3:1, 5:1}
+    rows = (
+        _mk("a", ["x", "y"])
+        + _mk("b", ["x", "y"])
+        + _mk("c", ["x", "y", "z"])
+        + _mk("d", ["x", "y", "z", "x", "y"])
+    )
+    from tits_spark.operators.agent_flow import turn_depth_hazard
+
+    out = {r["depth"]: r for r in turn_depth_hazard(_df(spark, rows)).collect()}
+    assert set(out) == {2, 3, 5}
+    assert (out[2]["n_ended"], out[2]["n_reached"]) == (2, 4)
+    assert out[2]["hazard_ppm"] == 2 * 10**6 // 4
+    assert (out[3]["n_ended"], out[3]["n_reached"]) == (1, 2)
+    assert (out[5]["n_ended"], out[5]["n_reached"]) == (1, 1)
+    assert out[5]["hazard_ppm"] == 10**6

@@ -144,3 +144,55 @@ def tool_loop_audit(
             F.col("_topn") * F.lit(1_000_000), F.col("n_tool_calls")
         ).cast("long").alias("top_share_ppm"),
     )
+
+
+def turn_depth_hazard(
+    df: DataFrame,
+    conv: str = "conv_id",
+    turn: str = "turn_idx",
+) -> DataFrame:
+    """Discrete-time abandonment hazard by TURN DEPTH over the
+    transcript corpus: at each observed conversation length k,
+
+        n_ended(k)    conversations whose final turn is k    (exact)
+        n_reached(k)  conversations with >= k turns (suffix sum)
+        hazard_ppm    n_ended * 1e6 DIV n_reached             (exact)
+
+    — the turn-index companion of survival_km's wall-clock hazard:
+    "how likely is a conversation to END at this depth, given it got
+    here", the curve a context-budget or session-timeout policy is
+    actually tuned against. Returns one row per OBSERVED depth
+    (depth, n_ended, n_reached, hazard_ppm) — the hazard between
+    observed depths is zero by construction, so nothing is lost by
+    not exploding the full 1..max range.
+
+    Plan shape (100 TB): one scan -> per-conv max (hash agg, map-side
+    partials) -> depth histogram (bounded by the longest conversation
+    — the only frame a global window ever sees) -> one suffix-sum
+    window + closed forms. No joins, no Python.
+    """
+    depths = df.groupBy(F.col(conv).alias("_c")).agg(
+        F.max(turn).alias("_d")
+    )
+    hist = depths.groupBy(F.col("_d").alias("depth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ended")
+    )
+    wsuf = (
+        # bounded-global-window: one row per DISTINCT conversation
+        # depth (<= the longest conversation), post two hash aggs
+        Window.orderBy(F.desc("depth"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    reached = hist.select(
+        "depth",
+        "n_ended",
+        F.sum("n_ended").over(wsuf).cast("long").alias("n_reached"),
+    )
+    return reached.select(
+        F.col("depth").cast("long").alias("depth"),
+        "n_ended",
+        "n_reached",
+        floordiv(
+            F.col("n_ended") * F.lit(1_000_000), F.col("n_reached")
+        ).cast("long").alias("hazard_ppm"),
+    ).orderBy("depth")
