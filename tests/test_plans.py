@@ -1496,3 +1496,25 @@ def test_brunner_munzel_grid_only_no_join(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_agreement_lattice_plans(ev):
+    """kappa: lattice -> union-merge marginals (key-equi-join of two
+    per-key aggregates only); bowker/krippendorff likewise join only
+    per-key aggregate frames. No cartesian, no Python, no global
+    partition anywhere."""
+    from tits_spark.operators.agreement import (
+        bowker_symmetry,
+        krippendorff_m2,
+        transition_kappa,
+    )
+
+    for frame in (
+        transition_kappa(ev),
+        bowker_symmetry(ev),
+        krippendorff_m2(ev),
+    ):
+        p = plan_of(frame)
+        assert "CartesianProduct" not in p
+        assert "EvalPython" not in p
+        assert "SinglePartition" not in p
