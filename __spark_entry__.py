@@ -4616,6 +4616,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach alpha + ICC(1,1) of the per-user day x hour count
+    grid: cleared integer mean-square forms on the count lattice, no
+    zero-fill explode (empty cells only enter through the day span)."""
+    from tits_spark.operators.reliability import cronbach_icc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cronbach_icc(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the round driver's correctness gate runs the
     # FIRST 50 entries, so the head is a rotating cross-section
@@ -4921,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_kappa": q_transition_kappa,
         "bowker": q_bowker,
         "krippendorff": q_krippendorff,
+        "reliability": q_reliability,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13091,6 +13102,50 @@ SELECT key, CAST(n_units AS BIGINT) AS n_units,
        CASE WHEN cross_mass > 0 THEN
          round(1.0 - CAST((2 * n_units - 1) * 2 * n_disagree AS DOUBLE)
                / CAST(cross_mass AS DOUBLE), 6) + 0.0 END AS alpha
+FROM j
+""",
+        # Cronbach alpha + ICC(1,1): cleared mean-square forms on the
+        # (key, day, hour) count lattice; empty cells enter only via
+        # the day span.
+        "reliability": """
+WITH lat AS (
+  SELECT user_id AS key,
+         epoch_us(ts) // 86400000000 AS d,
+         hour(ts) AS h,
+         count(*) AS x
+  FROM events GROUP BY 1, 2, 3
+),
+cells AS (SELECT key,
+                 CAST(max(d) - min(d) + 1 AS BIGINT) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS g_total,
+                 sum(CAST(x AS HUGEINT) * x) AS sq_sum
+          FROM lat GROUP BY 1),
+days AS (SELECT key, sum(CAST(t AS HUGEINT) * t) AS day_ss FROM (
+           SELECT key, d, sum(x) AS t FROM lat GROUP BY 1, 2)
+         GROUP BY 1),
+hrs AS (SELECT key, sum(CAST(c AS HUGEINT) * c) AS hour_ss FROM (
+          SELECT key, h, sum(x) AS c FROM lat GROUP BY 1, 2)
+        GROUP BY 1),
+j AS (SELECT cells.key AS key, n_days, g_total, sq_sum, day_ss,
+             hour_ss,
+             CAST(n_days AS HUGEINT) * day_ss
+               - CAST(g_total AS HUGEINT) * g_total AS bvar,
+             24 * sq_sum - day_ss AS wvar
+      FROM cells JOIN days USING (key) JOIN hrs USING (key)
+      WHERE n_days >= 7)
+SELECT key, n_days, g_total,
+       CAST(sq_sum AS BIGINT) AS sq_sum,
+       CAST(day_ss AS BIGINT) AS day_ss,
+       CAST(hour_ss AS BIGINT) AS hour_ss,
+       CASE WHEN bvar <> 0 THEN
+         round((24.0 / 23.0) * (1.0 -
+           CAST(CAST(n_days AS HUGEINT) * sq_sum - hour_ss AS DOUBLE)
+           / CAST(bvar AS DOUBLE)), 6) + 0.0 END AS alpha,
+       CASE WHEN 23 * bvar + (n_days - 1) * 23 * wvar <> 0 THEN
+         round(CAST(23 * bvar - (n_days - 1) * wvar AS DOUBLE)
+               / CAST(23 * bvar
+                      + CAST(n_days - 1 AS HUGEINT) * 23 * wvar
+                      AS DOUBLE), 6) + 0.0 END AS icc1
 FROM j
 """,
     }

@@ -1518,3 +1518,15 @@ def test_agreement_lattice_plans(ev):
         assert "CartesianProduct" not in p
         assert "EvalPython" not in p
         assert "SinglePartition" not in p
+
+
+def test_reliability_aggregate_joins_only(ev):
+    """Count lattice -> three per-key aggregate frames joined on key:
+    no window at all, no cartesian, no Python, no global partition."""
+    from tits_spark.operators.reliability import cronbach_icc
+
+    p = plan_of(cronbach_icc(ev))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "Window" not in p
