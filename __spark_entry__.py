@@ -4616,6 +4616,15 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley folded-rank scale test, weekend vs weekday per
+    user: closed-form prefix score masses on the tie grid, ppm-floored
+    cell rationals, conditional-null z tree."""
+    from tits_spark.operators.ansari import ansari_bradley
+
+    return ansari_bradley(_weekend_flagged(spark, sf_dir))
+
+
 def q_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cronbach alpha + ICC(1,1) of the per-user day x hour count
     grid: cleared integer mean-square forms on the count lattice, no
@@ -4932,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowker": q_bowker,
         "krippendorff": q_krippendorff,
         "reliability": q_reliability,
+        "ansari_bradley": q_ansari_bradley,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13147,6 +13157,69 @@ SELECT key, n_days, g_total,
                       + CAST(n_days - 1 AS HUGEINT) * 23 * wvar
                       AS DOUBLE), 6) + 0.0 END AS icc1
 FROM j
+""",
+        # Ansari-Bradley: closed-form folded-rank prefix masses on the
+        # tie grid, ppm-floored cell rationals, conditional-null z.
+        "ansari_bradley": """
+WITH t0 AS (
+  SELECT user_id AS key,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events
+),
+grid AS (SELECT key, c, sum(a) AS ca, sum(1 - a) AS cb
+         FROM t0 GROUP BY 1, 2),
+cum AS (SELECT key, ca, cb, ca + cb AS t,
+               sum(ca + cb) OVER (PARTITION BY key ORDER BY c
+                                  ROWS UNBOUNDED PRECEDING) AS b,
+               sum(ca + cb) OVER (PARTITION BY key) AS n
+        FROM grid),
+sc AS (SELECT key, ca, cb, t, b, n, (n + 1) // 2 AS h FROM cum),
+f AS (SELECT key, ca, cb, t, n,
+             (CASE WHEN b <= h THEN b * (b + 1) // 2
+                   ELSE h * (h + 1) // 2 + (n - h) * (n - h + 1) // 2
+                        - (n - b) * (n - b + 1) // 2 END)
+             - (CASE WHEN b - t <= h THEN (b - t) * (b - t + 1) // 2
+                     ELSE h * (h + 1) // 2
+                          + (n - h) * (n - h + 1) // 2
+                          - (n - b + t) * (n - b + t + 1) // 2 END)
+               AS cs
+      FROM sc),
+ag AS (SELECT key,
+              CAST(sum(ca) AS BIGINT) AS n_a,
+              CAST(sum(cb) AS BIGINT) AS n_b,
+              CAST(max(n) AS BIGINT) AS nn,
+              CAST(sum(CAST(floor(1e6 * (CAST(ca AS DOUBLE)
+                                         * CAST(cs AS DOUBLE))
+                                  / CAST(t AS DOUBLE)) AS BIGINT))
+                   AS BIGINT) AS w_ppm,
+              CAST(sum(CAST(floor(1e6 * (CAST(cs AS DOUBLE)
+                                         * CAST(cs AS DOUBLE))
+                                  / CAST(t AS DOUBLE)) AS BIGINT))
+                   AS BIGINT) AS ssq_ppm
+       FROM f GROUP BY 1
+       HAVING sum(ca) >= 10 AND sum(cb) >= 10),
+st AS (SELECT key, n_a, n_b, nn, w_ppm, ssq_ppm,
+              (nn + 1) // 2 AS h FROM ag),
+s2 AS (SELECT key, n_a, n_b, nn, w_ppm, ssq_ppm,
+              h * (h + 1) // 2 + (nn - h) * (nn - h + 1) // 2
+                - (nn - nn) * (nn - nn + 1) // 2 AS s_tot
+       FROM st),
+v AS (SELECT key, n_a, n_b, nn, w_ppm, ssq_ppm, s_tot,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               * (CAST(nn AS DOUBLE)
+                    * (CAST(ssq_ppm AS DOUBLE) / 1e6)
+                  - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE))
+               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                  * (CAST(nn AS DOUBLE) - 1.0)) AS var
+      FROM s2)
+SELECT key, n_a, n_b, s_tot, w_ppm, ssq_ppm,
+       CASE WHEN var > 0 THEN
+         round((CAST(w_ppm AS DOUBLE) / 1e6
+                - CAST(n_a AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                  / CAST(nn AS DOUBLE))
+               / sqrt(var), 6) + 0.0 END AS ab_z
+FROM v
 """,
     }
 

@@ -1530,3 +1530,19 @@ def test_reliability_aggregate_joins_only(ev):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "Window" not in p
+
+
+def test_ansari_bradley_grid_only_no_join(ev):
+    """Tie grid -> one (key)-window cumulative chain -> one agg: no
+    join, no Python, no global partition (brunner_munzel's shape)."""
+    from tits_spark.operators.ansari import ansari_bradley
+
+    flagged = ev.select(
+        F.col("user_id").alias("key"), "ts", "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(ansari_bradley(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
