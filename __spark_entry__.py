@@ -4616,6 +4616,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-stratified CMH chi-square + MH pooled odds ratio per
+    user, weekend exposure vs error outcome: 2x2-per-stratum lattice,
+    ppb/ppm-floored O-E and OR masses (the logrank device)."""
+    from tits_spark.operators.cmh import weekend_error_cmh
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return weekend_error_cmh(ev)
+
+
 def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ansari-Bradley folded-rank scale test, weekend vs weekday per
     user: closed-form prefix score masses on the tie grid, ppm-floored
@@ -4942,6 +4952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff": q_krippendorff,
         "reliability": q_reliability,
         "ansari_bradley": q_ansari_bradley,
+        "cmh": q_cmh,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13220,6 +13231,55 @@ SELECT key, n_a, n_b, s_tot, w_ppm, ssq_ppm,
                   / CAST(nn AS DOUBLE))
                / sqrt(var), 6) + 0.0 END AS ab_z
 FROM v
+""",
+        # CMH: hour-stratified 2x2 lattice, ppb/ppm-floored O-E and
+        # MH odds-ratio masses summed as exact BIGINTs.
+        "cmh": """
+WITH t0 AS (
+  SELECT user_id AS key, hour(ts) AS s,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS e,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS o
+  FROM events
+),
+lat AS (SELECT key, s,
+               sum(e * o) AS a, sum(e * (1 - o)) AS b,
+               sum((1 - e) * o) AS c, sum((1 - e) * (1 - o)) AS d
+        FROM t0 GROUP BY 1, 2
+        HAVING sum(e * o) + sum(e * (1 - o)) + sum((1 - e) * o)
+               + sum((1 - e) * (1 - o)) >= 2),
+q2 AS (SELECT key, a, b, c, d,
+              CAST(a AS DOUBLE) + b + c + d AS n,
+              CAST(a AS DOUBLE) + b AS r1,
+              CAST(c AS DOUBLE) + d AS r0,
+              CAST(a AS DOUBLE) + c AS c1,
+              CAST(b AS DOUBLE) + d AS c0,
+              CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+              CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd
+       FROM lat),
+ag AS (SELECT key,
+              CAST(count(*) AS BIGINT) AS n_strata,
+              CAST(sum(a) AS BIGINT) AS o1,
+              sum(a + b + c + d) AS tot,
+              CAST(sum(CAST(floor(1e9 * (r1 * c1) / n) AS BIGINT))
+                   AS BIGINT) AS e_ppb,
+              CAST(sum(CAST(floor(1e6 * (r1 * r0 * c1 * c0)
+                                  / (n * n * (n - 1.0))) AS BIGINT))
+                   AS BIGINT) AS v_ppm,
+              CAST(sum(CAST(floor(1e6 * (ad * dd) / n) AS BIGINT))
+                   AS BIGINT) AS r_ppm,
+              CAST(sum(CAST(floor(1e6 * (bd * cd) / n) AS BIGINT))
+                   AS BIGINT) AS s_ppm
+       FROM q2 GROUP BY 1 HAVING sum(a + b + c + d) >= 50)
+SELECT key, n_strata, o1, e_ppb, v_ppm, r_ppm, s_ppm,
+       CASE WHEN v_ppm > 0 THEN
+         round((CAST(o1 AS DOUBLE) - CAST(e_ppb AS DOUBLE) / 1e9)
+               * (CAST(o1 AS DOUBLE) - CAST(e_ppb AS DOUBLE) / 1e9)
+               / (CAST(v_ppm AS DOUBLE) / 1e6), 6) + 0.0
+       END AS cmh_chi2,
+       CASE WHEN s_ppm > 0 THEN
+         round(CAST(r_ppm AS DOUBLE) / CAST(s_ppm AS DOUBLE), 6) + 0.0
+       END AS or_mh
+FROM ag
 """,
     }
 

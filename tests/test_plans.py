@@ -1546,3 +1546,16 @@ def test_ansari_bradley_grid_only_no_join(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_cmh_two_hash_aggs_no_window(ev):
+    """(key, hour) 2x2 lattice -> per-key agg: no window, no join,
+    no cartesian, no Python, no global partition."""
+    from tits_spark.operators.cmh import weekend_error_cmh
+
+    p = plan_of(weekend_error_cmh(ev))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "Window" not in p
