@@ -4616,6 +4616,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy-decomposed Brier score of the global hourly error-rate
+    forecast per user: cell rationals ppm-floored on the (key, hour)
+    outcome lattice, REL/RES/UNC/BS readout trees."""
+    from tits_spark.operators.brier import hourly_error_brier
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hourly_error_brier(ev)
+
+
 def q_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-stratified CMH chi-square + MH pooled odds ratio per
     user, weekend exposure vs error outcome: 2x2-per-stratum lattice,
@@ -4953,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability": q_reliability,
         "ansari_bradley": q_ansari_bradley,
         "cmh": q_cmh,
+        "brier": q_brier,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13279,6 +13290,50 @@ SELECT key, n_strata, o1, e_ppb, v_ppm, r_ppm, s_ppm,
        CASE WHEN s_ppm > 0 THEN
          round(CAST(r_ppm AS DOUBLE) / CAST(s_ppm AS DOUBLE), 6) + 0.0
        END AS or_mh
+FROM ag
+""",
+        # Brier / Murphy decomposition: (key, hour) outcome lattice,
+        # broadcast global rates, ppm-floored cell terms.
+        "brier": """
+WITH t0 AS (
+  SELECT user_id AS key, hour(ts) AS h,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS o
+  FROM events
+),
+lat AS (SELECT key, h, count(*) AS nc, sum(o) AS sc
+        FROM t0 GROUP BY 1, 2),
+gl AS (SELECT h, sum(nc) AS gn, sum(sc) AS gs FROM lat GROUP BY 1),
+tot AS (SELECT key, sum(nc) AS n, sum(sc) AS s FROM lat GROUP BY 1),
+j AS (SELECT lat.key AS key, lat.nc AS nc, lat.sc AS sc,
+             CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) AS f,
+             CAST(lat.sc AS DOUBLE) / CAST(lat.nc AS DOUBLE) AS oh,
+             CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS ob,
+             t.n AS n, t.s AS s
+      FROM lat JOIN gl USING (h) JOIN tot t ON lat.key = t.key),
+ag AS (SELECT key,
+              CAST(max(n) AS BIGINT) AS n,
+              CAST(max(s) AS BIGINT) AS s,
+              CAST(sum(CAST(floor(1e6 * (CAST(nc AS DOUBLE)
+                      * ((f - oh) * (f - oh)))) AS BIGINT)) AS BIGINT)
+                AS rel_ppm,
+              CAST(sum(CAST(floor(1e6 * (CAST(nc AS DOUBLE)
+                      * ((oh - ob) * (oh - ob)))) AS BIGINT)) AS BIGINT)
+                AS res_ppm,
+              CAST(sum(CAST(floor(1e6 * (CAST(nc AS DOUBLE) * (f * f)
+                      - 2.0 * (f * CAST(sc AS DOUBLE))
+                      + CAST(sc AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                AS brier_ppm
+       FROM j GROUP BY 1 HAVING max(n) >= 50)
+SELECT key, n, s, rel_ppm, res_ppm, brier_ppm,
+       floor(CAST(rel_ppm AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6
+         AS reliability,
+       floor(CAST(res_ppm AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6
+         AS resolution,
+       floor(1e6 * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) / 1e6
+         AS uncertainty,
+       floor(CAST(brier_ppm AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6
+         AS brier
 FROM ag
 """,
     }

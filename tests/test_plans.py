@@ -1559,3 +1559,16 @@ def test_cmh_two_hash_aggs_no_window(ev):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "Window" not in p
+
+
+def test_brier_broadcast_global_rates(ev):
+    """(key, hour) lattice re-aggregated for the 24-row global-rate
+    frame (broadcast) and the per-key totals; raw table scanned once
+    logically, no cartesian, no Python, no global partition."""
+    from tits_spark.operators.brier import hourly_error_brier
+
+    p = plan_of(hourly_error_brier(ev))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "BroadcastExchange" in p
