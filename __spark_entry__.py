@@ -4616,6 +4616,15 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-likelihood + mean backoff
+    mass per document: continuation/predecessor count frames derived
+    from the single-explode bigram table, scalar type-total broadcast."""
+    from tits_spark.operators.vocab import kneser_ney_logprob
+
+    return kneser_ney_logprob(_docs(spark, sf_dir))
+
+
 def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Murphy-decomposed Brier score of the global hourly error-rate
     forecast per user: cell rationals ppm-floored on the (key, hour)
@@ -4964,6 +4973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ansari_bradley": q_ansari_bradley,
         "cmh": q_cmh,
         "brier": q_brier,
+        "kneser_ney": q_kneser_ney,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13335,6 +13345,37 @@ SELECT key, n, s, rel_ppm, res_ppm, brier_ppm,
        floor(CAST(brier_ppm AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6
          AS brier
 FROM ag
+""",
+        # Kneser-Ney: interpolated discounted bigram LM over the
+        # shared tokenizer, continuation counts from the bigram table.
+        "kneser_ney": _TOK_CTE + """
+, bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+  FROM tok, unnest(range(1, len(w))) AS r(i)
+  WHERE len(w) >= 2
+),
+cnts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+w1s AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS pcnt,
+               count(*) AS ucnt FROM cnts GROUP BY 1),
+w2s AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS vcnt
+        FROM cnts GROUP BY 1),
+tts AS (SELECT count(*) AS tt FROM cnts),
+sc AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(ln((cnt - 0.75) / pcnt
+                      + ((0.75 * ucnt) / pcnt)
+                        * (CAST(vcnt AS DOUBLE) / tt))), 6)
+           + 0.0 AS kn_logprob,
+         round(avg((0.75 * ucnt) / pcnt), 6) + 0.0 AS backoff_mass
+  FROM bg b JOIN cnts USING (bg)
+  JOIN w1s ON split_part(b.bg, ' ', 1) = w1s.w1
+  JOIN w2s ON split_part(b.bg, ' ', 2) = w2s.w2
+  CROSS JOIN tts
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       s.kn_logprob, s.backoff_mass
+FROM documents d LEFT JOIN sc s USING (doc_id)
 """,
     }
 

@@ -1572,3 +1572,20 @@ def test_brier_broadcast_global_rates(ev):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "BroadcastExchange" in p
+
+
+def test_kneser_ney_single_explode_broadcast_total(spark):
+    """One explode; continuation/predecessor/type-total frames all
+    derive from the per-doc bigram table; the 1-row total joins
+    broadcast. No cartesian blowup, no Python."""
+    from tits_spark.operators.vocab import kneser_ney_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(kneser_ney_logprob(docs))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # per_doc/bg_counts persisted: every branch reads the cached
+    # bigram frames (the explode under InMemoryRelation runs once at
+    # cache build; the formatted plan re-renders it per reference)
+    assert "InMemoryTableScan" in p

@@ -190,3 +190,117 @@ def bigram_logprob(
             "logprob",
         )
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean interpolated Kneser-Ney bigram
+    log-probability (Kneser & Ney, ICASSP 1995; Chen & Goodman 1998's
+    interpolated form), the standard smoothed LM the MLE
+    :func:`bigram_logprob` is the unsmoothed ceiling of:
+
+        P_KN(w2|w1) = (c(w1 w2) - D)/c(w1 .)
+                      + (D * N1+(w1 .)/c(w1 .)) * (N1+(. w2)/N1+(. .))
+
+    with D = ``discount`` (0.75, exactly representable in binary),
+    N1+(w1 .) the distinct-continuation count, N1+(. w2) the
+    distinct-predecessor count — the continuation probability that
+    makes KN the right smoother for skewed corpora (a word seen in
+    many CONTEXTS backs off high, a word frequent in one boilerplate
+    context does not).  Observed bigrams always have c >= 1 > D, so
+    the max(., 0) clamp never binds on the scored rows.  Also emits
+    the mean backoff mass lambda(w1) = D*N1+(w1 .)/c(w1 .) — the
+    fraction of probability the model reserves for unseen
+    continuations along the document (a boilerplate-detection
+    readout on its own).
+
+    Same plan as bigram_logprob: ONE explode into per-doc bigram
+    counts; the bigram table, the w1 marginals (+ distinct
+    continuations), the w2 predecessor counts and the 1-row type
+    total all derive from that SMALLER frame; equi-joins on natural
+    keys, the scalar total broadcast.  ln sums follow the
+    bigram_logprob precedent (round 6 after the per-doc mean).
+
+    Returns (id_col, n_bigrams, kn_logprob, backoff_mass); docs with
+    < 2 tokens keep n_bigrams = 0 and NULL scores.
+    """
+    from tits_spark.operators.skew import ensure_min_parallelism
+
+    dd = float(discount)
+    per_doc = (
+        ensure_min_parallelism(df)
+        .select(
+            id_col, F.explode(word_bigrams_col(F.col(text_col))).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    # five downstream frames derive from per_doc / bg_counts: persist
+    # both (the lexical.py tfidf precedent) or the tokenize+explode
+    # subtree re-runs once per reference — 5 corpus scans in the
+    # un-persisted plan. At cluster scale these are the materialized
+    # count tables an LM-training pipeline would write between stages.
+    per_doc = per_doc.persist()
+    bg_counts = (
+        per_doc.groupBy("bg").agg(F.sum("k").alias("cnt")).persist()
+    )
+    w1s = (
+        bg_counts.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            "cnt",
+        )
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("pcnt"), F.count(F.lit(1)).alias("ucnt"))
+    )
+    w2s = (
+        bg_counts.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2")
+        )
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("vcnt"))
+    )
+    tstats = bg_counts.agg(F.count(F.lit(1)).alias("tt"))
+    lam = (F.lit(dd) * F.col("ucnt").cast("double")) / F.col("pcnt").cast(
+        "double"
+    )
+    p = (
+        (F.col("cnt").cast("double") - F.lit(dd))
+        / F.col("pcnt").cast("double")
+        + lam * (F.col("vcnt").cast("double") / F.col("tt").cast("double"))
+    )
+    scored = (
+        per_doc.join(bg_counts, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(w1s, "w1")
+        .join(w2s, "w2")
+        .crossJoin(F.broadcast(tstats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum(F.col("k") * F.log(p)) / F.sum("k"), 6
+                )
+                + F.lit(0.0)
+            ).alias("kn_logprob"),
+            (
+                F.round(F.sum(F.col("k") * lam) / F.sum("k"), 6)
+                + F.lit(0.0)
+            ).alias("backoff_mass"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "kn_logprob",
+            "backoff_mass",
+        )
+    )
