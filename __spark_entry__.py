@@ -4616,6 +4616,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric zone-rule alerts per user: Phase-I baseline
+    limits off the first 50 observations, integer-flag window sums for
+    rules 2-4, alerts-only output."""
+    from tits_spark.operators.western_electric import western_electric
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return western_electric(ev)
+
+
 def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram log-likelihood + mean backoff
     mass per document: continuation/predecessor count frames derived
@@ -4974,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmh": q_cmh,
         "brier": q_brier,
         "kneser_ney": q_kneser_ney,
+        "western_electric": q_western_electric,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13376,6 +13387,63 @@ sc AS (
 SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
        s.kn_logprob, s.backoff_mass
 FROM documents d LEFT JOIN sc s USING (doc_id)
+""",
+        # Western Electric rules: Phase-I baseline limits, zone-flag
+        # window sums over evaluation rows, alerts only.
+        "western_electric": """
+WITH base AS (
+  SELECT user_id AS key, ts, value AS v,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER w AS rn,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+lim AS (SELECT key, count(*) AS nb, sum(c) AS s,
+               sum(CASE WHEN rn >= 2 THEN abs(c - prev) END) AS mr
+        FROM base WHERE rn <= 50 GROUP BY 1
+        HAVING count(*) = 50),
+lim2 AS (SELECT key,
+                CAST(s AS DOUBLE) / 50.0 AS cl,
+                (CAST(mr AS DOUBLE) / 49.0) / 1.128 AS sig
+         FROM lim
+         WHERE (CAST(mr AS DOUBLE) / 49.0) / 1.128 > 0),
+ev AS (SELECT b.key AS key, b.ts AS ts, b.v AS v, b.rn AS rn,
+              CAST(b.c AS DOUBLE) - cl AS dev, sig
+       FROM base b JOIN lim2 USING (key) WHERE b.rn > 50),
+fl AS (SELECT key, ts, v, rn, dev,
+              (dev > 3.0 * sig) AS up3, (dev < -3.0 * sig) AS dn3,
+              CASE WHEN dev > 2.0 * sig THEN 1 ELSE 0 END AS up2,
+              CASE WHEN dev < -2.0 * sig THEN 1 ELSE 0 END AS dn2,
+              CASE WHEN dev > sig THEN 1 ELSE 0 END AS up1,
+              CASE WHEN dev < -sig THEN 1 ELSE 0 END AS dn1,
+              CASE WHEN dev > 0 THEN 1 ELSE 0 END AS up0,
+              CASE WHEN dev < 0 THEN 1 ELSE 0 END AS dn0
+       FROM ev),
+rl AS (SELECT key, ts, v, dev, rn - 50 AS er,
+              (up3 OR dn3) AS r1,
+              sum(up2) OVER w3 AS su2, sum(dn2) OVER w3 AS sd2,
+              up2, dn2,
+              sum(up1) OVER w5 AS su1, sum(dn1) OVER w5 AS sd1,
+              up1, dn1,
+              sum(up0) OVER w8 AS su0, sum(dn0) OVER w8 AS sd0
+       FROM fl
+       WINDOW w3 AS (PARTITION BY key ORDER BY rn
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+              w5 AS (PARTITION BY key ORDER BY rn
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+              w8 AS (PARTITION BY key ORDER BY rn
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+fin AS (SELECT key, epoch_us(ts) AS ts_us, v AS value,
+               round(dev, 6) + 0.0 AS dev, r1,
+               (er >= 3 AND ((su2 >= 2 AND up2 = 1)
+                             OR (sd2 >= 2 AND dn2 = 1))) AS r2,
+               (er >= 5 AND ((su1 >= 4 AND up1 = 1)
+                             OR (sd1 >= 4 AND dn1 = 1))) AS r3,
+               (er >= 8 AND (su0 = 8 OR sd0 = 8)) AS r4
+        FROM rl)
+SELECT key, ts_us, value, dev, r1, r2, r3, r4
+FROM fin WHERE r1 OR r2 OR r3 OR r4
 """,
     }
 

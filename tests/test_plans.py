@@ -1589,3 +1589,15 @@ def test_kneser_ney_single_explode_broadcast_total(spark):
     # bigram frames (the explode under InMemoryRelation runs once at
     # cache build; the formatted plan re-renders it per reference)
     assert "InMemoryTableScan" in p
+
+
+def test_western_electric_two_window_chains(ev):
+    """Row-number/lag chain -> baseline aggregate joined back ->
+    rolling-rule window chain: no cartesian, no Python, no global
+    partition."""
+    from tits_spark.operators.western_electric import western_electric
+
+    p = plan_of(western_electric(ev))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

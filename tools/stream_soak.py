@@ -959,6 +959,28 @@ def main() -> None:
     results.append(("benford_stream (first-digit conformance lattice)",
                     nb, nr, sec, *_bitwise_equal(got, want)))
 
+    # ---- Western Electric zone rules (twin #32: Phase-I baseline
+    # integers + six bit-packed flag rings; CL/sigma recomputed from
+    # the exact (s, mr) pair each call so stream and batch branch on
+    # bit-identical doubles; a replayed or dropped micro-batch shifts
+    # every downstream ring state and the alert set diverges)
+    from tits_spark.operators.western_electric import (
+        western_electric_ticks,
+    )
+    from tits_spark.streaming.we_stream import stream_western_electric
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_western_electric(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "we",
+    )
+    want = western_electric_ticks(ev)
+    got = spark.read.parquet(out).select(*want.columns)
+    results.append(("we_stream (Western Electric zone-rule alerts)",
+                    nb, nr, sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
