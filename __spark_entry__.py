@@ -4616,6 +4616,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen competing-risks cumulative incidence per entry
+    cohort (purchase vs error after first view): exact integer risk
+    grid, km exp/ln device for S(s-), sequential CIF cumsums."""
+    from tits_spark.operators.survival import aalen_johansen
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aalen_johansen(ev)
+
+
 def q_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Western Electric zone-rule alerts per user: Phase-I baseline
     limits off the first 50 observations, integer-flag window sums for
@@ -4985,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "kneser_ney": q_kneser_ney,
         "western_electric": q_western_electric,
+        "aalen_johansen": q_aalen_johansen,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13444,6 +13455,96 @@ fin AS (SELECT key, epoch_us(ts) AS ts_us, v AS value,
         FROM rl)
 SELECT key, ts_us, value, dev, r1, r2, r3, r4
 FROM fin WHERE r1 OR r2 OR r3 OR r4
+""",
+        # Aalen-Johansen: survival_km's grid split by competing
+        # cause; S(s-) over strictly-preceding rows, sequential CIF
+        # cumsums in the shared sort order.
+        "aalen_johansen": """
+WITH e AS (
+  SELECT user_id AS _k, epoch_us(ts) AS _u, event_type AS _et FROM events
+),
+fv AS (
+  SELECT _k, min(CASE WHEN _et = 'view' THEN _u END) AS _fv
+  FROM e GROUP BY 1
+),
+subj0 AS (
+  SELECT e._k, fv._fv,
+         min(CASE WHEN e._et = 'purchase' AND e._u >= fv._fv
+                  THEN e._u END) AS _fa,
+         min(CASE WHEN e._et = 'error' AND e._u >= fv._fv
+                  THEN e._u END) AS _fb,
+         max(e._u) AS _le
+  FROM e JOIN fv USING (_k)
+  WHERE fv._fv IS NOT NULL
+  GROUP BY 1, 2
+),
+subj AS (
+  SELECT strftime(make_timestamp(_fv), '%Y-%m') AS cohort,
+         CASE WHEN _fa IS NOT NULL AND (_fb IS NULL OR _fa <= _fb)
+                THEN _fa - _fv
+              WHEN _fb IS NOT NULL THEN _fb - _fv
+              ELSE _le - _fv END AS dur_us,
+         CASE WHEN _fa IS NOT NULL AND (_fb IS NULL OR _fa <= _fb)
+              THEN 1 ELSE 0 END AS _ea,
+         CASE WHEN _fb IS NOT NULL
+                   AND NOT (_fa IS NOT NULL
+                            AND (_fb IS NULL OR _fa <= _fb))
+              THEN 1 ELSE 0 END AS _eb
+  FROM subj0
+),
+grid AS (
+  SELECT cohort, dur_us, sum(_ea) AS d_a, sum(_eb) AS d_b,
+         sum(1 - _ea - _eb) AS censored
+  FROM subj GROUP BY 1, 2
+),
+cur AS (
+  SELECT cohort, dur_us, d_a, d_b, censored,
+         sum(d_a + d_b + censored) OVER (PARTITION BY cohort)
+           - sum(d_a + d_b + censored) OVER wc
+           + (d_a + d_b + censored) AS n_risk
+  FROM grid
+  WINDOW wc AS (PARTITION BY cohort ORDER BY dur_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (
+  SELECT cohort, dur_us, d_a, d_b, censored, n_risk,
+         CASE WHEN d_a + d_b < n_risk
+              THEN ln(1 - (d_a + d_b) / CAST(n_risk AS DOUBLE))
+              ELSE 0.0 END AS term,
+         CASE WHEN d_a + d_b = n_risk THEN 1 ELSE 0 END AS pin
+  FROM cur
+),
+w AS (
+  SELECT cohort, dur_us, d_a, d_b, censored, n_risk,
+         max(pin) OVER wc AS hit_cum,
+         coalesce(max(pin) OVER wp, 0) AS hit_prev,
+         sum(term) OVER wc AS ln_cum,
+         coalesce(sum(term) OVER wp, 0.0) AS ln_prev
+  FROM t
+  WINDOW wc AS (PARTITION BY cohort ORDER BY dur_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY cohort ORDER BY dur_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+inc AS (
+  SELECT cohort, dur_us, d_a, d_b, censored, n_risk, hit_cum, ln_cum,
+         (CASE WHEN hit_prev = 1 THEN 0.0 ELSE exp(ln_prev) END)
+           * (d_a / CAST(n_risk AS DOUBLE)) AS ia,
+         (CASE WHEN hit_prev = 1 THEN 0.0 ELSE exp(ln_prev) END)
+           * (d_b / CAST(n_risk AS DOUBLE)) AS ib
+  FROM w
+)
+SELECT cohort, CAST(dur_us AS BIGINT) AS dur_us,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_a AS BIGINT) AS d_a, CAST(d_b AS BIGINT) AS d_b,
+       CAST(censored AS BIGINT) AS censored,
+       CASE WHEN hit_cum = 1 THEN 0.0
+            ELSE round(exp(ln_cum), 6) END AS survival,
+       round(sum(ia) OVER wc, 6) + 0.0 AS cif_a,
+       round(sum(ib) OVER wc, 6) + 0.0 AS cif_b
+FROM inc
+WINDOW wc AS (PARTITION BY cohort ORDER BY dur_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     }
 

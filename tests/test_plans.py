@@ -1601,3 +1601,16 @@ def test_western_electric_two_window_chains(ev):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_aalen_johansen_grid_windows_only(ev):
+    """Entry window -> subject agg -> duration grid -> cohort
+    windows on the GRID (distinct durations, never raw rows): no
+    join beyond the survival-family shape, no Python, no cartesian,
+    no global partition."""
+    from tits_spark.operators.survival import aalen_johansen
+
+    p = plan_of(aalen_johansen(ev))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

@@ -172,3 +172,138 @@ def nelson_aalen(
         F.round(hz, decimals).alias("cum_hazard"),
         F.round(F.exp(-hz), decimals).alias("breslow_surv"),
     )
+
+
+def aalen_johansen(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    event_col: str = "event_type",
+    start_event: str = "view",
+    cause_a: str = "purchase",
+    cause_b: str = "error",
+    cohort_fmt: str = "yyyy-MM",
+    decimals: int = 6,
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under competing risks
+    (Aalen & Johansen, Scand. J. Stat. 1978): after entry (first
+    ``start_event``), a subject can first hit ``cause_a`` (convert)
+    OR ``cause_b`` (fail) — the two absorbing states compete, and the
+    naive per-cause KM complement (1 - KM treating the other cause as
+    censoring) is BIASED upward; the AJ estimator
+
+        CIF_k(t) = sum_{s<=t} S(s-) * d_k(s) / n(s)
+
+    with S the overall (any-cause) product-limit, is the correct
+    decomposition: CIF_a + CIF_b + S = 1 at every grid point.
+
+    Subject definitions are kaplan_meier's with the failure clause
+    split by cause: failure time = the earlier of the first
+    at-or-after-entry ``cause_a`` / ``cause_b`` event (an exact-us tie
+    resolves to ``cause_a``, deterministic), censor at last observed
+    event.  The grid, d_a, d_b, censored and n_risk are exact
+    integers; S(s-) uses the km exp/ln device over STRICTLY PRECEDING
+    rows and each CIF is a cumulative sum of per-row double terms —
+    sequential in the same sort order on both engines, so
+    deterministic (the exp(cumsum(ln)) precedent).  The d = n pinning
+    case zeroes S and every later increment, exactly like km.
+
+    Returns (cohort, dur_us, n_risk, d_a, d_b, censored, survival,
+    cif_a, cif_b), one row per (cohort, distinct duration).
+    """
+    wk = Window.partitionBy("_k")
+    e = df.select(
+        F.col(key).alias("_k"),
+        epoch_us(ts).alias("_u"),
+        F.col(event_col).alias("_et"),
+    )
+    e = e.withColumn(
+        "_fv", F.min(F.when(F.col("_et") == start_event, F.col("_u"))).over(wk)
+    ).where(F.col("_fv").isNotNull())
+    subj0 = e.groupBy("_k", "_fv").agg(
+        F.min(
+            F.when(
+                (F.col("_et") == cause_a) & (F.col("_u") >= F.col("_fv")),
+                F.col("_u"),
+            )
+        ).alias("_fa"),
+        F.min(
+            F.when(
+                (F.col("_et") == cause_b) & (F.col("_u") >= F.col("_fv")),
+                F.col("_u"),
+            )
+        ).alias("_fb"),
+        F.max("_u").alias("_le"),
+    )
+    is_a = F.col("_fa").isNotNull() & (
+        F.col("_fb").isNull() | (F.col("_fa") <= F.col("_fb"))
+    )
+    is_b = F.col("_fb").isNotNull() & ~is_a
+    subj = subj0.select(
+        F.date_format(F.timestamp_micros(F.col("_fv")), cohort_fmt).alias(
+            "cohort"
+        ),
+        F.when(is_a, F.col("_fa") - F.col("_fv"))
+        .when(is_b, F.col("_fb") - F.col("_fv"))
+        .otherwise(F.col("_le") - F.col("_fv"))
+        .alias("dur_us"),
+        is_a.cast("int").alias("_ea"),
+        is_b.cast("int").alias("_eb"),
+    )
+    grid = subj.groupBy("cohort", "dur_us").agg(
+        F.sum("_ea").alias("d_a"),
+        F.sum("_eb").alias("d_b"),
+        F.sum(F.lit(1) - F.col("_ea") - F.col("_eb")).alias("censored"),
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("dur_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wprev = (
+        Window.partitionBy("cohort")
+        .orderBy("dur_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("cohort")
+    tot = F.col("d_a") + F.col("d_b") + F.col("censored")
+    cur = grid.select(
+        "cohort",
+        "dur_us",
+        "d_a",
+        "d_b",
+        "censored",
+        (
+            F.sum(tot).over(wtot) - F.sum(tot).over(wcum) + tot
+        ).alias("n_risk"),
+    )
+    d = F.col("d_a") + F.col("d_b")
+    n = F.col("n_risk")
+    term = F.when(d < n, F.log(F.lit(1.0) - d / n)).otherwise(F.lit(0.0))
+    hit_cum = F.max((d == n).cast("int")).over(wcum)
+    hit_prev = F.coalesce(
+        F.max((d == n).cast("int")).over(wprev), F.lit(0)
+    )
+    surv = F.when(hit_cum == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(term).over(wcum)), decimals)
+    )
+    sprev = F.when(hit_prev == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.sum(term).over(wprev), F.lit(0.0)))
+    )
+    inc_a = sprev * (F.col("d_a") / n)
+    inc_b = sprev * (F.col("d_b") / n)
+    return cur.select(
+        "cohort",
+        "dur_us",
+        "n_risk",
+        "d_a",
+        "d_b",
+        "censored",
+        surv.alias("survival"),
+        (F.round(F.sum(inc_a).over(wcum), decimals) + F.lit(0.0)).alias(
+            "cif_a"
+        ),
+        (F.round(F.sum(inc_b).over(wcum), decimals) + F.lit(0.0)).alias(
+            "cif_b"
+        ),
+    )
