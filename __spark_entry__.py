@@ -4616,6 +4616,15 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per user vs the pooled corpus on
+    the dollar-bin lattice: Laplace-smoothed shares, ppb-floored
+    nonnegative terms, floor-device readout."""
+    from tits_spark.operators.drift import psi_vs_global
+
+    return psi_vs_global(_events(spark, sf_dir), bin_cents=100)
+
+
 def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aalen-Johansen competing-risks cumulative incidence per entry
     cohort (purchase vs error after first view): exact integer risk
@@ -4996,6 +5005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney": q_kneser_ney,
         "western_electric": q_western_electric,
         "aalen_johansen": q_aalen_johansen,
+        "psi": q_psi,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13545,6 +13555,38 @@ SELECT cohort, CAST(dur_us AS BIGINT) AS dur_us,
 FROM inc
 WINDOW wc AS (PARTITION BY cohort ORDER BY dur_us
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        # PSI: w1_drift's bin lattice, Laplace-smoothed shares,
+        # ppb-floored nonnegative terms summed as exact BIGINT.
+        "psi": """
+WITH binned AS (
+  SELECT user_id AS key,
+         floor(CAST(round(value * 100) AS BIGINT) / 100) AS b
+  FROM events
+),
+g AS (SELECT b, count(*) AS cg FROM binned GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM binned) AS ng,
+               (SELECT count(*) FROM g) AS nb),
+keys AS (SELECT key, count(*) AS na FROM binned GROUP BY 1
+         HAVING count(*) >= 50),
+a AS (SELECT key, b, count(*) AS ca FROM binned GROUP BY 1, 2),
+grid AS (SELECT keys.key AS key, keys.na AS na, g.b AS b, g.cg AS cg
+         FROM keys CROSS JOIN g),
+j AS (SELECT grid.key AS key, grid.na AS na, grid.cg AS cg, grid.b AS b,
+             coalesce(a.ca, 0) AS ca
+      FROM grid LEFT JOIN a ON grid.key = a.key AND grid.b = a.b),
+t AS (SELECT key, na,
+             CAST(ca + 1 AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pa,
+             CAST(cg + 1 AS DOUBLE) / CAST(ng + nb AS DOUBLE) AS qa
+      FROM j CROSS JOIN tot)
+SELECT key, CAST(max(na) AS BIGINT) AS n,
+       CAST(max(nb) AS BIGINT) AS n_bins,
+       CAST(sum(CAST(floor(1e9 * ((pa - qa) * ln(pa / qa)))
+                     AS BIGINT)) AS BIGINT) AS psi_ppb,
+       CAST(sum(CAST(floor(1e9 * ((pa - qa) * ln(pa / qa)))
+                     AS BIGINT)) AS DOUBLE) / 1e9 AS psi
+FROM t CROSS JOIN tot
+GROUP BY key
 """,
     }
 

@@ -1614,3 +1614,17 @@ def test_aalen_johansen_grid_windows_only(ev):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_psi_bounded_grid_no_window(ev):
+    """w1_drift's sanctioned bounded grid (keys x lattice width,
+    broadcast) but with NO per-key window at all: lattice -> smoothed
+    shares -> one hash agg. No Python, no global partition."""
+    from tits_spark.operators.drift import psi_vs_global
+
+    flagged = ev.select(F.col("user_id").alias("key"), "value")
+    p = plan_of(psi_vs_global(flagged))
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+    assert "BroadcastExchange" in p

@@ -95,3 +95,70 @@ def w1_vs_global(
             ).cast("long").alias("w1_u6"),
         )
     )
+
+
+def psi_vs_global(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    bin_cents: int = 100,
+    min_rows: int = 50,
+) -> DataFrame:
+    """Population Stability Index per key vs the pooled corpus on the
+    same dollar-bin lattice as :func:`w1_vs_global` — the
+    industry-standard scorecard drift readout (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted) that completes the drift
+    battery: W1 weighs *distance* moved, KL blows up on missing
+    support, PSI is the banded report reviewers expect.
+
+        PSI = sum_bins (p_b - q_b) * ln(p_b / q_b)
+
+    with Laplace-smoothed shares p_b = (a_b + 1)/(n_a + B),
+    q_b = (g_b + 1)/(n_g + B) over the B populated corpus bins (the
+    smoothing makes every bin well-defined; both shares use the same
+    B, so a key identical to the corpus scores ~0).  Every per-bin
+    term is >= 0 (the two factors always share sign), so terms are
+    floored to the integer ppb lattice — floor(1e9 * term) over the
+    identical double tree on both engines — and summed as exact
+    BIGINT; the readout is psi_ppb / 1e9 (floor device, no round).
+
+    Plan shape: w1_vs_global's exactly — ONE bounded global bin frame
+    broadcast onto the key list (the sanctioned keys x lattice-width
+    grid), one left join of per-key bin counts, one hash agg.  No
+    per-key window needed at all (PSI has no CDF).
+
+    Returns (key, n, n_bins, psi_ppb, psi); keys under ``min_rows``
+    drop.
+    """
+    cents = F.round(F.col(value) * 100).cast("long")
+    binned = df.select(
+        F.col(key).alias("key"),
+        F.floor(cents / int(bin_cents)).cast("long").alias("b"),
+    )
+    g = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cg"))
+    ng = binned.count()
+    nb = g.count()  # B: populated corpus bins (bounded lattice width)
+    keys = (
+        binned.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .filter(F.col("na") >= int(min_rows))
+    )
+    grid = keys.crossJoin(F.broadcast(g.select("b", "cg")))
+    a = binned.groupBy("key", "b").agg(F.count(F.lit(1)).alias("ca"))
+    joined = grid.join(a, ["key", "b"], "left")
+    pa = (F.coalesce(F.col("ca"), F.lit(0)) + 1).cast("double") / (
+        F.col("na") + F.lit(int(nb))
+    ).cast("double")
+    qa = (F.col("cg") + 1).cast("double") / F.lit(float(ng + nb))
+    term = F.floor(F.lit(1e9) * ((pa - qa) * F.log(pa / qa))).cast("long")
+    return (
+        joined.groupBy("key")
+        .agg(F.max("na").alias("na"), F.sum(term).alias("psi_ppb"))
+        .select(
+            "key",
+            F.col("na").cast("long").alias("n"),
+            F.lit(int(nb)).cast("long").alias("n_bins"),
+            F.col("psi_ppb").cast("long").alias("psi_ppb"),
+            (F.col("psi_ppb").cast("double") / F.lit(1e9)).alias("psi"),
+        )
+    )
