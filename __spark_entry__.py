@@ -4616,6 +4616,15 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet AC1 on the transition design: mean-marginal chance term
+    via G1 = 4N^2 - sum m_k^2, exact integers, one double division."""
+    from tits_spark.operators.agreement import transition_gwet_ac1
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_gwet_ac1(ev)
+
+
 def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per user vs the pooled corpus on
     the dollar-bin lattice: Laplace-smoothed shares, ppb-floored
@@ -5006,6 +5015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "western_electric": q_western_electric,
         "aalen_johansen": q_aalen_johansen,
         "psi": q_psi,
+        "gwet_ac1": q_gwet_ac1,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13587,6 +13597,42 @@ SELECT key, CAST(max(na) AS BIGINT) AS n,
                      AS BIGINT)) AS DOUBLE) / 1e9 AS psi
 FROM t CROSS JOIN tot
 GROUP BY key
+""",
+        # Gwet AC1: transition lattice union-merge marginals,
+        # G1 = 4N^2 - sum m^2, cleared num/den integers.
+        "gwet_ac1": """
+WITH tr AS (
+  SELECT user_id AS key, event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+),
+lat AS (SELECT key, a, b, count(*) AS n
+        FROM tr WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+diag AS (SELECT key, sum(n) AS n_trans,
+                sum(CASE WHEN a = b THEN n ELSE 0 END) AS n_agree
+         FROM lat GROUP BY 1),
+m AS (SELECT key, t, sum(m) AS m FROM (
+        SELECT key, a AS t, n AS m FROM lat
+        UNION ALL
+        SELECT key, b AS t, n AS m FROM lat)
+      GROUP BY 1, 2),
+mm AS (SELECT key, count(*) AS k_cats, sum(m * m) AS m2
+       FROM m GROUP BY 1),
+j AS (SELECT d.key AS key, d.n_trans AS n_trans, d.n_agree AS n_agree,
+             mm.k_cats AS k_cats,
+             4 * d.n_trans * d.n_trans - mm.m2 AS g1
+      FROM diag d JOIN mm USING (key)
+      WHERE d.n_trans >= 20)
+SELECT key, CAST(n_trans AS BIGINT) AS n_trans,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(k_cats AS BIGINT) AS k_cats,
+       CAST(g1 AS BIGINT) AS g1_mass,
+       CASE WHEN 4 * n_trans * n_trans * (k_cats - 1) - g1 <> 0 THEN
+         round(CAST(4 * n_trans * (k_cats - 1) * n_agree - g1 AS DOUBLE)
+               / CAST(4 * n_trans * n_trans * (k_cats - 1) - g1
+                      AS DOUBLE), 6) + 0.0 END AS ac1
+FROM j
 """,
     }
 

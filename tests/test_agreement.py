@@ -172,3 +172,51 @@ def test_krippendorff_perfect_agreement(spark):
         )
     r = krippendorff_m2(_df(spark, rows)).collect()[0]
     assert r["n_disagree"] == 0 and r["alpha"] == 1.0
+
+
+def _brute_ac1(seq):
+    pairs = list(zip(seq, seq[1:]))
+    n = len(pairs)
+    d = sum(1 for a, b in pairs if a == b)
+    m = Counter()
+    for a, b in pairs:
+        m[a] += 1
+        m[b] += 1
+    k = len(m)
+    g1 = sum(mk * (2 * n - mk) for mk in m.values())
+    num = 4 * n * (k - 1) * d - g1
+    den = 4 * n * n * (k - 1) - g1
+    if den == 0:
+        return n, d, k, g1, None
+    return n, d, k, g1, _r6(num / den)
+
+
+def test_gwet_ac1_brute_parity_and_paradox(spark):
+    from tits_spark.operators.agreement import transition_gwet_ac1
+
+    rng = np.random.default_rng(1451)
+    types = ["a", "b", "c"]
+    rows, seqs = [], {}
+    for k in range(3):
+        seq = [types[i] for i in rng.integers(0, 3, 50)]
+        seqs[f"k{k}"] = seq
+        rows += _rows(f"k{k}", seq)
+    # the kappa paradox plant: 96% one category, high raw agreement
+    para = (["x"] * 12 + ["y"]) * 4 + ["x"] * 8
+    seqs["para"] = para
+    rows += _rows("para", para)
+    got = {
+        r["key"]: r for r in transition_gwet_ac1(_df(spark, rows)).collect()
+    }
+    for k, seq in seqs.items():
+        n, d, kc, g1, ac1 = _brute_ac1(seq)
+        r = got[k]
+        assert (r["n_trans"], r["n_agree"], r["k_cats"], r["g1_mass"]) == (
+            n, d, kc, g1,
+        )
+        assert r["ac1"] == ac1
+    # paradox direction: AC1 stays near the raw agreement rate while
+    # kappa is pulled toward zero by the skewed marginals
+    n, d, _pe, kv = _brute_kappa(para)
+    assert got["para"]["ac1"] > kv + 0.2
+    assert got["para"]["ac1"] > 0.5

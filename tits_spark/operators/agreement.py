@@ -264,3 +264,68 @@ def krippendorff_m2(
         F.col("cross_mass").cast("long").alias("cross_mass"),
         alpha.alias("alpha"),
     )
+
+
+def transition_gwet_ac1(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    tiebreak: str = "event_id",
+    min_trans: int = 20,
+) -> DataFrame:
+    """Gwet's AC1 on the same one-step transition design as
+    :func:`transition_kappa` (Gwet, Br. J. Math. Stat. Psych. 2008):
+    the paradox-resistant agreement coefficient — kappa collapses
+    when marginals are skewed (high raw agreement, near-zero kappa);
+    AC1's chance term uses the MEAN marginal pi_k = (row_k+col_k)/2N
+    and stays calibrated.  With D = diagonal agreement, K = observed
+    categories, m_k = row_k + col_k and G1 = sum_k m_k (2N - m_k),
+    clearing the textbook denominators:
+
+        AC1 = (4*N*(K-1)*D - G1) / (4*N^2*(K-1) - G1)
+
+    exact BIGINTs end to end, one double division, round 6, signed
+    zero normalized; the degenerate denominator (single category)
+    emits NULL.  Same plan as kappa: lattice -> union-merge marginal
+    frame -> per-key reduction; K falls out of the marginal frame's
+    row count for free."""
+    lat = _transition_lattice(df, key, ts, state, tiebreak)
+    diag = lat.groupBy("key").agg(
+        F.sum("n").alias("n_trans"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    marg = (
+        lat.select("key", F.col("a").alias("t"), F.col("n").alias("m"))
+        .unionByName(
+            lat.select("key", F.col("b").alias("t"), F.col("n").alias("m"))
+        )
+        .groupBy("key", "t")
+        .agg(F.sum("m").alias("m"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("k_cats"),
+            F.sum(F.col("m") * F.col("m")).alias("m2"),
+        )
+    )
+    j = diag.join(marg, "key").filter(F.col("n_trans") >= int(min_trans))
+    nn = F.col("n_trans")
+    # G1 = sum_k m_k (2N - m_k) = 4N^2 - sum m_k^2 (since sum m = 2N)
+    g1 = 4 * nn * nn - F.col("m2")
+    km1 = F.col("k_cats") - 1
+    num = 4 * nn * km1 * F.col("n_agree") - g1
+    den = 4 * nn * nn * km1 - g1
+    ac1 = F.when(
+        den != 0,
+        F.round(num.cast("double") / den.cast("double"), 6) + F.lit(0.0),
+    )
+    return j.select(
+        "key",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("k_cats").cast("long").alias("k_cats"),
+        g1.cast("long").alias("g1_mass"),
+        ac1.alias("ac1"),
+    )
