@@ -4616,6 +4616,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watson U^2 circular uniformity per user on exact
+    microsecond-of-day: integer-cleared EDF masses on the tie
+    lattice, one double division + Stephens modification."""
+    from tits_spark.operators.circular import watson_u2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return watson_u2(ev, key="user_id")
+
+
 def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gwet AC1 on the transition design: mean-marginal chance term
     via G1 = 4N^2 - sum m_k^2, exact integers, one double division."""
@@ -5016,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aalen_johansen": q_aalen_johansen,
         "psi": q_psi,
         "gwet_ac1": q_gwet_ac1,
+        "watson_u2": q_watson_u2,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13633,6 +13644,48 @@ SELECT key, CAST(n_trans AS BIGINT) AS n_trans,
                / CAST(4 * n_trans * n_trans * (k_cats - 1) - g1
                       AS DOUBLE), 6) + 0.0 END AS ac1
 FROM j
+""",
+        # Watson U^2: exact microsecond-of-day tie lattice, cleared
+        # EDF masses over the D^2 n denominator.
+        "watson_u2": """
+WITH lat AS (
+  SELECT user_id AS key, epoch_us(ts) % 86400000000 AS u,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (SELECT key, c, u,
+               sum(c) OVER (PARTITION BY key ORDER BY u
+                            ROWS UNBOUNDED PRECEDING) AS b
+        FROM lat),
+ag AS (SELECT key,
+              CAST(sum(c) AS BIGINT) AS n,
+              sum(CAST(c AS HUGEINT) * u * u) AS ia,
+              sum(CAST(u AS HUGEINT)
+                  * (CAST(b AS HUGEINT) * b
+                     - CAST(b - c AS HUGEINT) * (b - c))) AS ib,
+              sum(CAST(c AS HUGEINT) * u) AS iss
+       FROM cum GROUP BY 1 HAVING sum(c) >= 50),
+nm AS (SELECT key, n, iss,
+              CAST(n AS HUGEINT) * ia
+              - CAST(86400000000 AS HUGEINT) * ib
+              + CAST('2488320000000000000000' AS HUGEINT)
+                * (CAST(n AS HUGEINT) * n)
+              - (iss - CAST(n AS HUGEINT) * 43200000000)
+                * (iss - CAST(n AS HUGEINT) * 43200000000) AS num
+       FROM ag)
+SELECT key, n, CAST(iss AS BIGINT) AS is_sum,
+       round(CAST(num AS DOUBLE)
+             / ((CAST(86400000000 AS DOUBLE)
+                 * CAST(86400000000 AS DOUBLE))
+                * CAST(n AS DOUBLE)), 6) + 0.0 AS u2,
+       round((CAST(num AS DOUBLE)
+              / ((CAST(86400000000 AS DOUBLE)
+                  * CAST(86400000000 AS DOUBLE))
+                 * CAST(n AS DOUBLE))
+              - 0.1 / CAST(n AS DOUBLE)
+              + 0.1 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             * (1.0 + 0.8 / CAST(n AS DOUBLE)), 6) + 0.0 AS u2_star
+FROM nm
 """,
     }
 

@@ -1628,3 +1628,15 @@ def test_psi_bounded_grid_no_window(ev):
     assert "SinglePartition" not in p
     assert "Window" not in p
     assert "BroadcastExchange" in p
+
+
+def test_watson_u2_tie_grid_shape(ev):
+    """(key, us-of-day) lattice -> one (key)-window cumulative ->
+    one agg: no joins, no Python, no global partition."""
+    from tits_spark.operators.circular import watson_u2
+
+    p = plan_of(watson_u2(ev, key="user_id"))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

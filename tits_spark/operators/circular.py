@@ -163,3 +163,110 @@ def kuiper_uniformity(
         F.round(v, 6).alias("v"),
         F.round(vn, 6).alias("vn_stat"),
     )
+
+
+def watson_u2(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_n: int = 50,
+) -> DataFrame:
+    """Watson's U^2 circular uniformity test per key (Watson,
+    Biometrika 1961): the rotation-invariant Cramer-von Mises — the
+    proper EDF companion to kuiper_uniformity (circular KS) and
+    rayleigh_uniformity (first-harmonic only; blind to bimodal
+    schedules, which U^2 catches).  No binning: the sample value is
+    the EXACT integer microsecond-of-day U in [0, D), u = U/D.
+
+    Exactness: with per-cell counts c on the (key, U) tie lattice,
+    cumulative position b, a = b - c, and integer masses
+    IA = sum c*U^2, IB = sum U*(b^2 - a^2)  [the closed form of
+    sum (2i-1) u over a tie span], IS = sum c*U, the textbook
+
+        U^2 = W^2 - n*(ubar - 1/2)^2,
+        W^2 = sum (u_(i) - (2i-1)/(2n))^2 + 1/(12n)
+
+    clears completely over the common denominator D^2 n:
+
+        U^2 * D^2 n = n*IA - D*IB + (D^2/3)*n^2 - (IS - n*D/2)^2
+
+    (D = 86.4e9 is divisible by 6, so D^2/3 and D/2 are exact
+    integers).  Everything accumulates in decimal(38,0) — inside
+    range to n ~ 1e7 rows/key — and U^2 is ONE double division,
+    round 6.  Also emits Stephens' modified statistic
+    u2_star = (U^2 - 0.1/n + 0.1/n^2)(1 + 0.8/n) whose 5%/1% points
+    are 0.187/0.267 for all n.
+
+    Plan shape: hash agg to the (key, U) lattice -> ONE (key)-window
+    cumulative count -> one hash agg on the same exchange (the tie-
+    grid family shape).  No joins, no Python, no global window.
+
+    Returns (key, n, is_sum, u2, u2_star); keys under ``min_n`` drop.
+    """
+    from pyspark.sql import Window
+
+    DEC = "decimal(38,0)"
+    d_half = _DAY_US // 2
+    k_third = str((_DAY_US * _DAY_US) // 3)
+    lat = (
+        df.select(
+            F.col(key).alias("key"),
+            (epoch_us(ts) % F.lit(_DAY_US)).alias("u"),
+        )
+        .groupBy("key", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("key")
+        .orderBy("u")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lat.select(
+        "key",
+        "c",
+        "u",
+        F.sum("c").over(wcum).alias("b"),
+    )
+    a = F.col("b") - F.col("c")
+    uu = F.col("u").cast(DEC)
+    agg = (
+        cum.groupBy("key")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c").cast(DEC) * uu * uu).alias("_ia"),
+            F.sum(
+                uu
+                * (
+                    F.col("b").cast(DEC) * F.col("b")
+                    - a.cast(DEC) * a
+                ).cast(DEC)
+            ).alias("_ib"),
+            F.sum(F.col("c").cast(DEC) * uu).alias("_is"),
+        )
+        .filter(F.col("n") >= int(min_n))
+    )
+    nd = F.col("n").cast(DEC)
+    dd = F.lit(_DAY_US).cast(DEC)
+    kk = F.expr(f"CAST('{k_third}' AS DECIMAL(38,0))")
+    ctr = (F.col("_is") - nd * F.lit(d_half).cast(DEC)).cast(DEC)
+    num = (
+        nd * F.col("_ia")
+        - dd * F.col("_ib")
+        + kk * (nd * nd).cast(DEC)
+        - (ctr * ctr).cast(DEC)
+    ).cast(DEC)
+    den = (
+        F.lit(float(_DAY_US)) * F.lit(float(_DAY_US))
+    ) * F.col("n").cast("double")
+    t = num.cast("double") / den
+    ninv = F.col("n").cast("double")
+    star = (
+        t - F.lit(0.1) / ninv + F.lit(0.1) / (ninv * ninv)
+    ) * (F.lit(1.0) + F.lit(0.8) / ninv)
+    return agg.select(
+        "key",
+        "n",
+        F.col("_is").cast("long").alias("is_sum"),
+        (F.round(t, 6) + F.lit(0.0)).alias("u2"),
+        (F.round(star, 6) + F.lit(0.0)).alias("u2_star"),
+    )
