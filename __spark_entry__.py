@@ -4616,6 +4616,14 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance on the complete-week weekday lattice:
+    friedman's exact (num, A4) integers, one double division."""
+    from tits_spark.operators.friedman import kendall_w_weekday
+
+    return kendall_w_weekday(_events(spark, sf_dir))
+
+
 def q_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watson U^2 circular uniformity per user on exact
     microsecond-of-day: integer-cleared EDF masses on the tie
@@ -5027,6 +5035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi": q_psi,
         "gwet_ac1": q_gwet_ac1,
         "watson_u2": q_watson_u2,
+        "kendall_w": q_kendall_w,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13686,6 +13695,42 @@ SELECT key, n, CAST(iss AS BIGINT) AS is_sum,
               + 0.1 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
              * (1.0 + 0.8 / CAST(n AS DOUBLE)), 6) + 0.0 AS u2_star
 FROM nm
+""",
+        # Kendall W: friedman's exact lattice, W = num/(n*(A4-448n)).
+        "kendall_w": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS n_day
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, unnest(range(mn, mx + 1)) AS dd, mn, mx
+       FROM (SELECT key, min(d) AS mn, max(d) AS mx
+             FROM daily GROUP BY 1)),
+g AS (SELECT sp.key, sp.dd, sp.mn, sp.mx,
+             coalesce(daily.n_day, 0) AS c
+      FROM sp LEFT JOIN daily
+        ON daily.key = sp.key AND daily.d = sp.dd),
+cells AS (SELECT key, dd // 7 AS blk, dd % 7 AS trt, c
+          FROM g
+          WHERE (dd // 7) * 7 >= mn AND (dd // 7) * 7 + 6 <= mx),
+r AS (SELECT key, blk, trt,
+             2 * rank() OVER (PARTITION BY key, blk ORDER BY c)
+               + count(*) OVER (PARTITION BY key, blk, c) - 1 AS r2
+      FROM cells),
+pt AS (SELECT key, trt, CAST(sum(r2) AS BIGINT) AS r2j,
+              CAST(sum(r2 * r2) AS BIGINT) AS a4p,
+              count(*) AS n
+       FROM r GROUP BY 1, 2),
+pk AS (SELECT key, CAST(max(n) AS BIGINT) AS n_blocks,
+              CAST(sum((r2j - 8 * n) * (r2j - 8 * n)) AS BIGINT) AS num,
+              CAST(sum(a4p) AS BIGINT) AS a4
+       FROM pt GROUP BY 1 HAVING max(n) >= 2)
+SELECT key, n_blocks, num, a4,
+  CASE WHEN a4 - 448 * n_blocks > 0 THEN
+    round(CAST(num AS DOUBLE)
+          / CAST(n_blocks * (a4 - 448 * n_blocks) AS DOUBLE), 6) + 0.0
+  END AS kendall_w
+FROM pk
 """,
     }
 

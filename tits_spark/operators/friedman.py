@@ -272,3 +272,39 @@ def page_trend_hourly(
         F.col("l2").cast("long").alias("l2"),
         (F.round(z, 6) + F.lit(0.0)).alias("z"),
     )
+
+
+def kendall_w_weekday(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_blocks: int = 2,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W per key (Kendall &
+    Babington Smith 1939) on the same complete-week weekday design as
+    :func:`friedman_weekday` — the EFFECT-SIZE companion of that
+    test: chi2 says "a weekday effect exists", W in [0, 1] says how
+    strongly the weeks agree on the weekday ORDERING (1 = every week
+    ranks the days identically).  With the tie correction, W relates
+    to the Friedman statistic exactly by chi2 = n (k-1) W, so on the
+    doubled-midrank lattice
+
+        W = num / (n * (A4 - 448 n))
+
+    with num and A4 friedman_weekday's exact int64 columns — the
+    division is the ONLY float op, round 6, NULL on the all-tied
+    denominator.  Plan: friedman_weekday's plus one projection.
+
+    Returns (key, n_blocks, num, a4, kendall_w)."""
+    f = friedman_weekday(df, key=key, ts=ts, min_blocks=min_blocks)
+    denom = F.col("a4") - F.lit(K * (K + 1) * (K + 1)) * F.col("n_blocks")
+    w = F.when(
+        denom > 0,
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("n_blocks") * denom).cast("double"),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return f.select("key", "n_blocks", "num", "a4", w.alias("kendall_w"))
