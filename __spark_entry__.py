@@ -4616,6 +4616,15 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_chapman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture support estimate per user: two
+    half-span occasions off the (key, cents) lattice min/max, exact
+    integer marks, two double trees."""
+    from tits_spark.operators.capture import chapman_support
+
+    return chapman_support(_events(spark, sf_dir))
+
+
 def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall's W concordance on the complete-week weekday lattice:
     friedman's exact (num, A4) integers, one double division."""
@@ -5036,6 +5045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwet_ac1": q_gwet_ac1,
         "watson_u2": q_watson_u2,
         "kendall_w": q_kendall_w,
+        "chapman": q_chapman,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13731,6 +13741,42 @@ SELECT key, n_blocks, num, a4,
           / CAST(n_blocks * (a4 - 448 * n_blocks) AS DOUBLE), 6) + 0.0
   END AS kendall_w
 FROM pk
+""",
+        # Chapman capture-recapture: half-span occasions from the
+        # (key, cents) lattice min/max, exact integer marks.
+        "chapman": """
+WITH lat AS (
+  SELECT user_id AS key,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+  FROM events GROUP BY 1, 2
+),
+mk AS (SELECT key,
+              CASE WHEN mn < min(mn) OVER w
+                             + CAST(floor((max(mx) OVER w
+                                           - min(mn) OVER w) / 2)
+                                    AS BIGINT)
+                   THEN 1 ELSE 0 END AS o1,
+              CASE WHEN mx >= min(mn) OVER w
+                              + CAST(floor((max(mx) OVER w
+                                            - min(mn) OVER w) / 2)
+                                     AS BIGINT)
+                   THEN 1 ELSE 0 END AS o2
+       FROM lat WINDOW w AS (PARTITION BY key)),
+ag AS (SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+              CAST(sum(o1) AS BIGINT) AS n1,
+              CAST(sum(o2) AS BIGINT) AS n2,
+              CAST(sum(o1 * o2) AS BIGINT) AS m
+       FROM mk GROUP BY 1 HAVING count(*) >= 20)
+SELECT key, n_obs, n1, n2, m,
+       round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+             / CAST(m + 1 AS DOUBLE) - 1.0, 6) + 0.0 AS chapman_est,
+       round((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+              * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE))
+             / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+                * (CAST(m + 1 AS DOUBLE) + 1.0)), 6) + 0.0
+         AS chapman_var
+FROM ag
 """,
     }
 

@@ -1640,3 +1640,16 @@ def test_watson_u2_tie_grid_shape(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_chapman_lattice_window_shape(ev):
+    """(key, cents) min/max lattice -> full-partition (key) window ->
+    one agg: no joins, no Python, no global partition."""
+    from tits_spark.operators.capture import chapman_support
+
+    flagged = ev.select(F.col("user_id").alias("key"), "ts", "value")
+    p = plan_of(chapman_support(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
