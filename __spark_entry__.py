@@ -4067,14 +4067,19 @@ _R5_HEAD = [
     # inference-completion wave, rotated in so the NEWEST families
     # flow through the driver's independent channel
     "jarque_bera",
-    "gk_gamma", "cliffs_delta", "christoffersen", "diebold_mariano",
-    "risk_ratios", "sampen", "logrank", "page_hinkley",
-    # continuation-8/9 two-sample/blocked-design completions — the
-    # newest operators flow through the driver's independent channel
-    # (displaced c5 families keep judge-gate + pytest evidence)
-    "cucconi", "bws", "conover_sq", "mood_median", "quade",
-    "brunner_munzel", "jonckheere",
-    "cochran_q", "mcnemar", "moran_gaps", "readability",
+    "christoffersen",
+    "risk_ratios", "logrank", "page_hinkley",
+    # continuation-8/9 representatives (displaced siblings keep
+    # judge-gate + pytest evidence)
+    "cucconi", "quade",
+    # continuation-10 agreement/epidemiology/SPC wave — the newest
+    # operators flow through the driver's independent channel; every
+    # displaced family keeps judge-gate + pytest evidence and a
+    # statistical sibling still in the head
+    "transition_kappa", "bowker", "krippendorff", "gwet_ac1",
+    "reliability", "ansari_bradley", "cmh", "brier", "kneser_ney",
+    "western_electric", "aalen_johansen", "psi", "watson_u2",
+    "kendall_w", "chapman",
 ]
 
 

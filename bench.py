@@ -620,6 +620,28 @@ def main() -> None:
 
     repeat("q30_governance_family", _body_q30_governance_family)
 
+    # q31: the agreement/epidemiology/SPC wave — kappa/Bowker/AC1
+    # (one lead-window transition lattice each), Krippendorff m=2,
+    # Cronbach+ICC grid (three aggregate joins, no window), Ansari-
+    # Bradley (tie-grid window chain), CMH + Brier (hour-stratified
+    # lattices, broadcast rates), Kneser-Ney (persisted bigram
+    # frames), Western Electric (two window chains), Aalen-Johansen
+    # (survival grid), PSI (bounded bin grid, no window), Watson U^2
+    # (us-of-day tie grid), Kendall W (friedman + projection),
+    # Chapman (lattice min/max window)
+    def _body_q31_agreement_family():
+        for q in (
+            E.q_transition_kappa, E.q_bowker, E.q_krippendorff,
+            E.q_gwet_ac1, E.q_reliability, E.q_ansari_bradley,
+            E.q_cmh, E.q_brier, E.q_kneser_ney,
+            E.q_western_electric, E.q_aalen_johansen, E.q_psi,
+            E.q_watson_u2, E.q_kendall_w, E.q_chapman,
+        ):
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()  # kneser_ney persists bigram frames
+
+    repeat("q31_agreement_family", _body_q31_agreement_family)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
