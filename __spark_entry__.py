@@ -4621,6 +4621,24 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn post-hoc pairwise z tests across the five event types per
+    user: kruskal_wallis's exact doubled-midrank lattice, bounded
+    per-key pair self-join, tie-corrected pooled variance."""
+    from tits_spark.operators.rank_tests import dunn_posthoc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    return dunn_posthoc(
+        ev.select(
+            F.col("user_id").alias("key"),
+            "value",
+            F.col("event_type").alias("grp"),
+        )
+    )
+
+
 def q_chapman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chapman capture-recapture support estimate per user: two
     half-span occasions off the (key, cents) lattice min/max, exact
@@ -5051,6 +5069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watson_u2": q_watson_u2,
         "kendall_w": q_kendall_w,
         "chapman": q_chapman,
+        "dunn": q_dunn,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13782,6 +13801,48 @@ SELECT key, n_obs, n1, n2, m,
                 * (CAST(m + 1 AS DOUBLE) + 1.0)), 6) + 0.0
          AS chapman_var
 FROM ag
+""",
+        # Dunn post-hoc: KW's group-blind midrank lattice, bounded
+        # pair self-join, tie-corrected pooled variance.
+        "dunn": """
+WITH per AS (
+  SELECT user_id AS key, event_type AS grp, value AS v, count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+g AS (SELECT key, v, sum(c) AS t FROM per GROUP BY 1, 2),
+grid AS (SELECT key, v, t,
+                2 * (sum(t) OVER (PARTITION BY key ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) - t)
+                  + t + 1 AS rr
+         FROM g),
+bg AS (SELECT per.key AS key, per.grp AS grp,
+              CAST(sum(per.c) AS BIGINT) AS n_j,
+              CAST(sum(per.c * grid.rr) AS BIGINT) AS r2_j
+       FROM per JOIN grid ON per.key = grid.key AND per.v = grid.v
+       GROUP BY 1, 2),
+tot AS (SELECT key, CAST(sum(t) AS BIGINT) AS n_obs,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM grid GROUP BY 1),
+p AS (SELECT a.key AS key, a.grp AS grp_a, b.grp AS grp_b,
+             a.n_j AS n_a, b.n_j AS n_b,
+             a.r2_j AS r2_a, b.r2_j AS r2_b,
+             tot.n_obs AS n_obs, tot.tie3 AS tie3
+      FROM bg a JOIN bg b ON a.key = b.key AND a.grp < b.grp
+      JOIN tot ON tot.key = a.key
+      WHERE a.n_j >= 5 AND b.n_j >= 5),
+v AS (SELECT key, grp_a, grp_b, n_a, n_b, r2_a, r2_b,
+             CAST(n_obs AS DOUBLE) * (n_obs + 1) / 12.0
+               - CAST(tie3 AS DOUBLE)
+                 / (12.0 * (CAST(n_obs AS DOUBLE) - 1.0)) AS varp
+      FROM p)
+SELECT key, grp_a, grp_b, n_a, n_b, r2_a, r2_b,
+       CASE WHEN varp > 0 THEN
+         round(((CAST(r2_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(r2_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0)
+               / sqrt(varp * (1.0 / CAST(n_a AS DOUBLE)
+                              + 1.0 / CAST(n_b AS DOUBLE))), 6) + 0.0
+       END AS dunn_z
+FROM v
 """,
     }
 

@@ -635,7 +635,7 @@ def main() -> None:
             E.q_gwet_ac1, E.q_reliability, E.q_ansari_bradley,
             E.q_cmh, E.q_brier, E.q_kneser_ney,
             E.q_western_electric, E.q_aalen_johansen, E.q_psi,
-            E.q_watson_u2, E.q_kendall_w, E.q_chapman,
+            E.q_watson_u2, E.q_kendall_w, E.q_chapman, E.q_dunn,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()  # kneser_ney persists bigram frames

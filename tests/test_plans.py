@@ -1653,3 +1653,19 @@ def test_chapman_lattice_window_shape(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_dunn_bounded_pair_join(ev):
+    """KW's lattice -> per-(key, grp) aggregates self-joined on key
+    (bounded C(G,2) pairs): no cartesian, no Python, no global
+    partition."""
+    from tits_spark.operators.rank_tests import dunn_posthoc
+
+    flagged = ev.where(F.col("value").isNotNull()).select(
+        F.col("user_id").alias("key"), "value",
+        F.col("event_type").alias("grp"),
+    )
+    p = plan_of(dunn_posthoc(flagged))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

@@ -338,3 +338,108 @@ def anderson_darling(
     return agg.select(key, "n_a", "n_b", a2.alias("a2")).where(
         (F.col("n_a") > 0) & (F.col("n_b") > 0)
     )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    grp: str = "grp",
+    min_each: int = 5,
+) -> DataFrame:
+    """Dunn's (1964) post-hoc pairwise z tests on kruskal_wallis's
+    exact lattice — KW's H says "SOME group differs"; this says
+    WHICH pairs do, with the tie-corrected pooled variance
+
+        z_jk = (Rbar_j - Rbar_k)
+               / sqrt[(N(N+1)/12 - T3/(12(N-1))) (1/n_j + 1/n_k)]
+
+    (T3 = sum(t^3 - t) over the combined tie grid).  Mean ranks come
+    from the DOUBLED midrank sums (Rbar = r2/(2n)), so the numerator
+    is one fixed rational tree over exact BIGINTs and z is one double
+    tree, round 6, signed zero normalized.  Pairs are built by a
+    per-key self-join of the (key, grp) aggregate frame (grp_a <
+    grp_b; at most C(G,2) rows per key, G = group-alphabet size) —
+    both sides per-key aggregates, broadcast-eligible at any scale.
+    The degenerate all-tied variance emits NULL z.
+
+    Returns (key, grp_a, grp_b, n_a, n_b, r2_a, r2_b, dunn_z); group
+    pairs where either side is under ``min_each`` drop.
+    """
+    per = df.groupBy(key, grp, value).agg(F.count(F.lit(1)).alias("c"))
+    g = per.groupBy(key, value).agg(F.sum("c").alias("t"))
+    wcum = (
+        Window.partitionBy(key)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grid = g.select(
+        key,
+        value,
+        "t",
+        (2 * (F.sum("t").over(wcum) - F.col("t")) + F.col("t") + 1).alias(
+            "rr"
+        ),
+    )
+    by_grp = (
+        per.join(grid, [key, value])
+        .groupBy(key, grp)
+        .agg(
+            F.sum("c").alias("n_j"),
+            F.sum(F.col("c") * F.col("rr")).alias("r2_j"),
+        )
+    )
+    tot = grid.groupBy(key).agg(
+        F.sum("t").alias("n_obs"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    a = by_grp.select(
+        F.col(key).alias("key"),
+        F.col(grp).alias("grp_a"),
+        F.col("n_j").alias("n_a"),
+        F.col("r2_j").alias("r2_a"),
+    )
+    b = by_grp.select(
+        F.col(key).alias("key"),
+        F.col(grp).alias("grp_b"),
+        F.col("n_j").alias("n_b"),
+        F.col("r2_j").alias("r2_b"),
+    )
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .filter(
+            (F.col("n_a") >= int(min_each)) & (F.col("n_b") >= int(min_each))
+        )
+        .join(tot.withColumnRenamed(key, "key"), "key")
+    )
+    n = F.col("n_obs").cast("double")
+    varp = (
+        n * (n + 1) / F.lit(12.0)
+        - F.col("tie3").cast("double")
+        / (F.lit(12.0) * (n - F.lit(1.0)))
+    )
+    dmean = (
+        F.col("r2_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("r2_b").cast("double") / F.col("n_b").cast("double")
+    ) / F.lit(2.0)
+    se = F.sqrt(
+        varp
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(varp > 0, F.round(dmean / se, 6) + F.lit(0.0))
+    return pairs.select(
+        "key",
+        "grp_a",
+        "grp_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("r2_a").cast("long").alias("r2_a"),
+        F.col("r2_b").cast("long").alias("r2_b"),
+        z.alias("dunn_z"),
+    )
