@@ -4621,6 +4621,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method one-step daily-count forecast per user: exact
+    int64 OLS sums + the SES recursion as one grouped Arrow batch;
+    raw-double outputs bit-match the recursive-CTE oracle."""
+    from tits_spark.operators.smoothing import theta_daily
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return theta_daily(ev, key="user_id")
+
+
 def q_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunn post-hoc pairwise z tests across the five event types per
     user: kruskal_wallis's exact doubled-midrank lattice, bounded
@@ -5070,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_w": q_kendall_w,
         "chapman": q_chapman,
         "dunn": q_dunn,
+        "theta": q_theta,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13843,6 +13854,55 @@ SELECT key, grp_a, grp_b, n_a, n_b, r2_a, r2_b,
                               + 1.0 / CAST(n_b AS DOUBLE))), 6) + 0.0
        END AS dunn_z
 FROM v
+""",
+        # Theta method: zero-filled daily spine, exact-int OLS, SES
+        # recursion as a recursive CTE (the holt device), raw doubles.
+        "theta": """
+WITH RECURSIVE daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+       HAVING max(d) - min(d) + 1 >= 14),
+spine AS (SELECT key, lo, hi, unnest(range(lo, hi + 1)) AS i FROM sp),
+grid AS (SELECT spine.key AS key, spine.i - spine.lo + 1 AS t,
+                coalesce(daily.c, 0) AS y,
+                spine.hi - spine.lo + 1 AS n
+         FROM spine
+         LEFT JOIN daily ON daily.key = spine.key
+                        AND daily.d = spine.i),
+ols AS (SELECT key, max(n) AS n,
+               sum(t) AS st, sum(t * t) AS st2,
+               sum(y) AS sy, sum(t * y) AS sty
+        FROM grid GROUP BY 1),
+ab AS (SELECT key, n,
+              CAST(n * sty - st * sy AS DOUBLE)
+                / CAST(n * st2 - st * st AS DOUBLE) AS b,
+              (CAST(sy AS DOUBLE)
+               - (CAST(n * sty - st * sy AS DOUBLE)
+                  / CAST(n * st2 - st * st AS DOUBLE))
+                 * CAST(st AS DOUBLE))
+                / CAST(n AS DOUBLE) AS a
+       FROM ols),
+rec AS (
+  SELECT g.key AS key, g.t AS t,
+         2.0 * CAST(g.y AS DOUBLE)
+           - (ab.a + ab.b * CAST(g.t AS DOUBLE)) AS s
+  FROM grid g JOIN ab ON g.key = ab.key WHERE g.t = 1
+  UNION ALL
+  SELECT g.key AS key, g.t AS t,
+         0.5 * (2.0 * CAST(g.y AS DOUBLE)
+                - (ab.a + ab.b * CAST(g.t AS DOUBLE)))
+           + 0.5 * rec.s AS s
+  FROM rec JOIN grid g ON g.key = rec.key AND g.t = rec.t + 1
+  JOIN ab ON g.key = ab.key
+)
+SELECT ab.key AS key, CAST(ab.n AS BIGINT) AS n_days, ab.b AS slope,
+       ab.a AS intercept, rec.s AS ses_last,
+       0.5 * ((ab.a + ab.b * CAST(ab.n + 1 AS DOUBLE)) + rec.s)
+         AS theta_next
+FROM rec JOIN ab ON rec.key = ab.key WHERE rec.t = ab.n
 """,
     }
 

@@ -1669,3 +1669,14 @@ def test_dunn_bounded_pair_join(ev):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_theta_single_grouped_arrow_batch(ev):
+    """(key, day) hash agg -> ONE grouped Arrow batch per key (the
+    holt/kalman family shape); no cartesian, no global partition."""
+    from tits_spark.operators.smoothing import theta_daily
+
+    p = plan_of(theta_daily(ev, key="user_id"))
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+    assert p.split("\n\n")[0].count("FlatMapGroupsInPandas") == 1

@@ -308,3 +308,103 @@ def holt_winters_forecast(
         .groupBy("key")
         .applyInPandas(fn, schema=f"key {kt}, h int, forecast double")
     )
+
+
+def theta_daily(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_days: int = 14,
+) -> DataFrame:
+    """Theta-method one-step forecast of the daily event count per
+    key (Assimakopoulos & Nikolopoulos, IJF 2000 — the M3-competition
+    winner; the classic theta = (0, 2) decomposition): the zero-filled
+    daily series over the key's span splits into the theta=0 line
+    (the OLS linear trend, all curvature removed) and the theta=2
+    line z_t = 2 y_t - (a + b t) (curvature doubled), SES(alpha=0.5)
+    smooths the theta=2 line, and the forecast is the average of the
+    extrapolated trend and the flat SES level:
+
+        yhat(n+1) = 0.5 * ((a + b (n+1)) + s_n)
+
+    Exactness: the spine and counts are exact integers; the OLS
+    normal equations accumulate in int64 (b and a are single float
+    divisions over exact sums); the SES recursion runs the IDENTICAL
+    elementwise tree as the DuckDB recursive-CTE oracle (the holt
+    precedent), s_1 = z_1, s_t = 0.5 z_t + 0.5 s_{t-1}.  Outputs are
+    RAW doubles — every value is the end of an identical float tree
+    on both engines, so they match bit-for-bit with no rounding step
+    (and no round-half boundary to diverge on).
+
+    Plan shape (100 TB): one (key, day) count hash agg, then ONE
+    grouped Arrow batch per key (series length = the key's span in
+    days — the bounded-horizon contract shared by holt/kalman); the
+    zero-fill happens inside the batch with no explode.
+
+    Returns (key, n_days, slope, intercept, ses_last, theta_next).
+    """
+    md = int(min_days)
+
+    from tits_spark.functions.exprs import epoch_us
+
+    daily = (
+        df.select(
+            F.col(key).alias("key"),
+            (epoch_us(ts) / F.lit(86_400_000_000)).cast("long").alias("d"),
+        )
+        .groupBy("key", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d", kind="stable")
+        dd = pdf["d"].to_numpy(np.int64)
+        cc = pdf["c"].to_numpy(np.int64)
+        lo, hi = int(dd[0]), int(dd[-1])
+        n = hi - lo + 1
+        if n < md:
+            return pd.DataFrame(
+                columns=[
+                    "key", "n_days", "slope", "intercept", "ses_last",
+                    "theta_next",
+                ]
+            )
+        y = np.zeros(n, dtype=np.int64)
+        y[dd - lo] = cc
+        t = np.arange(1, n + 1, dtype=np.int64)
+        st = int(t.sum())
+        st2 = int((t * t).sum())
+        sy = int(y.sum())
+        sty = int((t * y).sum())
+        den = n * st2 - st * st
+        b = float(n * sty - st * sy) / float(den)
+        a = (float(sy) - b * float(st)) / float(n)
+        s = None
+        for i in range(n):
+            z = 2.0 * float(y[i]) - (a + b * float(i + 1))
+            s = z if s is None else 0.5 * z + 0.5 * s
+        fc = 0.5 * ((a + b * float(n + 1)) + s)
+        # raw doubles, no rounding: every emitted value is the result
+        # of an identical elementwise float tree on both engines
+        # (the recursive-CTE oracle mirrors each op), so stream-level
+        # bit equality holds without a rounding step to get wrong
+        return pd.DataFrame(
+            [
+                {
+                    "key": pdf["key"].iloc[0],
+                    "n_days": n,
+                    "slope": b,
+                    "intercept": a,
+                    "ses_last": s,
+                    "theta_next": fc,
+                }
+            ]
+        )
+
+    return daily.groupBy("key").applyInPandas(
+        fn,
+        schema=(
+            "key long, n_days long, slope double, intercept double, "
+            "ses_last double, theta_next double"
+        ),
+    )
