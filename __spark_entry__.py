@@ -4621,6 +4621,15 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors normality KS per user: tie-grid EDF vs the shared
+    A&S 7.1.26 Phi tree (bit-identical cross-engine), Stephens
+    modified statistic."""
+    from tits_spark.operators.normality import lilliefors
+
+    return lilliefors(_events(spark, sf_dir))
+
+
 def q_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-method one-step daily-count forecast per user: exact
     int64 OLS sums + the SES recursion as one grouped Arrow batch;
@@ -5081,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chapman": q_chapman,
         "dunn": q_dunn,
         "theta": q_theta,
+        "lilliefors": q_lilliefors,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13903,6 +13913,50 @@ SELECT ab.key AS key, CAST(ab.n AS BIGINT) AS n_days, ab.b AS slope,
        0.5 * ((ab.a + ab.b * CAST(ab.n + 1 AS DOUBLE)) + rec.s)
          AS theta_next
 FROM rec JOIN ab ON rec.key = ab.key WHERE rec.t = ab.n
+""",
+        # Lilliefors: tie-grid EDF vs the shared A&S 7.1.26 Phi tree
+        # (operators/normality.PHI_SQL — identical Horner tree).
+        "lilliefors": """
+WITH grid AS (
+  SELECT user_id AS key, CAST(round(value * 100) AS BIGINT) AS c,
+         count(*) AS t
+  FROM events GROUP BY 1, 2
+),
+cum AS (SELECT key, c, t,
+               sum(t) OVER wc AS b,
+               sum(t) OVER wa AS n,
+               sum(t * c) OVER wa AS s1,
+               sum(t * c * c) OVER wa AS s2
+        FROM grid
+        WINDOW wc AS (PARTITION BY key ORDER BY c
+                      ROWS UNBOUNDED PRECEDING),
+               wa AS (PARTITION BY key)),
+sc AS (SELECT key, c, t, b, n,
+              CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+              (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0)) AS var
+       FROM cum),
+ph AS (SELECT key, t, b, n, var,
+0.5 * (1.0 + (CASE WHEN ((CAST(c AS DOUBLE) - mean) / sqrt(var)) < 0 THEN -1.0 ELSE 1.0 END) * (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(((CAST(c AS DOUBLE) - mean) / sqrt(var))) / 1.4142135623730951))) + -1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(((CAST(c AS DOUBLE) - mean) / sqrt(var))) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(((CAST(c AS DOUBLE) - mean) / sqrt(var))) / 1.4142135623730951))) + -0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(((CAST(c AS DOUBLE) - mean) / sqrt(var))) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(((CAST(c AS DOUBLE) - mean) / sqrt(var))) / 1.4142135623730951)))) * exp(-((abs(((CAST(c AS DOUBLE) - mean) / sqrt(var))) / 1.4142135623730951) * (abs(((CAST(c AS DOUBLE) - mean) / sqrt(var))) / 1.4142135623730951))))) AS phv
+       FROM sc),
+ag AS (SELECT key, CAST(max(n) AS BIGINT) AS n,
+              max(CASE WHEN var > 0 THEN
+                    CAST(b AS DOUBLE) / CAST(n AS DOUBLE) - phv END)
+                AS dp,
+              max(CASE WHEN var > 0 THEN
+                    phv - CAST(b - t AS DOUBLE) / CAST(n AS DOUBLE) END)
+                AS dm
+       FROM ph GROUP BY 1 HAVING max(n) >= 20)
+SELECT key, n,
+       round(dp, 6) + 0.0 AS d_plus,
+       round(dm, 6) + 0.0 AS d_minus,
+       round(greatest(dp, dm), 6) + 0.0 AS d_stat,
+       round(greatest(dp, dm)
+             * (sqrt(CAST(n AS DOUBLE)) - 0.01
+                + 0.85 / sqrt(CAST(n AS DOUBLE))), 6) + 0.0 AS d_mod
+FROM ag
 """,
     }
 

@@ -1680,3 +1680,17 @@ def test_theta_single_grouped_arrow_batch(ev):
     assert "CartesianProduct" not in p
     assert "SinglePartition" not in p
     assert p.split("\n\n")[0].count("FlatMapGroupsInPandas") == 1
+
+
+def test_lilliefors_tie_grid_shape(ev):
+    """(key, cents) tie grid -> one (key)-window chain (cumulative +
+    full-partition moments share the sort) -> per-key agg: no joins,
+    no Python, no global partition."""
+    from tits_spark.operators.normality import lilliefors
+
+    flagged = ev.select(F.col("user_id").alias("key"), "value")
+    p = plan_of(lilliefors(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

@@ -159,3 +159,123 @@ def grubbs(
         F.round(g, 6).alias("g"),
         F.when(high, F.lit("high")).otherwise(F.lit("low")).alias("side"),
     )
+
+
+def _phi(z):
+    """Standard normal CDF via the Abramowitz & Stegun 7.1.26 erf
+    polynomial (max abs error 1.5e-7 — public formula), evaluated as
+    the IDENTICAL Horner tree on both engines so cross-engine values
+    are bit-equal, not merely close:
+
+        t = 1/(1 + 0.3275911 x),  x = |z|/sqrt(2)
+        erf(x) ~ 1 - (((((a5 t + a4) t + a3) t + a2) t + a1) t) e^{-x^2}
+        Phi(z) = 0.5 (1 + sign(z) erf(|z|/sqrt(2)))
+    """
+    x = F.abs(z) / F.lit(1.4142135623730951)  # sqrt(2), shortest repr
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (
+                    F.lit(1.061405429) * t + F.lit(-1.453152027)
+                ) * t
+                + F.lit(1.421413741)
+            ) * t
+            + F.lit(-0.284496736)
+        ) * t
+        + F.lit(0.254829592)
+    ) * t
+    erf = F.lit(1.0) - poly * F.exp(-(x * x))
+    sgn = F.when(z < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.lit(0.5) * (F.lit(1.0) + sgn * erf)
+
+
+#: the same polynomial as a DuckDB SQL fragment (z must be a column
+#: expression; keep the op tree in exact sync with _phi above)
+PHI_SQL = """
+0.5 * (1.0 + (CASE WHEN {z} < 0 THEN -1.0 ELSE 1.0 END) * (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951))) + -1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951))) + -0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs({z}) / 1.4142135623730951)))) * exp(-((abs({z}) / 1.4142135623730951) * (abs({z}) / 1.4142135623730951)))))
+"""
+
+
+def lilliefors(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    min_n: int = 20,
+) -> DataFrame:
+    """Lilliefors (1967) KS test of normality with estimated mean and
+    variance, per key — the EDF companion of jarque_bera (which tests
+    MOMENTS; this tests the whole CDF shape and reacts to any
+    departure, not just skew/kurtosis).
+
+    On the per-key cents tie grid with cumulative upper position b
+    and lower position a = b - t:
+
+        D+ = max over cells (b/n - Phi(z)),  D- = max (Phi(z) - a/n)
+        D  = max(D+, D-)
+
+    with z = (c - mean)/s from exact integer (n, S1, S2) sums and
+    Phi the shared A&S 7.1.26 tree (:func:`_phi`) — every compared
+    quantity is an identical double on both engines, so the maxima
+    are exact decisions, not approximations.  Also emits Stephens'
+    (1974) modified statistic d_mod = D (sqrt(n) - 0.01 +
+    0.85/sqrt(n)) whose 5%/1% points are 0.895/1.035.  Outputs round
+    6, signed zero normalized; a zero-variance key emits NULL.
+
+    Plan: the tie-grid family shape — hash agg to (key, cents) cells
+    -> ONE (key)-window cumulative chain -> per-key agg on the same
+    exchange.  No joins, no Python.
+
+    Returns (key, n, d_plus, d_minus, d_stat, d_mod)."""
+    cents = F.round(F.col(value) * 100).cast("long")
+    grid = (
+        df.select(F.col(key).alias("key"), cents.alias("c"))
+        .groupBy("key", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wcum = (
+        Window.partitionBy("key")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("key")
+    cum = grid.select(
+        "key",
+        "c",
+        "t",
+        F.sum("t").over(wcum).alias("b"),
+        F.sum("t").over(wall).alias("n"),
+        F.sum(F.col("t") * F.col("c")).over(wall).alias("s1"),
+        F.sum(F.col("t") * F.col("c") * F.col("c")).over(wall).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    s = F.sqrt(var)
+    z = (F.col("c").cast("double") - mean) / s
+    ph = _phi(z)
+    dplus = F.col("b").cast("double") / n - ph
+    dminus = ph - (F.col("b") - F.col("t")).cast("double") / n
+    agg = (
+        cum.groupBy("key")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(F.when(var > 0, dplus)).alias("_dp"),
+            F.max(F.when(var > 0, dminus)).alias("_dm"),
+        )
+        .filter(F.col("n") >= int(min_n))
+    )
+    d = F.greatest(F.col("_dp"), F.col("_dm"))
+    rn = F.sqrt(F.col("n").cast("double"))
+    dmod = d * (rn - F.lit(0.01) + F.lit(0.85) / rn)
+    return agg.select(
+        "key",
+        "n",
+        (F.round(F.col("_dp"), 6) + F.lit(0.0)).alias("d_plus"),
+        (F.round(F.col("_dm"), 6) + F.lit(0.0)).alias("d_minus"),
+        (F.round(d, 6) + F.lit(0.0)).alias("d_stat"),
+        (F.round(dmod, 6) + F.lit(0.0)).alias("d_mod"),
+    )
