@@ -4621,6 +4621,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """van den Broek zero-inflation score test on per-user daily
+    counts: silent days from the span (no zero-fill explode), one
+    chi2(1) double tree."""
+    from tits_spark.operators.poissonness import zero_inflation_daily
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return zero_inflation_daily(ev, key="user_id")
+
+
 def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lilliefors normality KS per user: tie-grid EDF vs the shared
     A&S 7.1.26 Phi tree (bit-identical cross-engine), Stephens
@@ -5091,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dunn": q_dunn,
         "theta": q_theta,
         "lilliefors": q_lilliefors,
+        "zero_inflation": q_zero_inflation,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13957,6 +13968,36 @@ SELECT key, n,
              * (sqrt(CAST(n AS DOUBLE)) - 0.01
                 + 0.85 / sqrt(CAST(n AS DOUBLE))), 6) + 0.0 AS d_mod
 FROM ag
+""",
+        # Zero-inflation score test: silent days via the span, one
+        # chi2(1) tree.
+        "zero_inflation": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+ag AS (SELECT key,
+              CAST(max(d) - min(d) + 1 AS BIGINT) AS n_days,
+              CAST(count(*) AS BIGINT) AS obs,
+              CAST(sum(c) AS BIGINT) AS total
+       FROM daily GROUP BY 1
+       HAVING max(d) - min(d) + 1 >= 14),
+t AS (SELECT key, n_days, n_days - obs AS n_zero_days, total,
+             CAST(n_days AS DOUBLE) AS n,
+             CAST(n_days - obs AS DOUBLE) AS n0,
+             CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE) AS yb
+      FROM ag),
+v AS (SELECT key, n_days, n_zero_days, total, yb, n0, n,
+             exp(-yb) AS p0
+      FROM t)
+SELECT key, n_days, n_zero_days, total,
+       round(yb, 6) + 0.0 AS ybar,
+       CASE WHEN n * p0 * (1.0 - p0) - n * yb * (p0 * p0) > 0 THEN
+         round((n0 - n * p0) * (n0 - n * p0)
+               / (n * p0 * (1.0 - p0) - n * yb * (p0 * p0)), 6) + 0.0
+       END AS zi_score
+FROM v
 """,
     }
 

@@ -1694,3 +1694,16 @@ def test_lilliefors_tie_grid_shape(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_zero_inflation_two_hash_aggs(ev):
+    """(key, day) hash agg -> per-key hash agg: no window, no join,
+    no Python, no global partition."""
+    from tits_spark.operators.poissonness import zero_inflation_daily
+
+    p = plan_of(zero_inflation_daily(ev, key="user_id"))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "Window" not in p

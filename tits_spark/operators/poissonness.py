@@ -83,3 +83,66 @@ def moran_exponentiality(
         (F.round(m, 6) + F.lit(0.0)).alias("m_stat"),
         (F.round(m / corr, 6) + F.lit(0.0)).alias("m_corr"),
     )
+
+
+def zero_inflation_daily(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_days: int = 14,
+) -> DataFrame:
+    """van den Broek (Biometrics 1995) score test for zero inflation
+    of the per-key DAILY event counts — are there more silent days
+    than the key's own Poisson rate explains?  The per-day companion
+    of this module's gap-based M statistic (which tests the
+    inter-arrival law; this tests the day-count law's zero mass —
+    bursty bots and on/off users light this up while the Fano factor
+    alone cannot say the excess is specifically AT ZERO).
+
+    With n = span days, n0 = silent days, ybar = total/n and
+    p0 = exp(-ybar):
+
+        S = (n0 - n p0)^2 / (n p0 (1 - p0) - n ybar p0^2)  ~ chi2(1)
+
+    n, n0 and the total are exact integers — n0 is span minus
+    observed days, so NO zero-fill explode is needed; S is one fixed
+    double tree, round 6, signed zero normalized, NULL when the
+    denominator is <= 0 (ybar so large that p0 underflows the
+    information).
+
+    Plan: one (key, day) hash agg -> one per-key hash agg.  No
+    window, no join, no Python.
+
+    Returns (key, n_days, n_zero_days, total, ybar, zi_score)."""
+    daily = (
+        df.select(
+            F.col(key).alias("key"),
+            (epoch_us(ts) / F.lit(86_400_000_000)).cast("long").alias("d"),
+        )
+        .groupBy("key", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = (
+        daily.groupBy("key")
+        .agg(
+            (F.max("d") - F.min("d") + 1).cast("long").alias("n_days"),
+            F.count(F.lit(1)).alias("_obs"),
+            F.sum("c").cast("long").alias("total"),
+        )
+        .filter(F.col("n_days") >= int(min_days))
+    )
+    n = F.col("n_days").cast("double")
+    n0 = (F.col("n_days") - F.col("_obs")).cast("double")
+    yb = F.col("total").cast("double") / n
+    p0 = F.exp(-yb)
+    num = (n0 - n * p0) * (n0 - n * p0)
+    den = n * p0 * (F.lit(1.0) - p0) - n * yb * (p0 * p0)
+    s = F.when(den > 0, F.round(num / den, 6) + F.lit(0.0))
+    return agg.select(
+        "key",
+        "n_days",
+        (F.col("n_days") - F.col("_obs")).cast("long").alias("n_zero_days"),
+        "total",
+        (F.round(yb, 6) + F.lit(0.0)).alias("ybar"),
+        s.alias("zi_score"),
+    )
