@@ -4621,6 +4621,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t + Cohen d + Hedges g, weekend vs weekday per user:
+    one conditional-sum hash agg over exact cents moments."""
+    from tits_spark.operators.effect_size import welch_t
+
+    return welch_t(
+        _weekend_flagged(spark, sf_dir).where(F.col("value").isNotNull())
+    )
+
+
 def q_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """van den Broek zero-inflation score test on per-user daily
     counts: silent days from the span (no zero-fill explode), one
@@ -5102,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta": q_theta,
         "lilliefors": q_lilliefors,
         "zero_inflation": q_zero_inflation,
+        "welch_t": q_welch_t,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -13998,6 +14009,65 @@ SELECT key, n_days, n_zero_days, total,
                / (n * p0 * (1.0 - p0) - n * yb * (p0 * p0)), 6) + 0.0
        END AS zi_score
 FROM v
+""",
+        # Welch t / Cohen d / Hedges g: one conditional-sum hash agg
+        # over exact cents moments, fixed double trees.
+        "welch_t": """
+WITH t0 AS (
+  SELECT user_id AS key,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
+  FROM events WHERE value IS NOT NULL
+),
+ag AS (SELECT key,
+              CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(1 - a) AS BIGINT) AS n_b,
+              CAST(sum(a * c) AS BIGINT) AS s1a,
+              CAST(sum((1 - a) * c) AS BIGINT) AS s1b,
+              sum(CAST(a AS HUGEINT) * c * c) AS s2a,
+              sum(CAST(1 - a AS HUGEINT) * c * c) AS s2b
+       FROM t0 GROUP BY 1
+       HAVING sum(a) >= 5 AND sum(1 - a) >= 5),
+v AS (SELECT key, n_a, n_b,
+             CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m1,
+             CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m2,
+             (CAST(n_a AS DOUBLE) * CAST(s2a AS DOUBLE)
+              - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+               / (CAST(n_a AS DOUBLE)
+                  * (CAST(n_a AS DOUBLE) - 1.0)) AS v1,
+             (CAST(n_b AS DOUBLE) * CAST(s2b AS DOUBLE)
+              - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+               / (CAST(n_b AS DOUBLE)
+                  * (CAST(n_b AS DOUBLE) - 1.0)) AS v2
+      FROM ag),
+w AS (SELECT key, n_a, n_b, m1, m2, v1, v2,
+             v1 / CAST(n_a AS DOUBLE) + v2 / CAST(n_b AS DOUBLE) AS se2,
+             ((CAST(n_a AS DOUBLE) - 1) * v1
+              + (CAST(n_b AS DOUBLE) - 1) * v2)
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)
+               AS sp2
+      FROM v)
+SELECT key, n_a, n_b,
+       round(m1 / 100.0, 6) + 0.0 AS mean_a,
+       round(m2 / 100.0, 6) + 0.0 AS mean_b,
+       CASE WHEN se2 > 0 THEN
+         round((m1 - m2) / sqrt(se2), 6) + 0.0 END AS welch_t,
+       CASE WHEN se2 > 0 THEN
+         round(se2 * se2
+               / ((v1 / CAST(n_a AS DOUBLE)) * (v1 / CAST(n_a AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) - 1.0)
+                  + (v2 / CAST(n_b AS DOUBLE))
+                    * (v2 / CAST(n_b AS DOUBLE))
+                    / (CAST(n_b AS DOUBLE) - 1.0)), 6) + 0.0
+       END AS welch_df,
+       CASE WHEN sp2 > 0 THEN
+         round((m1 - m2) / sqrt(sp2), 6) + 0.0 END AS cohens_d,
+       CASE WHEN sp2 > 0 THEN
+         round(((m1 - m2) / sqrt(sp2))
+               * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE)) - 9.0)),
+               6) + 0.0 END AS hedges_g
+FROM w
 """,
     }
 

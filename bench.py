@@ -636,7 +636,7 @@ def main() -> None:
             E.q_cmh, E.q_brier, E.q_kneser_ney,
             E.q_western_electric, E.q_aalen_johansen, E.q_psi,
             E.q_watson_u2, E.q_kendall_w, E.q_chapman, E.q_dunn,
-            E.q_theta, E.q_lilliefors, E.q_zero_inflation,
+            E.q_theta, E.q_lilliefors, E.q_zero_inflation, E.q_welch_t,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()  # kneser_ney persists bigram frames

@@ -1707,3 +1707,20 @@ def test_zero_inflation_two_hash_aggs(ev):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "Window" not in p
+
+
+def test_welch_t_single_hash_agg(ev):
+    """One conditional-sum hash agg, fixed trees after: no window,
+    no join, no Python, no global partition."""
+    from tits_spark.operators.effect_size import welch_t
+
+    flagged = ev.where(F.col("value").isNotNull()).select(
+        F.col("user_id").alias("key"), "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_a"),
+    )
+    p = plan_of(welch_t(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "Window" not in p

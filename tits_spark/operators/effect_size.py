@@ -94,3 +94,98 @@ def cliffs_delta(
         delta.alias("cliffs_delta"),
         vd_a.alias("vd_a"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    is_a: str = "is_a",
+    min_each: int = 5,
+) -> DataFrame:
+    """Welch's unequal-variance t test (Welch, Biometrika 1947) with
+    the Cohen's d / Hedges' g effect sizes, per key — the PARAMETRIC
+    companion of this module's cliffs_delta and the rank battery
+    (mann_whitney/brunner_munzel): when the analyst wants the
+    mean-difference test and its standardized magnitude, not a rank
+    statement.  All moments are exact integers on the cents lattice
+    (n, S1, S2 per arm; one conditional-sum hash agg), and every
+    readout is a fixed double tree over them:
+
+        t  = (m1 - m2) / sqrt(v1/n1 + v2/n2)
+        df = (v1/n1 + v2/n2)^2
+             / ((v1/n1)^2/(n1-1) + (v2/n2)^2/(n2-1))   (Satterthwaite)
+        d  = (m1 - m2) / s_pooled
+        g  = d * (1 - 3/(4(n1+n2) - 9))                (Hedges 1981)
+
+    (the cents scale cancels in t, d and g).  Round 6, signed zero
+    normalized; zero pooled variance emits NULL t/d/g.
+
+    Plan: ONE hash agg — no window, no join, no Python (the
+    rayleigh-tier cheapest shape).
+
+    Returns (key, n_a, n_b, mean_a, mean_b, welch_t, welch_df,
+    cohens_d, hedges_g); keys with either arm under ``min_each``
+    drop."""
+    a = F.when(F.col(is_a), 1).otherwise(0).cast("long")
+    c = F.round(F.col(value) * 100).cast("long")
+    DEC = "decimal(38,0)"
+    agg = (
+        df.select(F.col(key).alias("key"), c.alias("c"), a.alias("a"))
+        .groupBy("key")
+        .agg(
+            F.sum("a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("a")).cast("long").alias("n_b"),
+            F.sum(F.col("a") * F.col("c")).cast("long").alias("s1a"),
+            F.sum((1 - F.col("a")) * F.col("c")).cast("long").alias("s1b"),
+            F.sum(F.col("a").cast(DEC) * F.col("c") * F.col("c"))
+            .alias("s2a"),
+            F.sum((1 - F.col("a")).cast(DEC) * F.col("c") * F.col("c"))
+            .alias("s2b"),
+        )
+        .filter(
+            (F.col("n_a") >= int(min_each)) & (F.col("n_b") >= int(min_each))
+        )
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    m1 = F.col("s1a").cast("double") / n1
+    m2 = F.col("s1b").cast("double") / n2
+    v1 = (
+        n1 * F.col("s2a").cast("double")
+        - F.col("s1a").cast("double") * F.col("s1a").cast("double")
+    ) / (n1 * (n1 - F.lit(1.0)))
+    v2 = (
+        n2 * F.col("s2b").cast("double")
+        - F.col("s1b").cast("double") * F.col("s1b").cast("double")
+    ) / (n2 * (n2 - F.lit(1.0)))
+    se2 = v1 / n1 + v2 / n2
+    t = F.when(se2 > 0, F.round((m1 - m2) / F.sqrt(se2), 6) + F.lit(0.0))
+    dfree = F.when(
+        se2 > 0,
+        F.round(
+            se2 * se2
+            / (
+                (v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+                + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0))
+            ),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - F.lit(2.0))
+    d = F.when(sp2 > 0, (m1 - m2) / F.sqrt(sp2))
+    g = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n1 + n2) - F.lit(9.0))
+    )
+    return agg.select(
+        "key",
+        "n_a",
+        "n_b",
+        (F.round(m1 / F.lit(100.0), 6) + F.lit(0.0)).alias("mean_a"),
+        (F.round(m2 / F.lit(100.0), 6) + F.lit(0.0)).alias("mean_b"),
+        t.alias("welch_t"),
+        dfree.alias("welch_df"),
+        (F.round(d, 6) + F.lit(0.0)).alias("cohens_d"),
+        (F.round(g, 6) + F.lit(0.0)).alias("hedges_g"),
+    )
