@@ -4621,6 +4621,24 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch heteroscedastic ANOVA across the five event types per
+    user: per-group moments pivoted to fixed columns, fixed-order
+    expression trees (no cross-group aggregation order exists)."""
+    from tits_spark.operators.anova import welch_anova_types
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    return welch_anova_types(
+        ev.select(
+            F.col("user_id").alias("key"),
+            "value",
+            F.col("event_type").alias("grp"),
+        )
+    )
+
+
 def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch t + Cohen d + Hedges g, weekend vs weekday per user:
     one conditional-sum hash agg over exact cents moments."""
@@ -5113,6 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lilliefors": q_lilliefors,
         "zero_inflation": q_zero_inflation,
         "welch_t": q_welch_t,
+        "welch_anova": q_welch_anova,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -14068,6 +14087,28 @@ SELECT key, n_a, n_b,
                                       + CAST(n_b AS DOUBLE)) - 9.0)),
                6) + 0.0 END AS hedges_g
 FROM w
+""",
+        # Welch ANOVA: pivoted fixed-column moments, fixed-order trees
+        # (generated; mirrors operators/anova.welch_anova_types).
+        "welch_anova": """
+WITH per AS (
+  SELECT user_id AS key, event_type AS g,
+         count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+         sum(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+piv AS (SELECT key, max(CASE WHEN g = 'click' THEN n END) AS click_n, max(CASE WHEN g = 'click' THEN s1 END) AS click_s1, max(CASE WHEN g = 'click' THEN s2 END) AS click_s2, max(CASE WHEN g = 'error' THEN n END) AS error_n, max(CASE WHEN g = 'error' THEN s1 END) AS error_s1, max(CASE WHEN g = 'error' THEN s2 END) AS error_s2, max(CASE WHEN g = 'purchase' THEN n END) AS purchase_n, max(CASE WHEN g = 'purchase' THEN s1 END) AS purchase_s1, max(CASE WHEN g = 'purchase' THEN s2 END) AS purchase_s2, max(CASE WHEN g = 'signup' THEN n END) AS signup_n, max(CASE WHEN g = 'signup' THEN s1 END) AS signup_s1, max(CASE WHEN g = 'signup' THEN s2 END) AS signup_s2, max(CASE WHEN g = 'view' THEN n END) AS view_n, max(CASE WHEN g = 'view' THEN s1 END) AS view_s1, max(CASE WHEN g = 'view' THEN s2 END) AS view_s2 FROM per GROUP BY 1),
+f1 AS (SELECT * FROM piv WHERE coalesce(click_n, 0) >= 5 AND coalesce(error_n, 0) >= 5 AND coalesce(purchase_n, 0) >= 5 AND coalesce(signup_n, 0) >= 5 AND coalesce(view_n, 0) >= 5),
+f2 AS (SELECT * FROM f1 WHERE ((CAST(click_n AS DOUBLE) * CAST(click_s2 AS DOUBLE) - CAST(click_s1 AS DOUBLE) * CAST(click_s1 AS DOUBLE)) / (CAST(click_n AS DOUBLE) * (CAST(click_n AS DOUBLE) - 1.0))) > 0 AND ((CAST(error_n AS DOUBLE) * CAST(error_s2 AS DOUBLE) - CAST(error_s1 AS DOUBLE) * CAST(error_s1 AS DOUBLE)) / (CAST(error_n AS DOUBLE) * (CAST(error_n AS DOUBLE) - 1.0))) > 0 AND ((CAST(purchase_n AS DOUBLE) * CAST(purchase_s2 AS DOUBLE) - CAST(purchase_s1 AS DOUBLE) * CAST(purchase_s1 AS DOUBLE)) / (CAST(purchase_n AS DOUBLE) * (CAST(purchase_n AS DOUBLE) - 1.0))) > 0 AND ((CAST(signup_n AS DOUBLE) * CAST(signup_s2 AS DOUBLE) - CAST(signup_s1 AS DOUBLE) * CAST(signup_s1 AS DOUBLE)) / (CAST(signup_n AS DOUBLE) * (CAST(signup_n AS DOUBLE) - 1.0))) > 0 AND ((CAST(view_n AS DOUBLE) * CAST(view_s2 AS DOUBLE) - CAST(view_s1 AS DOUBLE) * CAST(view_s1 AS DOUBLE)) / (CAST(view_n AS DOUBLE) * (CAST(view_n AS DOUBLE) - 1.0))) > 0),
+s0 AS (SELECT *, (((((CAST(click_n AS DOUBLE) / ((CAST(click_n AS DOUBLE) * CAST(click_s2 AS DOUBLE) - CAST(click_s1 AS DOUBLE) * CAST(click_s1 AS DOUBLE)) / (CAST(click_n AS DOUBLE) * (CAST(click_n AS DOUBLE) - 1.0)))) + (CAST(error_n AS DOUBLE) / ((CAST(error_n AS DOUBLE) * CAST(error_s2 AS DOUBLE) - CAST(error_s1 AS DOUBLE) * CAST(error_s1 AS DOUBLE)) / (CAST(error_n AS DOUBLE) * (CAST(error_n AS DOUBLE) - 1.0))))) + (CAST(purchase_n AS DOUBLE) / ((CAST(purchase_n AS DOUBLE) * CAST(purchase_s2 AS DOUBLE) - CAST(purchase_s1 AS DOUBLE) * CAST(purchase_s1 AS DOUBLE)) / (CAST(purchase_n AS DOUBLE) * (CAST(purchase_n AS DOUBLE) - 1.0))))) + (CAST(signup_n AS DOUBLE) / ((CAST(signup_n AS DOUBLE) * CAST(signup_s2 AS DOUBLE) - CAST(signup_s1 AS DOUBLE) * CAST(signup_s1 AS DOUBLE)) / (CAST(signup_n AS DOUBLE) * (CAST(signup_n AS DOUBLE) - 1.0))))) + (CAST(view_n AS DOUBLE) / ((CAST(view_n AS DOUBLE) * CAST(view_s2 AS DOUBLE) - CAST(view_s1 AS DOUBLE) * CAST(view_s1 AS DOUBLE)) / (CAST(view_n AS DOUBLE) * (CAST(view_n AS DOUBLE) - 1.0))))) AS sw FROM f2),
+s1_ AS (SELECT *, (((((((CAST(click_n AS DOUBLE) / ((CAST(click_n AS DOUBLE) * CAST(click_s2 AS DOUBLE) - CAST(click_s1 AS DOUBLE) * CAST(click_s1 AS DOUBLE)) / (CAST(click_n AS DOUBLE) * (CAST(click_n AS DOUBLE) - 1.0)))) * (CAST(click_s1 AS DOUBLE) / CAST(click_n AS DOUBLE))) + (CAST(error_n AS DOUBLE) / ((CAST(error_n AS DOUBLE) * CAST(error_s2 AS DOUBLE) - CAST(error_s1 AS DOUBLE) * CAST(error_s1 AS DOUBLE)) / (CAST(error_n AS DOUBLE) * (CAST(error_n AS DOUBLE) - 1.0)))) * (CAST(error_s1 AS DOUBLE) / CAST(error_n AS DOUBLE))) + (CAST(purchase_n AS DOUBLE) / ((CAST(purchase_n AS DOUBLE) * CAST(purchase_s2 AS DOUBLE) - CAST(purchase_s1 AS DOUBLE) * CAST(purchase_s1 AS DOUBLE)) / (CAST(purchase_n AS DOUBLE) * (CAST(purchase_n AS DOUBLE) - 1.0)))) * (CAST(purchase_s1 AS DOUBLE) / CAST(purchase_n AS DOUBLE))) + (CAST(signup_n AS DOUBLE) / ((CAST(signup_n AS DOUBLE) * CAST(signup_s2 AS DOUBLE) - CAST(signup_s1 AS DOUBLE) * CAST(signup_s1 AS DOUBLE)) / (CAST(signup_n AS DOUBLE) * (CAST(signup_n AS DOUBLE) - 1.0)))) * (CAST(signup_s1 AS DOUBLE) / CAST(signup_n AS DOUBLE))) + (CAST(view_n AS DOUBLE) / ((CAST(view_n AS DOUBLE) * CAST(view_s2 AS DOUBLE) - CAST(view_s1 AS DOUBLE) * CAST(view_s1 AS DOUBLE)) / (CAST(view_n AS DOUBLE) * (CAST(view_n AS DOUBLE) - 1.0)))) * (CAST(view_s1 AS DOUBLE) / CAST(view_n AS DOUBLE))) / (((((CAST(click_n AS DOUBLE) / ((CAST(click_n AS DOUBLE) * CAST(click_s2 AS DOUBLE) - CAST(click_s1 AS DOUBLE) * CAST(click_s1 AS DOUBLE)) / (CAST(click_n AS DOUBLE) * (CAST(click_n AS DOUBLE) - 1.0)))) + (CAST(error_n AS DOUBLE) / ((CAST(error_n AS DOUBLE) * CAST(error_s2 AS DOUBLE) - CAST(error_s1 AS DOUBLE) * CAST(error_s1 AS DOUBLE)) / (CAST(error_n AS DOUBLE) * (CAST(error_n AS DOUBLE) - 1.0))))) + (CAST(purchase_n AS DOUBLE) / ((CAST(purchase_n AS DOUBLE) * CAST(purchase_s2 AS DOUBLE) - CAST(purchase_s1 AS DOUBLE) * CAST(purchase_s1 AS DOUBLE)) / (CAST(purchase_n AS DOUBLE) * (CAST(purchase_n AS DOUBLE) - 1.0))))) + (CAST(signup_n AS DOUBLE) / ((CAST(signup_n AS DOUBLE) * CAST(signup_s2 AS DOUBLE) - CAST(signup_s1 AS DOUBLE) * CAST(signup_s1 AS DOUBLE)) / (CAST(signup_n AS DOUBLE) * (CAST(signup_n AS DOUBLE) - 1.0))))) + (CAST(view_n AS DOUBLE) / ((CAST(view_n AS DOUBLE) * CAST(view_s2 AS DOUBLE) - CAST(view_s1 AS DOUBLE) * CAST(view_s1 AS DOUBLE)) / (CAST(view_n AS DOUBLE) * (CAST(view_n AS DOUBLE) - 1.0)))))) AS mw FROM s0),
+s2_ AS (SELECT *, ((((((CAST(click_n AS DOUBLE) / ((CAST(click_n AS DOUBLE) * CAST(click_s2 AS DOUBLE) - CAST(click_s1 AS DOUBLE) * CAST(click_s1 AS DOUBLE)) / (CAST(click_n AS DOUBLE) * (CAST(click_n AS DOUBLE) - 1.0)))) * (((CAST(click_s1 AS DOUBLE) / CAST(click_n AS DOUBLE)) - mw) * ((CAST(click_s1 AS DOUBLE) / CAST(click_n AS DOUBLE)) - mw))) + (CAST(error_n AS DOUBLE) / ((CAST(error_n AS DOUBLE) * CAST(error_s2 AS DOUBLE) - CAST(error_s1 AS DOUBLE) * CAST(error_s1 AS DOUBLE)) / (CAST(error_n AS DOUBLE) * (CAST(error_n AS DOUBLE) - 1.0)))) * (((CAST(error_s1 AS DOUBLE) / CAST(error_n AS DOUBLE)) - mw) * ((CAST(error_s1 AS DOUBLE) / CAST(error_n AS DOUBLE)) - mw))) + (CAST(purchase_n AS DOUBLE) / ((CAST(purchase_n AS DOUBLE) * CAST(purchase_s2 AS DOUBLE) - CAST(purchase_s1 AS DOUBLE) * CAST(purchase_s1 AS DOUBLE)) / (CAST(purchase_n AS DOUBLE) * (CAST(purchase_n AS DOUBLE) - 1.0)))) * (((CAST(purchase_s1 AS DOUBLE) / CAST(purchase_n AS DOUBLE)) - mw) * ((CAST(purchase_s1 AS DOUBLE) / CAST(purchase_n AS DOUBLE)) - mw))) + (CAST(signup_n AS DOUBLE) / ((CAST(signup_n AS DOUBLE) * CAST(signup_s2 AS DOUBLE) - CAST(signup_s1 AS DOUBLE) * CAST(signup_s1 AS DOUBLE)) / (CAST(signup_n AS DOUBLE) * (CAST(signup_n AS DOUBLE) - 1.0)))) * (((CAST(signup_s1 AS DOUBLE) / CAST(signup_n AS DOUBLE)) - mw) * ((CAST(signup_s1 AS DOUBLE) / CAST(signup_n AS DOUBLE)) - mw))) + (CAST(view_n AS DOUBLE) / ((CAST(view_n AS DOUBLE) * CAST(view_s2 AS DOUBLE) - CAST(view_s1 AS DOUBLE) * CAST(view_s1 AS DOUBLE)) / (CAST(view_n AS DOUBLE) * (CAST(view_n AS DOUBLE) - 1.0)))) * (((CAST(view_s1 AS DOUBLE) / CAST(view_n AS DOUBLE)) - mw) * ((CAST(view_s1 AS DOUBLE) / CAST(view_n AS DOUBLE)) - mw))) AS a, (((((((1.0 - (CAST(click_n AS DOUBLE) / ((CAST(click_n AS DOUBLE) * CAST(click_s2 AS DOUBLE) - CAST(click_s1 AS DOUBLE) * CAST(click_s1 AS DOUBLE)) / (CAST(click_n AS DOUBLE) * (CAST(click_n AS DOUBLE) - 1.0)))) / sw) * (1.0 - (CAST(click_n AS DOUBLE) / ((CAST(click_n AS DOUBLE) * CAST(click_s2 AS DOUBLE) - CAST(click_s1 AS DOUBLE) * CAST(click_s1 AS DOUBLE)) / (CAST(click_n AS DOUBLE) * (CAST(click_n AS DOUBLE) - 1.0)))) / sw)) / (CAST(click_n AS DOUBLE) - 1.0)) + (((1.0 - (CAST(error_n AS DOUBLE) / ((CAST(error_n AS DOUBLE) * CAST(error_s2 AS DOUBLE) - CAST(error_s1 AS DOUBLE) * CAST(error_s1 AS DOUBLE)) / (CAST(error_n AS DOUBLE) * (CAST(error_n AS DOUBLE) - 1.0)))) / sw) * (1.0 - (CAST(error_n AS DOUBLE) / ((CAST(error_n AS DOUBLE) * CAST(error_s2 AS DOUBLE) - CAST(error_s1 AS DOUBLE) * CAST(error_s1 AS DOUBLE)) / (CAST(error_n AS DOUBLE) * (CAST(error_n AS DOUBLE) - 1.0)))) / sw)) / (CAST(error_n AS DOUBLE) - 1.0))) + (((1.0 - (CAST(purchase_n AS DOUBLE) / ((CAST(purchase_n AS DOUBLE) * CAST(purchase_s2 AS DOUBLE) - CAST(purchase_s1 AS DOUBLE) * CAST(purchase_s1 AS DOUBLE)) / (CAST(purchase_n AS DOUBLE) * (CAST(purchase_n AS DOUBLE) - 1.0)))) / sw) * (1.0 - (CAST(purchase_n AS DOUBLE) / ((CAST(purchase_n AS DOUBLE) * CAST(purchase_s2 AS DOUBLE) - CAST(purchase_s1 AS DOUBLE) * CAST(purchase_s1 AS DOUBLE)) / (CAST(purchase_n AS DOUBLE) * (CAST(purchase_n AS DOUBLE) - 1.0)))) / sw)) / (CAST(purchase_n AS DOUBLE) - 1.0))) + (((1.0 - (CAST(signup_n AS DOUBLE) / ((CAST(signup_n AS DOUBLE) * CAST(signup_s2 AS DOUBLE) - CAST(signup_s1 AS DOUBLE) * CAST(signup_s1 AS DOUBLE)) / (CAST(signup_n AS DOUBLE) * (CAST(signup_n AS DOUBLE) - 1.0)))) / sw) * (1.0 - (CAST(signup_n AS DOUBLE) / ((CAST(signup_n AS DOUBLE) * CAST(signup_s2 AS DOUBLE) - CAST(signup_s1 AS DOUBLE) * CAST(signup_s1 AS DOUBLE)) / (CAST(signup_n AS DOUBLE) * (CAST(signup_n AS DOUBLE) - 1.0)))) / sw)) / (CAST(signup_n AS DOUBLE) - 1.0))) + (((1.0 - (CAST(view_n AS DOUBLE) / ((CAST(view_n AS DOUBLE) * CAST(view_s2 AS DOUBLE) - CAST(view_s1 AS DOUBLE) * CAST(view_s1 AS DOUBLE)) / (CAST(view_n AS DOUBLE) * (CAST(view_n AS DOUBLE) - 1.0)))) / sw) * (1.0 - (CAST(view_n AS DOUBLE) / ((CAST(view_n AS DOUBLE) * CAST(view_s2 AS DOUBLE) - CAST(view_s1 AS DOUBLE) * CAST(view_s1 AS DOUBLE)) / (CAST(view_n AS DOUBLE) * (CAST(view_n AS DOUBLE) - 1.0)))) / sw)) / (CAST(view_n AS DOUBLE) - 1.0))) AS hh FROM s1_)
+SELECT key, CAST(click_n + error_n + purchase_n + signup_n + view_n AS BIGINT) AS n_total,
+       round((a / 4.0) / (1.0 + 0.25 * hh), 6) + 0.0 AS welch_f,
+       round(24.0 / (3.0 * hh), 6) + 0.0 AS welch_df2
+FROM s2_
 """,
     }
 

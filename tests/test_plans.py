@@ -1724,3 +1724,20 @@ def test_welch_t_single_hash_agg(ev):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "Window" not in p
+
+
+def test_welch_anova_pivot_no_window(ev):
+    """(key, grp) moments -> pivot hash agg -> fixed trees: no
+    window, no join, no Python, no global partition."""
+    from tits_spark.operators.anova import welch_anova_types
+
+    flagged = ev.where(F.col("value").isNotNull()).select(
+        F.col("user_id").alias("key"), "value",
+        F.col("event_type").alias("grp"),
+    )
+    p = plan_of(welch_anova_types(flagged))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "Window" not in p

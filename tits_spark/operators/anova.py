@@ -164,3 +164,120 @@ def brown_forsythe_weekday(
         F.abs(2 * F.col("c") - m2).alias("c"),
     )
     return _balanced_oneway(dev, min_blocks=min_blocks)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def welch_anova_types(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    grp: str = "grp",
+    groups: tuple = EVENT_TYPES,
+    min_each: int = 5,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA per key across a FIXED,
+    known group alphabet (Welch, Biometrika 1951) — the k-group
+    companion of effect_size.welch_t, and the variance-robust
+    alternative to this module's classical F (which assumes equal
+    group variances; anova_weekday gets that by balanced design,
+    but across EVENT TYPES neither balance nor homoscedasticity
+    holds).  With w_j = n_j/v_j, mw = sum w_j m_j / sum w_j and
+    h_j = (1 - w_j/sum w)^2/(n_j - 1):
+
+        F*  = [sum_j w_j (m_j - mw)^2 / (k-1)]
+              / [1 + 2(k-2)/(k^2-1) * sum h_j]
+        df2 = (k^2 - 1) / (3 sum h_j)
+
+    Exactness device: the per-group moments PIVOT into fixed columns
+    (the group alphabet is known and closed), so every cross-group
+    sum is a FIXED-ORDER expression tree over k columns — no
+    aggregation order exists to diverge, unlike a groupBy-reduce of
+    per-group doubles.  Moments are exact cents integers; outputs
+    round 6, signed zero normalized.
+
+    Plan: one (key, grp) hash agg -> one pivot hash agg -> fixed
+    trees.  No window, no join, no Python.
+
+    Returns (key, n_total, welch_f, welch_df2); keys missing any
+    group, with any group under ``min_each`` rows, or with a
+    zero-variance group drop (Welch's w = n/v is undefined there).
+    """
+    DEC = "decimal(38,0)"
+    c = F.round(F.col(value) * 100).cast("long")
+    per = (
+        df.select(F.col(key).alias("key"), F.col(grp).alias("g"), c.alias("c"))
+        .groupBy("key", "g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c").cast(DEC) * F.col("c")).alias("s2"),
+        )
+    )
+    piv = (
+        per.groupBy("key")
+        .pivot("g", list(groups))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("s1").alias("s1"),
+            F.first("s2").alias("s2"),
+        )
+    )
+    k = len(groups)
+    cond = F.lit(True)
+    for g in groups:
+        cond = cond & (F.coalesce(F.col(f"{g}_n"), F.lit(0)) >= int(min_each))
+    piv = piv.filter(cond)
+
+    def m(g):
+        return F.col(f"{g}_s1").cast("double") / F.col(f"{g}_n").cast(
+            "double"
+        )
+
+    def v(g):
+        n = F.col(f"{g}_n").cast("double")
+        s1 = F.col(f"{g}_s1").cast("double")
+        s2 = F.col(f"{g}_s2").cast("double")
+        return (n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))
+
+    def w(g):
+        return F.col(f"{g}_n").cast("double") / v(g)
+
+    vpos = F.lit(True)
+    for g in groups:
+        vpos = vpos & (v(g) > 0)
+    piv = piv.filter(vpos)
+
+    sw = w(groups[0])
+    for g in groups[1:]:
+        sw = sw + w(g)
+    swm = w(groups[0]) * m(groups[0])
+    for g in groups[1:]:
+        swm = swm + w(g) * m(g)
+    mw = swm / sw
+    a = w(groups[0]) * ((m(groups[0]) - mw) * (m(groups[0]) - mw))
+    for g in groups[1:]:
+        a = a + w(g) * ((m(g) - mw) * (m(g) - mw))
+
+    def h(g):
+        t = F.lit(1.0) - w(g) / sw
+        return (t * t) / (F.col(f"{g}_n").cast("double") - F.lit(1.0))
+
+    hh = h(groups[0])
+    for g in groups[1:]:
+        hh = hh + h(g)
+    fstar = (a / F.lit(float(k - 1))) / (
+        F.lit(1.0)
+        + F.lit(2.0 * (k - 2) / (k * k - 1.0)) * hh
+    )
+    df2 = F.lit(float(k * k - 1)) / (F.lit(3.0) * hh)
+    ntot = F.col(f"{groups[0]}_n")
+    for g in groups[1:]:
+        ntot = ntot + F.col(f"{g}_n")
+    return piv.select(
+        "key",
+        ntot.cast("long").alias("n_total"),
+        (F.round(fstar, 6) + F.lit(0.0)).alias("welch_f"),
+        (F.round(df2, 6) + F.lit(0.0)).alias("welch_df2"),
+    )
