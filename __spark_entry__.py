@@ -4621,6 +4621,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional Poisson weekend-vs-weekday rate test per user:
+    closed-form calendar exposure (no spine explode), exact counts,
+    one binomial-z tree + rate ratio."""
+    from tits_spark.operators.ratecomp import weekend_rate_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return weekend_rate_test(ev, key="user_id")
+
+
 def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch heteroscedastic ANOVA across the five event types per
     user: per-group moments pivoted to fixed columns, fixed-order
@@ -5132,6 +5142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zero_inflation": q_zero_inflation,
         "welch_t": q_welch_t,
         "welch_anova": q_welch_anova,
+        "rate_test": q_rate_test,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -14109,6 +14120,42 @@ SELECT key, CAST(click_n + error_n + purchase_n + signup_n + view_n AS BIGINT) A
        round((a / 4.0) / (1.0 + 0.25 * hh), 6) + 0.0 AS welch_f,
        round(24.0 / (3.0 * hh), 6) + 0.0 AS welch_df2
 FROM s2_
+""",
+        # Weekend rate test: closed-form calendar exposure, exact
+        # counts, conditional binomial z.
+        "rate_test": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+ag AS (SELECT key, min(d) AS lo, max(d) AS hi,
+              sum(CASE WHEN (d + 4) % 7 IN (0, 6) THEN c ELSE 0 END)
+                AS c1,
+              sum(CASE WHEN (d + 4) % 7 IN (0, 6) THEN 0 ELSE c END)
+                AS c2
+       FROM daily GROUP BY 1
+       HAVING max(d) - min(d) + 1 >= 14),
+e AS (SELECT key, hi - lo + 1 AS n_days, c1, c2,
+             (CASE WHEN (lo + ((0 - (lo + 4)) % 7 + 7) % 7) > hi THEN 0 ELSE (hi - (lo + ((0 - (lo + 4)) % 7 + 7) % 7)) // 7 + 1 END) + (CASE WHEN (lo + ((6 - (lo + 4)) % 7 + 7) % 7) > hi THEN 0 ELSE (hi - (lo + ((6 - (lo + 4)) % 7 + 7) % 7)) // 7 + 1 END) AS t1,
+             (hi - lo + 1) - ((CASE WHEN (lo + ((0 - (lo + 4)) % 7 + 7) % 7) > hi THEN 0 ELSE (hi - (lo + ((0 - (lo + 4)) % 7 + 7) % 7)) // 7 + 1 END) + (CASE WHEN (lo + ((6 - (lo + 4)) % 7 + 7) % 7) > hi THEN 0 ELSE (hi - (lo + ((6 - (lo + 4)) % 7 + 7) % 7)) // 7 + 1 END)) AS t2
+      FROM ag),
+v AS (SELECT key, n_days, t1, t2, c1, c2,
+             CAST(c1 + c2 AS DOUBLE) AS nn,
+             CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE) AS p
+      FROM e)
+SELECT key, CAST(n_days AS BIGINT) AS n_days,
+       CAST(t1 AS BIGINT) AS t_weekend,
+       CAST(c1 AS BIGINT) AS c_weekend,
+       CAST(c2 AS BIGINT) AS c_weekday,
+       CASE WHEN t1 > 0 AND t2 > 0 AND nn * p * (1.0 - p) > 0 THEN
+         round((CAST(c1 AS DOUBLE) - nn * p)
+               / sqrt(nn * p * (1.0 - p)), 6) + 0.0 END AS rate_z,
+       CASE WHEN t1 > 0 AND t2 > 0 AND c2 > 0 THEN
+         round((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+               / (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)), 6) + 0.0
+       END AS rate_ratio
+FROM v
 """,
     }
 

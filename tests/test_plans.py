@@ -1741,3 +1741,16 @@ def test_welch_anova_pivot_no_window(ev):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "Window" not in p
+
+
+def test_rate_test_two_hash_aggs(ev):
+    """(key, day) hash agg -> per-key hash agg with closed-form
+    exposure: no window, no join, no Python, no global partition."""
+    from tits_spark.operators.ratecomp import weekend_rate_test
+
+    p = plan_of(weekend_rate_test(ev, key="user_id"))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "Window" not in p
