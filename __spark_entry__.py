@@ -4054,20 +4054,15 @@ _R5_HEAD = [
     "tpch_q18", "staleness", "w1_drift", "lmoments",
     "survival_km", "survival_na", "pagerank", "occupancy",
     "mann_whitney", "kruskal_wallis", "wilcoxon_sr",
-    "hhi_hourly", "gpd_tail",
-    # round-5 stationarity/volatility representatives (siblings
-    # stayed judge-gate-verified) + the continuation-7 transcript
-    # families and the governance/calibration wave — the newest
+    # round-5 stationarity/volatility and continuation-5/7
+    # representatives (displaced siblings keep judge-gate + pytest
+    # evidence) + the governance/calibration wave — the newest
     # operators flow through the driver's independent channel
-    "var_backtest", "garch",
-    "conv_stats", "hoeffding", "k_anonymity",
-    "benford_audit", "cvm", "tool_loops", "isotonic", "gev_shape",
-    # regression diagnostics (one representative; the displaced
-    # siblings stayed judge-gate-verified) + the continuation-6/7
-    # inference-completion wave, rotated in so the NEWEST families
-    # flow through the driver's independent channel
-    "jarque_bera",
-    "christoffersen",
+    "conv_stats",
+    "benford_audit", "cvm", "tool_loops", "isotonic",
+    # continuation-6/7 inference-completion representatives
+    # (jarque_bera's normality slot passes to the new lilliefors;
+    # displaced siblings keep judge-gate + pytest evidence)
     "risk_ratios", "logrank", "page_hinkley",
     # continuation-8/9 representatives (displaced siblings keep
     # judge-gate + pytest evidence)
@@ -4080,6 +4075,10 @@ _R5_HEAD = [
     "reliability", "ansari_bradley", "cmh", "brier", "kneser_ney",
     "western_electric", "aalen_johansen", "psi", "watson_u2",
     "kendall_w", "chapman",
+    # continuation-11 additions (same session): the parametric
+    # battery + post-hoc + forecasting + EDF-normality completions
+    "dunn", "theta", "lilliefors", "zero_inflation", "welch_t",
+    "welch_anova", "rate_test",
 ]
 
 
