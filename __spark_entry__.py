@@ -4620,6 +4620,24 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_fligner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Killeen normal-scores k-group scale test across event
+    types: doubled group medians, pooled deviation midranks, shared
+    Acklam probit tree, ppb-floored score masses, pivot reduction."""
+    from tits_spark.operators.anova import fligner_killeen_types
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    return fligner_killeen_types(
+        ev.select(
+            F.col("user_id").alias("key"),
+            "value",
+            F.col("event_type").alias("grp"),
+        )
+    )
+
+
 def q_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional Poisson weekend-vs-weekday rate test per user:
     closed-form calendar exposure (no spine explode), exact counts,
@@ -5142,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t": q_welch_t,
         "welch_anova": q_welch_anova,
         "rate_test": q_rate_test,
+        "fligner": q_fligner,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -14155,6 +14174,71 @@ SELECT key, CAST(n_days AS BIGINT) AS n_days,
                / (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)), 6) + 0.0
        END AS rate_ratio
 FROM v
+""",
+        # Fligner-Killeen: pooled deviation midranks through the
+        # shared Acklam probit tree (normality.probit_sql), ppb
+        # floors, pivot reduction (generated; mirrors
+        # operators/anova.fligner_killeen_types).
+        "fligner": """
+WITH base AS (
+  SELECT user_id AS key, event_type AS g,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+gg AS (SELECT key, g, c, count(*) AS t FROM base GROUP BY 1, 2, 3),
+gcum AS (SELECT key, g, c, t,
+                sum(t) OVER (PARTITION BY key, g ORDER BY c
+                             ROWS UNBOUNDED PRECEDING) AS b,
+                sum(t) OVER (PARTITION BY key, g) AS n
+         FROM gg),
+med AS (SELECT key, g, max(n) AS n_g,
+               sum(c * (CASE WHEN b - t < (n + 1) // 2
+                              AND (n + 1) // 2 <= b THEN 1 ELSE 0 END
+                        + CASE WHEN b - t < n // 2 + 1
+                               AND n // 2 + 1 <= b THEN 1 ELSE 0 END))
+                 AS m2
+        FROM gcum GROUP BY 1, 2 HAVING max(n) >= 5),
+dev AS (SELECT gg.key AS key, gg.g AS g, abs(2 * gg.c - med.m2) AS d,
+               sum(gg.t) AS t
+        FROM gg JOIN med ON gg.key = med.key AND gg.g = med.g
+        GROUP BY 1, 2, 3),
+pooled AS (SELECT key, d, sum(t) AS pt FROM dev GROUP BY 1, 2),
+pgrid AS (SELECT key, d,
+                 2 * (sum(pt) OVER (PARTITION BY key ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING) - pt)
+                   + pt + 1 AS rr,
+                 sum(pt) OVER (PARTITION BY key) AS nn
+          FROM pooled),
+cells AS (SELECT dev.key AS key, dev.g AS g, dev.t AS t,
+                 pgrid.rr AS rr, pgrid.nn AS nn
+          FROM dev JOIN pgrid ON dev.key = pgrid.key
+                             AND dev.d = pgrid.d),
+sc AS (SELECT key, g, t, nn, (CASE WHEN (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) < CAST('0.02425' AS DOUBLE) THEN (((((((CAST('-0.007784894002430293' AS DOUBLE) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('-0.3223964580411365' AS DOUBLE)) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('-2.400758277161838' AS DOUBLE)) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('-2.549732539343734' AS DOUBLE)) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('4.374664141464968' AS DOUBLE)) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('2.938163982698783' AS DOUBLE))) / ((((CAST('0.007784695709041462' AS DOUBLE) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('0.3224671290700398' AS DOUBLE)) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('2.445134137142996' AS DOUBLE)) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('3.754408661907416' AS DOUBLE)) * sqrt(-2.0 * ln((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + 1.0)) WHEN (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) > CAST('0.97575' AS DOUBLE) THEN -(((((((CAST('-0.007784894002430293' AS DOUBLE) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('-0.3223964580411365' AS DOUBLE)) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('-2.400758277161838' AS DOUBLE)) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('-2.549732539343734' AS DOUBLE)) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('4.374664141464968' AS DOUBLE)) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('2.938163982698783' AS DOUBLE))) / ((((CAST('0.007784695709041462' AS DOUBLE) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('0.3224671290700398' AS DOUBLE)) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('2.445134137142996' AS DOUBLE)) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + CAST('3.754408661907416' AS DOUBLE)) * sqrt(-2.0 * ln(1.0 - (0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))))) + 1.0)) ELSE (((((((CAST('-39.69683028665376' AS DOUBLE) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('220.9460984245205' AS DOUBLE)) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('-275.9285104469687' AS DOUBLE)) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('138.357751867269' AS DOUBLE)) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('-30.66479806614716' AS DOUBLE)) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('2.506628277459239' AS DOUBLE)) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) / (((((CAST('-54.47609879822406' AS DOUBLE) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('161.5858368580409' AS DOUBLE)) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('-155.6989798598866' AS DOUBLE)) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('66.80131188771972' AS DOUBLE)) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + CAST('-13.28068155288572' AS DOUBLE)) * (((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5) * ((0.5 + CAST(rr AS DOUBLE) / (4.0 * (CAST(nn AS DOUBLE) + 1.0))) - 0.5)) + 1.0)) END) AS av FROM cells),
+qm AS (SELECT key, g, t, nn, av,
+              CAST(floor(1e9 * (CAST(t AS DOUBLE) * av)) AS BIGINT) AS qa,
+              CAST(floor(1e9 * (CAST(t AS DOUBLE) * (av * av)))
+                   AS BIGINT) AS qq
+       FROM sc),
+per_g AS (SELECT key, g, CAST(sum(t) AS BIGINT) AS n_j,
+                 CAST(sum(qa) AS BIGINT) AS a_j
+          FROM qm GROUP BY 1, 2),
+per_k AS (SELECT key, CAST(sum(qq) AS BIGINT) AS q_k
+          FROM qm GROUP BY 1),
+piv AS (SELECT key, max(CASE WHEN g = 'click' THEN n_j END) AS click_n, max(CASE WHEN g = 'click' THEN a_j END) AS click_a, max(CASE WHEN g = 'error' THEN n_j END) AS error_n, max(CASE WHEN g = 'error' THEN a_j END) AS error_a, max(CASE WHEN g = 'purchase' THEN n_j END) AS purchase_n, max(CASE WHEN g = 'purchase' THEN a_j END) AS purchase_a, max(CASE WHEN g = 'signup' THEN n_j END) AS signup_n, max(CASE WHEN g = 'signup' THEN a_j END) AS signup_a, max(CASE WHEN g = 'view' THEN n_j END) AS view_n, max(CASE WHEN g = 'view' THEN a_j END) AS view_a FROM per_g GROUP BY 1),
+f1 AS (SELECT piv.*, per_k.q_k FROM piv JOIN per_k USING (key)
+       WHERE click_n IS NOT NULL AND error_n IS NOT NULL AND purchase_n IS NOT NULL AND signup_n IS NOT NULL AND view_n IS NOT NULL),
+s0 AS (SELECT *, CAST(click_n + error_n + purchase_n + signup_n + view_n AS DOUBLE) AS nd,
+              ((CAST(((((click_a + error_a) + purchase_a) + signup_a) + view_a) AS DOUBLE) / 1e9) / CAST(click_n + error_n + purchase_n + signup_n + view_n AS DOUBLE))
+                AS abar
+       FROM f1),
+s1_ AS (SELECT *, ((((CAST(click_n AS DOUBLE) * ((((CAST(click_a AS DOUBLE) / 1e9) / CAST(click_n AS DOUBLE)) - abar) * (((CAST(click_a AS DOUBLE) / 1e9) / CAST(click_n AS DOUBLE)) - abar)) + CAST(error_n AS DOUBLE) * ((((CAST(error_a AS DOUBLE) / 1e9) / CAST(error_n AS DOUBLE)) - abar) * (((CAST(error_a AS DOUBLE) / 1e9) / CAST(error_n AS DOUBLE)) - abar))) + CAST(purchase_n AS DOUBLE) * ((((CAST(purchase_a AS DOUBLE) / 1e9) / CAST(purchase_n AS DOUBLE)) - abar) * (((CAST(purchase_a AS DOUBLE) / 1e9) / CAST(purchase_n AS DOUBLE)) - abar))) + CAST(signup_n AS DOUBLE) * ((((CAST(signup_a AS DOUBLE) / 1e9) / CAST(signup_n AS DOUBLE)) - abar) * (((CAST(signup_a AS DOUBLE) / 1e9) / CAST(signup_n AS DOUBLE)) - abar))) + CAST(view_n AS DOUBLE) * ((((CAST(view_a AS DOUBLE) / 1e9) / CAST(view_n AS DOUBLE)) - abar) * (((CAST(view_a AS DOUBLE) / 1e9) / CAST(view_n AS DOUBLE)) - abar))) AS num,
+               (CAST(q_k AS DOUBLE) / 1e9 - nd * (abar * abar))
+                 / (nd - 1.0) AS vv
+        FROM s0)
+SELECT key, CAST(click_n + error_n + purchase_n + signup_n + view_n AS BIGINT) AS n_total,
+       CASE WHEN vv > 0 THEN round(num / vv, 6) + 0.0 END AS fk_stat,
+       CAST(4 AS BIGINT) AS fk_df
+FROM s1_
 """,
     }
 

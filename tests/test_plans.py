@@ -1754,3 +1754,20 @@ def test_rate_test_two_hash_aggs(ev):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "Window" not in p
+
+
+def test_fligner_no_cartesian_no_python(ev):
+    """Group tie grid -> median-pick agg joined back -> pooled grid
+    window -> ppb hash agg -> pivot: every join is per-group/per-key
+    aggregate vs lattice equi-join; no cartesian, no Python, no
+    global partition."""
+    from tits_spark.operators.anova import fligner_killeen_types
+
+    flagged = ev.where(F.col("value").isNotNull()).select(
+        F.col("user_id").alias("key"), "value",
+        F.col("event_type").alias("grp"),
+    )
+    p = plan_of(fligner_killeen_types(flagged))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

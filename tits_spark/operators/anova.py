@@ -281,3 +281,161 @@ def welch_anova_types(
         (F.round(fstar, 6) + F.lit(0.0)).alias("welch_f"),
         (F.round(df2, 6) + F.lit(0.0)).alias("welch_df2"),
     )
+
+
+def fligner_killeen_types(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    grp: str = "grp",
+    groups: tuple = EVENT_TYPES,
+    min_each: int = 5,
+) -> DataFrame:
+    """Fligner–Killeen normal-scores k-group scale test per key
+    (Fligner & Killeen, JASA 1976; the median-centered chi-square
+    form of Conover, Johnson & Johnson 1981) across the CLOSED group
+    alphabet — the robust k-GROUP spread test (welch_anova moves
+    means; this asks whether the event types differ in VALUE
+    DISPERSION, robust to non-normality where Bartlett's test
+    collapses).
+
+        a_i = Phi^-1(1/2 + r_i / (2(N+1))),  r_i = pooled midrank of
+              |x_ij - median_j|
+        FK  = sum_j n_j (abar_j - abar)^2 / V,
+        V   = (sum a^2 - N abar^2) / (N - 1)        ~ chi2(k-1)
+
+    Devices (all established): per-group DOUBLED medians m2_j from
+    the group tie grid (the brown_forsythe order-statistic pick, made
+    unbalanced-safe), integer deviation lattice d = |2c - m2_j|,
+    pooled doubled midranks rr on the (key, d) grid, the shared
+    Acklam probit tree (:func:`normality._probit` /
+    ``normality.probit_sql``) at p = 1/2 + rr/(4(N+1)), per-cell
+    score masses ppb-FLOORED (floor(1e9 * t * a), the logrank grain)
+    so group/key sums are exact BIGINTs, and the cross-group
+    reduction PIVOTED to fixed columns (the welch_anova device).
+    FK and V are fixed double trees, round 6; a zero V (all
+    deviations tied) emits NULL.
+
+    Plan: group tie grid -> ONE (key, grp)-window chain (cumulative +
+    totals share the sort) -> median pick agg joined back (per-group
+    aggregate) -> pooled (key, d) grid -> ONE (key)-window chain ->
+    equi-join back to group cells -> ppb hash agg -> pivot -> trees.
+    No cartesian, no Python.
+
+    Returns (key, n_total, fk_stat, fk_df)."""
+    from tits_spark.operators.normality import _probit
+
+    c = F.round(F.col(value) * 100).cast("long")
+    base = df.select(
+        F.col(key).alias("key"), F.col(grp).alias("g"), c.alias("c")
+    )
+    gg = base.groupBy("key", "g", "c").agg(F.count(F.lit(1)).alias("t"))
+    wg = (
+        Window.partitionBy("key", "g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wga = Window.partitionBy("key", "g")
+    gcum = gg.select(
+        "key",
+        "g",
+        "c",
+        "t",
+        F.sum("t").over(wg).alias("b"),
+        F.sum("t").over(wga).alias("n"),
+    )
+    p1 = F.floor((F.col("n") + 1) / 2).cast("long")
+    p2 = F.floor(F.col("n") / 2).cast("long") + 1
+    a_ = F.col("b") - F.col("t")
+    med = (
+        gcum.groupBy("key", "g")
+        .agg(
+            F.max("n").alias("n_g"),
+            F.sum(
+                F.col("c")
+                * (
+                    ((a_ < p1) & (p1 <= F.col("b"))).cast("long")
+                    + ((a_ < p2) & (p2 <= F.col("b"))).cast("long")
+                )
+            ).alias("m2"),
+        )
+        .filter(F.col("n_g") >= int(min_each))
+    )
+    dev = (
+        gg.join(med, ["key", "g"])
+        .select(
+            "key",
+            "g",
+            F.abs(2 * F.col("c") - F.col("m2")).alias("d"),
+            "t",
+        )
+        .groupBy("key", "g", "d")
+        .agg(F.sum("t").alias("t"))
+    )
+    pooled = dev.groupBy("key", "d").agg(F.sum("t").alias("pt"))
+    wp = (
+        Window.partitionBy("key")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wpa = Window.partitionBy("key")
+    pgrid = pooled.select(
+        "key",
+        "d",
+        (
+            2 * (F.sum("pt").over(wp) - F.col("pt")) + F.col("pt") + 1
+        ).alias("rr"),
+        F.sum("pt").over(wpa).alias("nn"),
+    )
+    cells = dev.join(pgrid, ["key", "d"])
+    p = F.lit(0.5) + F.col("rr").cast("double") / (
+        F.lit(4.0) * (F.col("nn").cast("double") + F.lit(1.0))
+    )
+    av = _probit(p)
+    qa = F.floor(F.lit(1e9) * (F.col("t").cast("double") * av)).cast("long")
+    qq = F.floor(
+        F.lit(1e9) * (F.col("t").cast("double") * (av * av))
+    ).cast("long")
+    per_g = cells.groupBy("key", "g").agg(
+        F.sum("t").cast("long").alias("n_j"),
+        F.sum(qa).alias("a_j"),
+    )
+    per_k = cells.groupBy("key").agg(F.sum(qq).alias("q_k"))
+    piv = (
+        per_g.groupBy("key")
+        .pivot("g", list(groups))
+        .agg(F.first("n_j").alias("n"), F.first("a_j").alias("a"))
+    )
+    cond = F.lit(True)
+    for g in groups:
+        cond = cond & F.col(f"{g}_n").isNotNull()
+    piv = piv.filter(cond).join(per_k, "key")
+    k = len(groups)
+    ntot = F.col(f"{groups[0]}_n")
+    for g in groups[1:]:
+        ntot = ntot + F.col(f"{g}_n")
+    atot = F.col(f"{groups[0]}_a")
+    for g in groups[1:]:
+        atot = atot + F.col(f"{g}_a")
+    nd = ntot.cast("double")
+    abar = (atot.cast("double") / F.lit(1e9)) / nd
+
+    def term(g):
+        aj = (F.col(f"{g}_a").cast("double") / F.lit(1e9)) / F.col(
+            f"{g}_n"
+        ).cast("double")
+        return F.col(f"{g}_n").cast("double") * ((aj - abar) * (aj - abar))
+
+    num = term(groups[0])
+    for g in groups[1:]:
+        num = num + term(g)
+    vv = (
+        F.col("q_k").cast("double") / F.lit(1e9) - nd * (abar * abar)
+    ) / (nd - F.lit(1.0))
+    fk = F.when(vv > 0, F.round(num / vv, 6) + F.lit(0.0))
+    return piv.select(
+        "key",
+        ntot.cast("long").alias("n_total"),
+        fk.alias("fk_stat"),
+        F.lit(k - 1).cast("long").alias("fk_df"),
+    )

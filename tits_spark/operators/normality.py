@@ -279,3 +279,116 @@ def lilliefors(
         (F.round(d, 6) + F.lit(0.0)).alias("d_stat"),
         (F.round(dmod, 6) + F.lit(0.0)).alias("d_mod"),
     )
+
+
+#: Acklam (2003) inverse-normal coefficients — public domain algorithm,
+#: relative error < 1.15e-9; evaluated as identical Horner trees on
+#: both engines (the PHI_SQL discipline)
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+_ACK_PLOW = 0.02425
+
+
+def _probit(p):
+    """Inverse standard normal CDF (Acklam's rational approximation)
+    as a Spark Column tree; p must lie in (0, 1).  The exact same
+    op tree is generated for DuckDB by :func:`probit_sql`."""
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+
+    def center(q):
+        r = q * q
+        num = (
+            (
+                (
+                    ((F.lit(a[0]) * r + F.lit(a[1])) * r + F.lit(a[2])) * r
+                    + F.lit(a[3])
+                ) * r
+                + F.lit(a[4])
+            ) * r
+            + F.lit(a[5])
+        ) * q
+        den = (
+            (
+                ((F.lit(b[0]) * r + F.lit(b[1])) * r + F.lit(b[2])) * r
+                + F.lit(b[3])
+            ) * r
+            + F.lit(b[4])
+        ) * r + F.lit(1.0)
+        return num / den
+
+    def tail(q):
+        num = (
+            (
+                (
+                    ((F.lit(c[0]) * q + F.lit(c[1])) * q + F.lit(c[2])) * q
+                    + F.lit(c[3])
+                ) * q
+                + F.lit(c[4])
+            ) * q
+            + F.lit(c[5])
+        )
+        den = (
+            ((F.lit(d[0]) * q + F.lit(d[1])) * q + F.lit(d[2])) * q
+            + F.lit(d[3])
+        ) * q + F.lit(1.0)
+        return num / den
+
+    lo = tail(F.sqrt(F.lit(-2.0) * F.log(p)))
+    hi = -tail(F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p)))
+    return (
+        F.when(p < F.lit(_ACK_PLOW), lo)
+        .when(p > F.lit(1.0 - _ACK_PLOW), hi)
+        .otherwise(center(p - F.lit(0.5)))
+    )
+
+
+def probit_sql(p: str) -> str:
+    """The identical Acklam tree as a DuckDB SQL fragment; ``p`` is a
+    column expression string (must be in (0, 1)).  Every constant is
+    emitted as CAST('<shortest-repr>' AS DOUBLE) — DuckDB parses bare
+    decimal literals as DECIMAL and overflows the scale in the Horner
+    products (the watson_u2 lesson)."""
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+
+    def k(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    q = f"({p} - 0.5)"
+    r = f"({q} * {q})"
+    num_c = (
+        f"((((({k(a[0])} * {r} + {k(a[1])}) * {r} + {k(a[2])}) * {r}"
+        f" + {k(a[3])}) * {r} + {k(a[4])}) * {r} + {k(a[5])}) * {q}"
+    )
+    den_c = (
+        f"(((({k(b[0])} * {r} + {k(b[1])}) * {r} + {k(b[2])}) * {r}"
+        f" + {k(b[3])}) * {r} + {k(b[4])}) * {r} + 1.0"
+    )
+    center = f"(({num_c}) / ({den_c}))"
+
+    def tail(qe: str) -> str:
+        num = (
+            f"((((({k(c[0])} * {qe} + {k(c[1])}) * {qe} + {k(c[2])}) * {qe}"
+            f" + {k(c[3])}) * {qe} + {k(c[4])}) * {qe} + {k(c[5])})"
+        )
+        den = (
+            f"((({k(d[0])} * {qe} + {k(d[1])}) * {qe} + {k(d[2])}) * {qe}"
+            f" + {k(d[3])}) * {qe} + 1.0"
+        )
+        return f"(({num}) / ({den}))"
+
+    qlo = f"sqrt(-2.0 * ln({p}))"
+    qhi = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    return (
+        f"(CASE WHEN {p} < {k(_ACK_PLOW)} THEN {tail(qlo)} "
+        f"WHEN {p} > {k(1.0 - _ACK_PLOW)} THEN -{tail(qhi)} "
+        f"ELSE {center} END)"
+    )
