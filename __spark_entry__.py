@@ -4620,6 +4620,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_rate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-day prefix ledger of the weekend rate test (twin #33's
+    batch side): one cumulative window over the daily lattice,
+    closed-form exposure per prefix, raw-double readouts."""
+    from tits_spark.operators.ratecomp import weekend_rate_prefix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return weekend_rate_prefix(ev, key="user_id")
+
+
 def q_fligner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fligner-Killeen normal-scores k-group scale test across event
     types: doubled group medians, pooled deviation midranks, shared
@@ -5161,6 +5171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_anova": q_welch_anova,
         "rate_test": q_rate_test,
         "fligner": q_fligner,
+        "rate_prefix": q_rate_prefix,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -14239,6 +14250,48 @@ SELECT key, CAST(click_n + error_n + purchase_n + signup_n + view_n AS BIGINT) A
        CASE WHEN vv > 0 THEN round(num / vv, 6) + 0.0 END AS fk_stat,
        CAST(4 AS BIGINT) AS fk_df
 FROM s1_
+""",
+        # Closed-day prefix rate ledger (twin #33 batch side): one
+        # cumulative window, closed-form exposure, raw doubles.
+        "rate_prefix": """
+WITH daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (SELECT key, d,
+               min(d) OVER wa AS lo,
+               max(d) OVER wa AS mx,
+               sum(CASE WHEN (d + 4) % 7 IN (0, 6) THEN c ELSE 0 END)
+                 OVER wc AS c1,
+               sum(CASE WHEN (d + 4) % 7 IN (0, 6) THEN 0 ELSE c END)
+                 OVER wc AS c2
+        FROM daily
+        WINDOW wa AS (PARTITION BY key),
+               wc AS (PARTITION BY key ORDER BY d
+                      ROWS UNBOUNDED PRECEDING)),
+base AS (SELECT key, d AS day, d - lo + 1 AS n_days,
+                (CASE WHEN (lo + ((0 - (lo + 4)) % 7 + 7) % 7) > d THEN 0 ELSE (d - (lo + ((0 - (lo + 4)) % 7 + 7) % 7)) // 7 + 1 END) + (CASE WHEN (lo + ((6 - (lo + 4)) % 7 + 7) % 7) > d THEN 0 ELSE (d - (lo + ((6 - (lo + 4)) % 7 + 7) % 7)) // 7 + 1 END) AS t1,
+                (d - lo + 1) - ((CASE WHEN (lo + ((0 - (lo + 4)) % 7 + 7) % 7) > d THEN 0 ELSE (d - (lo + ((0 - (lo + 4)) % 7 + 7) % 7)) // 7 + 1 END) + (CASE WHEN (lo + ((6 - (lo + 4)) % 7 + 7) % 7) > d THEN 0 ELSE (d - (lo + ((6 - (lo + 4)) % 7 + 7) % 7)) // 7 + 1 END)) AS t2,
+                c1, c2
+         FROM cum WHERE d < mx AND d - lo + 1 >= 14),
+v AS (SELECT key, day, n_days, t1, t2, c1, c2,
+             CAST(c1 + c2 AS DOUBLE) AS nn,
+             CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE) AS p
+      FROM base)
+SELECT key, CAST(day AS BIGINT) AS day,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(t1 AS BIGINT) AS t_weekend,
+       CAST(c1 AS BIGINT) AS c_weekend,
+       CAST(c2 AS BIGINT) AS c_weekday,
+       CASE WHEN t1 > 0 AND t2 > 0 AND nn * p * (1.0 - p) > 0 THEN
+         (CAST(c1 AS DOUBLE) - nn * p) / sqrt(nn * p * (1.0 - p))
+       END AS rate_z,
+       CASE WHEN t1 > 0 AND t2 > 0 AND c2 > 0 THEN
+         (CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+         / (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+       END AS rate_ratio
+FROM v
 """,
     }
 

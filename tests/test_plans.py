@@ -1771,3 +1771,16 @@ def test_fligner_no_cartesian_no_python(ev):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_rate_prefix_single_window_chain(ev):
+    """(key, day) lattice -> ONE (key)-window chain (cumulative +
+    full-partition min/max share the sort) -> trees: no join, no
+    Python, no cartesian, no global partition."""
+    from tits_spark.operators.ratecomp import weekend_rate_prefix
+
+    p = plan_of(weekend_rate_prefix(ev, key="user_id"))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

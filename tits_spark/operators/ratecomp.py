@@ -121,3 +121,90 @@ def weekend_rate_test(
         z.alias("rate_z"),
         rr.alias("rate_ratio"),
     )
+
+
+def weekend_rate_prefix(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    min_days: int = 14,
+) -> DataFrame:
+    """The closed-day prefix ledger of :func:`weekend_rate_test`: one
+    row per CLOSED observed day D (a day closes when a later day's
+    event exists) carrying the rate test over the prefix [lo, D] —
+    the replayable form a streaming monitor emits as days roll over
+    (risk_stream's closed-day discipline; twin #33 in
+    streaming/rate_stream.py is bit-equal by construction).
+
+    Same integer surfaces as weekend_rate_test, evaluated per prefix
+    via ONE cumulative window over the (key, day) lattice; the
+    weekend-day exposure over [lo, D] is the same closed form.
+
+    Returns (key, day, n_days, t_weekend, c_weekend, c_weekday,
+    rate_z, rate_ratio) for prefixes spanning >= ``min_days``."""
+    daily = (
+        df.select(
+            F.col(key).alias("key"),
+            (epoch_us(ts) / F.lit(US_PER_DAY)).cast("long").alias("d"),
+        )
+        .groupBy("key", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("key")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("key")
+    wk = ((F.col("d") + 4) % 7).isin(0, 6)
+    cum = daily.select(
+        "key",
+        "d",
+        F.min("d").over(wall).alias("lo"),
+        F.max("d").over(wall).alias("mx"),
+        F.sum(F.when(wk, F.col("c")).otherwise(0)).over(wcum).alias("c1"),
+        F.sum(F.when(~wk, F.col("c")).otherwise(0)).over(wcum).alias("c2"),
+    ).filter(F.col("d") < F.col("mx"))
+    lo = F.col("lo")
+    hi = F.col("d")
+    t1 = (_count_dow(lo, hi, 0) + _count_dow(lo, hi, 6)).cast("long")
+    span = (hi - lo + 1).cast("long")
+    t2 = span - t1
+    base = cum.select(
+        "key",
+        F.col("d").alias("day"),
+        span.alias("n_days"),
+        t1.alias("t1"),
+        t2.alias("t2"),
+        "c1",
+        "c2",
+    ).filter(F.col("n_days") >= int(min_days))
+    nn = (F.col("c1") + F.col("c2")).cast("double")
+    p = F.col("t1").cast("double") / (
+        F.col("t1") + F.col("t2")
+    ).cast("double")
+    var = nn * p * (F.lit(1.0) - p)
+    # RAW doubles (no round): the stream twin computes the identical
+    # float tree per emission, so rows match bit-for-bit (the theta
+    # precedent) without a rounding step to diverge on
+    z = F.when(
+        (F.col("t1") > 0) & (F.col("t2") > 0) & (var > 0),
+        (F.col("c1").cast("double") - nn * p) / F.sqrt(var),
+    )
+    rr = F.when(
+        (F.col("t1") > 0) & (F.col("t2") > 0) & (F.col("c2") > 0),
+        (F.col("c1").cast("double") / F.col("t1").cast("double"))
+        / (F.col("c2").cast("double") / F.col("t2").cast("double")),
+    )
+    return base.select(
+        "key",
+        "day",
+        "n_days",
+        F.col("t1").alias("t_weekend"),
+        F.col("c1").cast("long").alias("c_weekend"),
+        F.col("c2").cast("long").alias("c_weekday"),
+        z.alias("rate_z"),
+        rr.alias("rate_ratio"),
+    )

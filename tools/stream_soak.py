@@ -981,6 +981,26 @@ def main() -> None:
     results.append(("we_stream (Western Electric zone-rule alerts)",
                     nb, nr, sec, *_bitwise_equal(got, want)))
 
+    # ---- weekend-rate prefix ledger (twin #33: FIVE integer scalars
+    # per key — lo/cur/cc/c1/c2; day-close emissions through the
+    # identical raw-double tree as batch, theta's no-rounding
+    # discipline; a replayed micro-batch double-counts the open day
+    # and every later prefix row diverges)
+    from tits_spark.operators.ratecomp import weekend_rate_prefix
+    from tits_spark.streaming.rate_stream import stream_weekend_rate
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_weekend_rate(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "rate",
+    )
+    want = weekend_rate_prefix(ev)
+    got = spark.read.parquet(out).select(*want.columns)
+    results.append(("rate_stream (closed-day weekend-rate ledger)",
+                    nb, nr, sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
