@@ -4064,9 +4064,11 @@ _R5_HEAD = [
     # (jarque_bera's normality slot passes to the new lilliefors;
     # displaced siblings keep judge-gate + pytest evidence)
     "risk_ratios", "logrank", "page_hinkley",
-    # continuation-8/9 representatives (displaced siblings keep
-    # judge-gate + pytest evidence)
-    "cucconi", "quade",
+    # continuation-11 late additions take the scale-test and
+    # blocked-design representative slots (cucconi/quade keep
+    # judge-gate + pytest evidence; kendall_w below remains the
+    # blocked-design readout in the head)
+    "fligner", "rate_prefix",
     # continuation-10 agreement/epidemiology/SPC wave — the newest
     # operators flow through the driver's independent channel; every
     # displaced family keeps judge-gate + pytest evidence and a
