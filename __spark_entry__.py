@@ -4622,6 +4622,15 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage hourly trend test of the error rate per user:
+    cleared integer num/radicand, one z tree."""
+    from tits_spark.operators.cmh import cochran_armitage_hourly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cochran_armitage_hourly(ev)
+
+
 def q_rate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-day prefix ledger of the weekend rate test (twin #33's
     batch side): one cumulative window over the daily lattice,
@@ -5174,6 +5183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_test": q_rate_test,
         "fligner": q_fligner,
         "rate_prefix": q_rate_prefix,
+        "cochran_armitage": q_cochran_armitage,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -14186,6 +14196,33 @@ SELECT key, CAST(n_days AS BIGINT) AS n_days,
          round((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
                / (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)), 6) + 0.0
        END AS rate_ratio
+FROM v
+""",
+        # Cochran-Armitage: cleared trend numerator and radicand on
+        # the (key, hour) outcome lattice.
+        "cochran_armitage": """
+WITH lat AS (
+  SELECT user_id AS key, hour(ts) AS h,
+         count(*) AS n_h,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x_h
+  FROM events GROUP BY 1, 2
+),
+ag AS (SELECT key,
+              CAST(sum(n_h) AS BIGINT) AS n,
+              CAST(sum(x_h) AS BIGINT) AS x,
+              sum(CAST(h AS HUGEINT) * x_h) AS sx,
+              sum(CAST(h AS HUGEINT) * n_h) AS sn,
+              sum((CAST(h AS HUGEINT) * h) * n_h) AS sn2
+       FROM lat GROUP BY 1 HAVING sum(n_h) >= 50),
+v AS (SELECT key, n, x,
+             CAST(n AS HUGEINT) * sx - CAST(x AS HUGEINT) * sn AS num,
+             (CAST(x AS HUGEINT) * (n - x))
+               * (CAST(n AS HUGEINT) * sn2 - sn * sn) AS rad
+      FROM ag)
+SELECT key, n, x, CAST(num AS BIGINT) AS trend_num,
+       CASE WHEN rad > 0 THEN
+         round(CAST(num AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+               / sqrt(CAST(rad AS DOUBLE)), 6) + 0.0 END AS ca_z
 FROM v
 """,
         # Fligner-Killeen: pooled deviation midranks through the

@@ -1784,3 +1784,16 @@ def test_rate_prefix_single_window_chain(ev):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_cochran_armitage_two_hash_aggs(ev):
+    """(key, hour) lattice -> per-key agg, cleared integer trees:
+    no window, no join, no Python, no global partition."""
+    from tits_spark.operators.cmh import cochran_armitage_hourly
+
+    p = plan_of(cochran_armitage_hourly(ev))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "Window" not in p

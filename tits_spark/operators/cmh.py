@@ -144,3 +144,88 @@ def weekend_error_cmh(
             (F.col(event_type) == outcome_type).alias("outcome"),
         ),
     )
+
+
+def cochran_armitage_hourly(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    event_type: str = "event_type",
+    outcome_type: str = "error",
+    min_total: int = 50,
+) -> DataFrame:
+    """Cochran–Armitage test for TREND in a binary rate across
+    ordered categories (Cochran 1954; Armitage 1955), per key, with
+    hour-of-day as the ordered score s = 0..23: does the error
+    propensity climb (or fall) through the day?  The ordered
+    companion of this module's CMH (which conditions the association
+    OUT of the strata; this tests the monotone alternative the
+    2x24 chi-square wastes power spreading over 23 df).
+
+    Clearing the textbook standardization by N^3, with N total
+    events, X outcomes, and the integer lattices Sx = sum s*x_h,
+    Sn = sum s*n_h, Sn2 = sum s^2*n_h:
+
+        z = (N*Sx - X*Sn) * sqrt(N)
+            / sqrt( X*(N-X) * (N*Sn2 - Sn^2) )
+
+    numerator and the radicand are EXACT decimal(38,0) integers; z is
+    one double tree, round 6, signed zero normalized.  A degenerate
+    radicand (all outcomes, no outcomes, or a single populated hour)
+    emits NULL.
+
+    Plan: one (key, hour) conditional-sum hash agg -> one per-key
+    hash agg (the cmh/welch_t cheapest shape).  No window, no join,
+    no Python.
+
+    Returns (key, n, x, trend_num, ca_z)."""
+    DEC = "decimal(38,0)"
+    oc = F.when(F.col(event_type) == outcome_type, 1).otherwise(0)
+    lat = (
+        df.select(
+            F.col(key).alias("key"),
+            F.hour(ts).alias("h"),
+            oc.alias("o"),
+        )
+        .groupBy("key", "h")
+        .agg(F.count(F.lit(1)).alias("n_h"), F.sum("o").alias("x_h"))
+    )
+    agg = (
+        lat.groupBy("key")
+        .agg(
+            F.sum("n_h").cast("long").alias("n"),
+            F.sum("x_h").cast("long").alias("x"),
+            F.sum(F.col("h").cast(DEC) * F.col("x_h")).alias("sx"),
+            F.sum(F.col("h").cast(DEC) * F.col("n_h")).alias("sn"),
+            F.sum(
+                (F.col("h").cast(DEC) * F.col("h")) * F.col("n_h")
+            ).alias("sn2"),
+        )
+        .filter(F.col("n") >= int(min_total))
+    )
+    nn = F.col("n").cast(DEC)
+    xx = F.col("x").cast(DEC)
+    num = (nn * F.col("sx") - xx * F.col("sn")).cast(DEC)
+    rad = (
+        (xx * (nn - xx)).cast(DEC)
+        * (nn * F.col("sn2") - (F.col("sn") * F.col("sn")).cast(DEC)).cast(
+            DEC
+        )
+    ).cast(DEC)
+    z = F.when(
+        rad > 0,
+        F.round(
+            num.cast("double")
+            * F.sqrt(F.col("n").cast("double"))
+            / F.sqrt(rad.cast("double")),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return agg.select(
+        "key",
+        "n",
+        "x",
+        num.cast("long").alias("trend_num"),
+        z.alias("ca_z"),
+    )
