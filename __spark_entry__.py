@@ -4622,6 +4622,16 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_m2(ev)
 
 
+def q_poisson_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson CUSUM daily-volume ledger per user: pure-integer
+    recursion cleared by the baseline length (no float in the
+    family); closed-day emissions, recursive-CTE oracle."""
+    from tits_spark.operators.changepoint import poisson_cusum_daily
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return poisson_cusum_daily(ev, key="user_id")
+
+
 def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran-Armitage hourly trend test of the error rate per user:
     cleared integer num/radicand, one z tree."""
@@ -5184,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fligner": q_fligner,
         "rate_prefix": q_rate_prefix,
         "cochran_armitage": q_cochran_armitage,
+        "poisson_cusum": q_poisson_cusum,
     }
     out = {k: all_q[k] for k in _R5_HEAD}
     out.update({k: v for k, v in all_q.items() if k not in out})
@@ -14224,6 +14235,39 @@ SELECT key, n, x, CAST(num AS BIGINT) AS trend_num,
          round(CAST(num AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
                / sqrt(CAST(rad AS DOUBLE)), 6) + 0.0 END AS ca_z
 FROM v
+""",
+        # Poisson CUSUM: pure-integer recursion cleared by B, spine
+        # recursive CTE, closed-day ledger.
+        "poisson_cusum": """
+WITH RECURSIVE daily AS (
+  SELECT user_id AS key, epoch_us(ts) // 86400000000 AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+       HAVING max(d) - min(d) + 1 > 15),
+spine AS (SELECT key, lo, hi, unnest(range(lo, hi + 1)) AS i FROM sp),
+grid AS (SELECT spine.key AS key, spine.i - spine.lo AS idx,
+                spine.i AS day, coalesce(daily.c, 0) AS y
+         FROM spine LEFT JOIN daily
+           ON daily.key = spine.key AND daily.d = spine.i),
+kk AS (SELECT key, sum(y) AS k FROM grid WHERE idx < 14 GROUP BY 1),
+rec AS (
+  SELECT g.key AS key, g.idx AS idx, g.day AS day, g.y AS y,
+         greatest(CAST(0 AS HUGEINT),
+                  CAST(14 AS HUGEINT) * g.y - kk.k) AS s
+  FROM grid g JOIN kk ON g.key = kk.key WHERE g.idx = 14
+  UNION ALL
+  SELECT g.key AS key, g.idx AS idx, g.day AS day, g.y AS y,
+         greatest(CAST(0 AS HUGEINT), rec.s + 14 * g.y - kk.k) AS s
+  FROM rec JOIN grid g ON g.key = rec.key AND g.idx = rec.idx + 1
+  JOIN kk ON g.key = kk.key
+)
+SELECT CAST(rec.key AS VARCHAR) AS key, CAST(day AS BIGINT) AS day,
+       CAST(y AS BIGINT) AS y, CAST(s AS BIGINT) AS s_scaled,
+       s > 280 AS alarm
+FROM rec JOIN sp ON rec.key = sp.key
+WHERE rec.day < sp.hi
 """,
         # Fligner-Killeen: pooled deviation midranks through the
         # shared Acklam probit tree (normality.probit_sql), ppb

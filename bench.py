@@ -638,7 +638,7 @@ def main() -> None:
             E.q_watson_u2, E.q_kendall_w, E.q_chapman, E.q_dunn,
             E.q_theta, E.q_lilliefors, E.q_zero_inflation, E.q_welch_t,
             E.q_welch_anova, E.q_rate_test, E.q_fligner, E.q_rate_prefix,
-            E.q_cochran_armitage,
+            E.q_cochran_armitage, E.q_poisson_cusum,
         ):
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()  # kneser_ney persists bigram frames

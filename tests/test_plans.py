@@ -1797,3 +1797,14 @@ def test_cochran_armitage_two_hash_aggs(ev):
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
     assert "Window" not in p
+
+
+def test_poisson_cusum_single_arrow_batch(ev):
+    """(key, day) hash agg -> ONE grouped Arrow batch per key (the
+    theta shape); no cartesian, no global partition."""
+    from tits_spark.operators.changepoint import poisson_cusum_daily
+
+    p = plan_of(poisson_cusum_daily(ev, key="user_id"))
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+    assert p.split("\n\n")[0].count("FlatMapGroupsInPandas") == 1

@@ -260,3 +260,95 @@ def mood_changepoint(
             F.round("_z", 6).alias("z"),
         )
     )
+
+
+def poisson_cusum_daily(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    baseline_days: int = 14,
+    h_excess: int = 20,
+) -> DataFrame:
+    """One-sided Poisson CUSUM on the per-key DAILY event count
+    (Page 1954; Lucas 1985's counted-data CUSUM) — the volume-surge
+    monitor that complements cusum_changepoint (retrospective, on
+    values) and western_electric (level rules, on values): it
+    accumulates the EXCESS of each day's count over the key's own
+    Phase-I reference and alarms when the cumulative excess passes h.
+
+    Pure-integer device: with the reference kbar = K/B (K = events in
+    the first B span days), clearing by B makes the recursion exact —
+
+        S_i = max(0, S_{i-1} + B*y_i - K),   S in units of 1/B events
+        alarm_i = S_i > B*h_excess
+
+    no float exists anywhere in the family; the stream twin
+    (streaming/pcusum_stream.py, #34) carries (lo, cur, cc, K, S, n)
+    integers and is bit-equal by construction.  Day i runs over the
+    COMPLETE span (silent days count 0 and bleed the statistic down
+    by K — exactly the behavior a rate monitor needs); the ledger
+    emits every CLOSED evaluated day (a day closes when a later
+    day's event exists — the rate_prefix discipline), so batch and
+    stream agree on the emission set.
+
+    Plan: one (key, day) hash agg -> ONE grouped Arrow batch per key
+    (zero-fill inside the batch, the theta device).  Oracle: the
+    identical integer recursion as a DuckDB recursive CTE.
+
+    Returns (key, day, y, s_scaled, alarm) for closed days past the
+    baseline; keys whose span is <= ``baseline_days`` + 1 emit
+    nothing."""
+    import numpy as np
+    import pandas as pd
+
+    from tits_spark.functions.exprs import epoch_us
+
+    b = int(baseline_days)
+    h = int(h_excess)
+    daily = (
+        df.select(
+            F.col(key).alias("key"),
+            (epoch_us(ts) / F.lit(86_400_000_000)).cast("long").alias("d"),
+        )
+        .groupBy("key", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d", kind="stable")
+        dd = pdf["d"].to_numpy(np.int64)
+        cc = pdf["c"].to_numpy(np.int64)
+        lo, mx = int(dd[0]), int(dd[-1])
+        span = mx - lo + 1
+        if span <= b + 1:
+            return pd.DataFrame(
+                columns=["key", "day", "y", "s_scaled", "alarm"]
+            )
+        y = np.zeros(span, dtype=np.int64)
+        y[dd - lo] = cc
+        kk = int(y[:b].sum())
+        s = 0
+        out = []
+        # closed days only: indices b .. span-2 (the max observed day
+        # at index span-1 stays open)
+        for i in range(b, span - 1):
+            s = s + b * int(y[i]) - kk
+            if s < 0:
+                s = 0
+            out.append(
+                (
+                    str(pdf["key"].iloc[0]),
+                    lo + i,
+                    int(y[i]),
+                    s,
+                    bool(s > b * h),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["key", "day", "y", "s_scaled", "alarm"]
+        )
+
+    return daily.groupBy("key").applyInPandas(
+        fn,
+        schema="key string, day long, y long, s_scaled long, alarm boolean",
+    )

@@ -1001,6 +1001,27 @@ def main() -> None:
     results.append(("rate_stream (closed-day weekend-rate ledger)",
                     nb, nr, sec, *_bitwise_equal(got, want)))
 
+    # ---- Poisson CUSUM volume monitor (twin #34: SIX integer
+    # scalars per key; the family is integer-only end to end — S
+    # cleared by the baseline length — so bit-equality needs no float
+    # argument; gap days close inside the rollover loop and a
+    # replayed micro-batch inflates the open-day count, corrupting
+    # every later S)
+    from tits_spark.operators.changepoint import poisson_cusum_daily
+    from tits_spark.streaming.pcusum_stream import stream_poisson_cusum
+
+    out, nb, nr, sec = _run_phases(
+        spark, chunks, work,
+        lambda s, o, c: stream_poisson_cusum(
+            spark, s, SCHEMA, o, c, max_files_per_trigger=1,
+        ),
+        "pcusum",
+    )
+    want = poisson_cusum_daily(ev)
+    got = spark.read.parquet(out).select(*want.columns)
+    results.append(("pcusum_stream (Poisson CUSUM volume ledger)",
+                    nb, nr, sec, *_bitwise_equal(got, want)))
+
     rows = "\n".join(
         f"| {name} | {nb} | {nr} | {sec:.1f} | {n_got:,} | "
         f"{'**bit-equal**' if eq else 'MISMATCH'} |"
