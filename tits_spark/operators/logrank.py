@@ -170,3 +170,138 @@ def logrank_ampm(
         F.col("vq").cast("long").alias("vq"),
         chi2.alias("chi2"),
     )
+
+
+def gehan_ampm(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    event_col: str = "event_type",
+    start_event: str = "view",
+    end_event: str = "purchase",
+    cohort_fmt: str = "yyyy-MM",
+) -> DataFrame:
+    """Gehan–Breslow generalized Wilcoxon test per cohort (Gehan,
+    Biometrika 1965; Breslow 1970) — :func:`logrank_ampm` with weight
+    w_t = n_t, the at-risk count: EARLY hazard differences dominate,
+    where the unweighted logrank dilutes them across the whole curve.
+    The standard companion pair every survival package ships.
+
+    The weighting IMPROVES the exactness story: with w = n_t the
+    expected-count term clears completely —
+
+        O1w = sum n_t * d1t          (exact integer)
+        E1w = sum d_t * n1t          (exact integer; the /n_t cancels)
+        Vw  = sum d_t n1t n2t (n_t - d_t) / (n_t - 1)
+
+    so only Vw needs the 1e6 floor lattice (logrank's grain) and the
+    O-E difference is EXACT decimal arithmetic.  chi2 is one double
+    tree, round 6; V = 0 emits NULL.
+
+    Same plan as logrank_ampm: entry window, subject agg, pooled
+    duration grid, cohort-cumulative windows on the grid, one final
+    agg.  Returns (cohort, n1, n2, o1w, e1w, vq, chi2)."""
+    wk = Window.partitionBy("_k")
+    e = df.select(
+        F.col(key).alias("_k"),
+        epoch_us(ts).alias("_u"),
+        F.col(event_col).alias("_et"),
+    )
+    e = e.withColumn(
+        "_fv", F.min(F.when(F.col("_et") == start_event, F.col("_u"))).over(wk)
+    ).where(F.col("_fv").isNotNull())
+    subj = e.groupBy("_k", "_fv").agg(
+        F.min(
+            F.when(
+                (F.col("_et") == end_event) & (F.col("_u") >= F.col("_fv")),
+                F.col("_u"),
+            )
+        ).alias("_lp"),
+        F.max("_u").alias("_le"),
+    )
+    subj = subj.select(
+        F.date_format(
+            F.timestamp_micros(F.col("_fv")), cohort_fmt
+        ).alias("cohort"),
+        (F.hour(F.timestamp_micros(F.col("_fv"))) < 12).alias("_am"),
+        F.when(F.col("_lp").isNotNull(), F.col("_lp") - F.col("_fv"))
+        .otherwise(F.col("_le") - F.col("_fv"))
+        .alias("dur_us"),
+        F.when(F.col("_lp").isNotNull(), 1).otherwise(0).alias("_evt"),
+    )
+    one = F.lit(1)
+    grid = subj.groupBy("cohort", "dur_us").agg(
+        F.sum(F.when(F.col("_am"), F.col("_evt")).otherwise(0)).alias("d1"),
+        F.sum(F.when(~F.col("_am"), F.col("_evt")).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col("_am"), one - F.col("_evt")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(~F.col("_am"), one - F.col("_evt")).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("dur_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("cohort")
+
+    def _risk(dc, cc):
+        tot = F.sum(dc + cc).over(wtot)
+        cum = F.sum(dc + cc).over(wcum)
+        return tot - cum + (dc + cc)
+
+    r = grid.select(
+        "cohort",
+        "d1",
+        "d2",
+        _risk(F.col("d1"), F.col("c1")).alias("n1t"),
+        _risk(F.col("d2"), F.col("c2")).alias("n2t"),
+        F.sum(F.col("d1") + F.col("c1")).over(wtot).alias("n1"),
+        F.sum(F.col("d2") + F.col("c2")).over(wtot).alias("n2"),
+    )
+    d = (F.col("d1") + F.col("d2")).cast("long")
+    nt = (F.col("n1t") + F.col("n2t")).cast("long")
+    has = (d > 0) & (nt > 1)
+    o1w = F.when(has, (nt.cast(DEC) * F.col("d1")).cast(DEC)).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    e1w = F.when(has, (d.cast(DEC) * F.col("n1t")).cast(DEC)).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    v_num = (
+        d.cast(DEC) * F.col("n1t") * F.col("n2t") * (nt - d)
+    ).cast(DEC)
+    vq = F.when(
+        has,
+        F.floor(
+            F.lit(1e6)
+            * (v_num.cast("double") / (nt - 1).cast("double"))
+        ),
+    ).otherwise(F.lit(0)).cast(DEC)
+    agg = r.groupBy("cohort").agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.sum(o1w).alias("_o"),
+        F.sum(e1w).alias("_e"),
+        F.sum(vq).alias("vq"),
+    )
+    diff = (F.col("_o") - F.col("_e")).cast(DEC)
+    v = F.col("vq").cast("double") / F.lit(1e6)
+    chi2 = F.when(
+        F.col("vq") > 0,
+        F.round(
+            diff.cast("double") * diff.cast("double") / v, 6
+        )
+        + F.lit(0.0),
+    )
+    return agg.select(
+        "cohort",
+        "n1",
+        "n2",
+        F.col("_o").cast("long").alias("o1w"),
+        F.col("_e").cast("long").alias("e1w"),
+        F.col("vq").cast("long").alias("vq"),
+        chi2.alias("chi2"),
+    )
