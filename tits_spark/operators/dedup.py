@@ -92,7 +92,9 @@ def ngram_jaccard_pairs(
     # docs) is tiny relative to the corpus, so AQE broadcasts it and
     # the corpus-sized exploded frame is NOT shuffled for the cap —
     # the inner-join formulation shuffled all |shingle| rows a second
-    # time just to drop the few hot ones.
+    # time just to drop the few hot ones. Counting FIRST (instead of
+    # collect_list-then-filter) also bounds task memory: a web-scale
+    # boilerplate shingle never materializes its doc list anywhere.
     blacklist = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
@@ -102,10 +104,17 @@ def ngram_jaccard_pairs(
     sh = sh.join(blacklist, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # pair generation by per-shingle doc-list combinations instead of
+    # the shingle self-join (guide §2.4/§3): ONE exchange of the capped
+    # (shingle, doc) rows replaces two join-side exchanges plus their
+    # sort-merge sorts, and the explode subtree is executed once. Doc
+    # lists are bounded by max_doc_freq, so the C(k,2) fan-out per
+    # shingle is exactly the rows the self-join produced — never
+    # doc x doc (plan asserted in tests/test_plans.py).
+    grp = sh.groupBy("shingle").agg(F.collect_list(F.col(id_col)).alias("_ids"))
     common = (
-        a.join(b, "shingle")
+        grp.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
