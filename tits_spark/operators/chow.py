@@ -75,45 +75,72 @@ def chow_test(
         "h", (F.col("t") <= floordiv(F.col("n"), 2)).cast("int")
     )
 
-    t_d = F.col("t").cast(D19)
-    c_d = F.col("c").cast(D19)
-
-    def _sums(cond):
-        w = F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast(D19)
-        return [
-            F.sum(w).cast(DEC),
-            F.sum(w * t_d).cast(DEC),
-            F.sum(w * t_d * F.col("t")).cast(DEC),
-            F.sum(w * c_d).cast(DEC),
-            F.sum(w * c_d * F.col("c")).cast(DEC),
-            F.sum(w * t_d * F.col("c")).cast(DEC),
-        ]
-
+    # Round-6 perf: the original accumulated 18 CONDITIONAL decimal
+    # products per row (3 segments x 6 sums). The pooled segment is
+    # exactly the sum of the two halves, and inside the documented
+    # envelope (~3e4 hourly buckets at 1e4-cent levels; binding sum
+    # sum(c^2) <= n*cmax^2) every sufficient statistic fits int64 —
+    # so: 6 LONG sums per (key, half) in a codegen hash aggregate,
+    # pooled derived by addition, decimal only in the per-KEY closed
+    # form. Values are exact integers in both representations, so the
+    # SSEs and F are bit-identical (oracle SQL unchanged). Because
+    # int64 wrap is silent, emission is gated by a raise_error on the
+    # wrap-safe bounds (mood_changepoint precedent).
+    s = seg.groupBy("key", "h").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("t").alias("st_s"),
+        F.sum(F.col("t") * F.col("t")).alias("st2_s"),
+        F.sum("c").alias("sc_s"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2_s"),
+        F.sum(F.col("t") * F.col("c")).alias("stc_s"),
+        F.max(F.abs("c")).alias("_cmax_s"),
+    )
     names = ("n", "st", "st2", "sc", "sc2", "stc")
-    aggs = []
-    for tag, cond in (
-        ("p", F.lit(True)),
-        ("1", F.col("h") == 1),
-        ("2", F.col("h") == 0),
-    ):
-        aggs += [
-            e.alias(f"{nm}_{tag}") for nm, e in zip(names, _sums(cond))
+    halves = []
+    for tag, hval in (("1", 1), ("2", 0)):
+        halves += [
+            F.sum(F.when(F.col("h") == hval, F.col(f"{nm}_s"))).alias(
+                f"{nm}_{tag}"
+            )
+            for nm in names
         ]
-    a = seg.groupBy("key").agg(*aggs)
+    a = s.groupBy("key").agg(*halves, F.max("_cmax_s").alias("_cmax"))
+    for nm in names:
+        a = a.withColumn(f"{nm}_p", F.col(f"{nm}_1") + F.col(f"{nm}_2"))
 
     def _q(tag):
-        n = F.col(f"n_{tag}")
-        sxx = n * F.col(f"st2_{tag}") - F.col(f"st_{tag}") * F.col(f"st_{tag}")
-        syy = n * F.col(f"sc2_{tag}") - F.col(f"sc_{tag}") * F.col(f"sc_{tag}")
-        sxy = n * F.col(f"stc_{tag}") - F.col(f"st_{tag}") * F.col(f"sc_{tag}")
+        n = F.col(f"n_{tag}").cast(DEC)
+        st = F.col(f"st_{tag}").cast(DEC)
+        st2 = F.col(f"st2_{tag}").cast(DEC)
+        sc = F.col(f"sc_{tag}").cast(DEC)
+        sc2 = F.col(f"sc2_{tag}").cast(DEC)
+        stc = F.col(f"stc_{tag}").cast(DEC)
+        sxx = n * st2 - st * st
+        syy = n * sc2 - sc * sc
+        sxy = n * stc - st * sc
         q = sxx * syy - sxy * sxy
         return (q.cast("double") / (n * sxx).cast("double")).alias(
             f"sse_{tag}"
         )
 
+    n_l = F.col("n_p")
+    cmax_d = F.col("_cmax").cast(DEC)
+    overflow = (
+        (n_l.cast(DEC) * cmax_d * cmax_d
+         > F.lit("9000000000000000000").cast(DEC))
+        | (n_l.cast(DEC) * n_l.cast(DEC) * cmax_d
+           > F.lit("18000000000000000000").cast(DEC))
+        | (n_l > F.lit(3000000))
+    )
     b = a.select(
         "key",
-        F.col("n_p").cast("long").alias("n_grid"),
+        F.when(
+            overflow,
+            F.raise_error(
+                "chow_test: int64 envelope exceeded (n * cents^2 too "
+                "large) — re-bucket to a coarser tier first"
+            ).cast("long"),
+        ).otherwise(F.col("n_p")).alias("n_grid"),
         F.col("n_1").cast("long").alias("n1"),
         F.col("n_2").cast("long").alias("n2"),
         _q("p"),

@@ -111,12 +111,29 @@ def diebold_mariano(
     )
     rows = base.withColumn("e", e)
     lp1 = ll + 1
-    wlag = F.lit(0).cast(DEC)
+    # Bartlett fold over the LONG loss differential d (round-6 perf:
+    # folding the decimal e = n*d - dd put 8 BigDecimal multiplies on
+    # every grid row inside the non-codegen WindowExec; e is linear in
+    # d, so wl = n*wd - dd*wn with wd = sum_j w_j d_{t-j} and wn =
+    # sum_j w_j 1{d_{t-j} defined} — two int64 folds and two decimal
+    # multiplies per row, exactly equal in value. int64 bound:
+    # wd <= 72*|d|max = 288*cmax^2, safe through 8-figure cents;
+    # enforced by the raise_error gate below (mood_changepoint
+    # precedent) because int64 wrap is silent.
+    wd = F.lit(0).cast("long")
+    wn = F.lit(0).cast("long")
     for j in range(1, ll + 1):
-        wlag = wlag + F.lit(2 * (lp1 - j)) * F.coalesce(
-            F.lag("e", j).over(wo), F.lit(0).cast(DEC)
+        wd = wd + F.lit(2 * (lp1 - j)) * F.coalesce(
+            F.lag("d", j).over(wo), F.lit(0).cast("long")
         )
-    cum = rows.withColumn("wl", wlag)
+        wn = wn + F.when(
+            F.lag("d", j).over(wo).isNotNull(), F.lit(2 * (lp1 - j))
+        ).otherwise(F.lit(0)).cast("long")
+    cum = rows.withColumn("wd", wd).withColumn("wn", wn).withColumn(
+        "wl",
+        F.col("n_eff").cast(DEC) * F.col("wd").cast(DEC)
+        - F.col("dd").cast(DEC) * F.col("wn").cast(DEC),
+    )
     agg = cum.groupBy("key").agg(
         F.max("n_eff").alias("n_eff"),
         F.max("dd").alias("dd"),
@@ -126,6 +143,19 @@ def diebold_mariano(
         F.sum(F.when(F.col("d").isNotNull(), F.col("lb"))).alias("sum_lb"),
         F.sum(F.col("e") * F.col("e")).alias("g0"),
         F.sum(F.col("e") * F.col("wl")).alias("gw"),
+        F.max(F.abs("d")).alias("_dmax"),
+    )
+    agg = agg.withColumn(
+        "n_eff",
+        F.when(
+            F.col("_dmax").cast(DEC) * F.lit(72).cast(DEC)
+            > F.lit("9000000000000000000").cast(DEC),
+            F.raise_error(
+                "diebold_mariano: int64 envelope exceeded (|loss "
+                "differential| too large for the Bartlett fold) — "
+                "re-bucket to a coarser tier first"
+            ).cast("long"),
+        ).otherwise(F.col("n_eff")),
     )
     s = (F.lit(lp1).cast(DEC) * F.col("g0") + F.col("gw")).alias("s")
     out = agg.withColumn("s", s)
