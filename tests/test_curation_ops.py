@@ -139,9 +139,13 @@ class TestChunkStream:
 def test_dedup_clusters_long_chain_converges_logarithmically(spark):
     """A 300-node path graph has diameter 299 — plain min-label
     propagation would need ~300 rounds; pointer jumping must finish
-    well within 12 (log2(300) ~ 8.2 plus slack)."""
+    well within 12 (log2(300) ~ 8.2 plus slack). small_graph_edges=0
+    forces the DISTRIBUTED path (the small-graph union-find fast path
+    would trivially pass)."""
     edges = [(i, i + 1) for i in range(1000, 1299)]
-    out = dedup_clusters(_pairs(spark, edges), max_iter=12).collect()
+    out = dedup_clusters(
+        _pairs(spark, edges), max_iter=12, small_graph_edges=0
+    ).collect()
     assert len(out) == 300
     assert all(r["cluster_id"] == 1000 and r["cluster_size"] == 300 for r in out)
 
@@ -151,7 +155,28 @@ def test_dedup_clusters_raises_when_not_converged(spark):
 
     edges = [(i, i + 1) for i in range(0, 40)]
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(_pairs(spark, edges), max_iter=1)
+        dedup_clusters(_pairs(spark, edges), max_iter=1, small_graph_edges=0)
+
+
+def test_dedup_clusters_fast_path_matches_distributed(spark):
+    """The round-6 small-graph union-find fast path must emit exactly
+    the distributed loop's labels (min reachable id) and sizes."""
+    edges = (
+        [(1, 2), (2, 3), (1, 3)]
+        + [(i, i + 1) for i in range(10, 16)]
+        + [(100, 101), (102, 101), (103, 100)]
+    )
+    fast = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(_pairs(spark, edges)).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(
+            _pairs(spark, edges), small_graph_edges=0
+        ).collect()
+    }
+    assert fast == dist and len(fast) == 14
 
 
 def test_chunk_stream_empty_input(spark):

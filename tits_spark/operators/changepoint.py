@@ -348,7 +348,12 @@ def poisson_cusum_daily(
             out, columns=["key", "day", "y", "s_scaled", "alarm"]
         )
 
-    return daily.groupBy("key").applyInPandas(
+    # numbered repartition: the daily-count frame is tiny in bytes, so
+    # AQE's advisory coalescing lands every per-key CUSUM recursion on
+    # 1-2 tasks (the holt device; exempt from coalescing, satisfies the
+    # grouped UDF's clustered distribution — no second exchange)
+    nparts = daily.sparkSession.sparkContext.defaultParallelism
+    return daily.repartition(nparts, "key").groupBy("key").applyInPandas(
         fn,
         schema="key string, day long, y long, s_scaled long, alarm boolean",
     )

@@ -99,23 +99,39 @@ def sacf_by_key_batched(
     parts = df.repartition(F.col(key)).sortWithinPartitions(key, ts)
 
     def fn(batches):
+        lag_tmpl = np.arange(1, nlags + 1, dtype=np.int32)
+
         def process(pdf: pd.DataFrame):
-            out = []
-            for k, grp in pdf.groupby(key, sort=False):
-                if len(grp) < min_points:
+            # rows arrive sorted by (key, ts): find group starts with
+            # numpy instead of pandas.groupby (per-tiny-group pandas
+            # object + per-series DataFrame construction dominated the
+            # stage — the gorilla compress_partitions device; per-series
+            # arrays and kernel calls are IDENTICAL)
+            k_arr = pdf[key].to_numpy()
+            t_all = pdf[ts].to_numpy()
+            if np.issubdtype(t_all.dtype, np.datetime64):
+                t_all = t_all.astype("datetime64[ns]").astype(np.int64) / 1e9
+            t_all = t_all.astype(np.float64)
+            v_all = pdf[value].to_numpy(np.float64)
+            new_grp = np.ones(len(pdf), dtype=bool)
+            new_grp[1:] = k_arr[1:] != k_arr[:-1]
+            starts = np.flatnonzero(new_grp)
+            ends = np.append(starts[1:], len(pdf))
+            keys_out = []
+            acfs = []
+            for s, e in zip(starts, ends):
+                if e - s < min_points:
                     continue
-                t = grp[ts].to_numpy()
-                if np.issubdtype(t.dtype, np.datetime64):
-                    t = t.astype("datetime64[ns]").astype(np.int64) / 1e9
-                t = t.astype(np.float64)
-                acf = K.sacf(t - t[0], grp[value].to_numpy(np.float64), nlags, tau, stats=stats)
-                out.append(pd.DataFrame({
-                    "key": k,
-                    "lag": np.arange(1, nlags + 1, dtype=np.int32),
-                    "acf": acf,
-                }))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                t = t_all[s:e]
+                acfs.append(K.sacf(t - t[0], v_all[s:e], nlags, tau, stats=stats))
+                keys_out.append(k_arr[s])
+            if acfs:
+                n = len(acfs)
+                yield pd.DataFrame({
+                    "key": np.repeat(np.asarray(keys_out), nlags),
+                    "lag": np.tile(lag_tmpl, n),
+                    "acf": np.concatenate(acfs),
+                })
 
         carry: pd.DataFrame | None = None
         for pdf in batches:

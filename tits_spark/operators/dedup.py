@@ -422,6 +422,7 @@ def simhash_near_pairs(
 def dedup_clusters(
     pairs: DataFrame,
     max_iter: int = 25,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate clusters: connected components over a near-dup pair
     graph (e.g. from :func:`minhash_lsh_pairs` or
@@ -456,6 +457,59 @@ def dedup_clusters(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     edges = edges.localCheckpoint(eager=True)
+
+    # Small-graph fast path (round 6, guide §1.2 "the distributed
+    # algorithm"): each label-propagation round is 2 joins + an eager
+    # checkpoint + a probe job — pure scheduler overhead when the edge
+    # list is tiny (measured ~3s for a 600-edge graph). Below the cap
+    # (2M directed edges ~ 32 MB) collect the already-materialized
+    # checkpoint and run path-compressed union-find on the driver —
+    # identical labels (min reachable id) by construction. The
+    # distributed O(log n) loop below remains the at-scale path.
+    n_edges = edges.count()  # metadata: checkpoint blocks already built
+    if n_edges <= small_graph_edges:
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema["id_a"].dataType
+        schema = T.StructType([
+            T.StructField("doc_id", id_type),
+            T.StructField("cluster_id", id_type),
+            T.StructField("cluster_size", T.LongType()),
+        ])
+        spark = pairs.sparkSession
+        epdf = edges.toPandas()
+        if not len(epdf):
+            return spark.createDataFrame([], schema=schema)
+        nodes = pd.unique(epdf[["src", "dst"]].to_numpy().ravel())
+        idx = {v: i for i, v in enumerate(nodes)}
+        parent = np.arange(len(nodes))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for s, d in zip(epdf["src"].map(idx).to_numpy(),
+                        epdf["dst"].map(idx).to_numpy()):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        roots = np.fromiter((find(i) for i in range(len(nodes))),
+                            dtype=np.int64, count=len(nodes))
+        lab: dict = {}
+        for i, r in enumerate(roots):
+            v = nodes[i]
+            if r not in lab or v < lab[r]:
+                lab[r] = v
+        out = pd.DataFrame({
+            "doc_id": nodes,
+            "cluster_id": [lab[r] for r in roots],
+        })
+        out["cluster_size"] = out.groupby("cluster_id")["doc_id"].transform(
+            "size"
+        ).astype("int64")
+        return spark.createDataFrame(out, schema=schema)
 
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -401,7 +401,12 @@ def theta_daily(
             ]
         )
 
-    return daily.groupBy("key").applyInPandas(
+    # numbered repartition: the (key, day) counts are tiny in bytes, so
+    # AQE's advisory coalescing serializes the 1500 per-key SES
+    # recursions onto one task (measured 3.2s -> 0.6s at sf0.1; the
+    # holt device above)
+    nparts = daily.sparkSession.sparkContext.defaultParallelism
+    return daily.repartition(nparts, "key").groupBy("key").applyInPandas(
         fn,
         schema=(
             "key long, n_days long, slope double, intercept double, "
