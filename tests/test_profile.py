@@ -51,14 +51,19 @@ def test_profile_null_column(spark):
     assert out["b"]["n_distinct"] == 0
 
 
-def test_profile_exact_is_one_scan_no_collect(spark, events):
+def test_profile_exact_split_aggregates_no_sort(spark, events):
     p = (
         data_profile(events, approx=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # one wide aggregate (expand for multi-distinct), no joins/cartesian
-    assert "CartesianProduct" not in p and "Join" not in p
+    # r06: count/null/min/max run as a keys-free global aggregate and
+    # the multi-distinct counts as a separate hash aggregate — mixing
+    # them forced a keyed SortAggregate that fully sorted every wide
+    # row before aggregating.  The only join is the 1-row x 1-row
+    # cross gluing the two aggregate results back together.
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
     assert "Expand" in p  # Spark's multi-count_distinct strategy
+    assert "Sort " not in p  # the wide-row sort must stay gone
 
 
 def test_profile_approx_no_expand_on_sketched(spark, docs):

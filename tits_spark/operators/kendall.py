@@ -141,8 +141,15 @@ def kendall_tau(
             }
         )
 
-    agg = rows.select("key", "xc", "yc").groupBy("key").applyInPandas(
-        counts, schema=out_schema
+    # numbered repartition before the grouped merge-sort stage: exempt
+    # from AQE's byte-size coalescing, which serializes this CPU-bound
+    # stage onto 1-2 tasks at bench scale (guide §2; the acd guard).
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    agg = (
+        rows.select("key", "xc", "yc")
+        .repartition(nparts, "key")
+        .groupBy("key")
+        .applyInPandas(counts, schema=out_schema)
     )
     tot = F.expr("n_obs * (n_obs - 1) DIV 2")  # exact int64
     # nc + nd and nc - nd, both exact int64 identities over the surface

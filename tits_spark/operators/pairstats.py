@@ -133,7 +133,16 @@ def robust_pair_stats(
             }
         )
 
-    agg = rows.groupBy("key").applyInPandas(stats, schema=out_schema)
+    # numbered repartition: the binary-search stage is CPU-bound per
+    # key over byte-small rows — exactly the shape AQE's advisory-size
+    # coalescing serializes onto 1-2 tasks (guide §2; the acd/garch/
+    # theta guard). Exempt from coalescing, same keys, no extra shuffle.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    agg = (
+        rows.repartition(nparts, "key")
+        .groupBy("key")
+        .applyInPandas(stats, schema=out_schema)
+    )
     hl = F.round(F.col("hl_x4").cast("double") / F.lit(400.0), 6) + F.lit(0.0)
     qn = F.round(
         F.lit(2.2219) * F.col("qn_d").cast("double") / F.lit(100.0), 6

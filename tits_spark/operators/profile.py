@@ -77,17 +77,28 @@ def data_profile(
         approx_cols = [c for c in approx if c in cols]
     exact = [c for c in cols if c not in approx_cols]
 
-    aggs = []
+    # The wide aggregate splits in two (guide §2.3 / §7.2): string
+    # min/max makes the aggregation buffer variable-width, and MIXING
+    # it with count_distinct rewrites the whole thing into a keyed
+    # SortAggregate that fully SORTS every wide row (text payloads
+    # included) before aggregating — measured as the dominant cost of
+    # the bench profile.  Separating them keeps (a) a keys-free global
+    # aggregate for count/null/min/max (no sort, strings fine) and
+    # (b) a column-pruned two-phase hash aggregate per exact-distinct
+    # column; the 1-row results cross-join for free.
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-        if c in exact:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
     wide = df.agg(*aggs)
+    if exact:
+        dist = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"{c}__dist") for c in exact]
+        )
+        wide = wide.crossJoin(dist)
 
     def dist_slot(c: str) -> str:
         return f"{c}__dist" if c in exact else "CAST(NULL AS BIGINT)"
@@ -97,7 +108,7 @@ def data_profile(
             "stack({n}, {args}) as (col_name, n_rows, n_null, n_distinct, min_s, max_s)".format(
                 n=len(cols),
                 args=", ".join(
-                    f"'{c}', {c}__n, {c}__null, {dist_slot(c)}, {c}__min, {c}__max"
+                    f"'{c}', __n, {c}__null, {dist_slot(c)}, {c}__min, {c}__max"
                     for c in cols
                 ),
             )

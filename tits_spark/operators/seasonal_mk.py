@@ -99,8 +99,13 @@ def seasonal_mann_kendall(
             }
         )
 
-    per = daily.groupBy("key", "season").applyInPandas(
-        per_season, schema=out_schema
+    # numbered repartition: CPU-bound grouped stage over byte-small
+    # rows, exempt from AQE coalescing (guide §2; the acd guard).
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    per = (
+        daily.repartition(nparts, "key", "season")
+        .groupBy("key", "season")
+        .applyInPandas(per_season, schema=out_schema)
     )
     agg = (
         per.groupBy("key")

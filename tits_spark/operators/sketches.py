@@ -54,6 +54,22 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_register_cols(item: Column, p: int) -> tuple[Column, Column]:
+    """(reg, rho) expression pair for one item — the single source of
+    the register/run-length math, shared by :func:`hll_registers` and
+    callers that ride extra aggregates on the same scan (profile)."""
+    m = 1 << p
+    wmax = H_BITS - p + 1  # rho range: 1 .. wmax (wmax == all-zero rest)
+    h = h60(item)
+    rest = F.shiftright(h, p)
+    rho = (
+        F.when(rest == 0, F.lit(wmax))
+        .otherwise(F.lit(wmax) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return h.bitwiseAND(m - 1), rho
+
+
 def hll_registers(
     df: DataFrame, group: str, item: Column | str, p: int = 8
 ) -> DataFrame:
@@ -66,21 +82,13 @@ def hll_registers(
     mergeable (max) across batches/days — the continuous-aggregate
     form of distinct counting.
     """
-    m = 1 << p
-    wmax = H_BITS - p + 1  # rho range: 1 .. wmax (wmax == all-zero rest)
     it = F.col(item) if isinstance(item, str) else item
-    h = h60(it)
-    rest = F.shiftright(h, p)
-    rho = (
-        F.when(rest == 0, F.lit(wmax))
-        .otherwise(F.lit(wmax) - F.length(F.bin(rest)))
-        .cast("int")
-    )
+    reg, rho = hll_register_cols(it, p)
     return (
         df.where(it.isNotNull())
         .select(
             F.col(group).alias("grp"),
-            h.bitwiseAND(m - 1).alias("reg"),
+            reg.alias("reg"),
             rho.alias("rho"),
         )
         .groupBy("grp", "reg")
@@ -89,7 +97,10 @@ def hll_registers(
 
 
 def hll_estimate(
-    regs: DataFrame, p: int = 8, group_cols: tuple[str, ...] = ("grp",)
+    regs: DataFrame,
+    p: int = 8,
+    group_cols: tuple[str, ...] = ("grp",),
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Cardinality estimate per group from a register table.
 
@@ -107,6 +118,7 @@ def hll_estimate(
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.expr(f"CAST(power(2.0, {wmax} - rho) AS BIGINT)")).alias("s"),
         F.count("*").alias("nreg"),
+        *(extra_aggs or []),
     )
     zeros = (F.lit(m) - F.col("nreg")).cast("long")
     total = F.col("s") + zeros * F.lit(2**wmax)
@@ -115,9 +127,10 @@ def hll_estimate(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
+    extras = agg.columns[len(group_cols) + 2:]  # extra_aggs outputs
     return agg.select(
         *group_cols, zeros.alias("zeros"), total.alias("sum_scaled"),
-        est.alias("hll_est"),
+        est.alias("hll_est"), *extras,
     )
 
 
