@@ -230,6 +230,13 @@ def welch_anova_types(
         cond = cond & (F.coalesce(F.col(f"{g}_n"), F.lit(0)) >= int(min_each))
     piv = piv.filter(cond)
 
+    # layered projections instead of one closed-form tree: the nested
+    # w(g)/m(g)/mw closures re-embed their whole subtree at every use,
+    # so the single-select form builds a multi-thousand-node Column
+    # tree (measured ~1.1 s of py4j/analysis per call — more than the
+    # query's execution). Each layer aliases a subtree once and later
+    # layers reference the alias; every output's operation tree (and
+    # IEEE evaluation order) is unchanged, the nodes are just shared.
     def m(g):
         return F.col(f"{g}_s1").cast("double") / F.col(f"{g}_n").cast(
             "double"
@@ -241,43 +248,50 @@ def welch_anova_types(
         s2 = F.col(f"{g}_s2").cast("double")
         return (n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))
 
-    def w(g):
-        return F.col(f"{g}_n").cast("double") / v(g)
-
     vpos = F.lit(True)
     for g in groups:
         vpos = vpos & (v(g) > 0)
     piv = piv.filter(vpos)
 
-    sw = w(groups[0])
-    for g in groups[1:]:
-        sw = sw + w(g)
-    swm = w(groups[0]) * m(groups[0])
-    for g in groups[1:]:
-        swm = swm + w(g) * m(g)
-    mw = swm / sw
-    a = w(groups[0]) * ((m(groups[0]) - mw) * (m(groups[0]) - mw))
-    for g in groups[1:]:
-        a = a + w(g) * ((m(g) - mw) * (m(g) - mw))
-
-    def h(g):
-        t = F.lit(1.0) - w(g) / sw
-        return (t * t) / (F.col(f"{g}_n").cast("double") - F.lit(1.0))
-
-    hh = h(groups[0])
-    for g in groups[1:]:
-        hh = hh + h(g)
-    fstar = (a / F.lit(float(k - 1))) / (
-        F.lit(1.0)
-        + F.lit(2.0 * (k - 2) / (k * k - 1.0)) * hh
-    )
-    df2 = F.lit(float(k * k - 1)) / (F.lit(3.0) * hh)
     ntot = F.col(f"{groups[0]}_n")
     for g in groups[1:]:
         ntot = ntot + F.col(f"{g}_n")
-    return piv.select(
+    l1 = piv.select(
         "key",
         ntot.cast("long").alias("n_total"),
+        *[F.col(f"{g}_n").cast("double").alias(f"{g}_nd") for g in groups],
+        *[m(g).alias(f"{g}_m") for g in groups],
+        *[(F.col(f"{g}_n").cast("double") / v(g)).alias(f"{g}_w") for g in groups],
+    )
+    sw = F.col(f"{groups[0]}_w")
+    swm = F.col(f"{groups[0]}_w") * F.col(f"{groups[0]}_m")
+    for g in groups[1:]:
+        sw = sw + F.col(f"{g}_w")
+        swm = swm + F.col(f"{g}_w") * F.col(f"{g}_m")
+    l2 = l1.select("*", sw.alias("_sw"), (swm / sw).alias("_mw"))
+
+    def aterm(g):
+        d = F.col(f"{g}_m") - F.col("_mw")
+        return F.col(f"{g}_w") * (d * d)
+
+    def h(g):
+        t = F.lit(1.0) - F.col(f"{g}_w") / F.col("_sw")
+        return (t * t) / (F.col(f"{g}_nd") - F.lit(1.0))
+
+    a = aterm(groups[0])
+    hh = h(groups[0])
+    for g in groups[1:]:
+        a = a + aterm(g)
+        hh = hh + h(g)
+    l3 = l2.select("key", "n_total", a.alias("_a"), hh.alias("_hh"))
+    fstar = (F.col("_a") / F.lit(float(k - 1))) / (
+        F.lit(1.0)
+        + F.lit(2.0 * (k - 2) / (k * k - 1.0)) * F.col("_hh")
+    )
+    df2 = F.lit(float(k * k - 1)) / (F.lit(3.0) * F.col("_hh"))
+    return l3.select(
+        "key",
+        "n_total",
         (F.round(fstar, 6) + F.lit(0.0)).alias("welch_f"),
         (F.round(df2, 6) + F.lit(0.0)).alias("welch_df2"),
     )
@@ -399,17 +413,31 @@ def fligner_killeen_types(
     per_g = cells.groupBy("key", "g").agg(
         F.sum("t").cast("long").alias("n_j"),
         F.sum(qa).alias("a_j"),
+        F.sum(qq).alias("q_j"),
     )
-    per_k = cells.groupBy("key").agg(F.sum(qq).alias("q_k"))
+    # q_k rides the SAME per-(key, g) aggregate as n_j/a_j and is
+    # re-summed from the pivot columns: the alphabet is closed (the
+    # operator's documented contract), so the per-group BIGINT sums
+    # add to the identical exact total — the old separate
+    # cells.groupBy("key") aggregate re-executed the whole upstream
+    # join/window chain a second time (guide §2.4).
     piv = (
         per_g.groupBy("key")
         .pivot("g", list(groups))
-        .agg(F.first("n_j").alias("n"), F.first("a_j").alias("a"))
+        .agg(
+            F.first("n_j").alias("n"),
+            F.first("a_j").alias("a"),
+            F.first("q_j").alias("q"),
+        )
     )
     cond = F.lit(True)
     for g in groups:
         cond = cond & F.col(f"{g}_n").isNotNull()
-    piv = piv.filter(cond).join(per_k, "key")
+    piv = piv.filter(cond)
+    q_k = F.col(f"{groups[0]}_q")
+    for g in groups[1:]:
+        q_k = q_k + F.col(f"{g}_q")
+    piv = piv.withColumn("q_k", q_k)
     k = len(groups)
     ntot = F.col(f"{groups[0]}_n")
     for g in groups[1:]:

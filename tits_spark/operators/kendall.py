@@ -141,13 +141,13 @@ def kendall_tau(
             }
         )
 
-    # numbered repartition before the grouped merge-sort stage: exempt
-    # from AQE's byte-size coalescing, which serializes this CPU-bound
-    # stage onto 1-2 tasks at bench scale (guide §2; the acd guard).
-    nparts = df.sparkSession.sparkContext.defaultParallelism
+    # NO repartition here: the grid arrives hash-partitioned by key
+    # from its own window chain, and the grouped UDF rides that
+    # exchange (asserted by test_kendall_plan_single_scan...); the
+    # session's AQE minPartitionSize floor (session.py) keeps the
+    # stage parallel without a third exchange.
     agg = (
         rows.select("key", "xc", "yc")
-        .repartition(nparts, "key")
         .groupBy("key")
         .applyInPandas(counts, schema=out_schema)
     )

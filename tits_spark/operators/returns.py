@@ -42,16 +42,24 @@ def log_returns(
     (pass a unique id when timestamps can collide — lag() under a
     non-total order is nondeterministic).
     """
-    order = [F.col(ts), *[F.col(c) for c in (order_cols or [])]]
-    w = Window.partitionBy(key).orderBy(*order)
-    pos = df.filter(F.col(value) > 0)
-    prev = F.lag(value).over(w)
+    # rename BEFORE the window, not after: an alias between the window
+    # and a downstream groupBy defeats Spark's partitioning-reuse check
+    # (measured: the (key, bucket) aggregate re-shuffled all rows the
+    # window had already clustered — one whole extra exchange of the
+    # returns; guide §2.4)
+    extra = [c for c in (order_cols or [])]
+    pos = df.filter(F.col(value) > 0).select(
+        F.col(key).alias("key"),
+        F.col(ts).alias("ts"),
+        F.col(value).alias("value"),
+        *[F.col(c) for c in extra],
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts"), *[F.col(c) for c in extra]
+    )
     return (
         pos.select(
-            F.col(key).alias("key"),
-            F.col(ts).alias("ts"),
-            F.col(value).alias("value"),
-            prev.alias("prev_value"),
+            "key", "ts", "value", F.lag("value").over(w).alias("prev_value")
         )
         .filter(F.col("prev_value").isNotNull())
         .withColumn("log_ret", F.log(F.col("value") / F.col("prev_value")))
