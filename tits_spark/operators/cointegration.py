@@ -80,37 +80,50 @@ def engle_granger(
         F.lag("yc").over(wo).alias("y1"),
     ).filter(F.col("x0").isNotNull() & F.col("y0").isNotNull())
 
-    d = lambda c: c.cast(DEC)  # noqa: E731
-    pair = F.col("x1").isNotNull() & F.col("y1").isNotNull()
+    # aggregate list built as SQL strings, one F.expr per column: at
+    # ~1 ms per py4j round trip the Column-API form of these 20
+    # conditional decimal sums cost more to BUILD than to run (guide
+    # §1.2 — per-task work includes the driver's plan construction);
+    # F.expr parses the identical expression tree in one call.
+    _PAIR = "x1 IS NOT NULL AND y1 IS NOT NULL"
 
-    def psum(expr):
-        return F.sum(F.when(pair, expr).otherwise(F.lit(0)).cast(DEC))
+    def psum(sql_term: str) -> str:
+        return (
+            f"sum(CAST(CASE WHEN {_PAIR} THEN {sql_term} "
+            f"ELSE 0 END AS {DEC}))"
+        )
 
     agg = lag.groupBy("key").agg(
         # static OLS moments over ALL resolved grid rows
-        F.count(F.lit(1)).alias("n"),
-        F.sum(d(F.col("x0"))).alias("sx"),
-        F.sum(d(F.col("y0"))).alias("sy"),
-        F.sum((F.col("x0") * F.col("x0")).cast(DEC)).alias("sxx"),
-        F.sum((F.col("x0") * F.col("y0")).cast(DEC)).alias("sxy"),
+        F.expr("count(1)").alias("n"),
+        F.expr(f"sum(CAST(x0 AS {DEC}))").alias("sx"),
+        F.expr(f"sum(CAST(y0 AS {DEC}))").alias("sy"),
+        F.expr(f"sum(CAST(x0 * x0 AS {DEC}))").alias("sxx"),
+        F.expr(f"sum(CAST(x0 * y0 AS {DEC}))").alias("sxy"),
         # pair moments over rows whose lag also resolves
-        F.sum(F.when(pair, 1).otherwise(0)).alias("np"),
-        psum(F.col("x0")).alias("px0"),
-        psum(F.col("x1")).alias("px1"),
-        psum(F.col("y0")).alias("py0"),
-        psum(F.col("y1")).alias("py1"),
-        psum(F.col("x0") * F.col("x0")).alias("px0x0"),
-        psum(F.col("x1") * F.col("x1")).alias("px1x1"),
-        psum(F.col("x0") * F.col("x1")).alias("px0x1"),
-        psum(F.col("y0") * F.col("y0")).alias("py0y0"),
-        psum(F.col("y1") * F.col("y1")).alias("py1y1"),
-        psum(F.col("y0") * F.col("y1")).alias("py0y1"),
-        psum(F.col("x0") * F.col("y0")).alias("px0y0"),
-        psum(F.col("x1") * F.col("y1")).alias("px1y1"),
-        psum(F.col("x0") * F.col("y1")).alias("px0y1"),
-        psum(F.col("x1") * F.col("y0")).alias("px1y0"),
+        F.expr(f"sum(CASE WHEN {_PAIR} THEN 1 ELSE 0 END)").alias("np"),
+        F.expr(psum("x0")).alias("px0"),
+        F.expr(psum("x1")).alias("px1"),
+        F.expr(psum("y0")).alias("py0"),
+        F.expr(psum("y1")).alias("py1"),
+        F.expr(psum("x0 * x0")).alias("px0x0"),
+        F.expr(psum("x1 * x1")).alias("px1x1"),
+        F.expr(psum("x0 * x1")).alias("px0x1"),
+        F.expr(psum("y0 * y0")).alias("py0y0"),
+        F.expr(psum("y1 * y1")).alias("py1y1"),
+        F.expr(psum("y0 * y1")).alias("py0y1"),
+        F.expr(psum("x0 * y0")).alias("px0y0"),
+        F.expr(psum("x1 * y1")).alias("px1y1"),
+        F.expr(psum("x0 * y1")).alias("px0y1"),
+        F.expr(psum("x1 * y0")).alias("px1y0"),
     ).filter(F.col("np") >= int(min_pairs))
 
+    # Layered projections (the welch_anova r06 device): the closed-form
+    # tail re-embedded b inside a, both inside every residual sum, and
+    # gamma (itself embedding two residual sums) inside sse/df_t — a
+    # multi-thousand-node Column tree costing ~0.9 s of py4j per call.
+    # Each layer aliases a subtree once; every output's operation tree
+    # and IEEE order are unchanged, nodes are just shared.
     def dd(name):
         return F.col(name).cast("double")
 
@@ -125,9 +138,20 @@ def engle_granger(
     mxx = n * dd("sxx") - dd("sx") * dd("sx")
     mxy = n * dd("sxy") - dd("sx") * dd("sy")
     mxx_safe = F.when(mxx > 0, mxx)
-    b = mxy / mxx_safe
-    a = (dd("sy") - b * dd("sx")) / n
-    np_ = dd("np")
+    b_expr = mxy / mxx_safe
+    l1 = agg.select(
+        "key", "n", "np",
+        *[F.col(c) for c in (
+            "px0", "px1", "py0", "py1", "px0x0", "px1x1", "px0x1",
+            "py0y0", "py1y1", "py0y1", "px0y0", "px1y1", "px0y1", "px1y0",
+        )],
+        mxx.alias("_mxx"),
+        b_expr.alias("_b"),
+        ((dd("sy") - b_expr * dd("sx")) / n).alias("_a"),
+    )
+    b = F.col("_b")
+    a = F.col("_a")
+    np_ = F.col("np").cast("double")
 
     # residual pair sums, expanded onto the exact integer lattice;
     # each written out explicitly so the tree is auditable and the
@@ -156,24 +180,39 @@ def engle_granger(
         + (a * b) * (dd("px0") + dd("px0"))
         + (b * b) * dd("px0x0")
     )
-    s_e1e1_safe = F.when(s_e1e1 > 0, s_e1e1)
-    gamma = (s_e0e1 - s_e1e1) / s_e1e1_safe
+    l2 = l1.select(
+        "key", "n", "np", "_mxx", "_b", "_a",
+        s_e0e1.alias("_se0e1"),
+        s_e1e1.alias("_se1e1"),
+        s_e0e0.alias("_se0e0"),
+    )
+    se0e1, se1e1, se0e0 = F.col("_se0e1"), F.col("_se1e1"), F.col("_se0e0")
+    s_e1e1_safe = F.when(se1e1 > 0, se1e1)
+    gamma_expr = (se0e1 - se1e1) / s_e1e1_safe
     # sum (Delta e - gamma*e1)^2 = S(de^2) - gamma^2 * S(e1^2)
-    s_de2 = s_e0e0 - 2.0 * s_e0e1 + s_e1e1
-    sse = s_de2 - (gamma * gamma) * s_e1e1
-    s2 = sse / (np_ - 1.0)
-    df_t = gamma / F.sqrt(s2 / s_e1e1_safe)
+    s_de2 = se0e0 - 2.0 * se0e1 + se1e1
+    l3 = l2.select(
+        "key", "n", "np", "_mxx", "_b", "_a", "_se1e1",
+        gamma_expr.alias("_gamma"),
+        (s_de2 - (gamma_expr * gamma_expr) * se1e1).alias("_sse"),
+    )
+    gamma, sse = F.col("_gamma"), F.col("_sse")
+    np3 = F.col("np").cast("double")
+    s2 = sse / (np3 - 1.0)
+    se1e1_safe3 = F.when(F.col("_se1e1") > 0, F.col("_se1e1"))
+    df_t = gamma / F.sqrt(s2 / se1e1_safe3)
 
-    ok = (mxx > 0) & (s_e1e1 > 0)
-    return agg.select(
+    mxx3 = F.col("_mxx")
+    ok = (mxx3 > 0) & (F.col("_se1e1") > 0)
+    return l3.select(
         "key",
         F.col("n").cast("long").alias("n_obs"),
         F.col("np").cast("long").alias("n_pairs"),
-        F.when(mxx > 0, F.round(b, 6) + F.lit(0.0)).alias("beta"),
-        F.when(mxx > 0, F.round(a, 6) + F.lit(0.0)).alias("alpha"),
+        F.when(mxx3 > 0, F.round(F.col("_b"), 6) + F.lit(0.0)).alias("beta"),
+        F.when(mxx3 > 0, F.round(F.col("_a"), 6) + F.lit(0.0)).alias("alpha"),
         F.when(ok, F.round(gamma, 6) + F.lit(0.0)).alias("gamma"),
         F.when(
-            ok & (sse > 0) & (np_ > 1.0),
+            ok & (sse > 0) & (np3 > 1.0),
             F.round(df_t, 6) + F.lit(0.0),
         ).alias("df_t"),
     )
