@@ -219,6 +219,11 @@ def krippendorff_m2(
         )
         .filter(F.col("m") == 2)
     )
+    # per_key reads units once and the pooled value counts read it
+    # twice more (the v1/v2 union) — persist so the raw scan + window
+    # + unit aggregate run ONCE, not three times (the gk_gamma
+    # persisted-lattice device; units is |key x day| rows, bounded)
+    units = units.persist()
     per_key = units.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum(F.when(F.col("v1") != F.col("v2"), 1).otherwise(0)).alias(

@@ -57,26 +57,36 @@ def iact_by_key(
         .withColumn("rn", F.row_number().over(wo))
         .select("key", "rn", "n", (F.col("n") * F.col("c") - F.col("s")).alias("d"))
     )
-    den = base.groupBy("key").agg(
-        F.max("n").alias("n"),
-        F.sum((F.col("d").cast("decimal(19,0)") * F.col("d")).cast("decimal(38,0)")).alias("dd"),
-    )
+    # r06: the variance denominator rides the SAME probe join as the
+    # lag numerators — each row also emits a k=0 probe that matches
+    # itself, contributing d*d to a conditional sum. The old separate
+    # den aggregate + left join referenced `base` three times,
+    # re-running the scan + window chain thrice in one plan (guide
+    # §2.4). All products take the identical decimal casts; the old
+    # left-join NULL numerator becomes the empty conditional sum
+    # (coalesce unchanged).
     probes = base.select(
         "key",
-        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(m))).alias("k"),
         (F.col("rn")).alias("rn0"),
         F.col("d").alias("dl"),
-    ).select("key", (F.col("rn0") + F.col("k")).alias("rn"), "dl")
-    num = (
+        "n",
+    ).select(
+        "key", "k", (F.col("rn0") + F.col("k")).alias("rn"), "dl", "n"
+    )
+    prod = (F.col("dl").cast("decimal(19,0)") * F.col("dr")).cast(
+        "decimal(38,0)"
+    )
+    joined = (
         probes.join(base.select("key", "rn", F.col("d").alias("dr")), ["key", "rn"])
         .groupBy("key")
         .agg(
-            F.sum(
-                (F.col("dl").cast("decimal(19,0)") * F.col("dr")).cast("decimal(38,0)")
-            ).alias("nn")
+            F.max("n").alias("n"),
+            F.sum(F.when(F.col("k") == 0, prod)).alias("dd"),
+            F.sum(F.when(F.col("k") > 0, prod)).alias("nn"),
         )
+        .filter(F.col("dd") > 0)
     )
-    joined = den.join(num, "key", "left").filter(F.col("dd") > 0)
     tau = F.lit(1.0) + F.lit(2.0) * (
         F.coalesce(F.col("nn"), F.lit(0)).cast("double") / F.col("dd").cast("double")
     )

@@ -79,9 +79,43 @@ def naive_backtest(
         .groupBy("key", "b")
         .agg(F.sum("c").alias("c"), F.count(F.lit(1)).alias("n"))
     )
-    pers = _err_agg(bins, 1, "pers")
-    seas = _err_agg(bins, int(season), "seas")
-    joined = pers.join(seas, "key")
+    # r06: both forecasters share ONE self-equi-join — each bin row
+    # emits its two tagged forecast probes (b+1 persistence, b+season
+    # seasonal) and a single join attaches the realized bin; the old
+    # two _err_agg joins referenced `bins` four times, re-running the
+    # raw scan + bin aggregate four times in one plan (guide §2.4).
+    # Error terms, counts and the inner-join "both forecasters
+    # evaluated" rule are unchanged (conditional sums + the n>0
+    # filters).
+    cur = bins.select("key", "b", (F.col("c") / F.col("n")).alias("m"))
+    probes = bins.select(
+        "key",
+        (F.col("c") / F.col("n")).alias("mp"),
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("b") + 1).alias("b"), F.lit("pers").alias("tag")
+                ),
+                F.struct(
+                    (F.col("b") + int(season)).alias("b"),
+                    F.lit("seas").alias("tag"),
+                ),
+            )
+        ).alias("p"),
+    ).select("key", F.col("p.b").alias("b"), "mp", F.col("p.tag").alias("tag"))
+    e = F.floor(F.abs(F.col("m") - F.col("mp")) * 10000.0).cast("long")
+    is_p = F.col("tag") == "pers"
+    joined = (
+        cur.join(probes, ["key", "b"])
+        .groupBy("key")
+        .agg(
+            F.sum(is_p.cast("long")).cast("long").alias("n_pers"),
+            F.sum(F.when(is_p, e)).alias("sae_pers"),
+            F.sum((~is_p).cast("long")).cast("long").alias("n_seas"),
+            F.sum(F.when(~is_p, e)).alias("sae_seas"),
+        )
+        .filter((F.col("n_pers") > 0) & (F.col("n_seas") > 0))
+    )
     mae_p = F.col("sae_pers").cast("double") / F.col("n_pers")
     mae_s = F.col("sae_seas").cast("double") / F.col("n_seas")
     return joined.select(

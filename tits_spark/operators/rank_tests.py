@@ -366,7 +366,12 @@ def dunn_posthoc(
     Returns (key, grp_a, grp_b, n_a, n_b, r2_a, r2_b, dunn_z); group
     pairs where either side is under ``min_each`` drop.
     """
-    per = df.groupBy(key, grp, value).agg(F.count(F.lit(1)).alias("c"))
+    # r06: per/grid/by_grp are each referenced by 2+ downstream
+    # branches (a/b self-join sides, the tie-total reduction); without
+    # persist the raw scan + lattice chain re-executed five times in
+    # one plan (guide §2.4; all three frames are bounded aggregates —
+    # |key x grp x value|, |key x value|, |key x grp| rows).
+    per = df.groupBy(key, grp, value).agg(F.count(F.lit(1)).alias("c")).persist()
     g = per.groupBy(key, value).agg(F.sum("c").alias("t"))
     wcum = (
         Window.partitionBy(key)
@@ -380,7 +385,7 @@ def dunn_posthoc(
         (2 * (F.sum("t").over(wcum) - F.col("t")) + F.col("t") + 1).alias(
             "rr"
         ),
-    )
+    ).persist()
     by_grp = (
         per.join(grid, [key, value])
         .groupBy(key, grp)
@@ -388,7 +393,7 @@ def dunn_posthoc(
             F.sum("c").alias("n_j"),
             F.sum(F.col("c") * F.col("rr")).alias("r2_j"),
         )
-    )
+    ).persist()
     tot = grid.groupBy(key).agg(
         F.sum("t").alias("n_obs"),
         F.sum(

@@ -70,6 +70,11 @@ def cronbach_icc(
         .groupBy("key", "d", "h")
         .agg(F.count(F.lit(1)).alias("x"))
     )
+    # three per-key reductions consume the lattice; without persist
+    # each re-ran the raw scan + lattice aggregate (3 scans at any
+    # scale — the gk_gamma persisted-lattice device applies; the
+    # lattice is |key x day x hour| rows, bounded)
+    lat = lat.persist()
     cells = lat.groupBy("key").agg(
         (F.max("d") - F.min("d") + 1).cast("long").alias("n_days"),
         F.sum("x").cast("long").alias("g_total"),

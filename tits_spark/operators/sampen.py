@@ -59,6 +59,11 @@ def sample_entropy(
         .groupBy("key", "d")
         .agg(F.count(F.lit(1)).alias("x"))
     )
+    # r06: daily feeds both the span spine and the grid join, and tmpl
+    # feeds both template self-join sides — persist so the scan +
+    # window chain runs once, not four times (guide §2.4; both frames
+    # are |key x day|-bounded).
+    daily = daily.persist()
     span = daily.groupBy("key").agg(
         F.min("d").alias("mn"), F.max("d").alias("mx")
     )
@@ -104,7 +109,7 @@ def sample_entropy(
         F.greatest(
             F.lit(1), floordiv(F.col("q3") - F.col("q1"), 4)
         ).alias("r"),
-    )
+    ).persist()
     lhs = tmpl.select(
         "key", "n", "r",
         F.col("i").alias("i1"), F.col("x").alias("x1"),

@@ -188,26 +188,24 @@ def classical_decompose(
     )
     unit = 10 ** decimals
     t = t.withColumn("_du", F.round(F.col("_d") * unit, 0).cast("long"))
-    ph = (
-        t.filter(F.col("_du").isNotNull())
-        .groupBy("key", "_ph")
-        .agg(F.sum("_du").alias("_s_num"), F.count("_du").alias("_s_den"))
+    # r06: the phase means ride WINDOWS on the key partitioning the
+    # trend window already established (hash(key) satisfies both the
+    # (key, _ph) and (key) clustered distributions — no new exchange)
+    # instead of two groupBy aggregates joined back, which re-executed
+    # the whole gapfill + trend window upstream three times (guide
+    # §2.4; one scan instead of three at any scale). sum/count skip
+    # NULL _du exactly as the old filtered aggregates did, and the
+    # missing-(key,_ph) left-join NULL becomes the s_den == 0 CASE.
+    wp = Window.partitionBy("key", "_ph")
+    wk = Window.partitionBy("key")
+    s_num = F.sum("_du").over(wp)
+    s_den = F.count("_du").over(wp)
+    g_num = F.sum("_du").over(wk)
+    g_den = F.count("_du").over(wk)
+    seasonal = F.when(
+        s_den > 0, (s_num / s_den - g_num / g_den) / unit
     )
-    ctr = t.filter(F.col("_du").isNotNull()).groupBy("key").agg(
-        F.sum("_du").alias("_g_num"), F.count("_du").alias("_g_den")
-    )
-    seas = ph.join(ctr, "key").select(
-        "key",
-        "_ph",
-        (
-            (
-                F.col("_s_num") / F.col("_s_den")
-                - F.col("_g_num") / F.col("_g_den")
-            )
-            / unit
-        ).alias("seasonal"),
-    )
-    out = t.join(seas, ["key", "_ph"], "left")
+    out = t.withColumn("seasonal", seasonal)
     return out.select(
         "key",
         "bucket_ts",

@@ -137,6 +137,24 @@ def transfer_entropy(
         (t, p, o): m[(t, p, 0, o)] + m[(t, p, 1, o)]
         for t in (0, 1) for p in (0, 1) for o in (0, 1)
     }
+    # y -> x: target x, marginalize out y_t (yb)
+    c3_yx = {
+        (t, p, o): m[(0, o, t, p)] + m[(1, o, t, p)]
+        for t in (0, 1) for p in (0, 1) for o in (0, 1)
+    }
+    # r06: the marginal pyramids are aliased through two layered
+    # projections instead of inlining each sum into all eight TE terms
+    # (the welch_anova device — the inlined tree cost ~0.75 s of py4j
+    # per call; operation trees and the documented left-association
+    # are unchanged, the nodes are just shared).
+    keep = ["key", "n_obs", *[f"m{i}" for i in range(16)]]
+    l1 = cells.select(
+        *keep,
+        *[c3_xy[k].alias(f"_cxy{k[0]}{k[1]}{k[2]}") for k in c3_xy],
+        *[c3_yx[k].alias(f"_cyx{k[0]}{k[1]}{k[2]}") for k in c3_yx],
+    )
+    c3_xy = {k: F.col(f"_cxy{k[0]}{k[1]}{k[2]}") for k in c3_xy}
+    c3_yx = {k: F.col(f"_cyx{k[0]}{k[1]}{k[2]}") for k in c3_yx}
     ctx_xy = {
         (p, o): c3_xy[(0, p, o)] + c3_xy[(1, p, o)]
         for p in (0, 1) for o in (0, 1)
@@ -144,12 +162,6 @@ def transfer_entropy(
     tgt_xy = {
         (t, p): c3_xy[(t, p, 0)] + c3_xy[(t, p, 1)]
         for t in (0, 1) for p in (0, 1)
-    }
-    past_xy = {p: ctx_xy[(p, 0)] + ctx_xy[(p, 1)] for p in (0, 1)}
-    # y -> x: target x, marginalize out y_t (yb)
-    c3_yx = {
-        (t, p, o): m[(0, o, t, p)] + m[(1, o, t, p)]
-        for t in (0, 1) for p in (0, 1) for o in (0, 1)
     }
     ctx_yx = {
         (p, o): c3_yx[(0, p, o)] + c3_yx[(1, p, o)]
@@ -159,12 +171,24 @@ def transfer_entropy(
         (t, p): c3_yx[(t, p, 0)] + c3_yx[(t, p, 1)]
         for t in (0, 1) for p in (0, 1)
     }
+    l2 = l1.select(
+        "*",
+        *[ctx_xy[k].alias(f"_xxy{k[0]}{k[1]}") for k in ctx_xy],
+        *[tgt_xy[k].alias(f"_txy{k[0]}{k[1]}") for k in tgt_xy],
+        *[ctx_yx[k].alias(f"_xyx{k[0]}{k[1]}") for k in ctx_yx],
+        *[tgt_yx[k].alias(f"_tyx{k[0]}{k[1]}") for k in tgt_yx],
+    )
+    ctx_xy = {k: F.col(f"_xxy{k[0]}{k[1]}") for k in ctx_xy}
+    tgt_xy = {k: F.col(f"_txy{k[0]}{k[1]}") for k in tgt_xy}
+    ctx_yx = {k: F.col(f"_xyx{k[0]}{k[1]}") for k in ctx_yx}
+    tgt_yx = {k: F.col(f"_tyx{k[0]}{k[1]}") for k in tgt_yx}
+    past_xy = {p: ctx_xy[(p, 0)] + ctx_xy[(p, 1)] for p in (0, 1)}
     past_yx = {p: ctx_yx[(p, 0)] + ctx_yx[(p, 1)] for p in (0, 1)}
 
     n = F.col("n_obs").cast("double")
     te_xy = _te_terms(c3_xy, ctx_xy, tgt_xy, past_xy) / n
     te_yx = _te_terms(c3_yx, ctx_yx, tgt_yx, past_yx) / n
-    return cells.select(
+    return l2.select(
         "key", "n_obs",
         (F.round(te_xy, 6) + F.lit(0.0)).alias("te_xy"),
         (F.round(te_yx, 6) + F.lit(0.0)).alias("te_yx"),
