@@ -268,12 +268,15 @@ def tfidf_cosine_pairs(
         )
     else:
         tf = _term_counts(corpus, id_col, text_col)
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= int(max_df))
-    )
-    w = tf.join(dfreq, "term")
+    # r06: document frequency rides a count WINDOW over the term
+    # partitioning instead of a groupBy + join-back — the join's two
+    # references re-ran the tokenize+explode subtree twice (guide
+    # §2.4), and the window shuffles tf by term once where the old
+    # plan shuffled it twice (aggregate + join). Same df values, same
+    # surviving rows.
+    w = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).filter(F.col("df") <= int(max_df))
     if n is None:
         w = w.crossJoin(
             F.broadcast(corpus.agg(F.count(F.lit(1)).alias("_n")))
